@@ -1,0 +1,101 @@
+package graft.api
+
+import graft.query.{Facets, Filter}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Sort key: `"col"` ascending, `"-col"` descending (reference sort_by is
+  * a list of column names — reference: src/linkml_store/api/queries.py:26).
+  */
+final case class SortKey(field: String, ascending: Boolean = true) {
+  def toColumn: Column = if (ascending) col(field).asc else col(field).desc
+}
+object SortKey {
+  def parse(s: String): SortKey =
+    if (s.startsWith("-")) SortKey(s.drop(1), ascending = false)
+    else SortKey(s.stripSuffix(" ASC").stripSuffix(" asc"), ascending = true)
+}
+
+/** A collection of similar objects, backed by a DataFrame.
+  *
+  * The Spark-native analog of the reference's Collection (reference:
+  * src/linkml_store/api/collection.py:57-74): for a relational backend a
+  * collection is a table; here it is an immutable DataFrame (usually a
+  * parquet scan), so every operation below is a declarative plan that
+  * Catalyst can push down, prune, and reorder — nothing materializes on
+  * the driver.
+  */
+class Collection(val name: String, val df: DataFrame) {
+
+  def spark = df.sparkSession
+
+  /** Find objects matching a Mongo-style where filter (reference:
+    * src/linkml_store/api/collection.py:460-504). Returns a DataFrame —
+    * the caller decides whether to collect, write, or keep composing.
+    *
+    * limit = -1 means "all rows" (reference convention); offset uses
+    * Spark's native Dataset.offset (no driver paging loop — the
+    * reference's find_iter pagination is subsumed by this + streaming
+    * consumption of the returned DataFrame).
+    */
+  def find(
+      where: Filter = Filter.True,
+      selectCols: Seq[String] = Nil,
+      sortBy: Seq[SortKey] = Nil,
+      limit: Long = -1,
+      offset: Long = 0): DataFrame = {
+    var out = df.filter(where.toColumn)
+    if (selectCols.nonEmpty) out = out.select(selectCols.map(col): _*)
+    if (sortBy.nonEmpty) out = out.orderBy(sortBy.map(_.toColumn): _*)
+    if (offset > 0) out = out.offset(offset.toInt)
+    if (limit >= 0) out = out.limit(limit.toInt)
+    out
+  }
+
+  def find(where: Map[String, Any]): DataFrame = find(Filter.parse(where))
+
+  /** Get objects by primary-key values (reference:
+    * src/linkml_store/api/collection.py:425-439).
+    */
+  def get(idField: String, ids: Seq[Any]): DataFrame =
+    find(Filter.in(idField, ids))
+
+  def count(where: Filter = Filter.True): Long = df.filter(where.toColumn).count()
+
+  def peek(limit: Int = 10): DataFrame = df.limit(limit)
+
+  def distinctValues(cols: Seq[String]): DataFrame =
+    df.select(cols.map(col): _*).distinct()
+
+  /** Facet counts for a single column; see [[Facets.facetCounts]]. */
+  def facet(facetCol: String, where: Filter = Filter.True, limit: Int = 100): DataFrame =
+    Facets.facetCounts(df, where, facetCol, limit)
+
+  def facetTuple(facetCols: Seq[String], where: Filter = Filter.True, limit: Int = 100): DataFrame =
+    Facets.facetCountsTuple(df, where, facetCols, limit)
+
+  def facetsBatched(facetCols: Seq[String], where: Filter = Filter.True, limit: Int = 100): DataFrame =
+    Facets.facetCountsBatched(df, where, facetCols, limit)
+
+  /** Group rows and nest the non-key fields as a list of structs under
+    * `inlinedField` (reference: src/linkml_store/api/collection.py:625-664
+    * — group_by with agg_map {"first": [...], "list": [...]}).
+    * One shuffle; nested rows stay distributed (no driver loop, unlike
+    * the reference's pandas implementation).
+    */
+  def groupByNested(
+      groupFields: Seq[String],
+      inlinedField: String = "objects",
+      firstFields: Seq[String] = Nil,
+      listFields: Seq[String] = Nil,
+      where: Filter = Filter.True): DataFrame = {
+    val base = df.filter(where.toColumn)
+    val effList =
+      if (listFields.nonEmpty) listFields
+      else base.columns.toSeq.filterNot(c => groupFields.contains(c) || firstFields.contains(c))
+    val aggs =
+      firstFields.map(f => first(col(f)).as(f)) :+
+        collect_list(struct(effList.map(col): _*)).as(inlinedField)
+    base.groupBy(groupFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import graft.query.Filter
+import graft.api.SortKey
+import org.apache.spark.sql.functions._
+
+/** Core find/query surface (SURVEY §2 rows 1-15, 21-25): Mongo-style
+  * where → Catalyst predicates, projections, sort/limit/offset, counts,
+  * facets, aggregations, joins, windows.
+  */
+object CoreQueries extends QuerySet {
+
+  def all: Seq[Q] = Seq(
+    Q("q_find_eq",
+      (s, d) => Tables.coll(s, d, "lineitem").find(
+        where = Filter.eq("l_returnflag", "R"),
+        selectCols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"),
+        sortBy = Seq(SortKey("l_orderkey"), SortKey("l_linenumber")),
+        limit = 500),
+      Some("""SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+             |FROM lineitem WHERE l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin)),
+
+    Q("q_find_range",
+      (s, d) => Tables.coll(s, d, "orders").find(
+        where = Filter.parse(Map(
+          "o_totalprice" -> Map("$gt" -> 100000.0, "$lt" -> 200000.0),
+          "o_orderstatus" -> Map("$ne" -> "F"))),
+        selectCols = Seq("o_orderkey", "o_totalprice", "o_orderstatus"),
+        sortBy = Seq(SortKey("o_orderkey"))),
+      Some("""SELECT o_orderkey, o_totalprice, o_orderstatus
+             |FROM orders
+             |WHERE o_totalprice > 100000 AND o_totalprice < 200000 AND o_orderstatus <> 'F'
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q_find_in",
+      (s, d) => Tables.coll(s, d, "customer").find(
+        where = Filter.parse(Map(
+          "c_mktsegment" -> Map("$in" -> Seq("BUILDING", "AUTOMOBILE")),
+          "c_nationkey" -> Map("$nin" -> Seq(1, 2, 3)))),
+        selectCols = Seq("c_custkey", "c_name", "c_mktsegment", "c_nationkey"),
+        sortBy = Seq(SortKey("c_custkey"))),
+      Some("""SELECT c_custkey, c_name, c_mktsegment, c_nationkey
+             |FROM customer
+             |WHERE c_mktsegment IN ('BUILDING','AUTOMOBILE') AND c_nationkey NOT IN (1,2,3)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_find_and",
+      (s, d) => Tables.coll(s, d, "lineitem").find(
+        where = Filter.gte("l_shipdate", "1995-01-01") &&
+          Filter.lt("l_shipdate", "1996-01-01") &&
+          Filter.parse(Map("l_discount" -> Map("$between" -> Seq(0.05, 0.07)))),
+        selectCols = Nil)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_day"),
+          col("l_discount"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  strftime(l_shipdate, '%Y-%m-%d') AS ship_day, l_discount
+             |FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+             |  AND l_discount >= 0.05 AND l_discount <= 0.07
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Q("q_find_or",
+      (s, d) => Tables.coll(s, d, "orders").find(
+        where = Filter.parse(Map("$or" -> Seq(
+          Map("o_orderpriority" -> "1-URGENT"),
+          Map("o_totalprice" -> Map("$gt" -> 300000.0))))),
+        selectCols = Seq("o_orderkey", "o_orderpriority", "o_totalprice"),
+        sortBy = Seq(SortKey("o_orderkey"))),
+      Some("""SELECT o_orderkey, o_orderpriority, o_totalprice
+             |FROM orders
+             |WHERE o_orderpriority = '1-URGENT' OR o_totalprice > 300000
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    Q("q_select_cols",
+      (s, d) => Tables.coll(s, d, "part").find(
+        selectCols = Seq("p_partkey", "p_name", "p_retailprice"),
+        sortBy = Seq(SortKey("p_partkey")),
+        limit = 1000),
+      Some("""SELECT p_partkey, p_name, p_retailprice
+             |FROM part ORDER BY p_partkey LIMIT 1000""".stripMargin)),
+
+    Q("q_sort_page",
+      (s, d) => Tables.coll(s, d, "supplier").find(
+        sortBy = Seq(SortKey("s_acctbal", ascending = false), SortKey("s_suppkey")),
+        limit = 20, offset = 5),
+      Some("""SELECT * FROM supplier
+             |ORDER BY s_acctbal DESC, s_suppkey LIMIT 20 OFFSET 5""".stripMargin)),
+
+    Q("q_count",
+      (s, d) => Tables.coll(s, d, "lineitem")
+        .find(Filter.eq("l_returnflag", "A"))
+        .agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem WHERE l_returnflag = 'A'")),
+
+    Q("q_get_ids",
+      (s, d) => Tables.coll(s, d, "customer")
+        .get("c_custkey", Seq(1L, 7L, 42L, 99L, 123L))
+        .orderBy("c_custkey"),
+      Some("""SELECT * FROM customer WHERE c_custkey IN (1,7,42,99,123)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Q("q_distinct",
+      (s, d) => Tables.coll(s, d, "orders")
+        .distinctValues(Seq("o_orderstatus", "o_orderpriority"))
+        .orderBy("o_orderstatus", "o_orderpriority"),
+      Some("""SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)),
+
+    // Flagship: TPC-H Q1-style pruned-scan aggregation.
+    Q("q1_agg",
+      (s, d) => Tables.df(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty,
+             |  round(sum(l_extendedprice), 4) AS sum_base_price,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  round(avg(l_extendedprice), 4) AS avg_price,
+             |  round(avg(l_discount), 4) AS avg_disc,
+             |  count(*) AS count_order
+             |FROM lineitem
+             |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Dims are broadcast: no shuffle of the fact side on a 1000-executor
+    // cluster; verified via explain (BroadcastHashJoin).
+    Q("q_join_broadcast",
+      (s, d) => Tables.df(s, d, "customer")
+        .join(broadcast(Tables.df(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.df(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("num_customers"), round(avg("c_acctbal"), 4).as("avg_acctbal"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, count(*) AS num_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+             |FROM customer
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    Q("q_join_multi",
+      (s, d) => Tables.df(s, d, "orders")
+        .join(Tables.df(s, d, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.df(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .filter(col("o_orderstatus") === "O")
+        .groupBy(col("n_name"))
+        .agg(round(sum("o_totalprice"), 4).as("revenue"), count(lit(1)).as("num_orders"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name, round(sum(o_totalprice), 4) AS revenue, count(*) AS num_orders
+             |FROM orders
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |WHERE o_orderstatus = 'O'
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    Q("q_window_topn",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.df(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_orderpriority", "rn")
+      },
+      Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+             |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+             |    row_number() OVER (PARTITION BY o_orderpriority
+             |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+             |  FROM orders) t
+             |WHERE rn <= 3
+             |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    Q("q_events_window",
+      (s, d) => Tables.df(s, d, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+        .orderBy("hour_bucket", "event_type"),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+             |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+             |FROM events
+             |GROUP BY 1, 2
+             |ORDER BY hour_bucket, event_type""".stripMargin))
+  )
+}
