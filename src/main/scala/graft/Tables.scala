@@ -14,9 +14,15 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
       // type for: read it as a long (ns) and convert to a microsecond
       // timestamp, matching DuckDB's timestamp_ns -> timestamp cast.
+      // The session conf is also set at session build in Verify/Bench;
+      // setting it here too keeps ad-hoc sessions working.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      // Floor division via pmod (not `div`, which truncates toward zero):
+      // DuckDB's ns->us cast floors, so pre-epoch timestamps would
+      // otherwise diverge by 1us.
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

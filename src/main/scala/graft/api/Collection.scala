@@ -44,7 +44,7 @@ class Collection(val name: String, val df: DataFrame) {
       sortBy: Seq[SortKey] = Nil,
       limit: Long = -1,
       offset: Long = 0): DataFrame = {
-    var out = df.filter(where.toColumn)
+    var out = df.filter(Filter.bind(where, df.schema).toColumn)
     if (selectCols.nonEmpty) out = out.select(selectCols.map(col): _*)
     if (sortBy.nonEmpty) out = out.orderBy(sortBy.map(_.toColumn): _*)
     if (offset > 0) out = out.offset(offset.toInt)

@@ -89,10 +89,14 @@ object Facets {
                        else array(col(c).cast("string"))
         struct(lit(c).as("f"), valueCol.as("vs"))
       }
+      // Plain explode (not explode_outer): null/empty ARRAYS drop out,
+      // matching the single-column facetCounts (and SQL UNNEST); null
+      // SCALAR values survive because the scalar path wraps them as a
+      // one-element array whose element is null.
       Some(
         df.filter(where.toColumn)
           .select(explode(array(pairs: _*)).as("p"))
-          .select(col("p.f").as("facet_field"), explode_outer(col("p.vs")).as("facet_value"))
+          .select(col("p.f").as("facet_field"), explode(col("p.vs")).as("facet_value"))
           .groupBy(col("facet_field"), col("facet_value"))
           .agg(count(lit(1)).as("count")))
     }

@@ -61,7 +61,14 @@ object Filter {
   final case class Or(parts: Seq[Filter]) extends Filter {
     def toColumn: Column = parts.map(_.toColumn).reduceOption(_ || _).getOrElse(lit(false))
     def fields: Set[String] = parts.flatMap(_.fields).toSet
-    // An OR mentioning the excluded field cannot be partially kept.
+    // An OR mentioning the excluded field is dropped ENTIRELY — the
+    // logical substitution semantics: replacing the excluded predicate
+    // with `true` makes the whole disjunction true, so conditions on
+    // OTHER fields inside the same $or stop constraining the facet
+    // counts. This deliberately broadens the result (documented
+    // divergence; the reference's where-exclusion is only defined for
+    // flat conjunctions — reference: src/linkml_store/utils/
+    // sql_utils.py:110-117).
     def without(f: String): Option[Filter] = if (fields.contains(f)) None else Some(this)
   }
 
@@ -84,6 +91,15 @@ object Filter {
     }
     case object Nin extends Op {
       def compile(c: Column, v: Any): Column = !c.isin(seqOf(v): _*)
+    }
+    /** `$in` on an ARRAY column: any-element membership (reference's
+      * in-memory matcher accepts list-valued fields — reference:
+      * src/linkml_store/utils/query_utils.py MONGO_OPERATORS). Selected
+      * by [[Filter.bind]] when the schema says the column is an array.
+      */
+    case object AnyIn extends Op {
+      def compile(c: Column, v: Any): Column =
+        arrays_overlap(c, array(seqOf(v).map(lit): _*))
     }
     case object Exists extends Op {
       def compile(c: Column, v: Any): Column =
@@ -108,6 +124,24 @@ object Filter {
       "$eq" -> Eq, "$ne" -> Ne, "$gt" -> Gt, "$gte" -> Gte, "$lt" -> Lt,
       "$lte" -> Lte, "$in" -> In, "$nin" -> Nin, "$exists" -> Exists,
       "$regex" -> Regex, "$contains" -> Contains, "$between" -> Between)
+  }
+
+  /** Schema-aware rebind: swap `$in`/`$nin` on ArrayType columns to
+    * any-element membership semantics. Called by Collection.find, which
+    * knows the DataFrame schema; the plain `toColumn` path (schemaless)
+    * keeps scalar semantics.
+    */
+  def bind(f: Filter, schema: org.apache.spark.sql.types.StructType): Filter = {
+    def isArray(field: String): Boolean =
+      schema.find(_.name == field).exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+    f match {
+      case Pred(field, Op.In, v) if isArray(field) => Pred(field, Op.AnyIn, v)
+      case Pred(field, Op.Nin, v) if isArray(field) => Not(Pred(field, Op.AnyIn, v))
+      case And(ps) => And(ps.map(bind(_, schema)))
+      case Or(ps) => Or(ps.map(bind(_, schema)))
+      case Not(p) => Not(bind(p, schema))
+      case other => other
+    }
   }
 
   private def seqOf(v: Any): Seq[Any] = v match {

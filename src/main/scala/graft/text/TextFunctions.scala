@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 /** Text-analysis building blocks for large-scale training-data pipelines:
   * tokenization, quality ratios, language-ID heuristics, fingerprints.
   *
-  * Everything here is a pure Catalyst expression (codegen'd, no UDFs) and
-  * every hash is md5-derived so the same computation is expressible in
-  * DuckDB for the correctness oracle ([[portableHash60]] ==
+  * Everything here is a pure Catalyst expression built from Column
+  * combinators (codegen'd, no UDFs, no SQL-string interpolation — safe
+  * for computed/backticked input columns), and every hash is md5-derived
+  * so the same computation is expressible in DuckDB for the correctness
+  * oracle ([[portableHash60]] ==
   * `CAST(concat('0x', substr(md5(s),1,15)) AS UBIGINT)`).
   */
 object TextFunctions {
@@ -16,9 +18,9 @@ object TextFunctions {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** BPE-ish word/number/punctuation chunks via regex. */
+  /** BPE-ish word/number/punctuation chunks via regex (lowercased). */
   def regexTokens(text: Column): Column =
-    expr(s"regexp_extract_all(${text.toString}, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+    regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
   /** Deterministic 60-bit hash from md5 (portable to DuckDB). */
   def portableHash60(s: Column): Column =
@@ -27,13 +29,13 @@ object TextFunctions {
   /** English-ish stopwords used by quality + langid heuristics. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  private def stopwordArraySql = stopwords.map(w => s"'$w'").mkString("array(", ", ", ")")
+  private def stopwordArray: Column = array(stopwords.map(lit): _*)
 
   /** Fraction of tokens that are stopwords (0 when empty). */
-  def stopwordRatio(toks: Column): Column = {
-    val t = toks.toString
-    expr(s"IF(size($t) = 0, 0D, size(filter($t, x -> array_contains($stopwordArraySql, x))) / cast(size($t) as double))")
-  }
+  def stopwordRatio(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      size(filter(toks, x => array_contains(stopwordArray, x))).cast("double") /
+        size(toks).cast("double"))
 
   def stopwordRatioDuck(toksSql: String): String = {
     val arr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -41,21 +43,21 @@ object TextFunctions {
   }
 
   /** Mean token length (0 when empty). */
-  def meanTokenLen(toks: Column): Column = {
-    val t = toks.toString
-    expr(s"IF(size($t) = 0, 0D, aggregate($t, 0L, (acc, x) -> acc + length(x)) / cast(size($t) as double))")
-  }
+  def meanTokenLen(toks: Column): Column =
+    when(size(toks) === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+        size(toks).cast("double"))
 
   /** Ratio of non-alphanumeric, non-space chars to all chars. */
-  def punctRatio(text: Column): Column = {
-    val t = text.toString
-    expr(s"IF(length($t) = 0, 0D, length(regexp_replace($t, '[a-z0-9 ]', '')) / cast(length($t) as double))")
-  }
+  def punctRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double") /
+        length(text).cast("double"))
 
-  def digitRatio(text: Column): Column = {
-    val t = text.toString
-    expr(s"IF(length($t) = 0, 0D, (length($t) - length(regexp_replace($t, '[0-9]', ''))) / cast(length($t) as double))")
-  }
+  def digitRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
+        length(text).cast("double"))
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Detects bag-of-words duplicates regardless of word order.
@@ -66,13 +68,13 @@ object TextFunctions {
   def tokenSetFingerprintDuck(textSql: String): String =
     s"md5(array_to_string(list_sort(list_distinct(string_split($textSql, ' '))), ' '))"
 
-  /** Character n-gram shingles of the token stream (w tokens per shingle,
-    * distinct). Basis for MinHash / Jaccard.
-    */
+  /** Token w-gram shingles (distinct). Basis for MinHash / Jaccard. */
   def shingles(text: Column, w: Int = 3): Column = {
-    val t = s"split(${text.toString}, ' ')"
-    expr(s"IF(size($t) < $w, array(), " +
-      s"array_distinct(transform(sequence(0, size($t) - $w), i -> concat_ws(' ', slice($t, i + 1, $w)))))")
+    val t = tokens(text)
+    when(size(t) < w, array().cast("array<string>")).otherwise(
+      array_distinct(transform(
+        sequence(lit(0), size(t) - w),
+        i => concat_ws(" ", slice(t, i + lit(1), lit(w))))))
   }
 
   /** DuckDB equivalent of [[shingles]] (1-based, end-exclusive range:
