@@ -9,7 +9,10 @@ object SparkEntry {
   /** All registered operator query sets (SURVEY §2). */
   def querySets: Seq[QuerySet] = Seq(
     CoreQueries,
-    FacetQueries)
+    FacetQueries,
+    DedupQueries,
+    TextQueries,
+    StatsQueries)
 
   private lazy val registry: Seq[Q] = querySets.flatMap(_.all)
 

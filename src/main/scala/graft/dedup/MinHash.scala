@@ -24,8 +24,11 @@ object MinHash {
   private def minhashExpr(shinglesSql: String, seed: Int): String =
     s"array_min(transform($shinglesSql, s -> cast(conv(substr(md5(concat('$seed:', s)), 1, 15), 16, 10) as bigint)))"
 
+  // Outer CAST to signed BIGINT: values are 60-bit so they fit, and it
+  // keeps DuckDB's pandas conversion integral (UBIGINT aggregates come
+  // back as lossy float64 otherwise).
   private def minhashDuck(shinglesSql: String, seed: Int): String =
-    s"list_min(list_transform($shinglesSql, s -> CAST(concat('0x', substr(md5(concat('$seed:', s)), 1, 15)) AS UBIGINT)))"
+    s"CAST(list_min(list_transform($shinglesSql, s -> CAST(concat('0x', substr(md5(concat('$seed:', s)), 1, 15)) AS UBIGINT))) AS BIGINT)"
 
   /** doc signatures: (idCol, mh_0 .. mh_{k-1}). Empty-shingle docs drop out. */
   def signatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 3): DataFrame = {

@@ -1,0 +1,64 @@
+package graft.dedup
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact n-gram Jaccard similarity pairs via an inverted shingle index —
+  * the scalable formulation of all-pairs set similarity: explode
+  * (doc, shingle), self-join on the shingle, count shared shingles per
+  * pair, then jaccard = inter / (|A| + |B| - inter). Pairs only form for
+  * documents that actually SHARE a shingle, so the shuffle is bounded by
+  * shingle document-frequency, not |corpus|². Skewed (very common)
+  * shingles dominate the join at scale; pair formation stays correct but
+  * callers should raise `w` to keep shingle frequencies low.
+  */
+object NgramJaccard {
+
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = df
+      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), w)).as("s"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("s"))
+      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def jaccardPairsDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.5): String = {
+    val shDuck = TextFunctions.shinglesDuck(textCol, w)
+    s"""WITH sh AS (
+       |  SELECT $idCol, unnest($shDuck) AS s FROM $table),
+       |sizes AS (SELECT $idCol, count(*) AS sz FROM sh GROUP BY $idCol),
+       |inter AS (
+       |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.$idCol < b.$idCol
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    round(inter / CAST(sa.sz + sb.sz - inter AS DOUBLE), 4) AS jaccard
+       |  FROM inter JOIN sizes sa ON inter.id_a = sa.$idCol
+       |             JOIN sizes sb ON inter.id_b = sb.$idCol) t
+       |WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** SimHash fingerprinting: a 60-bit locality-sensitive hash where
@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions._
   * Per document: hash each distinct token to 60 bits; fingerprint bit b
   * is 1 iff more token hashes have bit b set than not. The per-bit
   * tallies are generated as flat codegen-friendly expressions over the
-  * token-hash array — one scan, no shuffle beyond the final ordering.
+  * token-hash array — one scan, no shuffle.
+  *
+  * Near-dup pairs use LSH banding, NOT an all-pairs cross join: split
+  * the 60 bits into maxDist+1 chunks; hamming <= maxDist guarantees at
+  * least one chunk matches exactly (pigeonhole), so joining on
+  * (band, chunk) finds EVERY qualifying pair while candidate formation
+  * stays bounded by bucket sizes — the property that survives 100 TB.
   */
 object SimHash {
   val Bits = 60
@@ -35,28 +41,76 @@ object SimHash {
       s"CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
+  /** (idCol, simhash) per row; unordered (order in the query if needed). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), expr(tokenHashesExpr(textCol)).as("__hs"))
       .select(col(idCol), expr(fingerprintFromHashes("__hs")).as("simhash"))
-      .orderBy(idCol)
 
   def fingerprintsDuckSql(table: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol, ${fingerprintFromHashesDuck("hs")} AS simhash
        |FROM (SELECT $idCol, ${tokenHashesDuck(textCol)} AS hs FROM $table) t
        |ORDER BY $idCol""".stripMargin
 
-  /** Near-duplicate pairs by hamming distance <= maxDist. For corpus-scale
-    * use, candidates should be banded on fingerprint chunks first (same
-    * LSH idea as MinHash); the all-pairs form here is for bounded inputs.
+  /** All pairs (id_a < id_b) with hamming(simhash_a, simhash_b) <=
+    * maxDist, found via exact LSH banding (maxDist+1 bit-chunks; a
+    * qualifying pair must agree exactly on >=1 chunk). Candidates only
+    * form inside (band, chunk) buckets: no cartesian product anywhere
+    * in the plan.
     */
-  def nearDupPairs(fp: DataFrame, idCol: String, maxDist: Int): DataFrame = {
-    val a = fp.select(col(idCol).as("id_a"), col("simhash").as("sh_a"))
-    val b = fp.select(col(idCol).as("id_b"), col("simhash").as("sh_b"))
-    a.crossJoin(b)
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    val fps = fingerprints(df, idCol, textCol)
+    nearDupPairsFromFingerprints(fps, idCol, maxDist)
+  }
+
+  def nearDupPairsFromFingerprints(fps: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0 && maxDist < Bits, s"maxDist must be in [0, $Bits)")
+    val bands = maxDist + 1
+    val width = (Bits + bands - 1) / bands
+    val chunkCols = (0 until bands).map { b =>
+      val lo = b * width
+      val w = math.min(width, Bits - lo)
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("chunk"))
+    }
+    val ex = fps
+      .select(col(idCol), explode(array(chunkCols: _*)).as("bc"))
+      .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val cand = ex.select(col("band"), col("chunk"), col(idCol).as("id_a"))
+      .join(ex.select(col("band"), col("chunk"), col(idCol).as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    cand
+      .join(fps.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
+      .join(fps.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy("id_a", "id_b")
+  }
+
+  def nearDupPairsDuckSql(table: String, idCol: String, textCol: String, maxDist: Int = 3): String = {
+    val bands = maxDist + 1
+    val width = (Bits + bands - 1) / bands
+    val bandSelects = (0 until bands).map { b =>
+      val lo = b * width
+      val w = math.min(width, Bits - lo)
+      val mask = (1L << w) - 1
+      s"SELECT $idCol, $b AS band, (simhash >> $lo) & $mask AS chunk FROM fp"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH fp AS (
+       |  SELECT $idCol, ${fingerprintFromHashesDuck("hs")} AS simhash
+       |  FROM (SELECT $idCol, ${tokenHashesDuck(textCol)} AS hs FROM $table) t),
+       |bk AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk
+       |  WHERE a.$idCol < b.$idCol)
+       |SELECT id_a, id_b, dist FROM (
+       |  SELECT id_a, id_b, bit_count(xor(fa.simhash, fb.simhash)) AS dist
+       |  FROM cand JOIN fp fa ON cand.id_a = fa.$idCol
+       |            JOIN fp fb ON cand.id_b = fb.$idCol) t
+       |WHERE dist <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
   }
 }

@@ -1,0 +1,53 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{MinHash, NgramJaccard, SimHash}
+import graft.text.TextFunctions
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` table (SURVEY §2 rows
+  * 38-42): exact content-hash dedup, MinHash signatures + LSH near-dup
+  * pairs, SimHash fingerprints + banded hamming pairs, n-gram Jaccard.
+  * All hashes are md5-derived so the identical computation runs in
+  * DuckDB for the oracle.
+  */
+object DedupQueries extends QuerySet {
+
+  def all: Seq[Q] = Seq(
+    // Exact dedup: group by order-insensitive token-set fingerprint,
+    // keep groups with >1 doc. One scan + one shuffle on the hash.
+    Q("q_dedup_exact",
+      (s, d) => Tables.df(s, d, "documents")
+        .groupBy(TextFunctions.tokenSetFingerprint(col("text")).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fp"),
+      Some(s"""SELECT fp, count(*) AS n_docs, min(doc_id) AS first_doc
+              |FROM (SELECT doc_id, ${TextFunctions.tokenSetFingerprintDuck("text")} AS fp
+              |      FROM documents) t
+              |GROUP BY fp HAVING count(*) > 1
+              |ORDER BY fp""".stripMargin)),
+
+    Q("q_minhash_sig",
+      (s, d) => MinHash.signatures(Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(MinHash.signaturesDuckSql("documents", "doc_id", "text") + "\nORDER BY doc_id")),
+
+    Q("q_dedup_minhash",
+      (s, d) => MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
+      Some(MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"))),
+
+    Q("q_dedup_simhash",
+      (s, d) => SimHash.fingerprints(Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(SimHash.fingerprintsDuckSql("documents", "doc_id", "text"))),
+
+    Q("q_simhash_pairs",
+      (s, d) => SimHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text", maxDist = 3),
+      Some(SimHash.nearDupPairsDuckSql("documents", "doc_id", "text", maxDist = 3))),
+
+    Q("q_ngram_jaccard",
+      (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5),
+      Some(NgramJaccard.jaccardPairsDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5)))
+  )
+}

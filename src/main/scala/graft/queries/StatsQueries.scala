@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.ops.Describe
+import org.apache.spark.sql.functions._
+
+/** Statistics / reshaping operators (SURVEY §2 rows 16-19): describe,
+  * group_by with agg-map, nested group_by, pivot. Mirrors the reference
+  * CLI's describe/groupby/pivot commands (reference:
+  * src/linkml_store/cli.py:656-700) as one-pass distributed plans.
+  */
+object StatsQueries extends QuerySet {
+
+  def all: Seq[Q] = Seq(
+    Q("q_describe",
+      (s, d) => Describe.describe(Tables.df(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount")),
+      Some(Describe.oracleSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount")))),
+
+    // group_by + agg_map {count, sum, list} — the reference's group_by
+    // with deterministic (sorted) list aggregation.
+    Q("q_group_agg",
+      (s, d) => Tables.df(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("num_orders"),
+          round(sum("o_totalprice"), 4).as("total_price"),
+          sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+        .orderBy("o_custkey"),
+      Some("""SELECT o_custkey, count(*) AS num_orders,
+             |  round(sum(o_totalprice), 4) AS total_price,
+             |  list(o_orderkey ORDER BY o_orderkey) AS order_keys
+             |FROM orders
+             |GROUP BY o_custkey
+             |ORDER BY o_custkey""".stripMargin)),
+
+    // group_by → nested objects (collect_list of structs). Struct rows
+    // are not portable to a DuckDB hash compare → rows-only check.
+    Q("q_group_nest",
+      (s, d) => Tables.coll(s, d, "orders")
+        .groupByNested(
+          groupFields = Seq("o_orderstatus"),
+          inlinedField = "objects",
+          listFields = Seq("o_orderkey", "o_totalprice"))
+        .select(col("o_orderstatus"), size(col("objects")).as("n_objects"), col("objects"))
+        .orderBy("o_orderstatus"),
+      None),
+
+    Q("q_pivot",
+      (s, d) => Tables.df(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(round(sum("o_totalprice"), 4))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS F,
+             |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 4) AS O,
+             |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
+             |FROM orders
+             |GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin))
+  )
+}

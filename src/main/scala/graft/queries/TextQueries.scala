@@ -1,0 +1,74 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.{LangId, TextFunctions}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (SURVEY §2 rows 44-47):
+  * quality ratios, language ID, token counting, fingerprints. All pure
+  * Catalyst expressions; each oracle computes the identical formula in
+  * DuckDB (note: DuckDB regexp_replace needs the 'g' flag to match
+  * Spark's replace-all default).
+  */
+object TextQueries extends QuerySet {
+
+  def all: Seq[Q] = Seq(
+    Q("q_text_quality",
+      (s, d) => {
+        val toks = TextFunctions.tokens(col("text"))
+        Tables.df(s, d, "documents").select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          round(TextFunctions.meanTokenLen(toks), 4).as("mean_tok_len"),
+          round(TextFunctions.stopwordRatio(toks), 4).as("stop_ratio"),
+          round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
+          round(TextFunctions.digitRatio(col("text")), 4).as("digit_ratio"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  len(toks) AS n_tokens,
+              |  round(CASE WHEN len(toks) = 0 THEN 0
+              |    ELSE list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) END, 4) AS mean_tok_len,
+              |  round(${TextFunctions.stopwordRatioDuck("toks")}, 4) AS stop_ratio,
+              |  round(CASE WHEN length(text) = 0 THEN 0
+              |    ELSE length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
+              |  round(CASE WHEN length(text) = 0 THEN 0
+              |    ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE) END, 4) AS digit_ratio
+              |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_token_count",
+      (s, d) => Tables.df(s, d, "documents").select(
+        col("doc_id"),
+        size(TextFunctions.tokens(col("text"))).as("n_ws_tokens"),
+        size(TextFunctions.regexTokens(col("text"))).as("n_re_tokens"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(text, ' ')) AS n_ws_tokens,
+             |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_fingerprint",
+      (s, d) => Tables.df(s, d, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenSetFingerprint(col("text")).as("fp"),
+        TextFunctions.portableHash60(col("text")).as("h60"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              |  ${TextFunctions.tokenSetFingerprintDuck("text")} AS fp,
+              |  CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) AS h60
+              |FROM documents
+              |ORDER BY doc_id""".stripMargin)),
+
+    Q("q_lang_id",
+      (s, d) => Tables.df(s, d, "documents").select(
+        col("doc_id"),
+        col("lang"),
+        LangId.predict(TextFunctions.tokens(col("text"))).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang, ${LangId.predictDuckSql("toks")} AS lang_pred
+              |FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) t
+              |ORDER BY doc_id""".stripMargin))
+  )
+}
