@@ -1,0 +1,63 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.query.Filter
+
+class CollectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val coll = new Collection("orders", Seq(
+    (1, "open", 100.0), (2, "closed", 250.0), (3, "open", 50.0),
+    (4, "open", 300.0), (5, "closed", 150.0)
+  ).toDF("id", "status", "amount"))
+
+  test("find with where + projection + sort + limit + offset") {
+    val r = coll.find(
+      where = Filter.eq("status", "open"),
+      selectCols = Seq("id", "amount"),
+      sortBy = Seq(SortKey("amount", ascending = false)),
+      limit = 2, offset = 1)
+    r.columns shouldBe Array("id", "amount")
+    r.select("id").as[Int].collect() shouldBe Array(1, 3)
+  }
+
+  test("find with Mongo map") {
+    coll.find(Map("amount" -> Map("$gte" -> 150.0)))
+      .select("id").as[Int].collect().sorted shouldBe Array(2, 4, 5)
+  }
+
+  test("get by ids") {
+    coll.get("id", Seq(2, 4)).select("id").as[Int].collect().sorted shouldBe Array(2, 4)
+  }
+
+  test("count and peek") {
+    coll.count() shouldBe 5
+    coll.count(Filter.eq("status", "open")) shouldBe 3
+    coll.peek(2).count() shouldBe 2
+  }
+
+  test("distinct values") {
+    coll.distinctValues(Seq("status")).as[String].collect().sorted shouldBe
+      Array("closed", "open")
+  }
+
+  test("sort key parsing: '-col' is descending") {
+    SortKey.parse("-amount") shouldBe SortKey("amount", ascending = false)
+    SortKey.parse("amount") shouldBe SortKey("amount", ascending = true)
+  }
+
+  test("groupByNested nests non-key fields as structs") {
+    val r = coll.groupByNested(Seq("status"), "objects")
+      .orderBy("status").collect()
+    r.map(_.getString(0)) shouldBe Array("closed", "open")
+    r.map(_.getSeq[Any](1).size) shouldBe Array(2, 3)
+  }
+
+  test("groupByNested with firstFields and explicit listFields") {
+    val r = coll.groupByNested(Seq("status"), "objs",
+      firstFields = Seq("amount"), listFields = Seq("id"))
+      .orderBy("status").collect()
+    // struct list only contains the requested field
+    r.head.schema.fieldNames should contain allOf ("status", "amount", "objs")
+  }
+}

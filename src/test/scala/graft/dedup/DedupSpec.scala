@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // doc 1 and 2 are near-identical (one token changed); doc 4 is an
+  // exact bag-of-words duplicate of doc 1; doc 3 is unrelated.
+  private lazy val docs = Seq(
+    (1, "spark runs fast on big data clusters every day"),
+    (2, "spark runs fast on big data clusters every night"),
+    (3, "completely different content about cooking pasta recipes now"),
+    (4, "spark runs fast on big data clusters every day")
+  ).toDF("doc_id", "text")
+
+  test("minhash signatures are deterministic and k-wide") {
+    val sig = MinHash.signatures(docs, "doc_id", "text", k = 8, w = 3)
+    sig.columns.toSeq shouldBe ("doc_id" +: (0 until 8).map(i => s"mh_$i"))
+    val s1 = sig.filter($"doc_id" === 1).drop("doc_id").collect().head.toSeq
+    val s4 = sig.filter($"doc_id" === 4).drop("doc_id").collect().head.toSeq
+    s1 shouldBe s4 // identical text -> identical signature
+  }
+
+  test("minhash LSH pairs find near and exact duplicates with verified jaccard") {
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+    pairs.map(p => (p._1, p._2)) should contain(1, 4)
+    pairs.find(p => p._1 == 1 && p._2 == 4).get._3 shouldBe 1.0
+    // unrelated doc 3 pairs with nothing
+    pairs.exists(p => p._1 == 3 || p._2 == 3) shouldBe false
+  }
+
+  test("simhash banding finds exactly the brute-force hamming pairs") {
+    val fps = SimHash.fingerprints(docs, "doc_id", "text")
+    val banded = SimHash.nearDupPairsFromFingerprints(fps, "doc_id", maxDist = 10)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    // brute force over the 4 fingerprints
+    val raw = fps.collect().map(r => (r.getInt(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- raw; (ib, sb) <- raw if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 10
+    } yield (ia, ib)).toSet
+    banded shouldBe brute
+    banded should contain(1 -> 4) // identical docs: distance 0
+  }
+
+  test("simhash banded plan contains no cartesian product") {
+    val plan = SimHash.nearDupPairs(docs, "doc_id", "text", maxDist = 3)
+      .queryExecution.executedPlan.toString
+    plan.toLowerCase should not include "cartesian"
+  }
+
+  test("ngram jaccard pairs: exact duplicate scores 1.0, near-dup in (0,1)") {
+    val pairs = NgramJaccard.jaccardPairs(docs, "doc_id", "text", w = 3, threshold = 0.1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    pairs.find(p => p._1 == 1 && p._2 == 4).get._3 shouldBe 1.0
+    val near = pairs.find(p => p._1 == 1 && p._2 == 2).get._3
+    near should be > 0.1
+    near should be < 1.0
+  }
+}
