@@ -12,7 +12,8 @@ object SparkEntry {
     FacetQueries,
     DedupQueries,
     TextQueries,
-    StatsQueries)
+    StatsQueries,
+    VectorQueries)
 
   private lazy val registry: Seq[Q] = querySets.flatMap(_.all)
 

@@ -1,0 +1,193 @@
+package graft.ann
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Nearest-neighbor search over embedding columns (`array<float>`).
+  *
+  * Three tiers (SURVEY §2 rows 35-37, 43):
+  *  - [[bruteForceTopK]]: exact cosine top-k against one query vector —
+  *    the correctness baseline. One broadcast of the query row, no
+  *    shuffle of the corpus, TakeOrdered for the top-k.
+  *  - [[lshCandidates]] / sign-bit banding: random-hyperplane LSH with
+  *    axis-aligned hyperplanes (bit i = sign of dimension i). Banding
+  *    the signature bounds candidate generation by bucket sizes — the
+  *    100 TB path. Approximate by construction; the oracle runs the
+  *    same algorithm, so results are deterministic.
+  *  - [[findMatches]]: cross-collection top-1 match per source row
+  *    (reference: src/linkml_store/utils/embedding_matcher.py) — a
+  *    broadcast nested-loop join ranked per source; broadcast the
+  *    smaller (target) side.
+  *
+  * Cosine is computed in double from the float32 inputs on both engines
+  * (fold in index order) so 4dp-rounded scores agree with DuckDB.
+  */
+object Knn {
+
+  /** Sign-bit LSH signature over the first `nBits` dimensions. */
+  def signBits(vecCol: String, nBits: Int = 16): Column =
+    expr(s"aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint), " +
+      s"(acc, i) -> acc + IF(element_at($vecCol, i + 1) > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint)))")
+
+  def signBitsDuck(vecSql: String, nBits: Int = 16): String =
+    s"CAST(list_sum(list_transform(range(1, ${nBits + 1}), i -> CASE WHEN $vecSql[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  private def cosineDuck(a: String, b: String, dim: Int): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
+    s"${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)}))"
+  }
+
+  /** Exact cosine top-k to the vector of row `queryId`. */
+  def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val q = e.filter(col(idCol) === queryId).select(col("__v").as("__qv"))
+    e.filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col("__v"), col("__qv")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  def bruteForceTopKDuckSql(table: String, idCol: String, vecCol: String, queryId: Long, k: Int, dim: Int): String =
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |q AS (SELECT v AS qv FROM e WHERE $idCol = $queryId)
+       |SELECT $idCol, round(${cosineDuck("v", "qv", dim)}, 4) AS score
+       |FROM e, q
+       |WHERE $idCol <> $queryId
+       |ORDER BY score DESC, $idCol ASC
+       |LIMIT $k""".stripMargin
+
+  /** Banded sign-bit buckets: (idCol, band, chunk) rows. */
+  def bandedSignBits(df: DataFrame, idCol: String, vecCol: String,
+                     nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    val sig = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__sig", signBits("__v", nBits))
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("__sig"), b * width).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    sig.select(col(idCol), explode(array(chunks: _*)).as("bc"))
+      .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
+  /** LSH top-k: rank only candidates sharing >= 1 signature band with
+    * the query row. Candidate generation is a bucket join (bounded),
+    * then exact cosine on the survivors.
+    */
+  def lshTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+              nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val bk = bandedSignBits(df, idCol, vecCol, nBits, bands)
+    val qb = bk.filter(col(idCol) === queryId)
+      .select(col("band"), col("chunk"))
+    val cand = bk.filter(col(idCol) =!= queryId)
+      .join(broadcast(qb), Seq("band", "chunk"))
+      .select(col(idCol)).distinct()
+    val q = e.filter(col(idCol) === queryId).select(col("__v").as("__qv"))
+    cand.join(e, idCol)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col("__v"), col("__qv")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  def lshTopKDuckSql(table: String, idCol: String, vecCol: String, queryId: Long, k: Int,
+                     dim: Int, nBits: Int = 16, bands: Int = 4): String = {
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT $idCol, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |sigs AS (SELECT $idCol, ${signBitsDuck("v", nBits)} AS sig FROM e),
+       |bk AS ($bandSelects),
+       |qb AS (SELECT band, chunk FROM bk WHERE $idCol = $queryId),
+       |cand AS (
+       |  SELECT DISTINCT bk.$idCol FROM bk JOIN qb USING (band, chunk)
+       |  WHERE bk.$idCol <> $queryId),
+       |q AS (SELECT v AS qv FROM e WHERE $idCol = $queryId)
+       |SELECT e.$idCol, round(${cosineDuck("v", "qv", dim)}, 4) AS score
+       |FROM cand JOIN e ON cand.$idCol = e.$idCol, q
+       |ORDER BY score DESC, e.$idCol ASC
+       |LIMIT $k""".stripMargin
+  }
+
+  /** Cross-collection top-1 embedding match: for every row of `src`,
+    * the best `tgt` row by cosine. Broadcast the target side; rank with
+    * a per-source window (deterministic tie-break on target id).
+    */
+  def findMatches(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val a = src.select(col(idCol).as("src_id"), col(vecCol).cast("array<double>").as("__va"))
+    val b = tgt.select(col(idCol).as("tgt_id"), col(vecCol).cast("array<double>").as("__vb"))
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("__score").desc, col("tgt_id").asc)
+    a.crossJoin(broadcast(b))
+      .withColumn("__score", VectorFunctions.cosine(col("__va"), col("__vb")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("src_id"), col("tgt_id"), round(col("__score"), 4).as("score"))
+      .orderBy("src_id")
+  }
+
+  def findMatchesDuckSql(table: String, idCol: String, vecCol: String,
+                         srcPred: String, tgtPred: String, dim: Int): String =
+    s"""WITH e AS (SELECT $idCol, $srcPred AS is_src, $tgtPred AS is_tgt,
+       |             CAST($vecCol AS DOUBLE[]) AS v FROM $table)
+       |SELECT src_id, tgt_id, round(c, 4) AS score FROM (
+       |  SELECT a.$idCol AS src_id, b.$idCol AS tgt_id,
+       |    ${cosineDuck("a.v", "b.v", dim)} AS c,
+       |    row_number() OVER (PARTITION BY a.$idCol
+       |      ORDER BY ${cosineDuck("a.v", "b.v", dim)} DESC, b.$idCol ASC) AS rn
+       |  FROM e a, e b WHERE a.is_src AND b.is_tgt) t
+       |WHERE rn = 1
+       |ORDER BY src_id""".stripMargin
+
+  /** Embedding-cosine near-duplicate pairs via sign-bit banding +
+    * cosine verify. Pairs only form inside (band, chunk) buckets.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
+                   nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val bk = bandedSignBits(df, idCol, vecCol, nBits, bands)
+    val cand = bk.select(col("band"), col("chunk"), col(idCol).as("id_a"))
+      .join(bk.select(col("band"), col("chunk"), col(idCol).as("id_b")), Seq("band", "chunk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(e.select(col(idCol).as("id_a"), col("__v").as("__va")), "id_a")
+      .join(e.select(col(idCol).as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("score", round(VectorFunctions.cosine(col("__va"), col("__vb")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .orderBy("id_a", "id_b")
+  }
+
+  def nearDupPairsDuckSql(fromSql: String, idCol: String, vecCol: String, threshold: Double,
+                          dim: Int, nBits: Int = 16, bands: Int = 4): String = {
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT $idCol, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM ($fromSql) src),
+       |sigs AS (SELECT $idCol, ${signBitsDuck("v", nBits)} AS sig FROM e),
+       |bk AS ($bandSelects),
+       |cand AS (
+       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk
+       |  WHERE a.$idCol < b.$idCol)
+       |SELECT id_a, id_b, score FROM (
+       |  SELECT id_a, id_b, round(${cosineDuck("ea.v", "eb.v", dim)}, 4) AS score
+       |  FROM cand JOIN e ea ON cand.id_a = ea.$idCol
+       |            JOIN e eb ON cand.id_b = eb.$idCol) t
+       |WHERE score >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+}

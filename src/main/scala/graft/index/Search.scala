@@ -1,0 +1,110 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cosine top-k search over a sparse trigram index — the "S" of the
+  * reference's CRUDSI surface (reference: src/linkml_store/api/
+  * collection.py:810-905 search; utils/vector_utils.py:60-92 top-k).
+  *
+  * The query vector is tiny (bounded by query length), so it ships as a
+  * broadcast join on `bucket`: each index posting meets only its own
+  * bucket's query weight. dot and norms are integer sums — exact — and
+  * the only float op is the final division. `orderBy desc limit k`
+  * compiles to TakeOrderedAndProject (no global sort).
+  */
+object Search {
+
+  /** Top-k docs by cosine between the sparse index and a query string.
+    * Returns (idCol, score) with score rounded to 4dp.
+    */
+  def searchTrigram(
+      spark: SparkSession,
+      index: DataFrame,
+      idCol: String,
+      query: String,
+      k: Int = 10,
+      dim: Int = TrigramIndexer.DefaultDim): DataFrame = {
+    val qv = TrigramIndexer.queryVector(query, dim).toSeq
+    require(qv.nonEmpty, "query has no trigrams")
+    val qNorm = math.sqrt(qv.map { case (_, c) => c.toDouble * c }.sum)
+    import spark.implicits._
+    val qdf = qv.toDF("bucket", "qcnt")
+    val norms = index.groupBy(col(idCol))
+      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
+    val dots = index.join(broadcast(qdf), "bucket")
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("qcnt")).as("dot"))
+    dots.join(norms, idCol)
+      .select(col(idCol),
+        round(col("dot") / (col("nrm") * lit(qNorm)), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Duck SQL twin of [[searchTrigram]]. */
+  def searchTrigramDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int = 10,
+      dim: Int = TrigramIndexer.DefaultDim): String =
+    s"""WITH idx AS (${TrigramIndexer.indexDuckSql(table, idCol, textCol, dim)}),
+       |qv AS (${TrigramIndexer.queryVectorDuckSql(query, dim)}),
+       |norms AS (SELECT $idCol, sqrt(sum(cnt * cnt)) AS nrm FROM idx GROUP BY $idCol),
+       |qn AS (SELECT sqrt(sum(qcnt * qcnt)) AS qnorm FROM qv),
+       |dots AS (
+       |  SELECT $idCol, sum(cnt * qcnt) AS dot
+       |  FROM idx JOIN qv USING (bucket) GROUP BY $idCol)
+       |SELECT dots.$idCol, round(dot / (nrm * qnorm), 4) AS score
+       |FROM dots JOIN norms ON dots.$idCol = norms.$idCol, qn
+       |ORDER BY score DESC, dots.$idCol ASC
+       |LIMIT $k""".stripMargin
+
+  /** Maximal Marginal Relevance re-rank of an already-retrieved top-k
+    * (reference: src/linkml_store/utils/vector_utils.py:94-151).
+    * Driver-side by design: k is bounded (<= 100s), and the selection
+    * loop is inherently sequential. Returns indices into `docVectors`
+    * in diversified order.
+    */
+  def mmrRerank(
+      queryVector: Array[Double],
+      docVectors: IndexedSeq[Array[Double]],
+      relevanceFactor: Double = 0.5,
+      topN: Int = -1): Seq[Int] = {
+    val n = docVectors.size
+    val effN = if (topN < 0) n else math.min(topN, n)
+    if (effN == 0) return Nil
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def norm(a: Array[Double]): Double = math.sqrt(dot(a, a))
+    val qn = norm(queryVector)
+    val norms = docVectors.map(norm)
+    val rel = docVectors.indices.map(i => dot(docVectors(i), queryVector) / (norms(i) * qn))
+    val selected = scala.collection.mutable.ArrayBuffer[Int]()
+    val chosen = scala.collection.mutable.BitSet()
+    while (selected.size < effN) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!chosen(i)) {
+          val diversity =
+            if (selected.isEmpty) 0.0
+            else (1 - relevanceFactor) * selected.map(s =>
+              dot(docVectors(i), docVectors(s)) / (norms(i) * norms(s))).max
+          val score = relevanceFactor * rel(i) - diversity
+          if (score > bestScore) { bestScore = score; best = i }
+        }
+        i += 1
+      }
+      selected += best
+      chosen += best
+    }
+    selected.toSeq
+  }
+}

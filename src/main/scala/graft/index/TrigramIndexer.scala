@@ -1,0 +1,84 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed character-trigram indexer — the engine analog of the
+  * reference's SimpleIndexer (reference: src/linkml_store/index/
+  * implementations/simple_indexer.py:11-43: lowercase, char 3-grams,
+  * hash each to a bucket modulo the vector length, count).
+  *
+  * Spark-first divergence: instead of materializing a dense
+  * `dim`-length vector per document (reference does numpy zeros + adds),
+  * the index is SPARSE rows (id, bucket, cnt) — explode + one shuffle.
+  * Cosine search joins the (small, broadcast) query vector on `bucket`,
+  * so search cost is proportional to matching postings, not corpus ×
+  * dim. All counts are integers: scores are exact up to the final
+  * division. Hash is md5-derived (not sha1 as the reference) so the
+  * identical computation runs in DuckDB for the oracle.
+  */
+object TrigramIndexer {
+  val DefaultDim = 512
+
+  /** Char-trigram array of lower(text); empty when len < 3. */
+  def trigrams(text: Column): Column = {
+    val t = lower(text)
+    when(length(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(t) - 2),
+        i => substr(t, i, lit(3))))
+  }
+
+  /** 60-bit md5 hash of a trigram, modulo dim (non-negative). */
+  def bucketOf(tri: Column, dim: Int = DefaultDim): Column =
+    pmod(conv(substring(md5(tri), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** Sparse index: (idCol, bucket, cnt) rows. One scan + one shuffle. */
+  def index(df: DataFrame, idCol: String, textCol: String, dim: Int = DefaultDim): DataFrame =
+    df.select(col(idCol), explode(trigrams(col(textCol))).as("__tri"))
+      .select(col(idCol), bucketOf(col("__tri"), dim).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Driver-side trigram vector of a query string (same hash pipeline).
+    * Bounded by |query| — this is plain Scala, not a Spark job.
+    */
+  def queryVector(query: String, dim: Int = DefaultDim): Map[Long, Long] = {
+    val t = query.toLowerCase
+    val tris = (0 to t.length - 3).map(i => t.substring(i, i + 3))
+    tris.groupBy(tri => math.floorMod(hash60(tri), dim.toLong))
+      .map { case (b, g) => b -> g.size.toLong }
+  }
+
+  /** Scala twin of [[graft.text.TextFunctions.portableHash60]]. */
+  def hash60(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
+  // --- DuckDB oracle fragments -------------------------------------
+
+  /** Duck SQL for the sparse index rows over `table`. */
+  def indexDuckSql(table: String, idCol: String, textCol: String, dim: Int = DefaultDim): String =
+    s"""SELECT $idCol, bucket, count(*) AS cnt FROM (
+       |  SELECT $idCol,
+       |    CAST(CAST(concat('0x', substr(md5(tri), 1, 15)) AS UBIGINT) % $dim AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT $idCol,
+       |      unnest(list_transform(range(1, greatest(length(lower($textCol)) - 1, 1)),
+       |        i -> substr(lower($textCol), i, 3))) AS tri
+       |    FROM $table) t1) t2
+       |GROUP BY $idCol, bucket""".stripMargin
+
+  /** Duck SQL computing the query vector from a string literal. */
+  def queryVectorDuckSql(query: String, dim: Int = DefaultDim): String = {
+    val q = query.replace("'", "''")
+    s"""SELECT bucket, count(*) AS qcnt FROM (
+       |  SELECT CAST(CAST(concat('0x', substr(md5(tri), 1, 15)) AS UBIGINT) % $dim AS BIGINT) AS bucket
+       |  FROM (
+       |    SELECT unnest(list_transform(range(1, greatest(length(lower('$q')) - 1, 1)),
+       |      i -> substr(lower('$q'), i, 3))) AS tri) t1) t2
+       |GROUP BY bucket""".stripMargin
+  }
+}

@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.Tables
+import graft.ann.Knn
+import graft.index.{Search, TrigramIndexer}
+import org.apache.spark.sql.functions._
+
+/** Search & vector operators (SURVEY §2 rows 32-37, 43): trigram index,
+  * cosine search, brute-force and LSH ANN, cross-collection matching,
+  * embedding near-dup pairs. `documents` is indexed with hashed char
+  * trigrams; `embeddings` carries 64-dim unit vectors.
+  */
+object VectorQueries extends QuerySet {
+
+  private val Dim = 64 // embeddings.embedding length (TESTDATA.md tables)
+  private val Query = "spark query fast table scan"
+
+  def all: Seq[Q] = Seq(
+    Q("q_index_trigram",
+      (s, d) => TrigramIndexer.index(Tables.df(s, d, "documents"), "doc_id", "text")
+        .filter(col("doc_id") < 50)
+        .orderBy("doc_id", "bucket"),
+      Some(s"""SELECT * FROM (${TrigramIndexer.indexDuckSql("documents", "doc_id", "text")}) t
+              |WHERE doc_id < 50
+              |ORDER BY doc_id, bucket""".stripMargin)),
+
+    Q("q_search_cosine",
+      (s, d) => Search.searchTrigram(
+        s, TrigramIndexer.index(Tables.df(s, d, "documents"), "doc_id", "text"),
+        "doc_id", Query, k = 10),
+      Some(Search.searchTrigramDuckSql("documents", "doc_id", "text", Query, k = 10))),
+
+    Q("q_ann_bruteforce",
+      (s, d) => Knn.bruteForceTopK(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10),
+      Some(Knn.bruteForceTopKDuckSql("embeddings", "vec_id", "embedding",
+        queryId = 0L, k = 10, dim = Dim))),
+
+    Q("q_ann_lsh",
+      (s, d) => Knn.lshTopK(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10),
+      Some(Knn.lshTopKDuckSql("embeddings", "vec_id", "embedding",
+        queryId = 0L, k = 10, dim = Dim))),
+
+    Q("q_find_matches",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        Knn.findMatches(e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding")
+      },
+      Some(Knn.findMatchesDuckSql("embeddings", "vec_id", "embedding",
+        srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
+
+    // Near-dup detection needs near-dups: pair the corpus with an
+    // id-shifted copy of itself so every vector has one exact duplicate
+    // (cosine 1.0) the LSH banding must recover.
+    Q("q_dedup_embed",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings").select("vec_id", "embedding")
+        val shifted = e.withColumn("vec_id", col("vec_id") + lit(10000L))
+        Knn.nearDupPairs(e.unionByName(shifted), "vec_id", "embedding", threshold = 0.95)
+      },
+      Some(Knn.nearDupPairsDuckSql(
+        "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",
+        "vec_id", "embedding", threshold = 0.95, dim = Dim)))
+  )
+}

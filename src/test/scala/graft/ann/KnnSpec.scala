@@ -1,0 +1,61 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // small 4-dim corpus; id 1 is the query, id 5 is its exact duplicate
+  private lazy val vecs = Seq(
+    (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)),
+    (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+    (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)),
+    (5L, Seq(1.0f, 0.0f, 0.0f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force top-k orders by cosine, exact dup first") {
+    val r = Knn.bruteForceTopK(vecs, "vec_id", "embedding", queryId = 1L, k = 4)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    r.head shouldBe (5L, 1.0)
+    r.map(_._1) shouldBe Array(5L, 2L, 3L, 4L)
+    r.last._2 shouldBe -1.0
+  }
+
+  test("sign-bit signatures band identically for identical vectors") {
+    val bk = Knn.bandedSignBits(vecs, "vec_id", "embedding", nBits = 4, bands = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val s1 = bk.filter(_._1 == 1L).map(t => (t._2, t._3)).sorted
+    val s5 = bk.filter(_._1 == 5L).map(t => (t._2, t._3)).sorted
+    s1 shouldBe s5
+  }
+
+  test("lsh top-k finds the exact duplicate (shares all bands)") {
+    val r = Knn.lshTopK(vecs, "vec_id", "embedding", queryId = 1L, k = 4,
+      nBits = 4, bands = 2)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    r.head shouldBe (5L, 1.0)
+  }
+
+  test("findMatches: top-1 target per source with deterministic tie-break") {
+    val src = vecs.filter($"vec_id" <= 2)
+    val tgt = vecs.filter($"vec_id" >= 3)
+    val r = Knn.findMatches(src, tgt, "vec_id", "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    r.map(_._1) shouldBe Array(1L, 2L)
+    // source 1 = [1,0,0,0]: best target is its duplicate id 5 (score 1)
+    r(0)._2 shouldBe 5L
+    r(0)._3 shouldBe 1.0
+  }
+
+  test("embedding near-dup pairs finds the duplicate pair via banding") {
+    val pairs = Knn.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.95,
+      nBits = 4, bands = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    pairs.map(p => (p._1, p._2)) should contain(1L, 5L)
+    pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 1.0
+    // orthogonal/opposite vectors never pair at 0.95
+    pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
+  }
+}

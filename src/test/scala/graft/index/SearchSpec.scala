@@ -1,0 +1,61 @@
+package graft.index
+
+import graft.SparkSpec
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1, "spark is fast"),
+    (2, "spark is very fast"),
+    (3, "ducks swim in ponds"),
+    (4, "spark is fast") // exact dup of 1
+  ).toDF("doc_id", "text")
+
+  test("trigram index counts match a hand computation") {
+    val idx = TrigramIndexer.index(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // 'spark is fast' has 11 trigrams, all distinct -> 11 buckets of cnt 1
+    // (unless two trigrams collide in 512 buckets)
+    val d1 = idx.filter(_._1 == 1)
+    d1.map(_._3).sum shouldBe 11
+    // identical text -> identical sparse rows
+    idx.filter(_._1 == 4).map(t => (t._2, t._3)).sorted shouldBe
+      d1.map(t => (t._2, t._3)).sorted
+  }
+
+  test("queryVector matches the distributed hash pipeline") {
+    val qv = TrigramIndexer.queryVector("spark is fast")
+    qv.values.sum shouldBe 11
+    val idx = TrigramIndexer.index(docs.filter($"doc_id" === 1), "doc_id", "text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    qv shouldBe idx
+  }
+
+  test("searchTrigram ranks exact duplicates of the query at score 1.0") {
+    val idx = TrigramIndexer.index(docs, "doc_id", "text")
+    val r = Search.searchTrigram(spark, idx, "doc_id", "spark is fast", k = 4)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    r.take(2).map(_._1).sorted shouldBe Array(1, 4)
+    r.take(2).map(_._2) shouldBe Array(1.0, 1.0)
+    // unrelated doc scores lowest or is absent (no shared trigram buckets)
+    r.map(_._1) should not contain 3
+  }
+
+  test("mmr: first pick is most relevant, then diversity kicks in") {
+    val q = Array(1.0, 0.0)
+    val docsV = IndexedSeq(
+      Array(0.9, 0.1),   // 0: most relevant
+      Array(0.89, 0.12), // 1: nearly identical to 0 (redundant)
+      Array(0.6, 0.8)    // 2: less relevant but diverse
+    )
+    Search.mmrRerank(q, docsV, relevanceFactor = 0.3).head shouldBe 0
+    // diversity-weighted: the diverse doc 2 beats the redundant doc 1
+    Search.mmrRerank(q, docsV, relevanceFactor = 0.3) shouldBe Seq(0, 2, 1)
+    // pure relevance keeps similarity order
+    Search.mmrRerank(q, docsV, relevanceFactor = 1.0) shouldBe Seq(0, 1, 2)
+    // topN truncates
+    Search.mmrRerank(q, docsV, 0.3, topN = 1) shouldBe Seq(0)
+    Search.mmrRerank(q, IndexedSeq.empty, 0.5) shouldBe Nil
+  }
+}
