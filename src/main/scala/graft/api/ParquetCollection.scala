@@ -1,0 +1,113 @@
+package graft.api
+
+import graft.query.Filter
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Mutable collection backed by versioned parquet snapshots — the
+  * CRUD surface of the reference Collection (reference:
+  * src/linkml_store/api/collection.py:179-398: insert / delete /
+  * delete_where / update / upsert / replace), re-expressed for an
+  * immutable distributed store.
+  *
+  * Every mutation computes the next snapshot as a declarative plan over
+  * the current one, writes it to a NEW version directory
+  * (`v_<n>`), then atomically swaps a `_CURRENT` pointer file
+  * (write-temp + rename). Readers holding the old DataFrame keep a
+  * consistent view (their version directory is never modified) —
+  * snapshot isolation for free.
+  *
+  * Scale note: this rewrites the full table per mutation, which is the
+  * honest batch-engine semantic for unpartitioned data. At 100 TB the
+  * same swap protocol applies per PARTITION directory (hash-bucket the
+  * primary key, rewrite only buckets containing touched keys); the
+  * plans below are already key-local so they port unchanged.
+  */
+class ParquetCollection(val spark: SparkSession, val root: String, val name: String) {
+
+  private def currentFile = Paths.get(root, "_CURRENT")
+
+  private def currentVersion: Int =
+    if (Files.exists(currentFile)) Files.readString(currentFile).trim.toInt else -1
+
+  /** The active snapshot as a DataFrame (empty schema error if never written). */
+  def df: DataFrame = {
+    val v = currentVersion
+    require(v >= 0, s"collection $name has no data at $root")
+    spark.read.parquet(s"$root/v_$v")
+  }
+
+  def count(): Long = df.count()
+
+  def find(where: Filter = Filter.True): DataFrame =
+    new Collection(name, df).find(where)
+
+  /** Write `next` as a new version and swap the pointer atomically. */
+  private def commit(next: DataFrame): Unit = {
+    val v = currentVersion + 1
+    // Plans referencing the current snapshot read the OLD version dir
+    // while writing the new one — no read-modify-write hazard.
+    next.write.mode("errorifexists").parquet(s"$root/v_$v")
+    val tmp = Paths.get(root, s"_CURRENT.tmp$v")
+    Files.createDirectories(Paths.get(root))
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Create the collection (replace whatever is there). */
+  def replace(rows: DataFrame): Unit = commit(rows)
+
+  /** Append rows (schema united by name; missing columns null-filled). */
+  def insert(rows: DataFrame): Unit =
+    if (currentVersion < 0) commit(rows)
+    else commit(df.unionByName(rows, allowMissingColumns = true))
+
+  /** Delete rows matching a Mongo-style where. Rows where the predicate
+    * is NULL (3VL) are KEPT — only definite matches are deleted,
+    * matching SQL DELETE semantics.
+    */
+  def deleteWhere(where: Filter): Unit = {
+    val cur = df
+    val cond = Filter.bind(where, cur.schema).toColumn
+    commit(cur.filter(!coalesce(cond, lit(false))))
+  }
+
+  /** Delete objects: remove rows equal to some input row on ALL of the
+    * input's columns (null-safe equality, reference delete semantics).
+    */
+  def delete(objs: DataFrame): Unit = {
+    val cur = df
+    val on = objs.columns.map(c => cur(c) <=> objs(c)).reduce(_ && _)
+    commit(cur.join(objs, on, "left_anti"))
+  }
+
+  /** Upsert: rows matching an existing row on `keyCols` REPLACE it;
+    * others are appended (reference upsert by filter_fields).
+    */
+  def upsert(rows: DataFrame, keyCols: Seq[String]): Unit = {
+    if (currentVersion < 0) { commit(rows); return }
+    val cur = df
+    val kept = cur.join(rows.select(keyCols.map(col): _*), keyCols, "left_anti")
+    commit(kept.unionByName(rows, allowMissingColumns = true))
+  }
+
+  /** Update by primary key — upsert restricted to existing keys. */
+  def update(rows: DataFrame, pk: String): Unit = upsert(rows, Seq(pk))
+
+  /** Remove version directories older than the current one. */
+  def vacuum(): Unit = {
+    val keep = s"v_$currentVersion"
+    val dir = Paths.get(root)
+    if (Files.exists(dir)) {
+      Files.list(dir).forEach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("v_") && n != keep) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+      }
+    }
+  }
+}

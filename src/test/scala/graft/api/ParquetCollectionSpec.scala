@@ -1,0 +1,85 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.query.Filter
+import java.nio.file.Files
+
+class ParquetCollectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshColl(): ParquetCollection = {
+    val dir = Files.createTempDirectory("graft-crud").toString
+    val c = new ParquetCollection(spark, dir, "people")
+    c.replace(Seq(
+      (1, "alice", 30), (2, "bob", 25), (3, "carol", 41)
+    ).toDF("id", "name", "age"))
+    c
+  }
+
+  test("insert appends rows and null-fills missing columns") {
+    val c = freshColl()
+    c.insert(Seq((4, "dave")).toDF("id", "name"))
+    c.count() shouldBe 4
+    c.df.filter($"id" === 4).select("age").collect().head.isNullAt(0) shouldBe true
+  }
+
+  test("deleteWhere removes definite matches only (3VL keeps null predicates)") {
+    val c = freshColl()
+    c.insert(Seq((5, "eve", null.asInstanceOf[Integer])).toDF("id", "name", "age"))
+    c.deleteWhere(Filter.gt("age", 28))
+    // alice(30) and carol(41) deleted; eve has null age -> kept
+    c.df.select("id").as[Int].collect().sorted shouldBe Array(2, 5)
+  }
+
+  test("delete removes rows matching all given columns (null-safe)") {
+    val c = freshColl()
+    c.delete(Seq((1, "alice")).toDF("id", "name"))
+    c.df.select("id").as[Int].collect().sorted shouldBe Array(2, 3)
+    // non-matching object deletes nothing
+    c.delete(Seq((2, "not-bob")).toDF("id", "name"))
+    c.count() shouldBe 2
+  }
+
+  test("upsert replaces matching keys and appends new ones") {
+    val c = freshColl()
+    c.upsert(Seq((2, "bobby", 26), (9, "zoe", 19)).toDF("id", "name", "age"), Seq("id"))
+    val rows = c.df.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    rows shouldBe Array((1, "alice", 30), (2, "bobby", 26), (3, "carol", 41), (9, "zoe", 19))
+  }
+
+  test("update is upsert by pk") {
+    val c = freshColl()
+    c.update(Seq((3, "caroline", 42)).toDF("id", "name", "age"), "id")
+    c.df.filter($"id" === 3).select("name").as[String].collect() shouldBe Array("caroline")
+    c.count() shouldBe 3
+  }
+
+  test("replace swaps the whole collection") {
+    val c = freshColl()
+    c.replace(Seq((100, "x", 1)).toDF("id", "name", "age"))
+    c.count() shouldBe 1
+  }
+
+  test("snapshot isolation: an old DataFrame handle survives a mutation") {
+    val c = freshColl()
+    val before = c.df
+    c.deleteWhere(Filter.eq("id", 1))
+    before.count() shouldBe 3 // old version dir untouched
+    c.count() shouldBe 2
+  }
+
+  test("vacuum drops all but the current version") {
+    val c = freshColl()
+    c.insert(Seq((4, "dave", 20)).toDF("id", "name", "age"))
+    c.vacuum()
+    val dirs = Files.list(java.nio.file.Paths.get(c.root)).toArray.map(_.toString)
+    dirs.count(_.contains("v_")) shouldBe 1
+    c.count() shouldBe 4 // still readable
+  }
+
+  test("find compiles Mongo filters against the current snapshot") {
+    val c = freshColl()
+    c.find(Filter.parse(Map("age" -> Map("$gte" -> 30))))
+      .select("id").as[Int].collect().sorted shouldBe Array(1, 3)
+  }
+}
