@@ -13,7 +13,8 @@ object SparkEntry {
     DedupQueries,
     TextQueries,
     StatsQueries,
-    VectorQueries)
+    VectorQueries,
+    SchemaQueries)
 
   private lazy val registry: Seq[Q] = querySets.flatMap(_.all)
 

@@ -1,0 +1,88 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("schema induction reports dtype, multivalued, observed nulls") {
+    val df = Seq(
+      (1, Some("a"), Seq(1.0, 2.0)),
+      (2, None, Seq.empty[Double])
+    ).toDF("id", "tag", "scores")
+    val r = SchemaInduce.induce(df).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getBoolean(2), x.getBoolean(3), x.getLong(4)))
+    r shouldBe Array(
+      ("id", "int", false, false, 2L),
+      ("scores", "double", true, false, 2L),
+      ("tag", "string", false, true, 1L))
+  }
+
+  test("validate emits one violation row per broken rule, none for clean rows") {
+    val df = Seq(
+      (1, "F", 10.0, "1-URGENT"),
+      (2, "X", -5.0, "9-BAD"),     // enum + range + pattern violations
+      (3, null.asInstanceOf[String], 20.0, "2-HIGH") // required violation
+    ).toDF("id", "status", "price", "prio")
+    val r = Validate.validate(df, "id", Seq(
+      Validate.Required("status"),
+      Validate.Enum("status", Seq("F", "O")),
+      Validate.Range("price", Some(0.0), None),
+      Validate.Pattern("prio", "^[1-5]-")))
+      .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
+    r shouldBe Array(
+      (2, "price", "range"),
+      (2, "prio", "pattern"),
+      (2, "status", "enum"),
+      (3, "status", "required"))
+  }
+
+  private lazy val srcDf = Seq(
+    (1, "alice", 30), (2, "bob", 25), (3, "carol", 41)
+  ).toDF("id", "name", "age")
+  private lazy val dstDf = Seq(
+    (1, "alice", 31),          // replace age
+    (3, "carol", 41),          // unchanged
+    (4, "dave", 20)            // add
+  ).toDF("id", "name", "age")  // 2/bob removed
+
+  test("diff emits remove/add/replace patch rows") {
+    val p = Diff.diff(srcDf, dstDf, "id").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    p should contain(("remove", "2", null, null))
+    p should contain(("replace", "1", "age", "31"))
+    p should contain(("add", "4", "name", "dave"))
+    p should contain(("add", "4", "age", "20"))
+    // unchanged row contributes nothing
+    p.exists(_._2 == "3") shouldBe false
+  }
+
+  test("applyPatches(src, diff(src, dst)) round-trips to dst") {
+    val patches = Diff.diff(srcDf, dstDf, "id")
+    val applied = Diff.applyPatches(srcDf, patches, "id")
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    val expected = dstDf.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2)))
+    applied shouldBe expected
+  }
+
+  test("applyPatches handles replace-to-null distinctly from not-patched") {
+    val dst2 = Seq((1, null.asInstanceOf[String], 30), (2, "bob", 25), (3, "carol", 41))
+      .toDF("id", "name", "age")
+    val patches = Diff.diff(srcDf, dst2, "id")
+    val applied = Diff.applyPatches(srcDf, patches, "id").orderBy("id").collect()
+    applied(0).isNullAt(1) shouldBe true   // alice's name patched to null
+    applied(0).getInt(2) shouldBe 30       // age untouched
+  }
+
+  test("describe computes exact stats in one pass") {
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val r = Describe.describe(df, Seq("x")).collect().head
+    r.getAs[Long]("count") shouldBe 4
+    r.getAs[Double]("mean") shouldBe 2.5
+    r.getAs[Double]("p50") shouldBe 2.5
+    r.getAs[Double]("p25") shouldBe 1.75
+    r.getAs[Double]("max") shouldBe 4.0
+  }
+}
