@@ -1,0 +1,100 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, DataFrameReader, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Format registry for import/export — the engine analog of the
+  * reference's Format enum + load/render helpers (reference:
+  * src/linkml_store/utils/format_utils.py:24-210; collection.py:
+  * 1167-1186 import_/export). Supported: parquet, csv, tsv, json
+  * (array document), jsonl (one object per line). yaml/xlsx are
+  * driver-bound formats out of scope for a distributed engine
+  * (documented divergence).
+  *
+  * All readers/writers are Spark sources: reads parallelize per file
+  * split, writes shard per partition. `json` (array) READS distributed
+  * (multiLine); its WRITE is driver-side by necessity (a single JSON
+  * array is inherently sequential) and guarded by a row cap — use
+  * `jsonl` for large exports.
+  */
+object Formats {
+
+  sealed abstract class Format(val name: String, val extensions: Seq[String]) {
+    def read(spark: SparkSession, path: String): DataFrame
+    def write(df: DataFrame, path: String): Unit
+  }
+
+  case object Parquet extends Format("parquet", Seq("parquet")) {
+    def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  private def csvReader(spark: SparkSession, sep: String): DataFrameReader =
+    spark.read.option("header", "true").option("inferSchema", "true").option("sep", sep)
+
+  case object Csv extends Format("csv", Seq("csv")) {
+    def read(spark: SparkSession, path: String): DataFrame = csvReader(spark, ",").csv(path)
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  case object Tsv extends Format("tsv", Seq("tsv", "tab")) {
+    def read(spark: SparkSession, path: String): DataFrame = csvReader(spark, "\t").csv(path)
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode(SaveMode.Overwrite).option("header", "true").option("sep", "\t").csv(path)
+  }
+
+  case object Jsonl extends Format("jsonl", Seq("jsonl", "ndjson")) {
+    def read(spark: SparkSession, path: String): DataFrame = spark.read.json(path)
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode(SaveMode.Overwrite).json(path)
+  }
+
+  case object Json extends Format("json", Seq("json")) {
+    def read(spark: SparkSession, path: String): DataFrame =
+      spark.read.option("multiLine", "true").json(path)
+    /** Driver-side single-array export; refuses unboundedly large frames. */
+    def write(df: DataFrame, path: String): Unit = write(df, path, maxRows = 1000000)
+    def write(df: DataFrame, path: String, maxRows: Long): Unit = {
+      val rows = df.limit((maxRows + 1).toInt).toJSON.collect()
+      require(rows.length <= maxRows,
+        s"json (array) export exceeds $maxRows rows; use jsonl for large exports")
+      val body = rows.mkString("[\n", ",\n", "\n]")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), body)
+    }
+  }
+
+  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json)
+
+  def byName(name: String): Format =
+    all.find(_.name == name.toLowerCase).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown format '$name' (supported: ${all.map(_.name).mkString(", ")})"))
+
+  /** Infer from the file extension (reference guess_format). */
+  def fromPath(path: String): Format = {
+    val ext = path.reverse.takeWhile(_ != '.').reverse.toLowerCase
+    all.find(_.extensions.contains(ext)).getOrElse(
+      throw new IllegalArgumentException(s"cannot infer format from '$path'"))
+  }
+
+  def read(spark: SparkSession, path: String, format: String = null): DataFrame =
+    (if (format == null) fromPath(path) else byName(format)).read(spark, path)
+
+  def write(df: DataFrame, path: String, format: String = null): Unit =
+    (if (format == null) fromPath(path) else byName(format)).write(df, path)
+
+  /** Multi-file / glob ingest with file provenance (reference: CLI
+    * insert accepts globs and records source_field) — Spark readers
+    * accept globs natively; `input_file_name()` stamps each row with
+    * its origin, evaluated at scan time (no extra pass).
+    */
+  def readGlob(
+      spark: SparkSession,
+      pattern: String,
+      format: String,
+      sourceField: String = "source_file"): DataFrame =
+    byName(format).read(spark, pattern)
+      .withColumn(sourceField, input_file_name())
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import graft.SparkSpec
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedAgg over a streaming source matches the batch run") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = Seq(
+      (ts(1), "click", 1.0), (ts(2), "click", 2.0), (ts(3), "view", 5.0),
+      (ts(11), "click", 4.0), (ts(12), "view", 1.5))
+
+    val streamed = StreamOps.windowedAgg(
+      input.toDF().toDF("ts", "event_type", "value"),
+      "ts", "event_type", "value", "10 minutes", watermark = Some("30 minutes"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("agg_out").outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamRows = spark.table("agg_out")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+      val batchRows = StreamOps.windowedAgg(
+        events.toDF("ts", "event_type", "value"),
+        "ts", "event_type", "value", "10 minutes")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
+      streamRows shouldBe batchRows
+      streamRows should contain((ts(0), "click", 2L, 3.0))
+    } finally q.stop()
+  }
+
+  test("streaming dedupe drops duplicate keys within the watermark") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val dedup = StreamOps.dedupe(
+      input.toDF().toDF("ts", "id"), Seq("id"), "ts", "1 hour")
+    val q = dedup.writeStream.format("memory")
+      .queryName("dedup_out").outputMode("append").start()
+    try {
+      input.addData((ts(1), "a"), (ts(2), "a"), (ts(3), "b"), (ts(4), "a"))
+      q.processAllAvailable()
+      spark.table("dedup_out").select("id").as[String].collect().sorted shouldBe
+        Array("a", "b")
+    } finally q.stop()
+  }
+
+  test("runningTotals keeps per-key state across micro-batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val totals = StreamOps.runningTotals(input.toDS())
+    val q = totals.toDF("key", "n", "total").writeStream.format("memory")
+      .queryName("totals_out").outputMode("update").start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 3.0))
+      q.processAllAvailable()
+      val last = spark.table("totals_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      last("a") shouldBe ("a", 3L, 6.0) // state carried across batches
+      last("b") shouldBe ("b", 1L, 10.0)
+    } finally q.stop()
+  }
+}
