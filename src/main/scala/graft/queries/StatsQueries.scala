@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Describe
+import graft.ops.{Describe, Enrichment}
 import org.apache.spark.sql.functions._
 
 /** Statistics / reshaping operators (SURVEY §2 rows 16-19): describe,
@@ -59,6 +59,12 @@ object StatsQueries extends QuerySet {
              |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 4) AS P
              |FROM orders
              |GROUP BY o_orderpriority
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Per-source token enrichment with hypergeometric upper-tail p and
+    // BH correction; the oracle runs the identical folds in DuckDB.
+    Q("q_enrichment",
+      (s, d) => Enrichment.enrich(Tables.df(s, d, "documents"), "source", "text"),
+      Some(Enrichment.oracleSql("documents", "source", "text")))
   )
 }
