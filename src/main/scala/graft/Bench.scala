@@ -22,6 +22,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warmup (untimed): JIT the codegen/parquet/shuffle paths once so
+    // the first measured query doesn't absorb executor start-up cost.
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.df(spark, sfDir, "lineitem").select("l_orderkey").limit(1000)
+      .queryExecution.toRdd.foreach(_ => ())
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

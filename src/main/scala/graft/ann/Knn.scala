@@ -150,33 +150,42 @@ object Knn {
        |ORDER BY src_id""".stripMargin
 
   /** Embedding-cosine near-duplicate pairs via sign-bit banding +
-    * cosine verify. Pairs only form inside (band, chunk) buckets.
+    * cosine verify. Pairs only form inside (band, chunk) buckets;
+    * 32 sign bits in 8-bit bands keep buckets small (256 values per
+    * band) while exact duplicates always share every band. Norms are
+    * precomputed PER VECTOR before the pair join, so each candidate
+    * pair costs one dot product, not three.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                   nBits: Int = 16, bands: Int = 4): DataFrame = {
+                   nBits: Int = 32, bands: Int = 4): DataFrame = {
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__nrm", VectorFunctions.norm(col("__v")))
     val bk = bandedSignBits(df, idCol, vecCol, nBits, bands)
     val cand = bk.select(col("band"), col("chunk"), col(idCol).as("id_a"))
       .join(bk.select(col("band"), col("chunk"), col(idCol).as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
     cand
-      .join(e.select(col(idCol).as("id_a"), col("__v").as("__va")), "id_a")
-      .join(e.select(col(idCol).as("id_b"), col("__v").as("__vb")), "id_b")
-      .withColumn("score", round(VectorFunctions.cosine(col("__va"), col("__vb")), 4))
+      .join(e.select(col(idCol).as("id_a"), col("__v").as("__va"), col("__nrm").as("__na")), "id_a")
+      .join(e.select(col(idCol).as("id_b"), col("__v").as("__vb"), col("__nrm").as("__nb")), "id_b")
+      .withColumn("score", round(
+        VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
       .orderBy("id_a", "id_b")
   }
 
   def nearDupPairsDuckSql(fromSql: String, idCol: String, vecCol: String, threshold: Double,
-                          dim: Int, nBits: Int = 16, bands: Int = 4): String = {
+                          dim: Int, nBits: Int = 32, bands: Int = 4): String = {
     val width = nBits / bands
     val mask = (1L << width) - 1
     val bandSelects = (0 until bands).map { b =>
       s"SELECT $idCol, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
     }.mkString("\nUNION ALL\n")
-    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM ($fromSql) src),
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v,
+       |             sqrt(${dot("v", "v")}) AS nrm FROM ($fromSql) src),
        |sigs AS (SELECT $idCol, ${signBitsDuck("v", nBits)} AS sig FROM e),
        |bk AS ($bandSelects),
        |cand AS (
@@ -184,7 +193,8 @@ object Knn {
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk
        |  WHERE a.$idCol < b.$idCol)
        |SELECT id_a, id_b, score FROM (
-       |  SELECT id_a, id_b, round(${cosineDuck("ea.v", "eb.v", dim)}, 4) AS score
+       |  SELECT id_a, id_b,
+       |    round(${dot("ea.v", "eb.v")} / (ea.nrm * eb.nrm), 4) AS score
        |  FROM cand JOIN e ea ON cand.id_a = ea.$idCol
        |            JOIN e eb ON cand.id_b = eb.$idCol) t
        |WHERE score >= $threshold

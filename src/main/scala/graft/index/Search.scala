@@ -25,19 +25,22 @@ object Search {
       query: String,
       k: Int = 10,
       dim: Int = TrigramIndexer.DefaultDim): DataFrame = {
-    val qv = TrigramIndexer.queryVector(query, dim).toSeq
+    val qv = TrigramIndexer.queryVector(query, dim)
     require(qv.nonEmpty, "query has no trigrams")
     val qNorm = math.sqrt(qv.map { case (_, c) => c.toDouble * c }.sum)
-    import spark.implicits._
-    val qdf = qv.toDF("bucket", "qcnt")
-    val norms = index.groupBy(col(idCol))
-      .agg(sqrt(sum(col("cnt") * col("cnt"))).as("nrm"))
-    val dots = index.join(broadcast(qdf), "bucket")
+    // The query vector rides along as a map LITERAL: each posting looks
+    // up its own bucket's query weight, so dot and norm come out of ONE
+    // aggregation (single shuffle, no join). Zero-dot docs are dropped,
+    // matching the sparse inner-join semantics.
+    val qMap = map(qv.toSeq.flatMap { case (b, c) => Seq(lit(b), lit(c)) }: _*)
+    index
+      .withColumn("__qcnt", coalesce(element_at(qMap, col("bucket")), lit(0L)))
       .groupBy(col(idCol))
-      .agg(sum(col("cnt") * col("qcnt")).as("dot"))
-    dots.join(norms, idCol)
+      .agg(sum(col("cnt") * col("__qcnt")).as("dot"),
+        sum(col("cnt") * col("cnt")).as("nrm2"))
+      .filter(col("dot") > 0)
       .select(col(idCol),
-        round(col("dot") / (col("nrm") * lit(qNorm)), 4).as("score"))
+        round(col("dot") / (sqrt(col("nrm2")) * lit(qNorm)), 4).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }

@@ -33,9 +33,13 @@ object Enrichment {
     s"IF(($b) = 0, 0D, aggregate(sequence(1, $b), 0D, " +
       s"(acc, j) -> acc + ln((($a) - ($b) + j) / cast(j as double))))"
 
-  /** Hypergeometric P(X >= k) for columns k_s, k_g, n_s, n_g. */
+  /** Hypergeometric P(X >= k) for columns k_s, k_g, n_s, n_g. The
+    * lnC(n_g, n_s) term is sample-constant and arrives precomputed as
+    * column `lnc_ns` (hoisted: ~n_s ln() calls per SAMPLE instead of
+    * per category row — the dominant cost at large n_s).
+    */
   private def pUpperExpr: String = {
-    val lnPmf = s"${lnC("k_g", "k_s")} + ${lnC("n_g - k_g", "n_s - k_s")} - ${lnC("n_g", "n_s")}"
+    val lnPmf = s"${lnC("k_g", "k_s")} + ${lnC("n_g - k_g", "n_s - k_s")} - lnc_ns"
     val ratio = "(cast(k_g - i as double) * (n_s - i)) / (cast(i + 1 as double) * (n_g - k_g - n_s + i + 1))"
     val tail = s"IF(least(k_g, n_s) <= k_s, 1D, aggregate(" +
       s"transform(sequence(k_s, least(k_g, n_s) - 1), i -> array($ratio, 0D)), " +
@@ -47,15 +51,16 @@ object Enrichment {
   def enrich(df: DataFrame, sampleCol: String, textCol: String, minOccurrences: Int = 5): DataFrame = {
     val ann = df.select(col(sampleCol).as("sample"),
       explode(TextFunctions.tokens(col(textCol))).as("category"))
-    val sampleTot = ann.groupBy("sample").agg(count(lit(1)).as("n_s"))
     val globalTot = ann.agg(count(lit(1)).as("n_g"))
+    val sampleTot = ann.groupBy("sample").agg(count(lit(1)).as("n_s"))
+      .crossJoin(broadcast(globalTot))
+      .withColumn("lnc_ns", expr(lnC("n_g", "n_s")))
     val catGlobal = ann.groupBy("category").agg(count(lit(1)).as("k_g"))
       .filter(col("k_g") >= minOccurrences)
     val catSample = ann.groupBy("sample", "category").agg(count(lit(1)).as("k_s"))
     val base = catSample
       .join(catGlobal, "category")
-      .join(sampleTot, "sample")
-      .crossJoin(broadcast(globalTot))
+      .join(broadcast(sampleTot), "sample")
     val scored = base
       .withColumn("fold_change",
         round((col("k_s") / col("n_s")) / (col("k_g") / col("n_g")), 4))

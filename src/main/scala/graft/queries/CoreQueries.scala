@@ -167,17 +167,18 @@ object CoreQueries extends QuerySet {
              |WHERE o_orderstatus = 'O'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // Two-phase salted top-k (see WindowOps): identical output to the
+    // naive 5-partition window but the heavy sort spreads over
+    // keys x salt tasks. Salt on o_orderkey (deterministic).
     Q("q_window_topn",
-      (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("o_orderpriority")
-          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
-        Tables.df(s, d, "orders")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 3)
-          .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
-          .orderBy("o_orderpriority", "rn")
-      },
+      (s, d) => graft.ops.WindowOps.topKPerGroup(
+        Tables.df(s, d, "orders"),
+        groupCols = Seq("o_orderpriority"),
+        orderCols = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+        k = 3,
+        saltOn = col("o_orderkey"))
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn"),
       Some("""SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
              |  SELECT o_orderpriority, o_orderkey, o_totalprice,
              |    row_number() OVER (PARTITION BY o_orderpriority
