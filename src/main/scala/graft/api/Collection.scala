@@ -64,6 +64,37 @@ class Collection(val name: String, val df: DataFrame) {
 
   def peek(limit: Int = 10): DataFrame = df.limit(limit)
 
+  /** True iff any row matches (evaluates at most one row). */
+  def exists(where: Filter): Boolean =
+    !df.filter(Filter.bind(where, df.schema).toColumn).isEmpty
+
+  /** The single object with the given id, if present (reference
+    * get_one — reference: src/linkml_store/api/collection.py:441-458).
+    */
+  def getOne(idField: String, id: Any): Option[org.apache.spark.sql.Row] =
+    find(Filter.eq(idField, id)).limit(1).collect().headOption
+
+  /** Full-text cosine search over a hashed-trigram index of `textCol`
+    * (reference: collection.py:810-905 search + SimpleIndexer). The
+    * index builds as part of the plan; persist it via
+    * [[graft.index.TrigramIndexer.index]] for repeated queries.
+    */
+  def search(textCol: String, query: String, k: Int = 10): DataFrame = {
+    val idCol = df.columns.head
+    graft.index.Search.searchTrigram(spark,
+      graft.index.TrigramIndexer.index(df, idCol, textCol), idCol, query, k)
+  }
+
+  /** Search with MMR-diversified re-ranking of the cosine top-`fetchK`
+    * (reference: mmr_diversified_search).
+    */
+  def searchMmr(textCol: String, query: String, k: Int = 10,
+                fetchK: Int = 50, relevanceFactor: Double = 0.7): DataFrame = {
+    val idCol = df.columns.head
+    graft.index.Search.searchTrigramMmr(spark, df, idCol, textCol, query,
+      k, fetchK, relevanceFactor)
+  }
+
   def distinctValues(cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
 

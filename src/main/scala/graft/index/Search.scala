@@ -65,6 +65,42 @@ object Search {
        |ORDER BY score DESC, dots.$idCol ASC
        |LIMIT $k""".stripMargin
 
+  /** Cosine top-`fetchK` retrieval followed by an MMR-diversified
+    * re-rank down to `k` (reference: collection.py search with
+    * mmr_relevance_factor). The re-rank touches only the bounded
+    * top-`fetchK` rows on the driver; the retrieval stays distributed.
+    * Returns (idCol, score, mmr_rank) in diversified order.
+    */
+  def searchTrigramMmr(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int = 10,
+      fetchK: Int = 50,
+      relevanceFactor: Double = 0.7,
+      dim: Int = TrigramIndexer.DefaultDim): DataFrame = {
+    val idx = TrigramIndexer.index(df, idCol, textCol, dim)
+    val top = searchTrigram(spark, idx, idCol, query, fetchK, dim)
+      .join(df.select(col(idCol), col(textCol)), idCol)
+      .collect() // bounded: fetchK rows
+    def dense(m: Map[Long, Long]): Array[Double] = {
+      val a = new Array[Double](dim)
+      m.foreach { case (b, c) => a(b.toInt) = c.toDouble }
+      a
+    }
+    val qv = dense(TrigramIndexer.queryVector(query, dim))
+    val docVs = top.map(r => dense(
+      TrigramIndexer.queryVector(r.getAs[String](textCol), dim))).toIndexedSeq
+    val order = mmrRerank(qv, docVs, relevanceFactor, k)
+    import spark.implicits._
+    val ranked = order.zipWithIndex.map { case (i, rank) =>
+      (top(i).get(0).toString, top(i).getAs[Double]("score"), rank + 1)
+    }
+    ranked.toDF(idCol, "score", "mmr_rank")
+  }
+
   /** Maximal Marginal Relevance re-rank of an already-retrieved top-k
     * (reference: src/linkml_store/utils/vector_utils.py:94-151).
     * Driver-side by design: k is bounded (<= 100s), and the selection

@@ -1,0 +1,78 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.query.Filter
+import java.nio.file.Files
+
+class DatabaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDb(): Database =
+    new Client(spark).attachDatabase("testdb",
+      Files.createTempDirectory("graft-db").toString)
+
+  test("create, list, get, drop collections") {
+    val db = freshDb()
+    db.createCollection("people", Seq((1, "alice"), (2, "bob")).toDF("id", "name"))
+    db.createCollection("pets", Seq((1, "rex")).toDF("id", "name"))
+    db.listCollectionNames shouldBe Seq("people", "pets")
+    db.collection("people").count() shouldBe 2
+    db.dropCollection("pets")
+    db.listCollectionNames shouldBe Seq("people")
+    a[IllegalArgumentException] should be thrownBy db.collection("pets")
+  }
+
+  test("client tracks attached databases") {
+    val client = new Client(spark)
+    client.attachDatabase("a", Files.createTempDirectory("ga").toString)
+    client.attachDatabase("b", Files.createTempDirectory("gb").toString)
+    client.databaseNames shouldBe Seq("a", "b")
+    a[NoSuchElementException] should be thrownBy client.database("zzz")
+  }
+
+  test("attachParquet exposes external data read-only") {
+    val db = freshDb()
+    val p = Files.createTempDirectory("graft-ext").resolve("t.parquet").toString
+    Seq((10, "x")).toDF("id", "v").write.parquet(p)
+    db.attachParquet("ext", p).count() shouldBe 1
+  }
+
+  test("collection exists and getOne") {
+    val db = freshDb()
+    db.createCollection("people", Seq((1, "alice"), (2, "bob")).toDF("id", "name"))
+    val c = new Collection("people", db.collection("people").df)
+    c.exists(Filter.eq("name", "alice")) shouldBe true
+    c.exists(Filter.eq("name", "zed")) shouldBe false
+    c.getOne("id", 2).get.getAs[String]("name") shouldBe "bob"
+    c.getOne("id", 99) shouldBe None
+  }
+
+  test("collection search ranks the matching document first") {
+    val docs = Seq(
+      (1, "spark cluster computing engine"),
+      (2, "cats and dogs playing"),
+      (3, "spark cluster computing framework")
+    ).toDF("doc_id", "text")
+    val c = new Collection("docs", docs)
+    val top = c.search("text", "spark cluster computing", k = 2)
+      .select("doc_id").as[Int].collect()
+    top.toSet shouldBe Set(1, 3)
+  }
+
+  test("searchMmr diversifies: near-duplicate of rank-1 is demoted") {
+    val docs = Seq(
+      (1, "spark cluster computing engine"),
+      (2, "spark cluster computing engine"), // exact dup of 1
+      (3, "spark framework for data"),
+      (4, "unrelated gardening tips")
+    ).toDF("doc_id", "text")
+    val c = new Collection("docs", docs)
+    val r = c.searchMmr("text", "spark cluster computing", k = 3,
+      fetchK = 4, relevanceFactor = 0.5)
+      .orderBy("mmr_rank").select("doc_id").as[String].collect()
+    // first pick: one of the two identical top docs; second pick must NOT
+    // be its exact duplicate (maximal redundancy)
+    Set("1", "2") should contain(r(0))
+    r(1) should not be (if (r(0) == "1") "2" else "1")
+  }
+}
