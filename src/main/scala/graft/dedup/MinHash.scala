@@ -42,26 +42,31 @@ object MinHash {
     s"list_min(list_transform($hashesSql, h -> ($a * h + $b) % $Mersenne61))"
   }
 
-  /** doc signatures: (idCol, mh_0 .. mh_{k-1}). Empty-shingle docs drop out. */
+  /** doc signatures: (idCol, mh_0 .. mh_{k-1}). Empty-shingle docs drop
+    * out. Shingles are INTEGER polynomial hashes of once-hashed tokens
+    * ([[TextFunctions.hashedShinglesFromSql]]): one md5 per TOKEN, not
+    * per shingle string.
+    */
   def signatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 3): DataFrame = {
-    val base = df
-      .withColumn("__shingles", TextFunctions.shingles(col(textCol), w))
-      .filter(size(col("__shingles")) > 0)
-      .withColumn("__hs", expr(
-        "transform(__shingles, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint))"))
+    val base = hashedShingleDf(df, idCol, textCol, w)
     val sigCols = (0 until k).map(i => expr(minhashExpr("__hs", i)).as(s"mh_$i"))
-    base.select(col(idCol) +: sigCols: _*)
+    base.filter(size(col("__hs")) > 0)
+      .select(col(idCol) +: sigCols: _*)
   }
 
+  /** (idCol, __hs: array<bigint>) — integer shingle sets per doc. */
+  private def hashedShingleDf(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
+    df.select(col(idCol), expr(TextFunctions.hashedShinglesSql(textCol, w)).as("__hs"))
+
+  private def hashedShingleDuck(table: String, idCol: String, textCol: String, w: Int): String =
+    s"""SELECT $idCol, ${TextFunctions.hashedShinglesFromDuckSql("th", w)} AS hs
+       |  FROM (SELECT $idCol, ${TextFunctions.tokenHashesDuckSql(textCol)} AS th FROM $table) __t0""".stripMargin
+
   def signaturesDuckSql(table: String, idCol: String, textCol: String, k: Int = 8, w: Int = 3): String = {
-    val sh = TextFunctions.shinglesDuck(textCol, w)
     val sigs = (0 until k).map(i => s"${minhashDuck("hs", i)} AS mh_$i").mkString(",\n  ")
     s"""SELECT $idCol, $sigs
-       |FROM (
-       |  SELECT $idCol,
-       |    list_transform(sh, s -> CAST(concat('0x', substr(md5(s), 1, 8)) AS BIGINT)) AS hs
-       |  FROM (SELECT $idCol, $sh AS sh FROM $table) t0
-       |  WHERE len(sh) > 0) t""".stripMargin
+       |FROM (${hashedShingleDuck(table, idCol, textCol, w)}) t
+       |WHERE len(hs) > 0""".stripMargin
   }
 
   /** Near-duplicate pairs (a < b) with exact Jaccard >= threshold.
@@ -94,7 +99,8 @@ object MinHash {
       .distinct()
     // verify with exact Jaccard on shingle sets (recompute per side:
     // cheaper than carrying shingle arrays through the band shuffle)
-    val sh = df.select(col(idCol), TextFunctions.shingles(col(textCol), w).as("sh"))
+    val sh = hashedShingleDf(df, idCol, textCol, w)
+      .select(col(idCol), col("__hs").as("sh"))
     val verified = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -119,14 +125,15 @@ object MinHash {
       val slice = (b * r until (b + 1) * r).map(i => s"CAST(mh_$i AS VARCHAR)").mkString(", ")
       s"SELECT $idCol, $b AS band, md5(concat_ws(':', $slice)) AS bkey FROM sig"
     }.mkString("\nUNION ALL\n")
-    val shDuck = TextFunctions.shinglesDuck(textCol, w)
     s"""WITH sig AS (${signaturesDuckSql(table, idCol, textCol, k, w)}),
        |bk AS ($bandSelects),
        |cand AS (
        |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
        |  WHERE a.$idCol < b.$idCol),
-       |sh AS (SELECT $idCol, $shDuck AS sh FROM $table)
+       |sh AS MATERIALIZED (
+       |  SELECT $idCol, hs AS sh
+       |  FROM (${hashedShingleDuck(table, idCol, textCol, w)}) __hs0)
        |SELECT id_a, id_b, jaccard FROM (
        |  SELECT id_a, id_b,
        |    round(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) /

@@ -21,8 +21,10 @@ object NgramJaccard {
       textCol: String,
       w: Int = 3,
       threshold: Double = 0.5): DataFrame = {
-    val sh = df
-      .select(col(idCol), explode(TextFunctions.shingles(col(textCol), w)).as("s"))
+    // integer shingles (one md5 per token; see TextFunctions) — the
+    // inverted-index join shuffles 8-byte keys instead of strings
+    val sh = df.select(col(idCol),
+      explode(expr(TextFunctions.hashedShinglesSql(textCol, w))).as("s"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("s"))
       .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("s"))
@@ -45,9 +47,9 @@ object NgramJaccard {
       textCol: String,
       w: Int = 3,
       threshold: Double = 0.5): String = {
-    val shDuck = TextFunctions.shinglesDuck(textCol, w)
-    s"""WITH sh AS (
-       |  SELECT $idCol, unnest($shDuck) AS s FROM $table),
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT $idCol, unnest(${TextFunctions.hashedShinglesFromDuckSql("th", w)}) AS s
+       |  FROM (SELECT $idCol, ${TextFunctions.tokenHashesDuckSql(textCol)} AS th FROM $table) t0),
        |sizes AS (SELECT $idCol, count(*) AS sz FROM sh GROUP BY $idCol),
        |inter AS (
        |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS inter

@@ -84,4 +84,56 @@ object TextFunctions {
     val t = s"string_split($textSql, ' ')"
     s"list_distinct(list_transform(range(1, greatest(len($t) - ${w - 2}, 1)), i -> array_to_string($t[i:i+${w - 1}], ' ')))"
   }
+
+  /** Hash space of the integer shingles: 2^31 - 1 (keeps every
+    * intermediate product < 2^52, overflow-free in both engines).
+    */
+  val ShingleMod = 2147483647L
+  private val ShinglePrime = 1000003L
+
+  // INTEGER shingles: each token is md5-hashed ONCE (vs one md5 per
+  // shingle string — w times fewer hash calls), then shingle identity
+  // is the polynomial hash of the token-hash window modulo 2^31-1.
+  // Collisions (~|shingles|^2 / 2^31) trade exactness for w-fold less
+  // hashing; everything downstream (MinHash, Jaccard) stays
+  // deterministic and oracle-mirrored. Two-step API so the token-hash
+  // array materializes once per row: first
+  // `withColumn(c, expr(tokenHashesSql("text")))`, then
+  // `expr(hashedShinglesFromSql(c, w))`.
+
+  /** SQL fragment: 31-bit md5 token hashes of a text column. */
+  def tokenHashesSql(textCol: String): String =
+    s"transform(split($textCol, ' '), tok -> " +
+      s"cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint) % $ShingleMod)"
+
+  /** SQL fragment: distinct polynomial w-shingles of a text column,
+    * self-contained. The token-hash array is bound as the FINISH-lambda
+    * variable of a dummy `aggregate` — a lambda binding evaluates
+    * exactly once per row and CollapseProject cannot inline it into the
+    * per-shingle expression (a plain column alias gets inlined, which
+    * re-ran every md5 once per shingle reference — measured 12x slower).
+    */
+  def hashedShinglesSql(textCol: String, w: Int = 3): String = {
+    val poly = (0 until w).map(j => s"element_at(th, i + ${j + 1})")
+      .foldLeft("cast(0 as bigint)")((acc, h) => s"(($acc * $ShinglePrime + $h) % $ShingleMod)")
+    s"aggregate(array(0), ${tokenHashesSql(textCol)}, (acc, x) -> acc, th -> " +
+      s"IF(size(th) < $w, array(), " +
+      s"array_distinct(transform(sequence(0, size(th) - $w), i -> $poly))))"
+  }
+
+  /** DuckDB twin of [[tokenHashesSql]] (stage fragments — callers put
+    * the token-hash list in a derived-table column, then shingle it, so
+    * each evaluates once per row).
+    */
+  def tokenHashesDuckSql(textSql: String): String =
+    s"list_transform(string_split($textSql, ' '), tok -> " +
+      s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $ShingleMod)"
+
+  /** DuckDB twin of [[hashedShinglesFromSql]] over a list column. */
+  def hashedShinglesFromDuckSql(thCol: String, w: Int = 3): String = {
+    val poly = (0 until w).map(j => s"$thCol[i + $j]")
+      .foldLeft(s"CAST(0 AS BIGINT)")((acc, h) => s"(($acc * $ShinglePrime + $h) % $ShingleMod)")
+    s"CASE WHEN len($thCol) < $w THEN CAST([] AS BIGINT[]) ELSE " +
+      s"list_distinct(list_transform(range(1, len($thCol) - ${w - 2}), i -> $poly)) END"
+  }
 }
