@@ -24,7 +24,11 @@ import org.apache.spark.sql.functions._
   * primary key, rewrite only buckets containing touched keys); the
   * plans below are already key-local so they port unchanged.
   */
-class ParquetCollection(val spark: SparkSession, val root: String, val name: String) {
+class ParquetCollection(
+    val spark: SparkSession,
+    val root: String,
+    val name: String,
+    val partitionBy: Seq[String] = Nil) {
 
   private def currentFile = Paths.get(root, "_CURRENT")
 
@@ -48,7 +52,11 @@ class ParquetCollection(val spark: SparkSession, val root: String, val name: Str
     val v = currentVersion + 1
     // Plans referencing the current snapshot read the OLD version dir
     // while writing the new one — no read-modify-write hazard.
-    next.write.mode("errorifexists").parquet(s"$root/v_$v")
+    // Partitioned layout => reads with a partition-column predicate
+    // prune directories at planning time (PartitionFilters).
+    val w = next.write.mode("errorifexists")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(s"$root/v_$v")
     val tmp = Paths.get(root, s"_CURRENT.tmp$v")
     Files.createDirectories(Paths.get(root))
     Files.writeString(tmp, v.toString)

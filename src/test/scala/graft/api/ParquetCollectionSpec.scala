@@ -77,6 +77,26 @@ class ParquetCollectionSpec extends SparkSpec {
     c.count() shouldBe 4 // still readable
   }
 
+  test("partitioned collection prunes partitions on partition-column filters") {
+    val dir = Files.createTempDirectory("graft-crud-part").toString
+    val c = new ParquetCollection(spark, dir, "orders", partitionBy = Seq("status"))
+    c.replace(Seq(
+      (1, "open", 10.0), (2, "closed", 20.0), (3, "open", 30.0), (4, "pending", 5.0)
+    ).toDF("id", "status", "amount"))
+    // partition directories exist
+    val vdir = Files.list(java.nio.file.Paths.get(dir))
+      .filter(_.getFileName.toString.startsWith("v_")).findFirst().get
+    Files.exists(vdir.resolve("status=open")) shouldBe true
+    // a filter on the partition column becomes a PartitionFilter (no data read for other partitions)
+    val plan = c.df.filter($"status" === "open").queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    plan should include regex """\(status#\d+ = open\)"""
+    c.df.filter($"status" === "open").count() shouldBe 2
+    // mutations keep the partitioned layout
+    c.upsert(Seq((5, "open", 7.5)).toDF("id", "status", "amount"), Seq("id"))
+    c.df.filter($"status" === "open").count() shouldBe 3
+  }
+
   test("find compiles Mongo filters against the current snapshot") {
     val c = freshColl()
     c.find(Filter.parse(Map("age" -> Map("$gte" -> 30))))
