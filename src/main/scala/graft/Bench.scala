@@ -42,8 +42,17 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    // Apples-to-apples vs the round-1 baseline (BENCH_r01: 20 queries,
+    // 43.3 s): subtotal over exactly those 20 query keys.
+    val r1Keys = Set(
+      "q_find_eq", "q_find_range", "q_find_in", "q_find_and", "q_find_or",
+      "q_select_cols", "q_sort_page", "q_count", "q_get_ids", "q_distinct",
+      "q1_agg", "q_join_broadcast", "q_join_multi", "q_window_topn",
+      "q_events_window", "q_facet_single", "q_facet_excl", "q_facet_multi",
+      "q_facet_mv", "q_facet_batched")
+    val r1Subtotal = results.collect { case (k, v) if v >= 0 && r1Keys(k) => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"r1_subset_total":$r1Subtotal,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
