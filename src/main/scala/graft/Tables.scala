@@ -10,6 +10,8 @@ object Tables {
     "lineitem", "events", "documents", "embeddings")
 
   def df(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // idempotent: native graft functions (graft_dot) for any session
+    graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
       // type for: read it as a long (ns) and convert to a microsecond

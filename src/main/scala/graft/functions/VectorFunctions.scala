@@ -9,8 +9,19 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Dot product of two numeric array columns (as double). */
+  /** Dot product of two numeric array columns (as double) — the native
+    * codegen [[DotProduct]] expression (tight primitive loop inside
+    * whole-stage codegen; bit-identical to the sequential fold).
+    * Sessions register it via GraftExtensions / GraftFunctions.register
+    * (Tables.df does so automatically).
+    */
   def dot(a: Column, b: Column): Column =
+    call_function("graft_dot", a.cast("array<double>"), b.cast("array<double>"))
+
+  /** Composable fallback with identical semantics (no registration
+    * needed; interpreted per element).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
