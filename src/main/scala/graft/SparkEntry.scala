@@ -14,7 +14,8 @@ object SparkEntry {
     TextQueries,
     StatsQueries,
     VectorQueries,
-    SchemaQueries)
+    SchemaQueries,
+    EventQueries)
 
   private lazy val registry: Seq[Q] = querySets.flatMap(_.all)
 
