@@ -36,6 +36,25 @@ object EventQueries extends QuerySet {
              |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
              |      FROM events) t
              |GROUP BY event_type
-             |ORDER BY event_type""".stripMargin))
+             |ORDER BY event_type""".stripMargin)),
+
+    // Nested-path find (reference: dotted a.b.c where paths on nested
+    // objects): parse props into a struct, filter with a Mongo-style
+    // nested map, project the nested field.
+    Q("q_find_nested",
+      (s, d) => {
+        val withMeta = Tables.df(s, d, "events")
+          .withColumn("meta", from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")))
+        new graft.api.Collection("events", withMeta)
+          .find(Map("meta" -> Map("k" -> Map("$gte" -> 90)), "event_type" -> "click"))
+          .select(col("event_id"), col("meta.k").as("k"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |FROM events
+             |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 90
+             |  AND event_type = 'click'
+             |ORDER BY event_id""".stripMargin))
   )
 }
