@@ -45,46 +45,66 @@ object Enrichment {
   def enrich(df: DataFrame, sampleCol: String, textCol: String, minOccurrences: Int = 5): DataFrame = {
     // ONE scan: (sample, category, k_s) — every other count derives by
     // re-aggregating this small table (k_g = sum over samples, etc.).
+    // Persisted: the plan references it from four branches, and the
+    // table is tiny (samples x categories rows).
     val catSample = df.select(col(sampleCol).as("sample"),
         explode(TextFunctions.tokens(col(textCol))).as("category"))
       .groupBy("sample", "category").agg(count(lit(1)).as("k_s"))
+      .persist()
+    // n_g is a single scalar: take it eagerly so the lf table builds
+    // from spark.range with NO upstream scan (each plan reference to lf
+    // would otherwise re-run the annotation aggregation beneath it).
+    val nG: Long = catSample.agg(sum("k_s")).collect()(0).getLong(0)
     val sampleTotRaw = catSample.groupBy("sample").agg(sum("k_s").as("n_s"))
     val globalTot = sampleTotRaw.agg(sum("n_s").as("n_g"))
+    val spark = df.sparkSession
 
     // log-factorial table lf(0..n_g): one sequential running sum.
-    val lf = globalTot
-      .select(explode(sequence(lit(0L), col("n_g"))).as("pos"))
+    val lf = spark.range(0, nG + 1).toDF("pos")
       .withColumn("__t", when(col("pos") === 0, lit(0.0)).otherwise(log(col("pos").cast("double"))))
       .withColumn("lf", sum(col("__t")).over(
         Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("pos", "lf")
 
-    def withLf(d: DataFrame, pos: Column, as: String): DataFrame =
-      d.join(broadcast(lf.select(col("pos").as(s"__p_$as"), col("lf").as(as))),
-        pos === col(s"__p_$as"), "left").drop(s"__p_$as")
+    // Every join against `lf` re-evaluates its whole subplan (the Spark
+    // twin of DuckDB's CTE inlining — 9 separate broadcast builds, each
+    // recomputing the annotation scan underneath). Instead, MELT all
+    // needed positions into (keys..., slot, pos) rows, join lf ONCE,
+    // and pivot the looked-up values back into columns.
+    def lfLookup(d: DataFrame, keys: Seq[String], slots: Seq[(String, Column)]): DataFrame = {
+      val melted = d.select(keys.map(col) :+
+          explode(array(slots.map { case (nm, c) =>
+            struct(lit(nm).as("slot"), c.cast("long").as("pos"))
+          }: _*)).as("sp"): _*)
+        .select(keys.map(col) :+ col("sp.slot").as("slot") :+ col("sp.pos").as("pos"): _*)
+        .join(broadcast(lf), "pos")
+        .groupBy(keys.map(col): _*)
+        .pivot("slot", slots.map(_._1))
+        .agg(first(col("lf")))
+      d.join(melted, keys)
+    }
 
-    // per-sample constant lf(N)-lf(n)-lf(N-n)
     val sampleTot = sampleTotRaw.crossJoin(broadcast(globalTot))
-    val st = withLf(withLf(withLf(sampleTot, col("n_g"), "lf_ng"),
-      col("n_s"), "lf_ns"), col("n_g") - col("n_s"), "lf_ngns")
-      .withColumn("lnc_ns", col("lf_ng") - col("lf_ns") - col("lf_ngns"))
-      .select("sample", "n_s", "n_g", "lnc_ns")
-
     val catGlobal = catSample.groupBy("category").agg(sum("k_s").as("k_g"))
       .filter(col("k_g") >= minOccurrences)
     val base0 = catSample
       .join(catGlobal, "category")
-      .join(broadcast(st), "sample")
-    val base = withLf(withLf(withLf(withLf(withLf(withLf(base0,
-      col("k_g"), "lf_kg"),
-      col("k_s"), "lf_ks"),
-      col("k_g") - col("k_s"), "lf_kgks"),
-      col("n_g") - col("k_g"), "lf_ngkg"),
-      col("n_s") - col("k_s"), "lf_nsks"),
-      col("n_g") - col("k_g") - col("n_s") + col("k_s"), "lf_rest")
+      .join(broadcast(sampleTot), "sample")
+    // all NINE ln-factorial positions (six pmf terms + the three
+    // per-sample lnc terms) resolve through the single melted join, so
+    // lf evaluates exactly once in the whole plan
+    val base = lfLookup(base0, Seq("sample", "category"), Seq(
+      "lf_kg" -> col("k_g"), "lf_ks" -> col("k_s"),
+      "lf_kgks" -> (col("k_g") - col("k_s")),
+      "lf_ngkg" -> (col("n_g") - col("k_g")),
+      "lf_nsks" -> (col("n_s") - col("k_s")),
+      "lf_rest" -> (col("n_g") - col("k_g") - col("n_s") + col("k_s")),
+      "lf_ng" -> col("n_g"), "lf_ns" -> col("n_s"),
+      "lf_ngns" -> (col("n_g") - col("n_s"))))
       .withColumn("ln_pmf",
         col("lf_kg") - col("lf_ks") - col("lf_kgks") +
-          col("lf_ngkg") - col("lf_nsks") - col("lf_rest") - col("lnc_ns"))
+          col("lf_ngkg") - col("lf_nsks") - col("lf_rest") -
+          (col("lf_ng") - col("lf_ns") - col("lf_ngns")))
 
     val scored = base
       .withColumn("fold_change",
