@@ -33,12 +33,28 @@ object TrigramIndexer {
   def bucketOf(tri: Column, dim: Int = DefaultDim): Column =
     pmod(conv(substring(md5(tri), 1, 15), 16, 10).cast("long"), lit(dim.toLong))
 
-  /** Sparse index: (idCol, bucket, cnt) rows. One scan + one shuffle. */
-  def index(df: DataFrame, idCol: String, textCol: String, dim: Int = DefaultDim): DataFrame =
-    df.select(col(idCol), explode(trigrams(col(textCol))).as("__tri"))
-      .select(col(idCol), bucketOf(col("__tri"), dim).as("bucket"))
+  /** Sparse index: (idCol, bucket, cnt) rows. One scan + one shuffle.
+    * The per-row intermediate is an array of bucket LONGS (primitive),
+    * not trigram strings — materializing a 400-element UTF8String array
+    * per document before the explode measured 6 s alone at sf0.1.
+    */
+  def index(df: DataFrame, idCol: String, textCol: String, dim: Int = DefaultDim): DataFrame = {
+    // Explode INT positions (a primitive array — building the trigram
+    // string array first measured 6 s alone at sf0.1), then hash the
+    // window AFTER the explode where the whole substr+md5 chain runs in
+    // whole-stage codegen (inside a transform() lambda it is
+    // interpreted per element). The text value flows by reference
+    // through the generate->project->partial-agg codegen stage; only
+    // (id, bucket) reaches the shuffle.
+    val t = col("__t")
+    df.select(col(idCol), lower(col(textCol)).as("__t"))
+      .select(col(idCol), t,
+        explode(when(length(t) < 3, array().cast("array<int>"))
+          .otherwise(sequence(lit(1), length(t) - 2))).as("__i"))
+      .select(col(idCol), bucketOf(substr(t, col("__i"), lit(3)), dim).as("bucket"))
       .groupBy(col(idCol), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
+  }
 
   /** Driver-side trigram vector of a query string (same hash pipeline).
     * Bounded by |query| — this is plain Scala, not a Spark job.
