@@ -97,10 +97,11 @@ object MinHash {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // verify with exact Jaccard on shingle sets (recompute per side:
-    // cheaper than carrying shingle arrays through the band shuffle)
+    // verify with exact Jaccard on shingle sets; persisted because both
+    // join sides reference it (a projection has no reusable exchange)
     val sh = hashedShingleDf(df, idCol, textCol, w)
       .select(col(idCol), col("__hs").as("sh"))
+      .persist()
     val verified = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

@@ -58,7 +58,11 @@ object SimHash {
     * in the plan.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    val fps = fingerprints(df, idCol, textCol)
+    // persisted: the pair plan references the fingerprints from three
+    // branches (band explode + both verify-join sides) and a pure
+    // projection has no exchange for Spark to reuse — without the cache
+    // the 60-bit tally expression runs three times over the corpus
+    val fps = fingerprints(df, idCol, textCol).persist()
     nearDupPairsFromFingerprints(fps, idCol, maxDist)
   }
 
