@@ -76,20 +76,22 @@ object SimHash {
       struct(lit(b).as("band"),
         shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1)).as("chunk"))
     }
+    // The fingerprint is a single long, so it RIDES THROUGH the banding
+    // (unlike MinHash, whose verify payload is a whole shingle array):
+    // hamming-verify directly on the bucket join output, BEFORE the
+    // distinct — failing candidates never reach a shuffle, and no
+    // join-back to the fingerprint table is needed.
     val ex = fps
-      .select(col(idCol), explode(array(chunkCols: _*)).as("bc"))
-      .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
-    val cand = ex.select(col("band"), col("chunk"), col(idCol).as("id_a"))
-      .join(ex.select(col("band"), col("chunk"), col(idCol).as("id_b")), Seq("band", "chunk"))
+      .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("bc"))
+      .select(col(idCol), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    ex.select(col("band"), col("chunk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
+      .join(ex.select(col("band"), col("chunk"), col(idCol).as("id_b"), col("simhash").as("sh_b")),
+        Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    cand
-      .join(fps.select(col(idCol).as("id_a"), col("simhash").as("sh_a")), "id_a")
-      .join(fps.select(col(idCol).as("id_b"), col("simhash").as("sh_b")), "id_b")
       .withColumn("dist", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 
@@ -100,21 +102,17 @@ object SimHash {
       val lo = b * width
       val w = math.min(width, Bits - lo)
       val mask = (1L << w) - 1
-      s"SELECT $idCol, $b AS band, (simhash >> $lo) & $mask AS chunk FROM fp"
+      s"SELECT $idCol, simhash, $b AS band, (simhash >> $lo) & $mask AS chunk FROM fp"
     }.mkString("\nUNION ALL\n")
-    s"""WITH fp AS (
+    s"""WITH fp AS MATERIALIZED (
        |  SELECT $idCol, ${fingerprintFromHashesDuck("hs")} AS simhash
        |  FROM (SELECT $idCol, ${tokenHashesDuck(textCol)} AS hs FROM $table) t),
-       |bk AS ($bandSelects),
-       |cand AS (
-       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
-       |  FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk
-       |  WHERE a.$idCol < b.$idCol)
-       |SELECT id_a, id_b, dist FROM (
-       |  SELECT id_a, id_b, bit_count(xor(fa.simhash, fb.simhash)) AS dist
-       |  FROM cand JOIN fp fa ON cand.id_a = fa.$idCol
-       |            JOIN fp fb ON cand.id_b = fb.$idCol) t
-       |WHERE dist <= $maxDist
+       |bk AS ($bandSelects)
+       |SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b,
+       |  bit_count(xor(a.simhash, b.simhash)) AS dist
+       |FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk
+       |WHERE a.$idCol < b.$idCol
+       |  AND bit_count(xor(a.simhash, b.simhash)) <= $maxDist
        |ORDER BY id_a, id_b""".stripMargin
   }
 }
