@@ -68,6 +68,16 @@ class Collection(val name: String, val df: DataFrame) {
   def exists(where: Filter): Boolean =
     !df.filter(Filter.bind(where, df.schema).toColumn).isEmpty
 
+  /** Streaming iteration over matches (reference find_iter — reference:
+    * src/linkml_store/api/collection.py:506-529, which pages with
+    * limit/offset loops; toLocalIterator fetches one partition at a
+    * time instead, so the driver holds at most a partition).
+    */
+  def findIter(where: Filter = Filter.True): Iterator[org.apache.spark.sql.Row] = {
+    import scala.jdk.CollectionConverters._
+    find(where).toLocalIterator().asScala
+  }
+
   /** The single object with the given id, if present (reference
     * get_one — reference: src/linkml_store/api/collection.py:441-458).
     */

@@ -41,6 +41,11 @@ class CollectionSpec extends SparkSpec {
       Array("closed", "open")
   }
 
+  test("findIter streams matching rows") {
+    val it = coll.findIter(Filter.eq("status", "open"))
+    it.map(_.getAs[Int]("id")).toSeq.sorted shouldBe Seq(1, 3, 4)
+  }
+
   test("sort key parsing: '-col' is descending") {
     SortKey.parse("-amount") shouldBe SortKey("amount", ascending = false)
     SortKey.parse("amount") shouldBe SortKey("amount", ascending = true)
