@@ -104,6 +104,18 @@ class ParquetCollection(
   /** Update by primary key — upsert restricted to existing keys. */
   def update(rows: DataFrame, pk: String): Unit = upsert(rows, Seq(pk))
 
+  /** Import a file into the collection (reference import_ — reference:
+    * src/linkml_store/api/collection.py:1167-1178): append rows read by
+    * the [[graft.io.Formats]] registry (format inferred from the
+    * extension when not given).
+    */
+  def importFile(path: String, format: String = null): Unit =
+    insert(graft.io.Formats.read(spark, path, format))
+
+  /** Export the current snapshot (reference export). */
+  def exportFile(path: String, format: String = null): Unit =
+    graft.io.Formats.write(df, path, format)
+
   /** Remove version directories older than the current one. */
   def vacuum(): Unit = {
     val keep = s"v_$currentVersion"

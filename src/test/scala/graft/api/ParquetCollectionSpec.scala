@@ -97,6 +97,19 @@ class ParquetCollectionSpec extends SparkSpec {
     c.df.filter($"status" === "open").count() shouldBe 3
   }
 
+  test("importFile appends and exportFile round-trips via the format registry") {
+    val c = freshColl()
+    val dir = Files.createTempDirectory("graft-io-coll")
+    val csv = dir.resolve("extra.csv").toString
+    Seq((7, "gail", 33)).toDF("id", "name", "age")
+      .coalesce(1).write.option("header", "true").csv(csv)
+    c.importFile(csv, "csv")
+    c.count() shouldBe 4
+    val out = dir.resolve("dump.jsonl").toString
+    c.exportFile(out, "jsonl")
+    spark.read.json(out).count() shouldBe 4
+  }
+
   test("find compiles Mongo filters against the current snapshot") {
     val c = freshColl()
     c.find(Filter.parse(Map("age" -> Map("$gte" -> 30))))
