@@ -1,0 +1,44 @@
+package graft
+import org.apache.spark.sql.SparkSession
+
+/** Dev profiling main: run named queries (or all) against a sf dir,
+  * print per-query wall time and optionally the formatted plan.
+  *
+  *   sbt "runMain graft.Profile <sfDir> [explain] q_name [q_name ...]"
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val rest = args.drop(1)
+    val explain = rest.contains("explain")
+    val names = rest.filterNot(_ == "explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000).selectExpr("sum(id)").collect()
+    Tables.df(spark, sfDir, "lineitem").select("l_orderkey").limit(1000)
+      .queryExecution.toRdd.foreach(_ => ())
+    val qs = SparkEntry.queries
+    val sel = if (names.isEmpty) qs.keys.toSeq.sorted else names.toSeq
+    sel.foreach { name =>
+      val df = qs(name)(spark, sfDir)
+      if (explain) {
+        println(s"===== $name plan =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+      val t0 = System.nanoTime()
+      df.queryExecution.toRdd.foreach(_ => ())
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name%-22s $sec%8.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -129,14 +129,19 @@ class Collection(val name: String, val df: DataFrame) {
       inlinedField: String = "objects",
       firstFields: Seq[String] = Nil,
       listFields: Seq[String] = Nil,
-      where: Filter = Filter.True): DataFrame = {
+      where: Filter = Filter.True,
+      sortList: Boolean = false): DataFrame = {
     val base = df.filter(where.toColumn)
     val effList =
       if (listFields.nonEmpty) listFields
       else base.columns.toSeq.filterNot(c => groupFields.contains(c) || firstFields.contains(c))
+    // collect_list order is partition-dependent; sortList=true makes the
+    // nested array deterministic by sorting on struct field order (put
+    // the key field first in listFields).
+    val collected = collect_list(struct(effList.map(col): _*))
     val aggs =
       firstFields.map(f => first(col(f)).as(f)) :+
-        collect_list(struct(effList.map(col): _*)).as(inlinedField)
+        (if (sortList) sort_array(collected) else collected).as(inlinedField)
     base.groupBy(groupFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 }

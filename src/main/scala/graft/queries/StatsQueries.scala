@@ -19,33 +19,51 @@ object StatsQueries extends QuerySet {
         Seq("l_quantity", "l_extendedprice", "l_discount")))),
 
     // group_by + agg_map {count, sum, list} — the reference's group_by
-    // with deterministic (sorted) list aggregation.
+    // with deterministic (sorted) list aggregation. The list column is
+    // serialized to a comma-joined string: the driver compare hashes
+    // cell values with pandas, and raw arrays are unhashable there.
     Q("q_group_agg",
       (s, d) => Tables.df(s, d, "orders")
         .groupBy(col("o_custkey"))
         .agg(
           count(lit(1)).as("num_orders"),
           round(sum("o_totalprice"), 4).as("total_price"),
-          sort_array(collect_list(col("o_orderkey"))).as("order_keys"))
+          concat_ws(",", sort_array(collect_list(col("o_orderkey")))).as("order_keys"))
         .orderBy("o_custkey"),
       Some("""SELECT o_custkey, count(*) AS num_orders,
              |  round(sum(o_totalprice), 4) AS total_price,
-             |  list(o_orderkey ORDER BY o_orderkey) AS order_keys
+             |  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys
              |FROM orders
              |GROUP BY o_custkey
              |ORDER BY o_custkey""".stripMargin)),
 
-    // group_by → nested objects (collect_list of structs). Struct rows
-    // are not portable to a DuckDB hash compare → rows-only check.
+    // group_by → nested objects (collect_list of structs), serialized to
+    // a canonical JSON string per group: nested arrays/structs are not
+    // hashable by the driver's pandas compare, JSON strings are. Price
+    // rides as integer cents so both engines print exact integers (raw
+    // double-to-string formatting differs between JVM and DuckDB). The
+    // DuckDB twin builds the identical string with string_agg over
+    // per-row json fragments (same inner order via ORDER BY).
     Q("q_group_nest",
-      (s, d) => Tables.coll(s, d, "orders")
+      (s, d) => new graft.api.Collection("orders",
+        Tables.df(s, d, "orders").withColumn(
+          "o_price_cents", round(col("o_totalprice") * 100, 0).cast("long")))
         .groupByNested(
           groupFields = Seq("o_orderstatus"),
           inlinedField = "objects",
-          listFields = Seq("o_orderkey", "o_totalprice"))
-        .select(col("o_orderstatus"), size(col("objects")).as("n_objects"), col("objects"))
+          listFields = Seq("o_orderkey", "o_price_cents"),
+          sortList = true)
+        .select(col("o_orderstatus"), size(col("objects")).as("n_objects"),
+          to_json(col("objects")).as("objects_json"))
         .orderBy("o_orderstatus"),
-      None),
+      Some("""SELECT o_orderstatus, count(*) AS n_objects,
+             |  '[' || string_agg(
+             |    '{"o_orderkey":' || o_orderkey ||
+             |    ',"o_price_cents":' || CAST(round(o_totalprice * 100) AS BIGINT) || '}',
+             |    ',' ORDER BY o_orderkey) || ']' AS objects_json
+             |FROM orders
+             |GROUP BY o_orderstatus
+             |ORDER BY o_orderstatus""".stripMargin)),
 
     Q("q_pivot",
       (s, d) => Tables.df(s, d, "orders")
