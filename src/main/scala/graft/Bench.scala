@@ -37,6 +37,7 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors += name; false
         }
+        finally graft.api.CacheScope.global.release()
       val sec = (System.nanoTime() - t0) / 1e9
       name -> (if (ok) sec else -sec)
     }

@@ -37,6 +37,7 @@ object Profile {
       val t0 = System.nanoTime()
       df.queryExecution.toRdd.foreach(_ => ())
       val sec = (System.nanoTime() - t0) / 1e9
+      graft.api.CacheScope.global.release()
       println(f"[profile] $name%-22s $sec%8.3f s")
     }
     spark.stop()

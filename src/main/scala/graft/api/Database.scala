@@ -28,15 +28,21 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
 
   def listCollectionNames: Seq[String] =
     if (!Files.exists(Paths.get(root))) Nil
-    else Files.list(Paths.get(root)).iterator().asScala
-      .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_CURRENT")))
-      .map(_.getFileName.toString).toSeq.sorted
+    else {
+      val s = Files.list(Paths.get(root))
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && Files.exists(p.resolve("_CURRENT")))
+        .map(_.getFileName.toString).toSeq.sorted
+      finally s.close()
+    }
 
   def dropCollection(collName: String): Unit = {
     val d = dirOf(collName)
     if (Files.exists(d)) {
-      Files.walk(d).sorted(java.util.Comparator.reverseOrder())
+      val s = Files.walk(d)
+      try s.sorted(java.util.Comparator.reverseOrder())
         .forEach(f => Files.delete(f))
+      finally s.close()
     }
   }
 

@@ -121,13 +121,17 @@ class ParquetCollection(
     val keep = s"v_$currentVersion"
     val dir = Paths.get(root)
     if (Files.exists(dir)) {
-      Files.list(dir).forEach { p =>
+      val ls = Files.list(dir)
+      try ls.forEach { p =>
         val n = p.getFileName.toString
         if (n.startsWith("v_") && n != keep) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          val w = Files.walk(p)
+          try w.sorted(java.util.Comparator.reverseOrder())
             .forEach(f => Files.delete(f))
+          finally w.close()
         }
       }
+      finally ls.close()
     }
   }
 }

@@ -79,7 +79,8 @@ object MinHash {
       k: Int = 8,
       w: Int = 3,
       bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val sigs = signatures(df, idCol, textCol, k, w)
@@ -97,11 +98,11 @@ object MinHash {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    // verify with exact Jaccard on shingle sets; persisted because both
-    // join sides reference it (a projection has no reusable exchange)
-    val sh = hashedShingleDf(df, idCol, textCol, w)
-      .select(col(idCol), col("__hs").as("sh"))
-      .persist()
+    // verify with exact Jaccard on shingle sets; persisted (into the
+    // caller's CacheScope) because both join sides reference it — a
+    // projection has no reusable exchange
+    val sh = scope.persist(hashedShingleDf(df, idCol, textCol, w)
+      .select(col(idCol), col("__hs").as("sh")))
     val verified = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")

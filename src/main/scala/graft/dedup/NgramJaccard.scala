@@ -20,14 +20,14 @@ object NgramJaccard {
       idCol: String,
       textCol: String,
       w: Int = 3,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     // integer shingles (one md5 per token; see TextFunctions) — the
     // inverted-index join shuffles 8-byte keys instead of strings
     // persisted: referenced by the size aggregation and BOTH sides of
     // the inverted-index self-join (three subplan evaluations otherwise)
-    val sh = df.select(col(idCol),
-      explode(expr(TextFunctions.hashedShinglesSql(textCol, w))).as("s"))
-      .persist()
+    val sh = scope.persist(df.select(col(idCol),
+      explode(expr(TextFunctions.hashedShinglesSql(textCol, w))).as("s")))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("s"))
       .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("s"))

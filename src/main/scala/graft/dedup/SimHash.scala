@@ -57,12 +57,13 @@ object SimHash {
     * form inside (band, chunk) buckets: no cartesian product anywhere
     * in the plan.
     */
-  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     // persisted: the pair plan references the fingerprints from three
     // branches (band explode + both verify-join sides) and a pure
     // projection has no exchange for Spark to reuse — without the cache
     // the 60-bit tally expression runs three times over the corpus
-    val fps = fingerprints(df, idCol, textCol).persist()
+    val fps = scope.persist(fingerprints(df, idCol, textCol))
     nearDupPairsFromFingerprints(fps, idCol, maxDist)
   }
 

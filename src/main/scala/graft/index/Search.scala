@@ -82,23 +82,29 @@ object Search {
       relevanceFactor: Double = 0.7,
       dim: Int = TrigramIndexer.DefaultDim): DataFrame = {
     val idx = TrigramIndexer.index(df, idCol, textCol, dim)
-    val top = searchTrigram(spark, idx, idCol, query, fetchK, dim)
+    val retrieved = searchTrigram(spark, idx, idCol, query, fetchK, dim)
       .join(df.select(col(idCol), col(textCol)), idCol)
-      .collect() // bounded: fetchK rows
+    val top = retrieved.collect() // bounded: fetchK rows
     def dense(m: Map[Long, Long]): Array[Double] = {
       val a = new Array[Double](dim)
       m.foreach { case (b, c) => a(b.toInt) = c.toDouble }
       a
     }
     val qv = dense(TrigramIndexer.queryVector(query, dim))
-    val docVs = top.map(r => dense(
-      TrigramIndexer.queryVector(r.getAs[String](textCol), dim))).toIndexedSeq
+    val docVs = top.map(r => dense(TrigramIndexer.queryVector(
+      Option(r.getAs[String](textCol)).getOrElse(""), dim))).toIndexedSeq
     val order = mmrRerank(qv, docVs, relevanceFactor, k)
-    import spark.implicits._
-    val ranked = order.zipWithIndex.map { case (i, rank) =>
-      (top(i).get(0).toString, top(i).getAs[Double]("score"), rank + 1)
+    // carry the ORIGINAL id value (and its type) through the re-rank —
+    // stringifying it would silently change the id column's type vs
+    // search/searchTrigram
+    val rows = order.zipWithIndex.map { case (i, rank) =>
+      org.apache.spark.sql.Row(top(i).get(0), top(i).getAs[Double]("score"), rank + 1)
     }
-    ranked.toDF(idCol, "score", "mmr_rank")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      retrieved.schema(idCol),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("mmr_rank", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Maximal Marginal Relevance re-rank of an already-retrieved top-k

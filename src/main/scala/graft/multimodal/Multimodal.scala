@@ -81,10 +81,13 @@ object Multimodal {
     */
   def frameSample(bin: org.apache.spark.sql.Column, frameSize: Int, everyN: Int): org.apache.spark.sql.Column = {
     val nFrames = ceil(length(bin).cast("double") / frameSize).cast("int")
-    filter(
-      transform(sequence(lit(0), greatest(nFrames - 1, lit(0))),
-        i => substring(bin, (i * frameSize + 1).cast("int"), lit(frameSize))),
-      (_, i) => i % everyN === 0)
+    // empty payload => no frames (sequence(0, greatest(-1,0)) would
+    // otherwise emit one empty frame)
+    when(length(bin) === 0, array().cast("array<binary>")).otherwise(
+      filter(
+        transform(sequence(lit(0), nFrames - 1),
+          i => substring(bin, (i * frameSize + 1).cast("int"), lit(frameSize))),
+        (_, i) => i % everyN === 0))
   }
 
   /** Metadata-only "resize": records the new dimensions. A real

@@ -31,7 +31,8 @@ object Describe {
     // pass 1: one wide agg for the streaming stats
     def stats(c: String) = Seq(
       count(col(c)).as(s"${c}__count"),
-      avg(col(c)).as(s"${c}__mean"),
+      // cast: avg over a DecimalType column yields BigDecimal otherwise
+      avg(col(c)).cast("double").as(s"${c}__mean"),
       stddev_samp(col(c)).as(s"${c}__stddev"),
       min(col(c)).cast("double").as(s"${c}__min"),
       max(col(c)).cast("double").as(s"${c}__max"))
@@ -73,12 +74,12 @@ object Describe {
     val rows = cols.sorted.map { c =>
       val n = one.getAs[Long](s"${c}__count")
       val qs = percentiles(c, n)
+      def opt(suffix: String): Any =
+        Option(one.getAs[Any](s"${c}__$suffix")).map(v => r(v.asInstanceOf[Double])).orNull
       Row(c, n,
-        r(one.getAs[Double](s"${c}__mean")),
-        Option(one.getAs[Any](s"${c}__stddev")).map(v => r(v.asInstanceOf[Double])).orNull,
-        r(one.getAs[Double](s"${c}__min")),
+        opt("mean"), opt("stddev"), opt("min"),
         r(qs("p25")), r(qs("p50")), r(qs("p75")),
-        r(one.getAs[Double](s"${c}__max")))
+        opt("max"))
     }
     val schema = StructType(Seq(
       StructField("column", StringType), StructField("count", LongType),

@@ -42,15 +42,15 @@ object Enrichment {
   }
 
   /** Enrichment of whitespace-token categories per `sampleCol`. */
-  def enrich(df: DataFrame, sampleCol: String, textCol: String, minOccurrences: Int = 5): DataFrame = {
+  def enrich(df: DataFrame, sampleCol: String, textCol: String, minOccurrences: Int = 5,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     // ONE scan: (sample, category, k_s) — every other count derives by
     // re-aggregating this small table (k_g = sum over samples, etc.).
     // Persisted: the plan references it from four branches, and the
     // table is tiny (samples x categories rows).
-    val catSample = df.select(col(sampleCol).as("sample"),
+    val catSample = scope.persist(df.select(col(sampleCol).as("sample"),
         explode(TextFunctions.tokens(col(textCol))).as("category"))
-      .groupBy("sample", "category").agg(count(lit(1)).as("k_s"))
-      .persist()
+      .groupBy("sample", "category").agg(count(lit(1)).as("k_s")))
     // n_g is a single scalar: take it eagerly so the lf table builds
     // from spark.range with NO upstream scan (each plan reference to lf
     // would otherwise re-run the annotation aggregation beneath it).
@@ -59,12 +59,27 @@ object Enrichment {
     val globalTot = sampleTotRaw.agg(sum("n_s").as("n_g"))
     val spark = df.sparkSession
 
-    // log-factorial table lf(0..n_g): one sequential running sum.
-    val lf = spark.range(0, nG + 1).toDF("pos")
+    // log-factorial table lf(0..n_g) as a TWO-LEVEL running sum: a
+    // global `Window.orderBy` would drag all n_g rows into ONE
+    // partition (Spark warns, and at 1e8 annotations one task sums the
+    // whole table). Instead: per-BLOCK running sums (partitioned window
+    // — parallel), block totals cumulated on the driver (n_g/B rows,
+    // bounded), and lf = block offset + in-block prefix.
+    val B = 8192L
+    val terms = spark.range(0, nG + 1).toDF("pos")
       .withColumn("__t", when(col("pos") === 0, lit(0.0)).otherwise(log(col("pos").cast("double"))))
-      .withColumn("lf", sum(col("__t")).over(
-        Window.orderBy("pos").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select("pos", "lf")
+      .withColumn("__blk", (col("pos") / B).cast("long"))
+    val wBlk = Window.partitionBy("__blk").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    var acc = 0.0
+    val offsets = terms.groupBy("__blk").agg(sum(col("__t")).as("__tot"))
+      .orderBy("__blk").collect()
+      .map { r => val o = (r.getLong(0), acc); acc += r.getDouble(1); o }
+    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__blk", "__off")
+    val lf = terms
+      .withColumn("__ls", sum(col("__t")).over(wBlk))
+      .join(broadcast(offDf), "__blk")
+      .select(col("pos"), (col("__off") + col("__ls")).as("lf"))
 
     // Every join against `lf` re-evaluates its whole subplan (the Spark
     // twin of DuckDB's CTE inlining — 9 separate broadcast builds, each
