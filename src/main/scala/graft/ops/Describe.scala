@@ -71,9 +71,20 @@ object Describe {
       if (v.isNaN) null
       else BigDecimal.decimal(v).setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+    // The per-column sorted percentile passes are independent Spark
+    // jobs: submit them concurrently (thread-safe in Spark) so a
+    // multi-column describe pays one pass of wall time, not N.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val qsByCol = Await.result(
+      Future.sequence(cols.sorted.map { c =>
+        val n = one.getAs[Long](s"${c}__count")
+        Future(c -> percentiles(c, n))
+      }), Duration.Inf).toMap
     val rows = cols.sorted.map { c =>
       val n = one.getAs[Long](s"${c}__count")
-      val qs = percentiles(c, n)
+      val qs = qsByCol(c)
       def opt(suffix: String): Any =
         Option(one.getAs[Any](s"${c}__$suffix")).map(v => r(v.asInstanceOf[Double])).orNull
       Row(c, n,

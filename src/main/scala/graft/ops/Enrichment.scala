@@ -32,13 +32,26 @@ import org.apache.spark.sql.functions._
   */
 object Enrichment {
 
-  /** Upper-tail sum given ln pmf(k) in column `ln_pmf`. */
-  private def pUpperExpr: String = {
-    val ratio = "(cast(k_g - i as double) * (n_s - i)) / (cast(i + 1 as double) * (n_g - k_g - n_s + i + 1))"
-    val tail = s"IF(least(k_g, n_s) <= k_s, 1D, aggregate(" +
-      s"transform(sequence(k_s, least(k_g, n_s) - 1), i -> array($ratio, 0D)), " +
-      s"array(1D, 1D), (acc, x) -> array(acc[0] * x[0], acc[1] + acc[0] * x[0]))[1])"
-    s"exp(ln_pmf) * ($tail)"
+  /** P(X >= k_s) given ln pmf(k_s) in column `ln_pmf`, via whichever
+    * tail is SHORTER: the upper sum folds least(k_g,n_s)-k_s pmf-ratio
+    * terms upward; for frequent categories (stopwords: huge k_g) that is
+    * thousands of interpreted lambda steps per row, while the LOWER tail
+    * is only k_s terms via the downward recurrence
+    * pmf(i-1)/pmf(i) = i(N-K-n+i) / ((K-i+1)(n-i+1)), and
+    * P(X>=k) = 1 - pmf(k)*sum_lower. Terms below the hypergeometric
+    * support bound zero out naturally (the N-K-n+i factor hits 0).
+    * Both branches fold a struct accumulator directly over the index
+    * sequence — no materialized per-element ratio array. The DuckDB
+    * oracle implements the identical branch rule and arithmetic order.
+    */
+  private def pExpr: String = {
+    val up = "(cast(k_g - i as double) * (n_s - i)) / (cast(i + 1 as double) * (n_g - k_g - n_s + i + 1))"
+    val down = "(cast(i as double) * (n_g - k_g - n_s + i)) / (cast(k_g - i + 1 as double) * (n_s - i + 1))"
+    val upperTail = s"IF(least(k_g, n_s) <= k_s, 1D, aggregate(sequence(k_s, least(k_g, n_s) - 1), " +
+      s"named_struct('p', 1D, 's', 1D), (acc, i) -> named_struct('p', acc.p * ($up), 's', acc.s + acc.p * ($up))).s)"
+    val lowerSum = s"IF(k_s <= 0, 0D, aggregate(sequence(k_s, 1, -1), " +
+      s"named_struct('p', 1D, 's', 0D), (acc, i) -> named_struct('p', acc.p * ($down), 's', acc.s + acc.p * ($down))).s)"
+    s"IF(k_s < least(k_g, n_s) - k_s, 1D - exp(ln_pmf) * ($lowerSum), exp(ln_pmf) * ($upperTail))"
   }
 
   /** Enrichment of whitespace-token categories per `sampleCol`. */
@@ -124,7 +137,7 @@ object Enrichment {
     val scored = base
       .withColumn("fold_change",
         round((col("k_s") / col("n_s")) / (col("k_g") / col("n_g")), 4))
-      .withColumn("p_raw", expr(pUpperExpr))
+      .withColumn("p_raw", expr(pExpr))
     // Benjamini-Hochberg within each sample: rank ascending by p, then
     // adjusted p = running min of p*m/rank taken from the LARGEST p down.
     val part = Window.partitionBy("sample")
@@ -148,11 +161,18 @@ object Enrichment {
     * from binding the literals as DECIMAL.
     */
   def oracleSql(table: String, sampleCol: String, textCol: String, minOccurrences: Int = 5): String = {
-    val ratio = "(CAST(k_g - i AS DOUBLE) * (n_s - i)) / (CAST(i + 1 AS DOUBLE) * (n_g - k_g - n_s + i + 1))"
-    val tail = s"CASE WHEN least(k_g, n_s) <= k_s THEN CAST(1 AS DOUBLE) ELSE list_reduce(" +
+    val up = "(CAST(k_g - i AS DOUBLE) * (n_s - i)) / (CAST(i + 1 AS DOUBLE) * (n_g - k_g - n_s + i + 1))"
+    val down = "(CAST(i AS DOUBLE) * (n_g - k_g - n_s + i)) / (CAST(k_g - i + 1 AS DOUBLE) * (n_s - i + 1))"
+    val upperTail = s"CASE WHEN least(k_g, n_s) <= k_s THEN CAST(1 AS DOUBLE) ELSE list_reduce(" +
       s"list_prepend([CAST(1 AS DOUBLE), CAST(1 AS DOUBLE)], " +
-      s"list_transform(range(k_s, least(k_g, n_s)), i -> [$ratio, CAST(0 AS DOUBLE)])), " +
+      s"list_transform(range(k_s, least(k_g, n_s)), i -> [$up, CAST(0 AS DOUBLE)])), " +
       s"(acc, x) -> [acc[1] * x[1], acc[2] + acc[1] * x[1]])[2] END"
+    val lowerSum = s"CASE WHEN k_s <= 0 THEN CAST(0 AS DOUBLE) ELSE list_reduce(" +
+      s"list_prepend([CAST(1 AS DOUBLE), CAST(0 AS DOUBLE)], " +
+      s"list_transform(range(k_s, 0, -1), i -> [$down, CAST(0 AS DOUBLE)])), " +
+      s"(acc, x) -> [acc[1] * x[1], acc[2] + acc[1] * x[1]])[2] END"
+    val pRaw = s"CASE WHEN k_s < least(k_g, n_s) - k_s " +
+      s"THEN 1 - exp(ln_pmf) * ($lowerSum) ELSE exp(ln_pmf) * ($upperTail) END"
     // MATERIALIZED hints are load-bearing: DuckDB otherwise inlines the
     // ann/lf CTEs into every one of the 9 lf joins and re-runs the
     // window each time (measured 305 s vs 0.4 s at sf0.01).
@@ -187,7 +207,7 @@ object Enrichment {
        |scored AS (
        |  SELECT sample, category, k_s, k_g,
        |    round((k_s / n_s) / (k_g / n_g), 4) AS fold_change,
-       |    exp(ln_pmf) * ($tail) AS p_raw
+       |    $pRaw AS p_raw
        |  FROM base),
        |ranked AS (
        |  SELECT *, count(*) OVER (PARTITION BY sample) AS m,

@@ -1,0 +1,104 @@
+package graft.api
+
+import graft.SparkSpec
+import graft.query.Filter
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+class BucketedParquetCollectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("graft-bucketed").toString
+
+  private def bucketVersions(root: String): Map[Int, Set[String]] = {
+    val d = Paths.get(root)
+    val ls = Files.list(d)
+    try ls.iterator().asScala
+      .filter(_.getFileName.toString.startsWith("b_"))
+      .map { p =>
+        val vs = Files.list(p)
+        val names = try vs.iterator().asScala.map(_.getFileName.toString).toSet
+        finally vs.close()
+        p.getFileName.toString.drop(2).toInt -> names
+      }.toMap
+    finally ls.close()
+  }
+
+  test("upsert rewrites only the buckets containing upserted keys") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 8)
+    c.replace((1 to 100).map(i => (i, s"name$i")).toDF("id", "name"))
+    val before = bucketVersions(root)
+
+    c.upsert(Seq((7, "SEVEN"), (8, "EIGHT")).toDF("id", "name"))
+    val after = bucketVersions(root)
+
+    // exactly the buckets of keys 7 and 8 grew a new version dir
+    val touched = after.collect { case (b, vs) if vs != before(b) => b }.toSet
+    touched should not be empty
+    touched.size should be <= 2
+    // every untouched bucket kept its directory set bit-identical
+    (before.keySet -- touched).foreach { b => after(b) shouldBe before(b) }
+
+    // content equals a straight overwrite
+    val got = c.df.orderBy("id").collect().map(r => (r.getInt(0), r.getString(1)))
+    got.length shouldBe 100
+    got(6) shouldBe ((7, "SEVEN"))
+    got(7) shouldBe ((8, "EIGHT"))
+    got(0) shouldBe ((1, "name1"))
+  }
+
+  test("insert appends into only the new rows' buckets; count grows") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 8)
+    c.replace((1 to 50).map(i => (i, i * 10)).toDF("id", "v"))
+    val before = bucketVersions(root)
+    c.insert(Seq((1001, 1), (1002, 2)).toDF("id", "v"))
+    val after = bucketVersions(root)
+    val touched = after.collect { case (b, vs) if vs != before.getOrElse(b, Set.empty[String]) => b }.toSet
+    touched.size should be <= 2
+    c.count() shouldBe 52
+    // duplicate pk allowed on insert (reference insert is append)
+    c.insert(Seq((1001, 99)).toDF("id", "v"))
+    c.count() shouldBe 53
+  }
+
+  test("deleteWhere rewrites matching buckets; emptied buckets leave the manifest") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 4)
+    c.replace(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "tag"))
+    c.deleteWhere(Filter.parse(Map("tag" -> Map("$in" -> Seq("a", "b")))))
+    val got = c.df.orderBy("id").collect().map(_.getInt(0))
+    got shouldBe Array(3, 4)
+    // deleting everything leaves an empty (readable-as-absent) collection
+    c.deleteWhere(Filter.True)
+    an[Exception] should be thrownBy c.df
+  }
+
+  test("findByKey scans a single bucket and returns the row") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 8)
+    c.replace((1 to 100).map(i => (i, s"n$i")).toDF("id", "name"))
+    val r = c.findByKey(42).collect()
+    r.length shouldBe 1
+    r.head.getString(1) shouldBe "n42"
+    // the lookup plan reads one bucket directory, not all eight
+    val scanned = c.findByKey(42).queryExecution.sparkPlan.toString()
+    "b_\\d+".r.findAllIn(scanned).toSet.size shouldBe 1
+    c.findByKey(-5).collect() shouldBe empty
+  }
+
+  test("vacuum removes unreferenced bucket versions, keeps the live snapshot") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 4)
+    c.replace((1 to 20).map(i => (i, i)).toDF("id", "v"))
+    c.upsert(Seq((1, 100)).toDF("id", "v"))
+    c.upsert(Seq((2, 200)).toDF("id", "v"))
+    c.vacuum()
+    // every surviving version dir is the one the manifest references
+    bucketVersions(root).values.foreach(_.size shouldBe 1)
+    c.df.count() shouldBe 20
+    c.findByKey(1).collect().head.getInt(1) shouldBe 100
+  }
+}

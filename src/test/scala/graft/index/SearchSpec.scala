@@ -42,6 +42,19 @@ class SearchSpec extends SparkSpec {
     r.map(_._1) should not contain 3
   }
 
+  test("searchTrigramMmr keeps the id column's original type and survives null text") {
+    val withNull = docs.unionByName(
+      Seq((5, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val r = Search.searchTrigramMmr(spark, withNull, "doc_id", "text",
+      "spark is fast", k = 3, fetchK = 4)
+    r.schema("doc_id").dataType.typeName shouldBe "integer"
+    val rows = r.collect()
+    rows.length shouldBe 3
+    Seq(1, 4) should contain(rows.head.getInt(0)) // top pick is an exact dup
+
+    rows.map(_.getAs[Int]("mmr_rank")).toSeq shouldBe Seq(1, 2, 3)
+  }
+
   test("mmr: first pick is most relevant, then diversity kicks in") {
     val q = Array(1.0, 0.0)
     val docsV = IndexedSeq(

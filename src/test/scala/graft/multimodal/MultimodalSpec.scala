@@ -49,6 +49,13 @@ class MultimodalSpec extends SparkSpec {
     r.map(new String(_)) shouldBe Seq("ab", "ef")
   }
 
+  test("frameSample yields no frames for an empty payload") {
+    val r = Seq("").toDF("p").withColumn("b", col("p").cast("binary"))
+      .select(Multimodal.frameSample(col("b"), frameSize = 2, everyN = 1).as("frames"))
+      .as[Seq[Array[Byte]]].collect().head
+    r shouldBe empty
+  }
+
   test("resizeMeta rewrites dimensions without touching the payload") {
     val out = Multimodal.resizeMeta(media, "meta", 32, 16)
     out.select("meta.width").as[Int].collect().toSet shouldBe Set(32)

@@ -76,6 +76,22 @@ class OpsSpec extends SparkSpec {
     applied(0).getInt(2) shouldBe 30       // age untouched
   }
 
+  test("describe reports NULL stats for an all-null column and handles decimals") {
+    val df = Seq((Option.empty[Double], BigDecimal("1.50")),
+      (Option.empty[Double], BigDecimal("2.50")))
+      .toDF("empty", "dec")
+    val rows = Describe.describe(df, Seq("empty", "dec")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val e = rows("empty")
+    e.getAs[Long]("count") shouldBe 0
+    e.isNullAt(e.fieldIndex("mean")) shouldBe true
+    e.isNullAt(e.fieldIndex("min")) shouldBe true
+    e.isNullAt(e.fieldIndex("max")) shouldBe true
+    val d = rows("dec")
+    d.getAs[Double]("mean") shouldBe 2.0
+    d.getAs[Double]("p50") shouldBe 2.0
+  }
+
   test("describe computes exact stats in one pass") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val r = Describe.describe(df, Seq("x")).collect().head
