@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.text.TextFunctions
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,20 +15,20 @@ import org.apache.spark.sql.functions._
   * P(X >= k) — the standard one-sided enrichment test — because it is
   * computable exactly and IDENTICALLY in Spark and DuckDB.
   *
-  * Formulation: ln-binomials come from a LOG-FACTORIAL TABLE
-  * lf(0..N) — one running-sum window over the annotation count N,
-  * built once and broadcast — so each (sample, category) row computes
-  *   ln pmf(k) = [lf(K)-lf(k)-lf(K-k)] + [lf(N-K)-lf(n-k)-lf(N-K-n+k)]
-  *             - [lf(N)-lf(n)-lf(N-n)]
-  * with six O(1) lookups instead of O(n) ln-sums. The upper tail then
-  * folds cumulative pmf ratios r(i) = ((K-i)(n-i))/((i+1)(N-K-n+i+1)).
-  * The lf table is exact while N fits a table (<= ~1e8 annotations per
-  * run); past that, swap the table for Stirling-series lgamma — the
-  * rest of the pipeline is unchanged.
+  * Formulation: each (sample, category) row computes
+  *   ln pmf(k) = [lnf(K)-lnf(k)-lnf(K-k)] + [lnf(N-K)-lnf(n-k)-lnf(N-K-n+k)]
+  *             - [lnf(N)-lnf(n)-lnf(N-n)]
+  * where lnf = ln-factorial as a CLOSED-FORM expression (exact ln-sum
+  * below 30, Stirling series above — see [[lnfact]]). No lf(0..N)
+  * lookup table: a materialized table needs an N-row window plus a
+  * broadcast join that stops fitting memory near N ~ 1e8 annotations,
+  * while the closed form is O(1) per output row at any N. The tail then
+  * folds cumulative pmf ratios over whichever side is shorter
+  * (see [[pExpr]]).
   *
   * Everything is one distributed pipeline: explode annotations, three
-  * bounded aggregations, six broadcast lookups, the tail fold per row,
-  * and BH correction as two windows per sample partition.
+  * bounded aggregations, per-row closed-form expressions, and BH
+  * correction as two windows per sample partition.
   */
 object Enrichment {
 
@@ -54,6 +54,37 @@ object Enrichment {
     s"IF(k_s < least(k_g, n_s) - k_s, 1D - exp(ln_pmf) * ($lowerSum), exp(ln_pmf) * ($upperTail))"
   }
 
+  /** ln(x!) as a closed-form SQL expression: exact sequential ln-sum
+    * below 30, Stirling series above (truncation error < 3e-14 at
+    * x=30, shrinking as x^-7 — invisible at 4dp). The DuckDB oracle
+    * evaluates the IDENTICAL formula ([[lnfactDuck]]): same branch
+    * cutoff, same term order, so both engines agree to libm ulps.
+    */
+  private[ops] def lnfact(x: String): String = {
+    val xd = s"CAST($x AS DOUBLE)"
+    val stirling = s"$xd * ln($xd) - $xd + 0.5D * ln(2D * pi() * $xd)" +
+      s" + 1D / (12D * $xd) - 1D / (360D * $xd * $xd * $xd)" +
+      s" + 1D / (1260D * $xd * $xd * $xd * $xd * $xd)"
+    s"(CASE WHEN ($x) <= 1 THEN 0D WHEN ($x) < 30 THEN " +
+      s"aggregate(sequence(2L, CAST($x AS BIGINT)), 0D, (a, i) -> a + ln(CAST(i AS DOUBLE))) " +
+      s"ELSE $stirling END)"
+  }
+
+  private def lnfactDuck(x: String): String = {
+    val xd = s"CAST($x AS DOUBLE)"
+    val stirling = s"$xd * ln($xd) - $xd + CAST(0.5 AS DOUBLE) * ln(CAST(2 AS DOUBLE) * pi() * $xd)" +
+      s" + CAST(1 AS DOUBLE) / (CAST(12 AS DOUBLE) * $xd) - CAST(1 AS DOUBLE) / (CAST(360 AS DOUBLE) * $xd * $xd * $xd)" +
+      s" + CAST(1 AS DOUBLE) / (CAST(1260 AS DOUBLE) * $xd * $xd * $xd * $xd * $xd)"
+    // list_reduce is an init-less left fold: acc starts at the first
+    // element (CAST(0 AS DOUBLE) prepended), matching Spark's
+    // aggregate(…, 0D, +) term order exactly
+    s"(CASE WHEN ($x) <= 1 THEN CAST(0 AS DOUBLE) WHEN ($x) < 30 THEN " +
+      s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(2, CAST($x AS BIGINT) + 1), i -> ln(CAST(i AS DOUBLE)))), " +
+      s"(a, b) -> a + b) " +
+      s"ELSE $stirling END)"
+  }
+
   /** Enrichment of whitespace-token categories per `sampleCol`. */
   def enrich(df: DataFrame, sampleCol: String, textCol: String, minOccurrences: Int = 5,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
@@ -64,75 +95,26 @@ object Enrichment {
     val catSample = scope.persist(df.select(col(sampleCol).as("sample"),
         explode(TextFunctions.tokens(col(textCol))).as("category"))
       .groupBy("sample", "category").agg(count(lit(1)).as("k_s")))
-    // n_g is a single scalar: take it eagerly so the lf table builds
-    // from spark.range with NO upstream scan (each plan reference to lf
-    // would otherwise re-run the annotation aggregation beneath it).
-    val nG: Long = catSample.agg(sum("k_s")).collect()(0).getLong(0)
     val sampleTotRaw = catSample.groupBy("sample").agg(sum("k_s").as("n_s"))
     val globalTot = sampleTotRaw.agg(sum("n_s").as("n_g"))
-    val spark = df.sparkSession
-
-    // log-factorial table lf(0..n_g) as a TWO-LEVEL running sum: a
-    // global `Window.orderBy` would drag all n_g rows into ONE
-    // partition (Spark warns, and at 1e8 annotations one task sums the
-    // whole table). Instead: per-BLOCK running sums (partitioned window
-    // — parallel), block totals cumulated on the driver (n_g/B rows,
-    // bounded), and lf = block offset + in-block prefix.
-    val B = 8192L
-    val terms = spark.range(0, nG + 1).toDF("pos")
-      .withColumn("__t", when(col("pos") === 0, lit(0.0)).otherwise(log(col("pos").cast("double"))))
-      .withColumn("__blk", (col("pos") / B).cast("long"))
-    val wBlk = Window.partitionBy("__blk").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    var acc = 0.0
-    val offsets = terms.groupBy("__blk").agg(sum(col("__t")).as("__tot"))
-      .orderBy("__blk").collect()
-      .map { r => val o = (r.getLong(0), acc); acc += r.getDouble(1); o }
-    val offDf = spark.createDataFrame(offsets.toSeq).toDF("__blk", "__off")
-    val lf = terms
-      .withColumn("__ls", sum(col("__t")).over(wBlk))
-      .join(broadcast(offDf), "__blk")
-      .select(col("pos"), (col("__off") + col("__ls")).as("lf"))
-
-    // Every join against `lf` re-evaluates its whole subplan (the Spark
-    // twin of DuckDB's CTE inlining — 9 separate broadcast builds, each
-    // recomputing the annotation scan underneath). Instead, MELT all
-    // needed positions into (keys..., slot, pos) rows, join lf ONCE,
-    // and pivot the looked-up values back into columns.
-    def lfLookup(d: DataFrame, keys: Seq[String], slots: Seq[(String, Column)]): DataFrame = {
-      val melted = d.select(keys.map(col) :+
-          explode(array(slots.map { case (nm, c) =>
-            struct(lit(nm).as("slot"), c.cast("long").as("pos"))
-          }: _*)).as("sp"): _*)
-        .select(keys.map(col) :+ col("sp.slot").as("slot") :+ col("sp.pos").as("pos"): _*)
-        .join(broadcast(lf), "pos")
-        .groupBy(keys.map(col): _*)
-        .pivot("slot", slots.map(_._1))
-        .agg(first(col("lf")))
-      d.join(melted, keys)
-    }
 
     val sampleTot = sampleTotRaw.crossJoin(broadcast(globalTot))
     val catGlobal = catSample.groupBy("category").agg(sum("k_s").as("k_g"))
       .filter(col("k_g") >= minOccurrences)
-    val base0 = catSample
+    // ln pmf from nine DIRECT ln-factorial expressions ([[lnfact]]) —
+    // no lf table. A materialized lf(0..N) table needs an N-row window
+    // plus a broadcast join that stops fitting memory around N ~ 1e8
+    // annotations; the closed-form expression costs ~O(1) per output
+    // row and scales to any N. Output rows are samples x categories —
+    // tiny next to the corpus — so per-row expression cost is nil.
+    val base = catSample
       .join(catGlobal, "category")
       .join(broadcast(sampleTot), "sample")
-    // all NINE ln-factorial positions (six pmf terms + the three
-    // per-sample lnc terms) resolve through the single melted join, so
-    // lf evaluates exactly once in the whole plan
-    val base = lfLookup(base0, Seq("sample", "category"), Seq(
-      "lf_kg" -> col("k_g"), "lf_ks" -> col("k_s"),
-      "lf_kgks" -> (col("k_g") - col("k_s")),
-      "lf_ngkg" -> (col("n_g") - col("k_g")),
-      "lf_nsks" -> (col("n_s") - col("k_s")),
-      "lf_rest" -> (col("n_g") - col("k_g") - col("n_s") + col("k_s")),
-      "lf_ng" -> col("n_g"), "lf_ns" -> col("n_s"),
-      "lf_ngns" -> (col("n_g") - col("n_s"))))
-      .withColumn("ln_pmf",
-        col("lf_kg") - col("lf_ks") - col("lf_kgks") +
-          col("lf_ngkg") - col("lf_nsks") - col("lf_rest") -
-          (col("lf_ng") - col("lf_ns") - col("lf_ngns")))
+      .withColumn("ln_pmf", expr(
+        s"""${lnfact("k_g")} - ${lnfact("k_s")} - ${lnfact("k_g - k_s")}
+           | + ${lnfact("n_g - k_g")} - ${lnfact("n_s - k_s")}
+           | - ${lnfact("n_g - k_g - n_s + k_s")}
+           | - (${lnfact("n_g")} - ${lnfact("n_s")} - ${lnfact("n_g - n_s")})""".stripMargin))
 
     val scored = base
       .withColumn("fold_change",
@@ -173,37 +155,26 @@ object Enrichment {
       s"(acc, x) -> [acc[1] * x[1], acc[2] + acc[1] * x[1]])[2] END"
     val pRaw = s"CASE WHEN k_s < least(k_g, n_s) - k_s " +
       s"THEN 1 - exp(ln_pmf) * ($lowerSum) ELSE exp(ln_pmf) * ($upperTail) END"
-    // MATERIALIZED hints are load-bearing: DuckDB otherwise inlines the
-    // ann/lf CTEs into every one of the 9 lf joins and re-runs the
-    // window each time (measured 305 s vs 0.4 s at sf0.01).
+    // MATERIALIZED on ann is load-bearing: DuckDB otherwise inlines the
+    // CTE into every downstream reference and re-runs the unnest scan
+    // each time (measured 305 s vs 0.4 s at sf0.01). ln-factorials are
+    // the same closed-form expression the Spark side evaluates
+    // ([[lnfact]]/[[lnfactDuck]]) — no lf table on either side.
     s"""WITH ann AS MATERIALIZED (
        |  SELECT $sampleCol AS sample, unnest(string_split($textCol, ' ')) AS category
        |  FROM $table),
        |gt AS (SELECT count(*) AS n_g FROM ann),
-       |lf AS MATERIALIZED (
-       |  SELECT pos, sum(CASE WHEN pos = 0 THEN CAST(0 AS DOUBLE) ELSE ln(CAST(pos AS DOUBLE)) END)
-       |    OVER (ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lf
-       |  FROM (SELECT unnest(range(0, n_g + 1)) AS pos FROM gt) t),
-       |st AS (
-       |  SELECT sample, n_s, n_g,
-       |    la.lf - lb.lf - lc.lf AS lnc_ns
-       |  FROM (SELECT sample, count(*) AS n_s FROM ann GROUP BY 1), gt
-       |  JOIN lf la ON la.pos = n_g
-       |  JOIN lf lb ON lb.pos = n_s
-       |  JOIN lf lc ON lc.pos = n_g - n_s),
+       |st AS (SELECT sample, count(*) AS n_s FROM ann GROUP BY 1),
        |cg AS (SELECT category, count(*) AS k_g FROM ann GROUP BY 1
        |       HAVING count(*) >= $minOccurrences),
        |cs AS (SELECT sample, category, count(*) AS k_s FROM ann GROUP BY 1, 2),
        |base AS (
        |  SELECT cs.sample, cs.category, k_s, k_g, n_s, n_g,
-       |    l1.lf - l2.lf - l3.lf + l4.lf - l5.lf - l6.lf - lnc_ns AS ln_pmf
-       |  FROM cs JOIN cg USING (category) JOIN st USING (sample)
-       |  JOIN lf l1 ON l1.pos = k_g
-       |  JOIN lf l2 ON l2.pos = k_s
-       |  JOIN lf l3 ON l3.pos = k_g - k_s
-       |  JOIN lf l4 ON l4.pos = n_g - k_g
-       |  JOIN lf l5 ON l5.pos = n_s - k_s
-       |  JOIN lf l6 ON l6.pos = n_g - k_g - n_s + k_s),
+       |    ${lnfactDuck("k_g")} - ${lnfactDuck("k_s")} - ${lnfactDuck("k_g - k_s")}
+       |      + ${lnfactDuck("n_g - k_g")} - ${lnfactDuck("n_s - k_s")}
+       |      - ${lnfactDuck("n_g - k_g - n_s + k_s")}
+       |      - (${lnfactDuck("n_g")} - ${lnfactDuck("n_s")} - ${lnfactDuck("n_g - n_s")}) AS ln_pmf
+       |  FROM cs JOIN cg USING (category) JOIN st USING (sample), gt),
        |scored AS (
        |  SELECT sample, category, k_s, k_g,
        |    round((k_s / n_s) / (k_g / n_g), 4) AS fold_change,
