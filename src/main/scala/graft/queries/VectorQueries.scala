@@ -42,6 +42,15 @@ object VectorQueries extends QuerySet {
       Some(Knn.lshTopKDuckSql("embeddings", "vec_id", "embedding",
         queryId = 0L, k = 10, dim = Dim))),
 
+    // MMR-diversified search: the greedy re-rank is inherently
+    // sequential driver-side logic over the bounded top-fetchK (not
+    // SQL-expressible) -> rows-only check; MmrSpec covers the semantics.
+    Q("q_search_mmr",
+      (s, d) => Search.searchTrigramMmr(
+        s, Tables.df(s, d, "documents"), "doc_id", "text", Query,
+        k = 10, fetchK = 50),
+      None),
+
     Q("q_find_matches",
       (s, d) => {
         val e = Tables.df(s, d, "embeddings")

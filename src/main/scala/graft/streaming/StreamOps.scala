@@ -44,6 +44,77 @@ object StreamOps {
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** A closed gap-session (streaming twin of [[graft.ops.Sessionize]]):
+    * event-time micros of the first/last event, event count, value sum.
+    */
+  case class Session(user: String, startUs: Long, endUs: Long, nEvents: Long, sumValue: Double)
+
+  /** Open-session state carried between micro-batches. */
+  case class SessionAcc(startUs: Long, endUs: Long, nEvents: Long, sumValue: Double)
+
+  /** Streaming gap-based sessionization via flatMapGroupsWithState —
+    * the stateful-operator analog of the batch
+    * [[graft.ops.Sessionize.sessionize]] (spec checks parity).
+    *
+    * Per user key: batch events merge into the open session when within
+    * `gapSeconds` of its end, else the open session CLOSES (emitted) and
+    * a new one starts; an event-time timeout closes the open session
+    * once the watermark passes its end + gap, bounding state to one
+    * small struct per active user. Input must carry a watermark on the
+    * event-time column for the timeout to fire.
+    */
+  def sessionizeStream(
+      ds: Dataset[(String, java.sql.Timestamp, Double)], // (user, eventTime, value)
+      gapSeconds: Long): Dataset[Session] = {
+    import ds.sparkSession.implicits._
+    val gapUs = gapSeconds * 1000000L
+    // the event-time column rides through AS A TIMESTAMP: converting it
+    // to a long upstream would strip the watermark metadata the
+    // EventTimeTimeout checker requires
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, Session](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (user: String, rowsT: Iterator[(String, java.sql.Timestamp, Double)], state: GroupState[SessionAcc]) =>
+          val rows = rowsT.map { case (u, t, v) => (u, us(t), v) }
+          if (!state.hasTimedOut && rows.isEmpty && state.exists) {
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            // watermark passed the open session's end + gap: close it
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.startUs, s.endUs, s.nEvents, s.sumValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer[Session]()
+            sorted.foreach { case (_, t, v) =>
+              open match {
+                case Some(s) if t - s.endUs <= gapUs =>
+                  open = Some(SessionAcc(s.startUs, math.max(s.endUs, t),
+                    s.nEvents + 1, s.sumValue + v))
+                case Some(s) =>
+                  closed += Session(user, s.startUs, s.endUs, s.nEvents, s.sumValue)
+                  open = Some(SessionAcc(t, t, 1L, v))
+                case None =>
+                  open = Some(SessionAcc(t, t, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // fires once the event-time watermark passes end + gap
+              // (clamped above the current watermark: late data could
+              // otherwise compute a timeout already in the past)
+              val t = (s.endUs + gapUs) / 1000L + 1L
+              state.setTimeoutTimestamp(math.max(t, state.getCurrentWatermarkMs + 1L))
+            }
+            closed.iterator
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: cumulative (count, sum)
     * per key, emitted on every update.
     */

@@ -53,6 +53,58 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizeStream closes gap sessions and matches the batch sessionizer") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val gapSec = 300L // 5 min
+    // user u1: events at 10:01,10:02 (one session), 10:20,10:21 (second);
+    // u2: one event at 10:05
+    val events = Seq(
+      (ts(1), "u1", 1.0), (ts(2), "u1", 2.0),
+      (ts(20), "u1", 4.0), (ts(21), "u1", 8.0),
+      (ts(5), "u2", 16.0))
+
+    val typed = StreamOps.sessionizeStream(
+      input.toDF().toDF("ts", "user", "value")
+        .withWatermark("ts", "0 seconds")
+        .selectExpr("user", "ts", "value")
+        .as[(String, Timestamp, Double)],
+      gapSec)
+    val q = typed.toDF().writeStream.format("memory")
+      .queryName("sess_out").outputMode("append").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // advance the watermark far past every session's end + gap so the
+      // event-time timeouts close the open sessions
+      input.addData((ts(59), "u_flush", 0.0))
+      q.processAllAvailable()
+      input.addData((ts(59), "u_flush2", 0.0))
+      q.processAllAvailable()
+
+      val got = spark.table("sess_out")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .filterNot(_._1.startsWith("u_flush"))
+        .toSet
+
+      def us(m: Int) = ts(m).getTime * 1000L
+      got shouldBe Set(
+        ("u1", us(1), us(2), 2L, 3.0),
+        ("u1", us(20), us(21), 2L, 12.0),
+        ("u2", us(5), us(5), 1L, 16.0))
+
+      // parity with the batch sessionizer on the same events
+      val batch = graft.ops.Sessionize.sessionize(
+        events.toDF("ts", "user", "value").withColumn("tie", org.apache.spark.sql.functions.lit(0)),
+        "user", "ts", "value", "tie", gapSeconds = gapSec)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(4), r.getDouble(5)))
+        .toSet
+      batch shouldBe got.map(s => (s._1, s._4, s._5))
+    } finally q.stop()
+  }
+
   test("runningTotals keeps per-key state across micro-batches") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(String, Double)]
