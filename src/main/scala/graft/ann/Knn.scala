@@ -119,6 +119,74 @@ object Knn {
        |LIMIT $k""".stripMargin
   }
 
+  /** IVF (inverted-file) ANN: vectors are assigned to the cell of their
+    * nearest CENTROID; a query probes only the `nProbe` cells whose
+    * centroids are closest, then ranks the probed vectors exactly. The
+    * 100 TB shape: the corpus is partitioned/bucketed by cell id, so a
+    * search reads nProbe/nCells of the data instead of all of it, and
+    * assignment is one broadcast join (centroids are tiny).
+    *
+    * The coarse quantizer here picks the first `nCells` vectors by id
+    * as centroids — deterministic, so the DuckDB oracle can run the
+    * identical algorithm (a trained k-means codebook would slot into
+    * the same plan; training is an offline concern). Similarity is the
+    * dot product (the embeddings are unit-norm); ties break on cell id
+    * in both engines.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+              nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val cent = e.filter(col(idCol) < nCells)
+      .select(col(idCol).as("__cid"), col("__v").as("__cv"))
+    // cell assignment: argmax dot(v, centroid) = lexicographic min of
+    // struct(-dot, cid) — deterministic tie-break on cell id
+    val assigned = e.crossJoin(broadcast(cent))
+      .groupBy(col(idCol))
+      .agg(min(struct((-VectorFunctions.dot(col("__v"), col("__cv"))).as("nd"),
+        col("__cid").as("cid"))).as("__best"))
+      .select(col(idCol), col("__best.cid").as("__cell"))
+    val cells = e.join(assigned, idCol)
+    // probe cells: the nProbe centroids closest to the query vector
+    val q = e.filter(col(idCol) === queryId).select(col("__v").as("__qv"))
+    val probes = cent.crossJoin(broadcast(q))
+      .select(col("__cid").as("__cell"),
+        (-VectorFunctions.dot(col("__cv"), col("__qv"))).as("__nd"))
+      .orderBy(col("__nd").asc, col("__cell").asc)
+      .limit(nProbe)
+      .select("__cell")
+    cells.join(broadcast(probes), "__cell")
+      .filter(col(idCol) =!= queryId)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col("__v"), col("__qv")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  def ivfTopKDuckSql(table: String, idCol: String, vecCol: String, queryId: Long, k: Int,
+                     dim: Int, nCells: Int = 16, nProbe: Int = 4): String = {
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |cent AS (SELECT $idCol AS cid, v AS cv FROM e WHERE $idCol < $nCells),
+       |assigned AS (
+       |  SELECT $idCol, cid AS cell FROM (
+       |    SELECT e.$idCol, cent.cid,
+       |      row_number() OVER (PARTITION BY e.$idCol
+       |        ORDER BY -(${dot("e.v", "cent.cv")}) ASC, cent.cid ASC) AS rn
+       |    FROM e, cent) t WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE $idCol = $queryId),
+       |probes AS (
+       |  SELECT cid AS cell FROM cent, q
+       |  ORDER BY -(${dot("cv", "qv")}) ASC, cid ASC
+       |  LIMIT $nProbe)
+       |SELECT e.$idCol, round(${cosineDuck("e.v", "qv", dim)}, 4) AS score
+       |FROM e JOIN assigned USING ($idCol) JOIN probes ON assigned.cell = probes.cell, q
+       |WHERE e.$idCol <> $queryId
+       |ORDER BY score DESC, e.$idCol ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** Cross-collection top-1 embedding match: for every row of `src`,
     * the best `tgt` row by cosine. Broadcast the target side; rank with
     * a per-source window (deterministic tie-break on target id).

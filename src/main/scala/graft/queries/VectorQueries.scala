@@ -42,6 +42,12 @@ object VectorQueries extends QuerySet {
       Some(Knn.lshTopKDuckSql("embeddings", "vec_id", "embedding",
         queryId = 0L, k = 10, dim = Dim))),
 
+    Q("q_ann_ivf",
+      (s, d) => Knn.ivfTopK(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10),
+      Some(Knn.ivfTopKDuckSql("embeddings", "vec_id", "embedding",
+        queryId = 0L, k = 10, dim = Dim))),
+
     // MMR-diversified search: the greedy re-rank is inherently
     // sequential driver-side logic over the bounded top-fetchK (not
     // SQL-expressible) -> rows-only check; MmrSpec covers the semantics.

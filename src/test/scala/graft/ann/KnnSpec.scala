@@ -38,6 +38,23 @@ class KnnSpec extends SparkSpec {
     r.head shouldBe (5L, 1.0)
   }
 
+  test("ivf top-k probes only the nearest cells and finds the exact duplicate") {
+    // centroids = ids < 3 -> c1=[1,0,0,0], c2=[.9,.1,0,0]. Assignments
+    // by argmax dot: v1,v2,v5 -> cell 1; v3 (dot .1 vs 0) and v4
+    // (dot -.9 vs -1) -> cell 2. Query [1,0,0,0] probes cell 1 first.
+    val r = Knn.ivfTopK(vecs, "vec_id", "embedding", queryId = 1L, k = 4,
+      nCells = 3, nProbe = 1)
+      .collect().map(x => (x.getLong(0), x.getDouble(1)))
+    r.head shouldBe (5L, 1.0)
+    // ids 3 and 4 live in the unprobed cell -> never become candidates
+    r.map(_._1).toSet shouldBe Set(5L, 2L)
+    // nProbe = all cells degrades to exact brute force
+    val all = Knn.ivfTopK(vecs, "vec_id", "embedding", queryId = 1L, k = 4,
+      nCells = 3, nProbe = 2)
+      .collect().map(x => x.getLong(0))
+    all shouldBe Array(5L, 2L, 3L, 4L)
+  }
+
   test("findMatches: top-1 target per source with deterministic tie-break") {
     val src = vecs.filter($"vec_id" <= 2)
     val tgt = vecs.filter($"vec_id" >= 3)
