@@ -225,10 +225,17 @@ object Knn {
     * pair costs one dot product, not three.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                   nBits: Int = 32, bands: Int = 4): DataFrame = {
+                   nBits: Int = 32, bands: Int = 4,
+                   maxBucket: Int = 10000): DataFrame = {
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nrm", VectorFunctions.norm(col("__v")))
+    // skew guard (same-keyed window, exchange reused by the join): a
+    // degenerate embedding corpus cannot turn one bucket quadratic
     val bk = bandedSignBits(df, idCol, vecCol, nBits, bands)
+      .withColumn("__bsz", count(lit(1)).over(
+        Window.partitionBy("band", "chunk")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val cand = bk.select(col("band"), col("chunk"), col(idCol).as("id_a"))
       .join(bk.select(col("band"), col("chunk"), col(idCol).as("id_b")), Seq("band", "chunk"))
       .filter(col("id_a") < col("id_b"))
@@ -244,7 +251,8 @@ object Knn {
   }
 
   def nearDupPairsDuckSql(fromSql: String, idCol: String, vecCol: String, threshold: Double,
-                          dim: Int, nBits: Int = 32, bands: Int = 4): String = {
+                          dim: Int, nBits: Int = 32, bands: Int = 4,
+                          maxBucket: Int = 10000): String = {
     val width = nBits / bands
     val mask = (1L << width) - 1
     val bandSelects = (0 until bands).map { b =>
@@ -255,7 +263,9 @@ object Knn {
     s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v,
        |             sqrt(${dot("v", "v")}) AS nrm FROM ($fromSql) src),
        |sigs AS (SELECT $idCol, ${signBitsDuck("v", nBits)} AS sig FROM e),
-       |bk AS ($bandSelects),
+       |bk AS (
+       |  SELECT * FROM ($bandSelects) raw
+       |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk

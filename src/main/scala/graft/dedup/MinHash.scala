@@ -23,6 +23,14 @@ object MinHash {
 
   val Mersenne61 = "2305843009213693951" // 2^61 - 1
 
+  /** Skew guard: (band, bkey) buckets larger than this are skipped
+    * during candidate generation — a degenerate corpus (thousands of
+    * identical documents) would otherwise turn one bucket quadratic.
+    * Far above any non-adversarial bucket size; the oracle applies the
+    * identical cap, so results stay engine-equal.
+    */
+  val DefaultMaxBucket = 10000
+
   /** Deterministic permutation constants (A_i odd, < 2^29; B_i < 2^31). */
   def permConsts(i: Int): (Long, Long) =
     ((48271L * (i + 1) * 2 + 1) % (1L << 29), (2654435761L * (i + 1)) % (1L << 31))
@@ -80,6 +88,7 @@ object MinHash {
       w: Int = 3,
       bands: Int = 4,
       threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
@@ -89,9 +98,16 @@ object MinHash {
       val slice = (b * r until (b + 1) * r).map(i => s"mh_$i")
       struct(lit(b).as("band"), md5(concat_ws(":", slice.map(col): _*)).as("bkey"))
     }
-    val exploded = sigs
+    val explodedRaw = sigs
       .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // skew guard: the bucket-size window shuffles on the SAME key as
+    // the self-join below, so its exchange is reused — the cap is free
+    val exploded = explodedRaw
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     val a = exploded.select(col("band"), col("bkey"), col(idCol).as("id_a"))
     val b = exploded.select(col("band"), col("bkey"), col(idCol).as("id_b"))
     val candidates = a.join(b, Seq("band", "bkey"))
@@ -121,14 +137,17 @@ object MinHash {
       k: Int = 8,
       w: Int = 3,
       bands: Int = 4,
-      threshold: Double = 0.5): String = {
+      threshold: Double = 0.5,
+      maxBucket: Int = DefaultMaxBucket): String = {
     val r = k / bands
     val bandSelects = (0 until bands).map { b =>
       val slice = (b * r until (b + 1) * r).map(i => s"CAST(mh_$i AS VARCHAR)").mkString(", ")
       s"SELECT $idCol, $b AS band, md5(concat_ws(':', $slice)) AS bkey FROM sig"
     }.mkString("\nUNION ALL\n")
     s"""WITH sig AS (${signaturesDuckSql(table, idCol, textCol, k, w)}),
-       |bk AS ($bandSelects),
+       |bk AS (
+       |  SELECT * FROM ($bandSelects) raw
+       |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $maxBucket),
        |cand AS (
        |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
        |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey

@@ -22,6 +22,15 @@ import org.apache.spark.sql.functions._
 object SimHash {
   val Bits = 60
 
+  /** Skew guard: (band, chunk) buckets larger than this are skipped
+    * during candidate generation. A degenerate corpus (thousands of
+    * identical or empty documents) would otherwise make one bucket
+    * quadratic in the pair join. Capped buckets can drop true pairs —
+    * the cap is deliberately far above any non-adversarial bucket size,
+    * and the oracle applies the identical cap.
+    */
+  val DefaultMaxBucket = 10000
+
   private def tokenHashesExpr(textCol: String): String =
     s"transform(array_distinct(split($textCol, ' ')), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
 
@@ -58,16 +67,18 @@ object SimHash {
     * in the plan.
     */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3,
+      maxBucket: Int = DefaultMaxBucket,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     // persisted: the pair plan references the fingerprints from three
     // branches (band explode + both verify-join sides) and a pure
     // projection has no exchange for Spark to reuse — without the cache
     // the 60-bit tally expression runs three times over the corpus
     val fps = scope.persist(fingerprints(df, idCol, textCol))
-    nearDupPairsFromFingerprints(fps, idCol, maxDist)
+    nearDupPairsFromFingerprints(fps, idCol, maxDist, maxBucket)
   }
 
-  def nearDupPairsFromFingerprints(fps: DataFrame, idCol: String, maxDist: Int): DataFrame = {
+  def nearDupPairsFromFingerprints(fps: DataFrame, idCol: String, maxDist: Int,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxDist >= 0 && maxDist < Bits, s"maxDist must be in [0, $Bits)")
     val bands = maxDist + 1
     val width = (Bits + bands - 1) / bands
@@ -82,9 +93,16 @@ object SimHash {
     // hamming-verify directly on the bucket join output, BEFORE the
     // distinct — failing candidates never reach a shuffle, and no
     // join-back to the fingerprint table is needed.
-    val ex = fps
+    val exRaw = fps
       .select(col(idCol), col("simhash"), explode(array(chunkCols: _*)).as("bc"))
       .select(col(idCol), col("simhash"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    // skew guard: the bucket-size window shuffles on the SAME key as
+    // the self-join below, so its exchange is reused — the cap is free
+    val ex = exRaw
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "chunk")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
     ex.select(col("band"), col("chunk"), col(idCol).as("id_a"), col("simhash").as("sh_a"))
       .join(ex.select(col("band"), col("chunk"), col(idCol).as("id_b"), col("simhash").as("sh_b")),
         Seq("band", "chunk"))
@@ -96,7 +114,8 @@ object SimHash {
       .orderBy("id_a", "id_b")
   }
 
-  def nearDupPairsDuckSql(table: String, idCol: String, textCol: String, maxDist: Int = 3): String = {
+  def nearDupPairsDuckSql(table: String, idCol: String, textCol: String, maxDist: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): String = {
     val bands = maxDist + 1
     val width = (Bits + bands - 1) / bands
     val bandSelects = (0 until bands).map { b =>
@@ -108,7 +127,9 @@ object SimHash {
     s"""WITH fp AS MATERIALIZED (
        |  SELECT $idCol, ${fingerprintFromHashesDuck("hs")} AS simhash
        |  FROM (SELECT $idCol, ${tokenHashesDuck(textCol)} AS hs FROM $table) t),
-       |bk AS ($bandSelects)
+       |bk AS (
+       |  SELECT * FROM ($bandSelects) raw
+       |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $maxBucket)
        |SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b,
        |  bit_count(xor(a.simhash, b.simhash)) AS dist
        |FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk

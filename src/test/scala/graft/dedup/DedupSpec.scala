@@ -32,6 +32,24 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 3 || p._2 == 3) shouldBe false
   }
 
+  test("bucket cap skips degenerate buckets but leaves normal corpora intact") {
+    // 6 identical docs: every band bucket holds all 6 -> cap of 5 skips
+    // them all (no quadratic blowup), a generous cap keeps all pairs
+    val clones = (1 to 6).map(i => (i, "all these documents are the very same text"))
+      .toDF("doc_id", "text")
+    MinHash.nearDupPairs(clones, "doc_id", "text", threshold = 0.5, maxBucket = 5)
+      .count() shouldBe 0
+    MinHash.nearDupPairs(clones, "doc_id", "text", threshold = 0.5, maxBucket = 100)
+      .count() shouldBe 15 // C(6,2)
+    // the default cap leaves the regular corpus's pairs unchanged
+    val pairs = MinHash.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    val uncapped = MinHash.nearDupPairs(docs, "doc_id", "text", threshold = 0.5,
+      maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Int, Int)].collect().toSet
+    pairs shouldBe uncapped
+  }
+
   test("simhash banding finds exactly the brute-force hamming pairs") {
     val fps = SimHash.fingerprints(docs, "doc_id", "text")
     val banded = SimHash.nearDupPairsFromFingerprints(fps, "doc_id", maxDist = 10)
