@@ -116,6 +116,42 @@ class ParquetCollection(
   def exportFile(path: String, format: String = null): Unit =
     graft.io.Formats.write(df, path, format)
 
+  /** The shadow index collection for `textCol` (reference
+    * attach_indexer/index_objects keep the index as a SHADOW collection
+    * beside the data — collection.py:531-607, 810-905).
+    */
+  private def indexCollection(textCol: String): ParquetCollection =
+    new ParquetCollection(spark, s"$root/_index_$textCol", s"${name}__index_$textCol")
+
+  /** Materialize a hashed-trigram index of `textCol` keyed by `idCol`
+    * into the shadow collection. At scale this is the point of an
+    * index: searches scan the (much smaller, pre-hashed) posting rows
+    * instead of re-tokenizing the corpus per query. Call again after
+    * mutations to refresh (reference index_objects).
+    */
+  def attachIndex(idCol: String, textCol: String,
+      dim: Int = graft.index.TrigramIndexer.DefaultDim): Unit =
+    indexCollection(textCol).replace(
+      graft.index.TrigramIndexer.index(df, idCol, textCol, dim))
+
+  /** Refresh the materialized index (reference index_objects). */
+  def indexObjects(idCol: String, textCol: String,
+      dim: Int = graft.index.TrigramIndexer.DefaultDim): Unit =
+    attachIndex(idCol, textCol, dim)
+
+  /** Cosine top-k search. Uses the MATERIALIZED shadow index when one
+    * has been attached; otherwise builds the index inline (correct but
+    * corpus-scanning — the reference similarly auto-indexes on demand).
+    */
+  def search(idCol: String, textCol: String, query: String, k: Int = 10,
+      dim: Int = graft.index.TrigramIndexer.DefaultDim): DataFrame = {
+    val idx = indexCollection(textCol)
+    val idxDf =
+      if (Files.exists(Paths.get(s"$root/_index_$textCol", "_CURRENT"))) idx.df
+      else graft.index.TrigramIndexer.index(df, idCol, textCol, dim)
+    graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, dim)
+  }
+
   /** Remove version directories older than the current one. */
   def vacuum(): Unit = {
     val keep = s"v_$currentVersion"

@@ -115,4 +115,37 @@ class ParquetCollectionSpec extends SparkSpec {
     c.find(Filter.parse(Map("age" -> Map("$gte" -> 30))))
       .select("id").as[Int].collect().sorted shouldBe Array(1, 3)
   }
+
+  test("attachIndex materializes a shadow index that search scans; reindex refreshes") {
+    val dir = Files.createTempDirectory("graft-idx").toString
+    val c = new ParquetCollection(spark, dir, "docs")
+    c.replace(Seq(
+      (1, "spark is fast"), (2, "ducks swim in ponds"), (3, "spark is fast")
+    ).toDF("doc_id", "text"))
+
+    // search without an index: inline build, still correct
+    val r0 = c.search("doc_id", "text", "spark is fast", k = 2)
+      .collect().map(_.getInt(0)).sorted
+    r0 shouldBe Array(1, 3)
+
+    c.attachIndex("doc_id", "text")
+    // the shadow collection exists on disk as versioned parquet
+    Files.exists(java.nio.file.Paths.get(dir, "_index_text", "_CURRENT")) shouldBe true
+    val r1 = c.search("doc_id", "text", "spark is fast", k = 2)
+      .collect().map(_.getInt(0)).sorted
+    r1 shouldBe Array(1, 3)
+
+    // a mutation + reindex is reflected in search results
+    c.insert(Seq((4, "spark is fast")).toDF("doc_id", "text"))
+    c.indexObjects("doc_id", "text")
+    val r2 = c.search("doc_id", "text", "spark is fast", k = 3)
+      .collect().map(_.getInt(0)).sorted
+    r2 shouldBe Array(1, 3, 4)
+
+    // stale-index semantics: search reads the MATERIALIZED snapshot, so
+    // without reindex a new row is invisible (the documented tradeoff)
+    c.insert(Seq((5, "spark is fast")).toDF("doc_id", "text"))
+    c.search("doc_id", "text", "spark is fast", k = 5)
+      .collect().map(_.getInt(0)).sorted shouldBe Array(1, 3, 4)
+  }
 }
