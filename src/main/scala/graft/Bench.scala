@@ -25,8 +25,15 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warmup (untimed): JIT the codegen/parquet/shuffle paths once so
     // the first measured query doesn't absorb executor start-up cost.
+    // The third warmup exercises the INTERPRETED higher-order-function
+    // path (md5 token hashing, aggregate/transform lambdas) that the
+    // dedup/text queries run on — its first use otherwise costs ~1-2 s
+    // of classloading inside whichever query happens to run it first.
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.df(spark, sfDir, "lineitem").select("l_orderkey").limit(1000)
+      .queryExecution.toRdd.foreach(_ => ())
+    Tables.df(spark, sfDir, "documents").limit(64)
+      .selectExpr("aggregate(transform(split(text, ' '), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint)), 0L, (a, h) -> a + h % 1024) as w")
       .queryExecution.toRdd.foreach(_ => ())
     val errors = scala.collection.mutable.ListBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
