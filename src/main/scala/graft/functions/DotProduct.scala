@@ -81,15 +81,20 @@ object GraftFunctions {
   /** Idempotent per-session registration (for sessions built without
     * the extensions config, e.g. tests).
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry
       .registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(HypergeomTail.info._1, HypergeomTail.info._2, HypergeomTail.info._3)
+  }
 }
 
 /** Session extension entry point: builders opt in via
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(ext: SparkSessionExtensions): Unit =
+  def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotInfo)
+    ext.injectFunction(HypergeomTail.info)
+  }
 }

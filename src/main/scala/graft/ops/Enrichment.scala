@@ -116,10 +116,17 @@ object Enrichment {
            | - ${lnfact("n_g - k_g - n_s + k_s")}
            | - (${lnfact("n_g")} - ${lnfact("n_s")} - ${lnfact("n_g - n_s")})""".stripMargin))
 
+    // p_raw via the native codegen expression (graft_hypergeom_tail):
+    // the SQL fold in [[pExpr]] is the formulation twin (kept for the
+    // oracle and as documentation), but higher-order functions are
+    // interpreted per term; the native loop is bit-identical and runs
+    // inside whole-stage codegen.
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val scored = base
       .withColumn("fold_change",
         round((col("k_s") / col("n_s")) / (col("k_g") / col("n_g")), 4))
-      .withColumn("p_raw", expr(pExpr))
+      .withColumn("p_raw", call_function("graft_hypergeom_tail",
+        col("k_s"), col("k_g"), col("n_s"), col("n_g"), col("ln_pmf")))
     // Benjamini-Hochberg within each sample: rank ascending by p, then
     // adjusted p = running min of p*m/rank taken from the LARGEST p down.
     val part = Window.partitionBy("sample")

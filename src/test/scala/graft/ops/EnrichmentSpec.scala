@@ -51,6 +51,26 @@ class EnrichmentSpec extends SparkSpec {
     pBz shouldBe (math.rint(pUpperRef(nG, 17, 10, 10) * 1e4) / 1e4 +- 1e-4)
   }
 
+  test("native graft_hypergeom_tail matches the direct sum across a parameter grid") {
+    for {
+      nG <- Seq(20, 60, 200)
+      kG <- Seq(2, 7, nG / 2)
+      nS <- Seq(5, nG / 3)
+      kS <- 0 to math.min(kG, nS)
+    } {
+      // ln pmf(kS) from exact log-factorials
+      val lf = new Array[Double](nG + 1)
+      for (i <- 1 to nG) lf(i) = lf(i - 1) + math.log(i)
+      def lnC(n: Int, k: Int) = lf(n) - lf(k) - lf(n - k)
+      val lnPmf = lnC(kG, kS) + lnC(nG - kG, nS - kS) - lnC(nG, nS)
+      val got = graft.functions.HypergeomTail.compute(kS, kG, nS, nG, lnPmf)
+      val want = pUpperRef(nG, kG, nS, kS)
+      withClue(s"nG=$nG kG=$kG nS=$nS kS=$kS: ") {
+        got shouldBe (want +- math.max(1e-12, want * 1e-10))
+      }
+    }
+  }
+
   test("p_adj is BH-monotone and capped at 1") {
     val docs = Seq(
       ("A", "x x x y z"), ("A", "x y z w v"), ("B", "z z w w v")
