@@ -31,7 +31,7 @@ object SimHash {
     */
   val DefaultMaxBucket = 10000
 
-  private def tokenHashesExpr(textCol: String): String =
+  private[dedup] def tokenHashesExpr(textCol: String): String =
     s"transform(array_distinct(split($textCol, ' ')), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
 
   private def tokenHashesDuck(textCol: String): String =
@@ -40,7 +40,7 @@ object SimHash {
   /** SimHash fingerprint column for `textCol` (uses a precomputed
     * token-hash array column named `hs`).
     */
-  private def fingerprintFromHashes(hs: String): String =
+  private[dedup] def fingerprintFromHashes(hs: String): String =
     (0 until Bits).map { b =>
       s"IF(aggregate($hs, 0L, (acc, h) -> acc + IF((shiftright(h, $b) & 1) = 1, 1L, -1L)) > 0, shiftleft(cast(1 as bigint), $b), 0L)"
     }.mkString(" + ")
@@ -50,10 +50,18 @@ object SimHash {
       s"CASE WHEN list_sum(list_transform($hs, h -> CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN (CAST(1 AS BIGINT) << $b) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" + ")
 
-  /** (idCol, simhash) per row; unordered (order in the query if needed). */
-  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  /** (idCol, simhash) per row; unordered (order in the query if needed).
+    * Uses the native one-pass tally expression
+    * ([[graft.functions.SimHashFingerprint]]) — the SQL form
+    * ([[fingerprintFromHashes]], kept as the formulation twin for the
+    * oracle) folds 60 interpreted per-bit aggregates over the same
+    * array. Integer tallies, so both forms are bit-identical.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol), expr(tokenHashesExpr(textCol)).as("__hs"))
-      .select(col(idCol), expr(fingerprintFromHashes("__hs")).as("simhash"))
+      .select(col(idCol), call_function("graft_simhash", col("__hs")).as("simhash"))
+  }
 
   def fingerprintsDuckSql(table: String, idCol: String, textCol: String): String =
     s"""SELECT $idCol, ${fingerprintFromHashesDuck("hs")} AS simhash

@@ -86,6 +86,8 @@ object GraftFunctions {
       .registerFunction(dotInfo._1, dotInfo._2, dotInfo._3)
     spark.sessionState.functionRegistry
       .registerFunction(HypergeomTail.info._1, HypergeomTail.info._2, HypergeomTail.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(SimHashFingerprint.info._1, SimHashFingerprint.info._2, SimHashFingerprint.info._3)
   }
 }
 
@@ -96,5 +98,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.dotInfo)
     ext.injectFunction(HypergeomTail.info)
+    ext.injectFunction(SimHashFingerprint.info)
   }
 }

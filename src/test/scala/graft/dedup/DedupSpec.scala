@@ -32,6 +32,17 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 3 || p._2 == 3) shouldBe false
   }
 
+  test("native simhash fingerprint is bit-identical to the SQL per-bit tally form") {
+    val withHs = docs.select(col("doc_id"),
+      expr(SimHash.tokenHashesExpr("text")).as("__hs"))
+    val sqlFp = withHs.select(col("doc_id"),
+      expr(SimHash.fingerprintFromHashes("__hs")).as("simhash"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    val nativeFp = SimHash.fingerprints(docs, "doc_id", "text")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    nativeFp shouldBe sqlFp
+  }
+
   test("bucket cap skips degenerate buckets but leaves normal corpora intact") {
     // 6 identical docs: every band bucket holds all 6 -> cap of 5 skips
     // them all (no quadratic blowup), a generous cap keeps all pairs
