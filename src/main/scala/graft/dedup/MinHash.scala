@@ -62,9 +62,16 @@ object MinHash {
       .select(col(idCol) +: sigCols: _*)
   }
 
-  /** (idCol, __hs: array<bigint>) — integer shingle sets per doc. */
-  private def hashedShingleDf(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
-    df.select(col(idCol), expr(TextFunctions.hashedShinglesSql(textCol, w)).as("__hs"))
+  /** (idCol, __hs: array<bigint>) — integer shingle sets per doc, via
+    * the native one-pass expression (bit-identical to the SQL lambda
+    * form [[TextFunctions.hashedShinglesSql]], which stays as the
+    * oracle's formulation twin).
+    */
+  private def hashedShingleDf(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol),
+      call_function("graft_hashed_shingles", col(textCol), lit(w)).as("__hs"))
+  }
 
   private def hashedShingleDuck(table: String, idCol: String, textCol: String, w: Int): String =
     s"""SELECT $idCol, ${TextFunctions.hashedShinglesFromDuckSql("th", w)} AS hs

@@ -22,12 +22,14 @@ object NgramJaccard {
       w: Int = 3,
       threshold: Double = 0.5,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
-    // integer shingles (one md5 per token; see TextFunctions) — the
-    // inverted-index join shuffles 8-byte keys instead of strings
+    // integer shingles (one md5 per token, native one-pass expression;
+    // see TextFunctions/HashedShingles) — the inverted-index join
+    // shuffles 8-byte keys instead of strings
     // persisted: referenced by the size aggregation and BOTH sides of
     // the inverted-index self-join (three subplan evaluations otherwise)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val sh = scope.persist(df.select(col(idCol),
-      explode(expr(TextFunctions.hashedShinglesSql(textCol, w))).as("s")))
+      explode(call_function("graft_hashed_shingles", col(textCol), lit(w))).as("s")))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("s"))
       .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("s"))

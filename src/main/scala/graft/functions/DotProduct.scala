@@ -88,6 +88,8 @@ object GraftFunctions {
       .registerFunction(HypergeomTail.info._1, HypergeomTail.info._2, HypergeomTail.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(SimHashFingerprint.info._1, SimHashFingerprint.info._2, SimHashFingerprint.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(HashedShingles.info._1, HashedShingles.info._2, HashedShingles.info._3)
   }
 }
 
@@ -99,5 +101,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftFunctions.dotInfo)
     ext.injectFunction(HypergeomTail.info)
     ext.injectFunction(SimHashFingerprint.info)
+    ext.injectFunction(HashedShingles.info)
   }
 }

@@ -32,6 +32,23 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 3 || p._2 == 3) shouldBe false
   }
 
+  test("native hashed shingles are bit-identical to the SQL lambda form") {
+    val tricky = Seq(
+      (1, "spark runs fast on big data clusters every day"),
+      (2, ""), (3, "one two"), (4, "a  b c d"), // double space -> empty token
+      (5, "héllo wörld ünïcode tokens here"),
+      (6, "x y z x y z x y z") // repeated shingles -> dedup
+    ).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val sql = tricky.select(col("doc_id"),
+      expr(graft.text.TextFunctions.hashedShinglesSql("text", 3)).as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val native = tricky.select(col("doc_id"),
+      call_function("graft_hashed_shingles", col("text"), lit(3)).as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    native shouldBe sql
+  }
+
   test("native simhash fingerprint is bit-identical to the SQL per-bit tally form") {
     val withHs = docs.select(col("doc_id"),
       expr(SimHash.tokenHashesExpr("text")).as("__hs"))
