@@ -16,6 +16,29 @@ object SortKey {
     else SortKey(s.stripSuffix(" ASC").stripSuffix(" asc"), ascending = true)
 }
 
+/** A declarative query against a Collection — the engine analog of the
+  * reference's Query dataclass (reference:
+  * src/linkml_store/api/queries.py:12-40: from_table, select_cols,
+  * where_clause, sort_by, limit, offset, facet_slots).
+  */
+final case class Query(
+    where: Filter = Filter.True,
+    selectCols: Seq[String] = Nil,
+    sortBy: Seq[SortKey] = Nil,
+    limit: Long = -1,
+    offset: Long = 0,
+    facetSlots: Seq[String] = Nil)
+
+/** Result of [[Collection.query]] (reference QueryResult:
+  * queries.py:43-74 — num_rows is the TOTAL match count, independent of
+  * limit/offset; facet counts are per requested slot). `rows` stays a
+  * lazy DataFrame: collecting is the caller's choice.
+  */
+final case class QueryResult(
+    numRows: Long,
+    rows: DataFrame,
+    facetCounts: Map[String, DataFrame])
+
 /** A collection of similar objects, backed by a DataFrame.
   *
   * The Spark-native analog of the reference's Collection (reference:
@@ -53,6 +76,23 @@ class Collection(val name: String, val df: DataFrame) {
   }
 
   def find(where: Map[String, Any]): DataFrame = find(Filter.parse(where))
+
+  /** Execute a full [[Query]] (reference Database.query → QueryResult):
+    * rows via [[find]], total match count, and per-slot facet counts
+    * (batched: one scan for all unconstrained slots).
+    */
+  def query(q: Query): QueryResult = {
+    val rows = find(q.where, q.selectCols, q.sortBy, q.limit, q.offset)
+    val facets: Map[String, DataFrame] =
+      if (q.facetSlots.isEmpty) Map.empty
+      else {
+        val all = Facets.facetCountsBatched(df, q.where, q.facetSlots)
+        q.facetSlots.map(s =>
+          s -> all.filter(col("facet_field") === s)
+            .select(col("facet_value"), col("count"))).toMap
+      }
+    QueryResult(count(q.where), rows, facets)
+  }
 
   /** Get objects by primary-key values (reference:
     * src/linkml_store/api/collection.py:425-439).

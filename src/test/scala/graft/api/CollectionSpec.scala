@@ -21,6 +21,23 @@ class CollectionSpec extends SparkSpec {
     r.select("id").as[Int].collect() shouldBe Array(1, 3)
   }
 
+  test("query executes the full Query object: rows, total count, facets") {
+    val r = coll.query(Query(
+      where = Filter.eq("status", "open"),
+      selectCols = Seq("id", "amount"),
+      sortBy = Seq(SortKey("amount", ascending = false)),
+      limit = 2,
+      facetSlots = Seq("status")))
+    // numRows is the TOTAL match count, not the limited page
+    r.numRows shouldBe 3
+    r.rows.select("id").as[Int].collect() shouldBe Array(4, 1)
+    // facet slot constrained by the where gets exclusion semantics:
+    // counts are over ALL statuses, not just 'open'
+    val f = r.facetCounts("status").collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    f shouldBe Map("open" -> 3L, "closed" -> 2L)
+  }
+
   test("find with Mongo map") {
     coll.find(Map("amount" -> Map("$gte" -> 150.0)))
       .select("id").as[Int].collect().sorted shouldBe Array(2, 4, 5)
