@@ -90,6 +90,8 @@ object GraftFunctions {
       .registerFunction(SimHashFingerprint.info._1, SimHashFingerprint.info._2, SimHashFingerprint.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(HashedShingles.info._1, HashedShingles.info._2, HashedShingles.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(TrigramBuckets.info._1, TrigramBuckets.info._2, TrigramBuckets.info._3)
   }
 }
 
@@ -102,5 +104,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(HypergeomTail.info)
     ext.injectFunction(SimHashFingerprint.info)
     ext.injectFunction(HashedShingles.info)
+    ext.injectFunction(TrigramBuckets.info)
   }
 }

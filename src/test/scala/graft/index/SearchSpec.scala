@@ -24,6 +24,25 @@ class SearchSpec extends SparkSpec {
       d1.map(t => (t._2, t._3)).sorted
   }
 
+  test("native trigram buckets are bit-identical to the SQL substr+md5 chain") {
+    val tricky = Seq((1, "Spark IS Fast"), (2, ""), (3, "ab"),
+      (4, "héllo wörld"), (5, "  double  spaces  ")).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.functions.{call_function, explode, expr, lit, lower, sequence, substr, when, col => c}
+    import org.apache.spark.sql.functions.{length => slen}
+    val t = c("__t")
+    val sql = tricky.select(c("doc_id"), lower(c("text")).as("__t"))
+      .select(c("doc_id"), t,
+        explode(when(slen(t) < 3, expr("array()").cast("array<int>"))
+          .otherwise(sequence(lit(1), slen(t) - 2))).as("__i"))
+      .select(c("doc_id"), TrigramIndexer.bucketOf(substr(t, c("__i"), lit(3))).as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val native = tricky.select(c("doc_id"),
+        explode(call_function("graft_trigram_buckets", c("text"), lit(512))).as("b"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    native shouldBe sql
+  }
+
   test("queryVector matches the distributed hash pipeline") {
     val qv = TrigramIndexer.queryVector("spark is fast")
     qv.values.sum shouldBe 11
