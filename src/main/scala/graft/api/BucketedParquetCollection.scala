@@ -59,11 +59,16 @@ class BucketedParquetCollection(
   /** Bucket of a key value — Spark's murmur3 `hash`, non-negative. */
   def bucketCol(key: Column): Column = pmod(hash(key), lit(nBuckets))
 
-  /** Driver-side twin of [[bucketCol]] for point lookups. */
-  private def bucketOfValue(value: Any): Int = {
+  /** Driver-side twin of [[bucketCol]] for point lookups. Spark's
+    * murmur `hash` is TYPE-dependent (hash(42: int) != hash(42L)), so
+    * the literal is cast to the stored pk column's type before hashing
+    * — otherwise an Int lookup against a bigint pk lands in the wrong
+    * bucket.
+    */
+  private def bucketOfValue(value: Any, pkType: org.apache.spark.sql.types.DataType): Int = {
     import spark.implicits._
     // one-row local relation; evaluated at plan time, no cluster job
-    Seq(0).toDF("x").select(bucketCol(typedLit(value))).head().getInt(0)
+    Seq(0).toDF("x").select(bucketCol(typedLit(value).cast(pkType))).head().getInt(0)
   }
 
   /** The active snapshot: union of every bucket's pinned version. */
@@ -83,10 +88,13 @@ class BucketedParquetCollection(
   /** Point lookup reading ONLY the key's bucket directory. */
   def findByKey(value: Any): DataFrame = {
     val m = manifest(currentVersion)
-    val b = bucketOfValue(value)
+    if (m.isEmpty) return df.limit(0) // df throws a clearer error
+    // schema resolution only — no scan job
+    val pkType = spark.read.parquet(bucketDir(m.head._1, m.head._2)).schema(pk).dataType
+    val b = bucketOfValue(value, pkType)
     m.get(b) match {
       case Some(bv) => spark.read.parquet(bucketDir(b, bv))
-        .filter(col(pk) === lit(value))
+        .filter(col(pk) === lit(value).cast(pkType))
       case None => df.limit(0)
     }
   }

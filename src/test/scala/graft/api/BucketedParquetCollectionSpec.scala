@@ -89,6 +89,17 @@ class BucketedParquetCollectionSpec extends SparkSpec {
     c.findByKey(-5).collect() shouldBe empty
   }
 
+  test("findByKey casts the lookup literal to the pk type (Int vs bigint pk)") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 8)
+    c.replace((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")) // bigint pk
+    // Int lookup value against the Long pk must still land in the right
+    // bucket (murmur hash is type-dependent)
+    val r = c.findByKey(42).collect()
+    r.length shouldBe 1
+    r.head.getString(1) shouldBe "n42"
+  }
+
   test("vacuum removes unreferenced bucket versions, keeps the live snapshot") {
     val root = tmpDir()
     val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 4)
