@@ -136,7 +136,9 @@ object Knn {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    val cent = e.filter(col(idCol) < nCells)
+    // "first nCells vectors by id" literally — an id-range filter would
+    // yield few/zero centroids on corpora whose ids don't start at 0
+    val cent = e.orderBy(col(idCol).asc).limit(nCells)
       .select(col(idCol).as("__cid"), col("__v").as("__cv"))
     // cell assignment: argmax dot(v, centroid) = lexicographic min of
     // struct(-dot, cid) — deterministic tie-break on cell id
@@ -168,7 +170,7 @@ object Knn {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
     s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
-       |cent AS (SELECT $idCol AS cid, v AS cv FROM e WHERE $idCol < $nCells),
+       |cent AS (SELECT $idCol AS cid, v AS cv FROM e ORDER BY $idCol LIMIT $nCells),
        |assigned AS (
        |  SELECT $idCol, cid AS cell FROM (
        |    SELECT e.$idCol, cent.cid,

@@ -4,6 +4,7 @@ import graft.query.Filter
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** The 100 TB CRUD path: a collection hash-bucketed by primary key,
   * where a mutation rewrites ONLY the buckets containing touched keys
@@ -106,26 +107,32 @@ class BucketedParquetCollection(
   private def commitBuckets(rows: DataFrame, touched: Seq[Int]): Unit = {
     val v = currentVersion + 1
     val stage = Paths.get(root, s"_stage_$v")
+    // A leftover stage dir is pre-commit garbage by construction
+    // (_CURRENT never pointed at it): a crash between staging and
+    // cleanup must not brick every later mutation on errorifexists.
+    deleteTree(stage)
     rows.write.mode("errorifexists").partitionBy("__b")
       .parquet(stage.toString)
     val old = manifest(currentVersion)
-    // move each staged bucket dir into place as that bucket's version v.
-    // A touched bucket with NO staged rows (fully emptied by a delete)
-    // simply leaves the manifest — readers skip it, so there are no
-    // empty parquet directories to trip schema inference on.
-    val moved = touched.filter(b => Files.exists(stage.resolve(s"__b=$b")))
-    moved.foreach { b =>
+    // Move EVERY staged bucket dir into place as that bucket's version
+    // v — derived from the staging output itself, unioned with
+    // `touched` so a touched bucket with NO staged rows (fully emptied
+    // by a delete) leaves the manifest. Staged buckets outside
+    // `touched` would otherwise be silently deleted with the stage dir.
+    val staged: Seq[Int] = {
+      val ls = Files.list(stage)
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("__b=")).map(_.drop(4).toInt).toSeq
+      finally ls.close()
+    }
+    staged.foreach { b =>
       val dst = Paths.get(bucketDir(b, v))
       Files.createDirectories(dst.getParent)
       Files.move(stage.resolve(s"__b=$b"), dst, StandardCopyOption.ATOMIC_MOVE)
     }
-    val next = (old -- touched) ++ moved.map(_ -> v)
+    val next = (old -- touched -- staged) ++ staged.map(_ -> v)
     // drop the staging leftovers (_SUCCESS etc.)
-    if (Files.exists(stage)) {
-      val w = Files.walk(stage)
-      try w.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
-      finally w.close()
-    }
+    deleteTree(stage)
     val mf = next.toSeq.sorted.map { case (b, bv) => s"$b,$bv" }.mkString("\n")
     Files.writeString(Paths.get(root, s"_MANIFEST_$v"), mf)
     val tmp = Paths.get(root, s"_CURRENT.tmp$v")
@@ -133,6 +140,23 @@ class BucketedParquetCollection(
     Files.move(tmp, currentFile, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val w = Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder()).forEach(f => Files.delete(f))
+      finally w.close()
+    }
+
+  /** Cast incoming rows' pk to the STORED pk type. Without this, an Int
+    * pk in the input hashes to a different bucket than the same value
+    * as the stored bigint (murmur hash is type-dependent), so
+    * touched-bucket detection and staging would disagree and rows could
+    * silently land in (or vanish from) the wrong bucket.
+    */
+  private def alignPk(rows: DataFrame): DataFrame =
+    if (currentVersion < 0) rows
+    else rows.withColumn(pk, col(pk).cast(df.schema(pk).dataType))
 
   private def withBucket(rows: DataFrame): DataFrame =
     rows.withColumn("__b", bucketCol(col(pk)))
@@ -158,8 +182,9 @@ class BucketedParquetCollection(
   /** Append rows; only their buckets are rewritten. */
   def insert(rows: DataFrame): Unit = {
     if (currentVersion < 0) { replace(rows); return }
-    val touched = touchedBuckets(rows)
-    val next = bucketsDf(touched).unionByName(rows, allowMissingColumns = true)
+    val aligned = alignPk(rows)
+    val touched = touchedBuckets(aligned)
+    val next = bucketsDf(touched).unionByName(aligned, allowMissingColumns = true)
     commitBuckets(withBucket(next), touched)
   }
 
@@ -168,9 +193,10 @@ class BucketedParquetCollection(
     */
   def upsert(rows: DataFrame): Unit = {
     if (currentVersion < 0) { replace(rows); return }
-    val touched = touchedBuckets(rows)
-    val kept = bucketsDf(touched).join(rows.select(col(pk)), Seq(pk), "left_anti")
-    val next = kept.unionByName(rows, allowMissingColumns = true)
+    val aligned = alignPk(rows)
+    val touched = touchedBuckets(aligned)
+    val kept = bucketsDf(touched).join(aligned.select(col(pk)), Seq(pk), "left_anti")
+    val next = kept.unionByName(aligned, allowMissingColumns = true)
     commitBuckets(withBucket(next), touched)
   }
 
@@ -200,6 +226,8 @@ class BucketedParquetCollection(
       val n = p.getFileName.toString
       if (n.startsWith("_MANIFEST_") && n != s"_MANIFEST_$v")
         Files.delete(p)
+      else if (n.startsWith("_stage_")) // crash leftovers, never published
+        deleteTree(p)
       else if (n.startsWith("b_")) {
         val b = n.drop(2).toInt
         val vs = Files.list(p)

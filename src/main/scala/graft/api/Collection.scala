@@ -83,15 +83,30 @@ class Collection(val name: String, val df: DataFrame) {
     */
   def query(q: Query): QueryResult = {
     val rows = find(q.where, q.selectCols, q.sortBy, q.limit, q.offset)
+    // numRows uses the same BOUND filter as the rows (binding rewrites
+    // e.g. $in over array columns); the unbound toColumn would diverge
+    val numRows = df.filter(Filter.bind(q.where, df.schema).toColumn).count()
     val facets: Map[String, DataFrame] =
       if (q.facetSlots.isEmpty) Map.empty
       else {
-        val all = Facets.facetCountsBatched(df, q.where, q.facetSlots)
-        q.facetSlots.map(s =>
-          s -> all.filter(col("facet_field") === s)
-            .select(col("facet_value"), col("count"))).toMap
+        // ONE batched pass, collected once (bounded: <= limit rows per
+        // slot, reference facet_counts are dicts too) and split
+        // driver-side — lazily splitting the batched DataFrame would
+        // re-execute the whole scan once per slot.
+        val all = Facets.facetCountsBatched(df, q.where, q.facetSlots).collect()
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("facet_value",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("count",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        q.facetSlots.map { s =>
+          val rows = all.filter(_.getString(0) == s)
+            .map(r => org.apache.spark.sql.Row(r.get(1), r.getLong(2)))
+          s -> spark.createDataFrame(
+            spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+        }.toMap
       }
-    QueryResult(count(q.where), rows, facets)
+    QueryResult(numRows, rows, facets)
   }
 
   /** Get objects by primary-key values (reference:

@@ -130,9 +130,15 @@ class ParquetCollection(
     * mutations to refresh (reference index_objects).
     */
   def attachIndex(idCol: String, textCol: String,
-      dim: Int = graft.index.TrigramIndexer.DefaultDim): Unit =
+      dim: Int = graft.index.TrigramIndexer.DefaultDim): Unit = {
     indexCollection(textCol).replace(
       graft.index.TrigramIndexer.index(df, idCol, textCol, dim))
+    // persist the hash dimension beside the postings: a search against
+    // an index built with a different dim would silently misalign
+    // buckets, so search() reads THIS dim rather than trusting its
+    // caller's parameter
+    Files.writeString(Paths.get(s"$root/_index_$textCol", "_DIM"), dim.toString)
+  }
 
   /** Refresh the materialized index (reference index_objects). */
   def indexObjects(idCol: String, textCol: String,
@@ -146,10 +152,18 @@ class ParquetCollection(
   def search(idCol: String, textCol: String, query: String, k: Int = 10,
       dim: Int = graft.index.TrigramIndexer.DefaultDim): DataFrame = {
     val idx = indexCollection(textCol)
+    val materialized = Files.exists(Paths.get(s"$root/_index_$textCol", "_CURRENT"))
+    // the materialized path uses the dim the index was BUILT with — the
+    // caller's dim only drives the inline fallback
+    val effDim =
+      if (materialized) {
+        val dimFile = Paths.get(s"$root/_index_$textCol", "_DIM")
+        if (Files.exists(dimFile)) Files.readString(dimFile).trim.toInt else dim
+      } else dim
     val idxDf =
-      if (Files.exists(Paths.get(s"$root/_index_$textCol", "_CURRENT"))) idx.df
-      else graft.index.TrigramIndexer.index(df, idCol, textCol, dim)
-    graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, dim)
+      if (materialized) idx.df
+      else graft.index.TrigramIndexer.index(df, idCol, textCol, effDim)
+    graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, effDim)
   }
 
   /** Remove version directories older than the current one. */

@@ -93,7 +93,10 @@ object StreamOps {
             sorted.foreach { case (_, t, v) =>
               open match {
                 case Some(s) if t - s.endUs <= gapUs =>
-                  open = Some(SessionAcc(s.startUs, math.max(s.endUs, t),
+                  // min on start: a late (within-watermark) event can
+                  // PRECEDE the open session's first event — the batch
+                  // sessionizer would report the true min as the start
+                  open = Some(SessionAcc(math.min(s.startUs, t), math.max(s.endUs, t),
                     s.nEvents + 1, s.sumValue + v))
                 case Some(s) =>
                   closed += Session(user, s.startUs, s.endUs, s.nEvents, s.sumValue)

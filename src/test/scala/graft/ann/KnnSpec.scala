@@ -39,9 +39,9 @@ class KnnSpec extends SparkSpec {
   }
 
   test("ivf top-k probes only the nearest cells and finds the exact duplicate") {
-    // centroids = ids < 3 -> c1=[1,0,0,0], c2=[.9,.1,0,0]. Assignments
-    // by argmax dot: v1,v2,v5 -> cell 1; v3 (dot .1 vs 0) and v4
-    // (dot -.9 vs -1) -> cell 2. Query [1,0,0,0] probes cell 1 first.
+    // centroids = first 3 ids -> c1=[1,0,0,0], c2=[.9,.1,0,0],
+    // c3=[0,1,0,0]. Assignments by argmax dot: v1,v2,v5 -> cell 1;
+    // v3 and v4 -> cell 3. Query [1,0,0,0] probes cell 1 first.
     val r = Knn.ivfTopK(vecs, "vec_id", "embedding", queryId = 1L, k = 4,
       nCells = 3, nProbe = 1)
       .collect().map(x => (x.getLong(0), x.getDouble(1)))
@@ -50,9 +50,14 @@ class KnnSpec extends SparkSpec {
     r.map(_._1).toSet shouldBe Set(5L, 2L)
     // nProbe = all cells degrades to exact brute force
     val all = Knn.ivfTopK(vecs, "vec_id", "embedding", queryId = 1L, k = 4,
-      nCells = 3, nProbe = 2)
+      nCells = 3, nProbe = 3)
       .collect().map(x => x.getLong(0))
     all shouldBe Array(5L, 2L, 3L, 4L)
+    // ids far from zero still get centroids (no silent empty result)
+    val shifted = vecs.withColumn("vec_id", $"vec_id" + 1000L)
+    Knn.ivfTopK(shifted, "vec_id", "embedding", queryId = 1001L, k = 4,
+      nCells = 3, nProbe = 3)
+      .collect().map(_.getLong(0)) shouldBe Array(1005L, 1002L, 1003L, 1004L)
   }
 
   test("findMatches: top-1 target per source with deterministic tie-break") {
