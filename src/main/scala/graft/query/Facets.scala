@@ -70,17 +70,17 @@ object Facets {
       where: Filter,
       facetCols: Seq[String],
       limitPerFacet: Int = 100): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (constrained, free) = facetCols.partition(where.fields.contains)
 
-    def ranked(counts: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("facet_field"))
-        .orderBy(col("count").desc, col("facet_value").asc_nulls_last)
-      counts
-        .withColumn("__rank", row_number().over(w))
-        .filter(col("__rank") <= limitPerFacet)
-        .drop("__rank")
-    }
+    // per-facet top-N via the salted two-phase window: facet_field is
+    // LOW-cardinality (one partition per facet would sort every
+    // distinct value of that facet in one task — unbounded for id-like
+    // facet columns at scale); output is identical to the plain window
+    // because the (count desc, value asc) order is total per facet
+    def ranked(counts: DataFrame): DataFrame =
+      graft.ops.WindowOps.topKPerGroup(counts, Seq("facet_field"),
+        Seq(col("count").desc, col("facet_value").asc_nulls_last),
+        limitPerFacet, rankCol = "__rank").drop("__rank")
 
     val freePart: Option[DataFrame] = if (free.isEmpty) None else {
       val pairs = free.map { c =>
