@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster assignment: near-dup PAIRS (from MinHash / SimHash
+  * / embedding banding) are edges; each document's cluster id is the
+  * MINIMUM doc id reachable through them (connected components). The
+  * standard pipeline step after pair finding — "keep one doc per
+  * duplicate cluster" needs the clusters, not the pairs.
+  *
+  * Algorithm: iterative min-label propagation — each round every node
+  * takes the min of its own label and its neighbors' labels; converges
+  * in O(component diameter) rounds. Each round is one join + one
+  * aggregation (all distributed, label table is |nodes| rows, edges
+  * never grow), the join-based formulation that scales where a
+  * driver-side union-find cannot. Near-dup components have tiny
+  * diameters (dups of a doc are dups of each other), so a handful of
+  * rounds suffices; `maxIter` bounds pathological chains.
+  */
+object Cluster {
+
+  /** (id, cluster) for every id appearing in `pairs`; cluster = min id
+    * of the component. Deterministic.
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String,
+      bCol: String,
+      maxIter: Int = 25,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    // undirected: propagate along both directions
+    val edges = scope.persist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+        .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+        .distinct())
+    // Iterative plans MUST truncate lineage each round: every round
+    // references the previous labels twice (propagation + convergence
+    // check), so without truncation the logical plan DOUBLES per round
+    // and analysis OOMs after ~10 rounds. localCheckpoint materializes
+    // the round eagerly and replaces the lineage with the stored blocks
+    // (the documented tradeoff: blocks are not rebuilt on executor
+    // loss — rerun the job on failure; a reliable checkpoint dir slots
+    // in where that matters).
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels: for each edge dst<-src, src's current label
+      val neighbor = edges
+        .join(labels.select(col("id").as("src"), col("label")), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.unionByName(neighbor)
+        .groupBy("id").agg(min("label").as("label"))
+        .localCheckpoint()
+      // converged iff no node's label shrank (one scalar to the driver)
+      val changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
+        .filter(col("label") < col("__old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
+  /** DuckDB twin: recursive label walk — every label reachable from a
+    * node is enumerated, min per node = the component minimum. `pairsSql`
+    * must yield columns ($aCol, $bCol).
+    */
+  def connectedComponentsDuckSql(pairsSql: String, aCol: String, bCol: String): String =
+    s"""WITH RECURSIVE pr AS MATERIALIZED ($pairsSql),
+       |edges AS MATERIALIZED (
+       |  SELECT CAST($aCol AS BIGINT) AS src, CAST($bCol AS BIGINT) AS dst FROM pr
+       |  UNION
+       |  SELECT CAST($bCol AS BIGINT) AS src, CAST($aCol AS BIGINT) AS dst FROM pr),
+       |walk(id, label) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.id
+       |  WHERE w.label < e.dst),
+       |cc AS (SELECT id, min(label) AS cluster FROM walk GROUP BY id)
+       |SELECT id, cluster FROM cc""".stripMargin
+}

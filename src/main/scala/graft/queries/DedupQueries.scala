@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{MinHash, NgramJaccard, SimHash}
+import graft.dedup.{Cluster, MinHash, NgramJaccard, SimHash}
 import graft.text.TextFunctions
 import org.apache.spark.sql.functions._
 
@@ -45,6 +45,17 @@ object DedupQueries extends QuerySet {
     Q("q_simhash_pairs",
       (s, d) => SimHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text", maxDist = 3),
       Some(SimHash.nearDupPairsDuckSql("documents", "doc_id", "text", maxDist = 3))),
+
+    // Duplicate clusters from the MinHash pairs: connected components
+    // by min-label propagation; cluster id = min doc id of the group.
+    Q("q_dedup_cluster",
+      (s, d) => Cluster.connectedComponents(
+        MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
+        "id_a", "id_b")
+        .orderBy("id"),
+      Some(Cluster.connectedComponentsDuckSql(
+        MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+        "id_a", "id_b") + "\nORDER BY id")),
 
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5),

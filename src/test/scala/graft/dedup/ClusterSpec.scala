@@ -1,0 +1,32 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("connected components assign the min id of each component") {
+    // chain 1-2-3-4 (diameter 3: exercises multi-round propagation),
+    // separate pair 10-11, and 20-21/21-22 triangle-ish
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (20L, 22L)
+    ).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc shouldBe Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+  }
+
+  test("a long chain converges within maxIter and a short budget fails loudly") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.values.toSet shouldBe Set(1L)
+    an[IllegalArgumentException] should be thrownBy
+      Cluster.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+  }
+}
