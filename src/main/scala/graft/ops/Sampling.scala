@@ -1,0 +1,68 @@
+package graft.ops
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling — the training-data-pipeline
+  * requirement `df.sample()` cannot meet: a rerun (or another engine)
+  * must select the SAME rows, and membership must be decidable per row
+  * without global state. Selection is a pure function of the row KEY:
+  * keep iff md5-hash(key ++ salt) mod 10^6 < fraction * 10^6. Changing
+  * the salt draws an independent sample; no shuffle, no RNG state, and
+  * the filter composes with pushdown like any predicate.
+  *
+  * (Scale note: hash-based sampling is also the only way to sample
+  * CONSISTENTLY across tables — sampling users in one table selects the
+  * same users' rows in another.)
+  */
+object Sampling {
+
+  private val Scale = 1000000L
+
+  /** Keep-predicate for a fraction in [0, 1]. */
+  def keep(key: Column, fraction: Double, salt: String = ""): Column =
+    pmod(TextFunctions.portableHash60(concat(key.cast("string"), lit(salt))), lit(Scale)) <
+      lit((fraction * Scale).toLong)
+
+  /** Uniform deterministic sample by key. */
+  def sampleByKey(df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame =
+    df.filter(keep(col(keyCol), fraction, salt))
+
+  /** Stratified deterministic sample: per-stratum fractions (strata
+    * missing from the map are dropped, mirroring sampleBy).
+    */
+  def stratified(
+      df: DataFrame,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      salt: String = ""): DataFrame = {
+    val cases = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, frac)) =>
+      when(col(strataCol) === stratum, lit((frac * Scale).toLong)).otherwise(acc)
+    }
+    df.filter(
+      pmod(TextFunctions.portableHash60(concat(col(keyCol).cast("string"), lit(salt))), lit(Scale)) < cases)
+  }
+
+  /** DuckDB twin of the keep-predicate over a key SQL fragment. */
+  def keepDuckSql(keySql: String, fraction: Double, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    s"CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), '$s')), 1, 15)) AS UBIGINT) % $Scale < ${(fraction * Scale).toLong}"
+  }
+
+  def stratifiedDuckSql(
+      table: String,
+      keyCol: String,
+      strataCol: String,
+      fractions: Map[String, Double],
+      salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    val cases = fractions.toSeq.sortBy(_._1).map { case (stratum, frac) =>
+      s"WHEN $strataCol = '${stratum.replace("'", "''")}' THEN ${(frac * Scale).toLong}"
+    }.mkString(" ")
+    s"""SELECT * FROM $table
+       |WHERE CAST(concat('0x', substr(md5(concat(CAST($keyCol AS VARCHAR), '$s')), 1, 15)) AS UBIGINT) % $Scale
+       |  < (CASE $cases ELSE -1 END)""".stripMargin
+  }
+}

@@ -61,6 +61,20 @@ object TextQueries extends QuerySet {
               |FROM documents
               |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic stratified sampling: reproducible per-language
+    // rates (reruns and the oracle select the IDENTICAL rows — pure
+    // hash of the key, no RNG state).
+    Q("q_sample_stratified",
+      (s, d) => graft.ops.Sampling.stratified(
+        Tables.df(s, d, "documents"), "doc_id", "lang",
+        Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0), salt = "r3")
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, lang FROM (
+              |${graft.ops.Sampling.stratifiedDuckSql("documents", "doc_id", "lang",
+                  Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0), salt = "r3")}) t
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("q_lang_id",
       (s, d) => Tables.df(s, d, "documents").select(
         col("doc_id"),

@@ -1,0 +1,34 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = (1L to 2000L).map(i =>
+    (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+
+  test("sampleByKey is deterministic, near the requested fraction, and nested") {
+    val s20 = Sampling.sampleByKey(rows, "id", 0.2).select("id").as[Long].collect().toSet
+    val again = Sampling.sampleByKey(rows, "id", 0.2).select("id").as[Long].collect().toSet
+    again shouldBe s20 // rerun selects the identical rows
+    s20.size.toDouble shouldBe (400.0 +- 80.0)
+    // monotone threshold => smaller samples are SUBSETS of larger ones
+    val s50 = Sampling.sampleByKey(rows, "id", 0.5).select("id").as[Long].collect().toSet
+    s20.subsetOf(s50) shouldBe true
+    // a different salt draws an independent sample
+    val salted = Sampling.sampleByKey(rows, "id", 0.2, salt = "x")
+      .select("id").as[Long].collect().toSet
+    salted should not be s20
+  }
+
+  test("stratified applies per-stratum fractions and drops unknown strata") {
+    val s = Sampling.stratified(rows, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.1)).collect()
+    val byLang = s.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    byLang("en").toDouble shouldBe (500.0 +- 100.0)
+    byLang("de").toDouble shouldBe (100.0 +- 50.0)
+    val dropped = Sampling.stratified(rows, "id", "lang", Map("en" -> 0.5)).collect()
+    dropped.map(_.getString(1)).toSet shouldBe Set("en")
+  }
+}
