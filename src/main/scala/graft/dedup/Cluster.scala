@@ -27,12 +27,21 @@ object Cluster {
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25,
-      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+      maxIter: Int = 25): DataFrame = {
+    // Unlike the lazy pair-finders, this builder is EAGER (the loop
+    // materializes every round), so cache lifetime is internal: a local
+    // scope released before returning — callers never accumulate pinned
+    // edge caches.
+    val scope = new graft.api.CacheScope
+    // Persist the directed projection ONCE, then mirror it — the
+    // incoming `pairs` is typically the full pair-finding pipeline
+    // (shingles, signatures, band join, verify), and two bare
+    // references would evaluate it twice.
+    val p0 = scope.persist(
+      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
     // undirected: propagate along both directions
     val edges = scope.persist(
-      pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-        .unionByName(pairs.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
         .distinct())
     // Iterative plans MUST truncate lineage each round: every round
     // references the previous labels twice (propagation + convergence
@@ -42,28 +51,34 @@ object Cluster {
     // (the documented tradeoff: blocks are not rebuilt on executor
     // loss — rerun the job on failure; a reliable checkpoint dir slots
     // in where that matters).
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
-    var converged = false
-    var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor labels: for each edge dst<-src, src's current label
-      val neighbor = edges
-        .join(labels.select(col("id").as("src"), col("label")), "src")
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.unionByName(neighbor)
-        .groupBy("id").agg(min("label").as("label"))
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
         .localCheckpoint()
-      // converged iff no node's label shrank (one scalar to the driver)
-      val changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
-        .filter(col("label") < col("__old")).limit(1).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
+      var converged = false
+      var iter = 0
+      while (!converged && iter < maxIter) {
+        // neighbor labels: for each edge dst<-src, src's current label
+        val neighbor = edges
+          .join(labels.select(col("id").as("src"), col("label")), "src")
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.unionByName(neighbor)
+          .groupBy("id").agg(min("label").as("label"))
+          .localCheckpoint()
+        // converged iff no node's label shrank (one scalar to the driver)
+        val changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
+          .filter(col("label") < col("__old")).limit(1).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged, s"connectedComponents did not converge in $maxIter rounds")
+      labels.select(col("id"), col("label").as("cluster"))
+    } finally {
+      // labels is checkpoint-truncated — it no longer references edges,
+      // so the caches can go (also on the non-convergence throw)
+      scope.release()
     }
-    require(converged, s"connectedComponents did not converge in $maxIter rounds")
-    labels.select(col("id"), col("label").as("cluster"))
   }
 
   /** DuckDB twin: recursive label walk — every label reachable from a

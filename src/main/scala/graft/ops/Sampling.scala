@@ -20,10 +20,26 @@ object Sampling {
 
   private val Scale = 1000000L
 
+  /** THE membership hash — the single definition both uniform and
+    * stratified sampling (and both engines' twins) derive from. A
+    * NULL key yields NULL (row dropped): Spark's concat propagates
+    * NULL, and [[hashModDuckSql]] uses `||` for the same reason.
+    */
+  private def hashMod(key: Column, salt: String): Column =
+    pmod(TextFunctions.portableHash60(concat(key.cast("string"), lit(salt))), lit(Scale))
+
+  /** DuckDB twin of [[hashMod]] — `||`, NOT concat: DuckDB's concat
+    * IGNORES null arguments while Spark's propagates them, which would
+    * silently keep/drop every NULL-key row differently across engines.
+    */
+  private def hashModDuckSql(keySql: String, salt: String): String = {
+    val s = salt.replace("'", "''")
+    s"CAST(concat('0x', substr(md5(CAST($keySql AS VARCHAR) || '$s'), 1, 15)) AS UBIGINT) % $Scale"
+  }
+
   /** Keep-predicate for a fraction in [0, 1]. */
   def keep(key: Column, fraction: Double, salt: String = ""): Column =
-    pmod(TextFunctions.portableHash60(concat(key.cast("string"), lit(salt))), lit(Scale)) <
-      lit((fraction * Scale).toLong)
+    hashMod(key, salt) < lit((fraction * Scale).toLong)
 
   /** Uniform deterministic sample by key. */
   def sampleByKey(df: DataFrame, keyCol: String, fraction: Double, salt: String = ""): DataFrame =
@@ -41,15 +57,12 @@ object Sampling {
     val cases = fractions.foldLeft(lit(-1L)) { case (acc, (stratum, frac)) =>
       when(col(strataCol) === stratum, lit((frac * Scale).toLong)).otherwise(acc)
     }
-    df.filter(
-      pmod(TextFunctions.portableHash60(concat(col(keyCol).cast("string"), lit(salt))), lit(Scale)) < cases)
+    df.filter(hashMod(col(keyCol), salt) < cases)
   }
 
   /** DuckDB twin of the keep-predicate over a key SQL fragment. */
-  def keepDuckSql(keySql: String, fraction: Double, salt: String = ""): String = {
-    val s = salt.replace("'", "''")
-    s"CAST(concat('0x', substr(md5(concat(CAST($keySql AS VARCHAR), '$s')), 1, 15)) AS UBIGINT) % $Scale < ${(fraction * Scale).toLong}"
-  }
+  def keepDuckSql(keySql: String, fraction: Double, salt: String = ""): String =
+    s"${hashModDuckSql(keySql, salt)} < ${(fraction * Scale).toLong}"
 
   def stratifiedDuckSql(
       table: String,
@@ -57,12 +70,11 @@ object Sampling {
       strataCol: String,
       fractions: Map[String, Double],
       salt: String = ""): String = {
-    val s = salt.replace("'", "''")
     val cases = fractions.toSeq.sortBy(_._1).map { case (stratum, frac) =>
       s"WHEN $strataCol = '${stratum.replace("'", "''")}' THEN ${(frac * Scale).toLong}"
     }.mkString(" ")
     s"""SELECT * FROM $table
-       |WHERE CAST(concat('0x', substr(md5(concat(CAST($keyCol AS VARCHAR), '$s')), 1, 15)) AS UBIGINT) % $Scale
+       |WHERE ${hashModDuckSql(keyCol, salt)}
        |  < (CASE $cases ELSE -1 END)""".stripMargin
   }
 }
