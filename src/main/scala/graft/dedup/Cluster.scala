@@ -52,8 +52,17 @@ object Cluster {
     // loss — rerun the job on failure; a reliable checkpoint dir slots
     // in where that matters).
     try {
+      // Near-dup graphs are usually TINY next to the corpus (nodes =
+      // docs that have a duplicate): on a small graph, 32-partition
+      // rounds are pure scheduling overhead, so coalesce each round to
+      // a few partitions. Gated on edge count — a genuinely large
+      // graph keeps the cluster-wide parallelism.
+      val nEdges = edges.count()
+      val parts = if (nEdges < 100000) 4
+        else pairs.sparkSession.sparkContext.defaultParallelism
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
+        .coalesce(parts)
         .localCheckpoint()
       var converged = false
       var iter = 0
@@ -64,6 +73,7 @@ object Cluster {
           .select(col("dst").as("id"), col("label"))
         val next = labels.unionByName(neighbor)
           .groupBy("id").agg(min("label").as("label"))
+          .coalesce(parts)
           .localCheckpoint()
         // converged iff no node's label shrank (one scalar to the driver)
         val changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
