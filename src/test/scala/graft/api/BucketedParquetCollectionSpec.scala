@@ -100,6 +100,19 @@ class BucketedParquetCollectionSpec extends SparkSpec {
     r.head.getString(1) shouldBe "n42"
   }
 
+  test("upsert with a mismatched pk type still lands in the right bucket") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 8)
+    c.replace((1L to 100L).map(i => (i, s"n$i")).toDF("id", "name")) // bigint pk
+    // Int-typed upsert rows: without pk alignment the staged bucket
+    // (hash of 42L after union-widening) differed from the touched
+    // bucket (hash of 42: int) and the row silently vanished
+    c.upsert(Seq((42, "FORTY-TWO")).toDF("id", "name"))
+    c.count() shouldBe 100
+    c.findByKey(42L).collect().head.getString(1) shouldBe "FORTY-TWO"
+    c.df.filter(org.apache.spark.sql.functions.col("id") === 42L).count() shouldBe 1
+  }
+
   test("vacuum removes unreferenced bucket versions, keeps the live snapshot") {
     val root = tmpDir()
     val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 4)

@@ -22,6 +22,22 @@ class SamplingSpec extends SparkSpec {
     salted should not be s20
   }
 
+  test("samples are nested across many random fractions") {
+    val rnd = new scala.util.Random(7)
+    val fracs = Seq.fill(5)(rnd.nextDouble()).sorted
+    val sets = fracs.map(f =>
+      Sampling.sampleByKey(rows, "id", f).select("id").as[Long].collect().toSet)
+    sets.zip(sets.tail).foreach { case (small, large) =>
+      small.subsetOf(large) shouldBe true
+    }
+    // stratified with a single stratum agrees with the uniform keep()
+    val uni = Sampling.sampleByKey(rows.filter($"lang" === "en"), "id", 0.3)
+      .select("id").as[Long].collect().toSet
+    val strat = Sampling.stratified(rows, "id", "lang", Map("en" -> 0.3))
+      .select("id").as[Long].collect().toSet
+    strat shouldBe uni
+  }
+
   test("stratified applies per-stratum fractions and drops unknown strata") {
     val s = Sampling.stratified(rows, "id", "lang",
       Map("en" -> 0.5, "de" -> 0.1)).collect()
