@@ -65,6 +65,18 @@ object StatsQueries extends QuerySet {
              |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // Pairwise mutual information between categorical columns — the
+    // Spark-first analog of the reference's stats_utils predictive
+    // power (sklearn trees -> exact information-theoretic association).
+    Q("q_mutual_info",
+      (s, d) => graft.ops.Stats.mutualInfoPairs(
+        Tables.df(s, d, "documents").withColumn("len_bucket", expr("n_chars div 200")),
+        Seq("lang", "source", "len_bucket"))
+        .orderBy("x", "y"),
+      Some(graft.ops.Stats.mutualInfoPairsDuckSql(
+        "(SELECT *, n_chars // 200 AS len_bucket FROM documents) db",
+        Seq("lang", "source", "len_bucket")) + "\nORDER BY x, y")),
+
     Q("q_pivot",
       (s, d) => Tables.df(s, d, "orders")
         .groupBy(col("o_orderpriority"))

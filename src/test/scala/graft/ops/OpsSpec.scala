@@ -92,6 +92,17 @@ class OpsSpec extends SparkSpec {
     d.getAs[Double]("p50") shouldBe 2.0
   }
 
+  test("mutual information: ln(2) for identical balanced columns, ~0 for independent") {
+    val df = Seq(
+      ("a", "a", "x"), ("a", "a", "y"), ("b", "b", "x"), ("b", "b", "y")
+    ).toDF("c1", "c2", "c3")
+    val mi = graft.ops.Stats.mutualInfoPairs(df, Seq("c1", "c2", "c3"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    mi(("c1", "c2")) shouldBe (math.rint(math.log(2) * 1e4) / 1e4) // identical
+    mi(("c1", "c3")) shouldBe 0.0 // independent by construction
+    mi(("c2", "c3")) shouldBe 0.0
+  }
+
   test("describe computes exact stats in one pass") {
     val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
     val r = Describe.describe(df, Seq("x")).collect().head
