@@ -23,27 +23,38 @@ object Stats {
   /** (x, y, n, mi) for every ordered pair of `cols` (x < y in `cols`
     * order). Null category values are excluded (both engines drop them
     * from the joint counts via the inner margin joins).
+    *
+    * ONE corpus scan for ALL pairs: each row melts into its (pair, xv,
+    * yv) cells, one aggregation produces every pair's joint table, and
+    * margins/totals re-aggregate that (tiny, persisted) table — N*(N-1)/2
+    * pairs never means N*(N-1)/2 scans.
     */
-  def mutualInfoPairs(df: DataFrame, cols: Seq[String], roundTo: Int = 4): DataFrame = {
+  def mutualInfoPairs(df: DataFrame, cols: Seq[String], roundTo: Int = 4,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(cols.size >= 2, "mutualInfoPairs needs at least two columns")
-    val pairs = for {
+    val pairCells = for {
       i <- cols.indices; j <- cols.indices if i < j
-    } yield (cols(i), cols(j))
-    pairs.map { case (x, y) =>
-      val joint = df.filter(col(x).isNotNull && col(y).isNotNull)
-        .groupBy(col(x).cast("string").as("xv"), col(y).cast("string").as("yv"))
-        .agg(count(lit(1)).as("c"))
-      val mx = joint.groupBy("xv").agg(sum("c").as("cx"))
-      val my = joint.groupBy("yv").agg(sum("c").as("cy"))
-      val tot = joint.agg(sum("c").as("n"))
-      joint.join(mx, "xv").join(my, "yv").crossJoin(broadcast(tot))
-        .select((col("c") / col("n") *
-          log(col("c") * col("n") / (col("cx") * col("cy")))).as("term"),
-          col("n"))
-        .groupBy("n")
-        .agg(round(sum("term"), roundTo).as("mi"))
-        .select(lit(x).as("x"), lit(y).as("y"), col("n"), col("mi"))
-    }.reduce(_ unionByName _)
+    } yield struct(
+      lit(cols(i)).as("x"), lit(cols(j)).as("y"),
+      col(cols(i)).cast("string").as("xv"), col(cols(j)).cast("string").as("yv"))
+    // persisted: margins, totals, and the term join all re-aggregate it
+    val joint = scope.persist(
+      df.select(explode(array(pairCells: _*)).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"),
+          col("e.xv").as("xv"), col("e.yv").as("yv"))
+        .filter(col("xv").isNotNull && col("yv").isNotNull)
+        .groupBy("x", "y", "xv", "yv").agg(count(lit(1)).as("c")))
+    val mx = joint.groupBy("x", "y", "xv").agg(sum("c").as("cx"))
+    val my = joint.groupBy("x", "y", "yv").agg(sum("c").as("cy"))
+    val tot = joint.groupBy("x", "y").agg(sum("c").as("n"))
+    joint.join(mx, Seq("x", "y", "xv")).join(my, Seq("x", "y", "yv"))
+      .join(broadcast(tot), Seq("x", "y"))
+      .select(col("x"), col("y"), col("n"),
+        (col("c") / col("n") *
+          log(col("c") * col("n") / (col("cx") * col("cy")))).as("term"))
+      .groupBy("x", "y", "n")
+      .agg(round(sum("term"), roundTo).as("mi"))
+      .select(col("x"), col("y"), col("n"), col("mi"))
   }
 
   /** DuckDB twin over a table. */
