@@ -39,10 +39,6 @@ object Cluster {
     // references would evaluate it twice.
     val p0 = scope.persist(
       pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
-    // undirected: propagate along both directions
-    val edges = scope.persist(
-      p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct())
     // Iterative plans MUST truncate lineage each round: every round
     // references the previous labels twice (propagation + convergence
     // check), so without truncation the logical plan DOUBLES per round
@@ -55,30 +51,43 @@ object Cluster {
       // Near-dup graphs are usually TINY next to the corpus (nodes =
       // docs that have a duplicate): on a small graph, 32-partition
       // rounds are pure scheduling overhead, so coalesce each round to
-      // a few partitions. Gated on edge count — a genuinely large
-      // graph keeps the cluster-wide parallelism.
-      val nEdges = edges.count()
-      val parts = if (nEdges < 100000) 4
+      // a few partitions. Gated on directed-pair count (cheap — p0 is
+      // cached and needed anyway) — a genuinely large graph keeps the
+      // cluster-wide parallelism.
+      val parts = if (p0.count() < 50000) 4
         else pairs.sparkSession.sparkContext.defaultParallelism
-      var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
+      // undirected: propagate along both directions
+      val edges = scope.persist(
+        p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().coalesce(parts))
+      // Initial labels FOLD IN the first propagation round: every node
+      // (mirrored edges ⇒ every node appears as src) starts at
+      // min(self, direct neighbors) — one aggregation instead of a
+      // full join round.
+      var labels = edges.groupBy(col("src").as("id"))
+        .agg(min(col("dst")).as("nmin"))
+        .select(col("id"), least(col("id"), col("nmin")).as("label"))
         .coalesce(parts)
         .localCheckpoint()
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
-        // neighbor labels: for each edge dst<-src, src's current label
-        val neighbor = edges
+        // neighbor-min labels: for each node, the min label over its
+        // neighbors this round (mirrored edges cover every node, so the
+        // left join below always matches; left + least is belt-and-braces)
+        val neighborMin = edges
           .join(labels.select(col("id").as("src"), col("label")), "src")
-          .select(col("dst").as("id"), col("label"))
-        val next = labels.unionByName(neighbor)
-          .groupBy("id").agg(min("label").as("label"))
+          .groupBy(col("dst").as("id")).agg(min("label").as("nlabel"))
+        // Carry the convergence flag INSIDE the checkpointed round: the
+        // follow-up "did anything shrink" check is then a bare scan of
+        // the materialized blocks, not another join job.
+        val next = labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), col("nlabel")).as("label"),
+            coalesce(col("nlabel") < col("label"), lit(false)).as("shrank"))
           .coalesce(parts)
           .localCheckpoint()
-        // converged iff no node's label shrank (one scalar to the driver)
-        val changed = next.join(labels.select(col("id"), col("label").as("__old")), "id")
-          .filter(col("label") < col("__old")).limit(1).count()
-        labels = next
+        val changed = next.filter(col("shrank")).limit(1).count()
+        labels = next.drop("shrank")
         converged = changed == 0
         iter += 1
       }
