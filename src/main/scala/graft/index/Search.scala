@@ -84,7 +84,12 @@ object Search {
     val idx = TrigramIndexer.index(df, idCol, textCol, dim)
     val retrieved = searchTrigram(spark, idx, idCol, query, fetchK, dim)
       .join(df.select(col(idCol), col(textCol)), idCol)
-    val top = retrieved.collect() // bounded: fetchK rows
+    // Deterministic candidate order (the join above does not preserve
+    // the retrieval sort): the greedy loop breaks exact-score ties by
+    // first index, so the index order must be reproducible — it is the
+    // tie-break contract the DuckDB oracle mirrors via row_number.
+    val top = retrieved.orderBy(col("score").desc, col(idCol).asc)
+      .collect() // bounded: fetchK rows
     def dense(m: Map[Long, Long]): Array[Double] = {
       val a = new Array[Double](dim)
       m.foreach { case (b, c) => a(b.toInt) = c.toDouble }
@@ -105,6 +110,80 @@ object Search {
       org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("mmr_rank", org.apache.spark.sql.types.IntegerType, nullable = false)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Duck SQL twin of [[searchTrigramMmr]] — the greedy MMR loop as a
+    * recursive CTE. The recursion carries the FULL candidate state
+    * (penalty = running max similarity to the chosen set) and marks each
+    * step's pick with a window row_number; no correlated subqueries
+    * (DuckDB silently mis-binds list correlation at depth 2 and rejects
+    * correlated outer joins).
+    *
+    * Bit-reproducibility: trigram dots and squared norms are exact
+    * integers in both engines, every float op (sqrt, *, /, the MMR
+    * objective) is applied in the same order with the same correctly-
+    * rounded IEEE semantics, so the argmax sequence is identical —
+    * ties break on retrieval rank in both engines.
+    */
+  def searchTrigramMmrDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int = 10,
+      fetchK: Int = 50,
+      relevanceFactor: Double = 0.7,
+      dim: Int = TrigramIndexer.DefaultDim): String = {
+    val rf = relevanceFactor.toString // Scala Double.toString round-trips
+    s"""WITH RECURSIVE
+       |idx AS MATERIALIZED (${TrigramIndexer.indexDuckSql(table, idCol, textCol, dim)}),
+       |qv AS MATERIALIZED (${TrigramIndexer.queryVectorDuckSql(query, dim)}),
+       |qn AS (SELECT sqrt(sum(qcnt * qcnt)) AS qnorm FROM qv),
+       |norms AS (SELECT $idCol, sqrt(sum(cnt * cnt)) AS nrm FROM idx GROUP BY $idCol),
+       |dots AS (
+       |  SELECT $idCol, sum(cnt * qcnt) AS dot
+       |  FROM idx JOIN qv USING (bucket) GROUP BY $idCol),
+       |cand AS MATERIALIZED (
+       |  SELECT dots.$idCol AS id,
+       |         round(dot / (nrm * qnorm), 4) AS score,
+       |         dot / (nrm * qnorm) AS rel,
+       |         row_number() OVER (ORDER BY round(dot / (nrm * qnorm), 4) DESC, dots.$idCol ASC) AS rnk
+       |  FROM dots JOIN norms ON dots.$idCol = norms.$idCol, qn
+       |  ORDER BY score DESC, id ASC
+       |  LIMIT $fetchK),
+       |sims AS MATERIALIZED (
+       |  SELECT a.$idCol AS a, b.$idCol AS b,
+       |         sum(a.cnt * b.cnt) / (na.nrm * nb.nrm) AS sim
+       |  FROM idx a
+       |  JOIN idx b ON a.bucket = b.bucket AND a.$idCol <> b.$idCol
+       |  JOIN norms na ON na.$idCol = a.$idCol
+       |  JOIN norms nb ON nb.$idCol = b.$idCol
+       |  WHERE a.$idCol IN (SELECT id FROM cand) AND b.$idCol IN (SELECT id FROM cand)
+       |  GROUP BY a.$idCol, b.$idCol, na.nrm, nb.nrm),
+       |nsel AS (SELECT least($k, count(*)) AS n FROM cand),
+       |state(step, id, score, rel, rnk, pen, sel_rank) AS (
+       |  SELECT 0, id, score, rel, rnk, CAST(0.0 AS DOUBLE), CAST(NULL AS BIGINT) FROM cand
+       |  UNION ALL
+       |  SELECT u.step + 1, u.id, u.score, u.rel, u.rnk,
+       |         CASE WHEN u.sel_rank IS NULL AND u.rn <> 1
+       |              THEN greatest(u.pen, coalesce(m.sim, 0.0)) ELSE u.pen END,
+       |         CASE WHEN u.rn = 1 THEN u.step + 1 ELSE u.sel_rank END
+       |  FROM (
+       |    SELECT t2.*, max(CASE WHEN t2.rn = 1 THEN t2.id END) OVER () AS pick_id
+       |    FROM (
+       |      SELECT t.*, row_number() OVER (
+       |          ORDER BY (t.sel_rank IS NULL) DESC,
+       |                   $rf * t.rel - (1 - $rf) * t.pen DESC,
+       |                   t.rnk ASC) AS rn
+       |      FROM state t WHERE t.step < (SELECT n FROM nsel)
+       |    ) t2
+       |  ) u
+       |  LEFT JOIN sims m ON m.a = u.id AND m.b = u.pick_id
+       |)
+       |SELECT s.id AS $idCol, s.score, CAST(s.sel_rank AS INT) AS mmr_rank
+       |FROM state s, nsel
+       |WHERE s.step = nsel.n AND s.sel_rank IS NOT NULL
+       |ORDER BY s.sel_rank""".stripMargin
   }
 
   /** Maximal Marginal Relevance re-rank of an already-retrieved top-k

@@ -48,14 +48,16 @@ object VectorQueries extends QuerySet {
       Some(Knn.ivfTopKDuckSql("embeddings", "vec_id", "embedding",
         queryId = 0L, k = 10, dim = Dim))),
 
-    // MMR-diversified search: the greedy re-rank is inherently
-    // sequential driver-side logic over the bounded top-fetchK (not
-    // SQL-expressible) -> rows-only check; MmrSpec covers the semantics.
+    // MMR-diversified search: the greedy re-rank runs driver-side over
+    // the bounded top-fetchK; the oracle replays the identical greedy
+    // argmax as a DuckDB recursive CTE (exact integer dots -> the float
+    // objective is bit-reproducible across engines).
     Q("q_search_mmr",
       (s, d) => Search.searchTrigramMmr(
         s, Tables.df(s, d, "documents"), "doc_id", "text", Query,
         k = 10, fetchK = 50),
-      None),
+      Some(Search.searchTrigramMmrDuckSql(
+        "documents", "doc_id", "text", Query, k = 10, fetchK = 50))),
 
     Q("q_find_matches",
       (s, d) => {
