@@ -15,7 +15,8 @@ object SparkEntry {
     StatsQueries,
     VectorQueries,
     SchemaQueries,
-    EventQueries)
+    EventQueries,
+    PipelineQueries)
 
   private lazy val registry: Seq[Q] = querySets.flatMap(_.all)
 

@@ -1,0 +1,111 @@
+package graft.ops
+
+import graft.text.TextFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-stream ordering operators: deterministic global shuffle,
+  * source-balanced interleaving, and fixed-length sequence packing.
+  * These are the "last mile" of a 100 TB pretraining pipeline — after
+  * dedup/filtering, examples must be (a) shuffled reproducibly,
+  * (b) mixed evenly across sources, and (c) packed into fixed token
+  * budgets — and none of them may rely on RNG state or a single-node
+  * sort.
+  *
+  * The global order everywhere is the md5 hex of (key ++ salt) — the
+  * same portable hash family as [[Sampling]], so a rerun (or the DuckDB
+  * oracle) reproduces the exact stream, and changing the salt draws an
+  * independent permutation.
+  */
+object TrainStream {
+
+  /** Deterministic shuffle key: md5 hex of key ++ salt (lexical order
+    * of the hex string = the stream order; NULL key ⇒ NULL ⇒ row sorts
+    * via Spark/DuckDB null ordering — keep keys non-null).
+    */
+  def mixKey(key: org.apache.spark.sql.Column, salt: String): org.apache.spark.sql.Column =
+    md5(concat(key.cast("string"), lit(salt)))
+
+  /** Source-balanced interleave: `round` r holds the r-th example of
+    * EACH source in hash order, so reading in (round, mix_key) order
+    * cycles through sources evenly regardless of their sizes — the
+    * standard mixing discipline for multi-corpus training. One window
+    * per source partition; no global sort in the operator itself
+    * (ordering is declared by the consumer's ORDER BY, which Spark
+    * executes as a range-partitioned sort at any scale).
+    */
+  def interleave(df: DataFrame, idCol: String, srcCol: String, salt: String = ""): DataFrame =
+    df.select(col(idCol), col(srcCol),
+        mixKey(col(idCol), salt).as("mix_key"))
+      .withColumn("round", row_number().over(
+        Window.partitionBy(srcCol).orderBy(col("mix_key"), col(idCol))))
+
+  /** DuckDB twin of [[interleave]]. */
+  def interleaveDuckSql(table: String, idCol: String, srcCol: String, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    val mk = s"md5(CAST($idCol AS VARCHAR) || '$s')"
+    s"""SELECT $idCol, $srcCol, $mk AS mix_key,
+       |  CAST(row_number() OVER (PARTITION BY $srcCol ORDER BY $mk, $idCol) AS INT) AS round
+       |FROM $table""".stripMargin
+  }
+
+  /** GPT-style sequence packing: concatenate the whole corpus in
+    * deterministic hash order and cut every `seqLen` tokens; each doc
+    * gets its global token offset, sequence id, and position within the
+    * sequence.
+    *
+    * The global running sum is a DISTRIBUTED prefix-sum — a
+    * partition-less window would funnel 100 TB through one task, so
+    * instead: (1) bucket each row by the first two hex chars of its
+    * order key (hex prefix order == lexical order, so buckets are
+    * contiguous ranges of the stream), (2) run the running sum per
+    * bucket (window partitioned by bucket), (3) offset each bucket by
+    * the total of all lower buckets via a 256x256 broadcast self-join —
+    * no single-partition stage anywhere.
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      seqLen: Int = 256, salt: String = ""): DataFrame = {
+    require(seqLen >= 1, s"seqLen must be >= 1 (got $seqLen)")
+    val base = df.select(col(idCol),
+        size(TextFunctions.tokens(col(textCol))).as("n_toks"),
+        mixKey(col(idCol), salt).as("__h"))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+    val w = Window.partitionBy("__bucket").orderBy(col("__h"), col(idCol))
+    val inBucket = base.withColumn("__off_in_bucket",
+      coalesce(sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // per-bucket totals (<= 256 rows) and their exclusive prefix sums,
+    // via a broadcast triangular self-join — not a global window
+    val btot = base.groupBy("__bucket").agg(sum("n_toks").as("__btot"))
+    val bucketOff = btot.as("a")
+      .join(broadcast(btot.as("b")), col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__btot")), lit(0L)).as("__bucket_off"))
+    inBucket.join(broadcast(bucketOff), "__bucket")
+      .withColumn("start_off", col("__bucket_off") + col("__off_in_bucket"))
+      .select(col(idCol), col("n_toks"), col("start_off"),
+        expr(s"start_off div $seqLen").as("seq_id"),
+        (col("start_off") % seqLen).as("pos_in_seq"))
+  }
+
+  /** DuckDB twin of [[packSequences]]: single global window (fine at
+    * oracle scale) — identical offsets by construction.
+    */
+  def packSequencesDuckSql(table: String, idCol: String, textCol: String,
+      seqLen: Int = 256, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    s"""SELECT $idCol, CAST(n_toks AS INT) AS n_toks,
+       |  CAST(start_off AS BIGINT) AS start_off,
+       |  CAST(start_off // $seqLen AS BIGINT) AS seq_id,
+       |  CAST(start_off % $seqLen AS BIGINT) AS pos_in_seq
+       |FROM (
+       |  SELECT $idCol, n_toks,
+       |    coalesce(sum(n_toks) OVER (
+       |      ORDER BY h, $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+       |  FROM (
+       |    SELECT $idCol, len(string_split($textCol, ' ')) AS n_toks,
+       |      md5(CAST($idCol AS VARCHAR) || '$s') AS h
+       |    FROM $table) t1) t2""".stripMargin
+  }
+}

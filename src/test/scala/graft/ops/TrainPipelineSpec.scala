@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.SparkSpec
+import graft.text.QualityFilter
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class TrainPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- Chunking ----------------------------------------------------
+
+  test("chunk: overlapping windows with truncated tail") {
+    val df = Seq((1L, "a b c d e")).toDF("id", "text")
+    val out = Chunking.chunk(df, "id", "text", win = 3, stride = 2)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "start_tok", "n_chunk_toks", "chunk")
+      .collect()
+    out.map(_.getString(3)).toSeq shouldBe Seq("a b c", "c d e", "e")
+    out.map(_.getInt(2)).toSeq shouldBe Seq(3, 3, 1)
+    out.map(_.getInt(1)).toSeq shouldBe Seq(0, 2, 4)
+  }
+
+  test("chunk: doc shorter than the window is one whole chunk") {
+    val df = Seq((1L, "x y")).toDF("id", "text")
+    val out = Chunking.chunk(df, "id", "text", win = 16, stride = 8).collect()
+    out.length shouldBe 1
+    out.head.getAs[String]("chunk") shouldBe "x y"
+    out.head.getAs[Int]("n_chunk_toks") shouldBe 2
+  }
+
+  test("chunk: empty string is a single empty chunk; null text drops") {
+    val df = Seq((1L, ""), (2L, null)).toDF("id", "text")
+    val out = Chunking.chunk(df, "id", "text").collect()
+    out.length shouldBe 1
+    out.head.getAs[Long]("id") shouldBe 1L
+    out.head.getAs[String]("chunk") shouldBe ""
+  }
+
+  test("chunk: stride larger than window leaves gaps but covers every start") {
+    val df = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val out = Chunking.chunk(df, "id", "text", win = 2, stride = 5)
+      .orderBy("chunk_idx").collect()
+    out.map(_.getAs[String]("chunk")).toSeq shouldBe Seq("t1 t2", "t6 t7")
+  }
+
+  // --- Interleave --------------------------------------------------
+
+  test("interleave: rounds number 1..n within each source, deterministically") {
+    val df = (1L to 20L).map(i => (i, s"src${i % 3}")).toDF("id", "src")
+    val out = TrainStream.interleave(df, "id", "src", salt = "s").collect()
+    val bySrc = out.groupBy(_.getAs[String]("src"))
+    bySrc.foreach { case (_, rows) =>
+      rows.map(_.getAs[Int]("round")).sorted.toSeq shouldBe (1 to rows.length)
+    }
+    // deterministic across invocations
+    val again = TrainStream.interleave(df, "id", "src", salt = "s").collect()
+    out.map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1).toSeq shouldBe
+      again.map(r => (r.getLong(0), r.getInt(3))).sortBy(_._1).toSeq
+    // a different salt permutes at least one source's order
+    val other = TrainStream.interleave(df, "id", "src", salt = "t").collect()
+    val a = out.map(r => (r.getLong(0), r.getInt(3))).toMap
+    val b = other.map(r => (r.getLong(0), r.getInt(3))).toMap
+    a should not equal b
+  }
+
+  // --- Sequence packing --------------------------------------------
+
+  test("packSequences: offsets equal a naive single-node prefix sum") {
+    val docs = (0L until 300L).map(i => (i, (0 to (i % 17).toInt).map(j => s"w$j").mkString(" ")))
+    val df = docs.toDF("id", "text")
+    val out = TrainStream.packSequences(df, "id", "text", seqLen = 64, salt = "p")
+      .collect().map(r => (r.getAs[Long]("id"),
+        r.getAs[Int]("n_toks"), r.getAs[Long]("start_off"),
+        r.getAs[Long]("seq_id"), r.getAs[Long]("pos_in_seq"))).sortBy(_._3)
+    // naive: sort by (md5(id ++ salt), id), running offset
+    def mk(id: Long): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(s"${id}p".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    val expected = docs.map { case (id, t) => (id, t.split(" ", -1).length) }
+      .sortBy { case (id, _) => (mk(id), id) }
+    var off = 0L
+    val naive = expected.map { case (id, n) =>
+      val r = (id, n, off, off / 64, off % 64); off += n; r
+    }
+    out.toSeq shouldBe naive
+    // every doc's start_off is consistent: sum of all n_toks below it
+    out.map(_._2.toLong).sum shouldBe off
+  }
+
+  test("packSequences: contiguous — each start_off is the previous end") {
+    val df = (0L until 50L).map(i => (i, "a b c")).toDF("id", "text")
+    val rows = TrainStream.packSequences(df, "id", "text", seqLen = 7, salt = "")
+      .orderBy("start_off").collect()
+    rows.sliding(2).foreach {
+      case Array(p, n) =>
+        n.getAs[Long]("start_off") shouldBe
+          p.getAs[Long]("start_off") + p.getAs[Int]("n_toks")
+      case _ =>
+    }
+  }
+
+  // --- Quality filter ----------------------------------------------
+
+  test("quality flags: each rule fires independently; passes is the conjunction") {
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")       // 30 tokens, clean
+    val short = "tiny doc"                                       // fails len
+    val punct = (1 to 30).map(_ => "!!!").mkString(" ")          // fails punct + tok-len bounds ok
+    val digits = (1 to 30).map(i => i.toString).mkString(" ")    // digit-heavy
+    val df = Seq((1L, good), (2L, short), (3L, punct), (4L, digits)).toDF("id", "text")
+    val out = QualityFilter.flags(df, "id", "text")
+      .orderBy("id").collect()
+    out(0).getAs[Int]("passes") shouldBe 1
+    out(1).getAs[Int]("len_ok") shouldBe 0
+    out(1).getAs[Int]("passes") shouldBe 0
+    out(2).getAs[Int]("punct_ok") shouldBe 0
+    out(2).getAs[Int]("passes") shouldBe 0
+    out(3).getAs[Int]("digit_ok") shouldBe 0
+    out(3).getAs[Int]("passes") shouldBe 0
+  }
+
+  test("packSequences plan: no partition-less window, no cartesian") {
+    val df = (0L until 20L).map(i => (i, "a b")).toDF("id", "text")
+    val plan = TrainStream.packSequences(df, "id", "text")
+      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    plan.collect { case c: CartesianProductExec => c } shouldBe empty
+    // every Window must partition (the distributed prefix-sum contract)
+    plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w } shouldBe empty
+  }
+}
