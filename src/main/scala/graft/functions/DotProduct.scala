@@ -92,6 +92,10 @@ object GraftFunctions {
       .registerFunction(HashedShingles.info._1, HashedShingles.info._2, HashedShingles.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(TrigramBuckets.info._1, TrigramBuckets.info._2, TrigramBuckets.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(RegexTokenCount.info._1, RegexTokenCount.info._2, RegexTokenCount.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(TextStats.info._1, TextStats.info._2, TextStats.info._3)
   }
 }
 
@@ -105,5 +109,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SimHashFingerprint.info)
     ext.injectFunction(HashedShingles.info)
     ext.injectFunction(TrigramBuckets.info)
+    ext.injectFunction(RegexTokenCount.info)
+    ext.injectFunction(TextStats.info)
   }
 }

@@ -13,16 +13,19 @@ import org.apache.spark.sql.functions._
 object TextQueries extends QuerySet {
 
   def all: Seq[Q] = Seq(
+    // the five ratios from ONE native byte scan (graft_text_stats) —
+    // spec-asserted bit-identical to the regex/lambda formulations the
+    // oracle mirrors
     Q("q_text_quality",
       (s, d) => {
-        val toks = TextFunctions.tokens(col("text"))
+        val qs = TextFunctions.qualityStats(col("text"))
         Tables.df(s, d, "documents").select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
-          round(TextFunctions.meanTokenLen(toks), 4).as("mean_tok_len"),
-          round(TextFunctions.stopwordRatio(toks), 4).as("stop_ratio"),
-          round(TextFunctions.punctRatio(col("text")), 4).as("punct_ratio"),
-          round(TextFunctions.digitRatio(col("text")), 4).as("digit_ratio"))
+          qs.nTokens.as("n_tokens"),
+          round(qs.meanTokLen, 4).as("mean_tok_len"),
+          round(qs.stopRatio, 4).as("stop_ratio"),
+          round(qs.punctRatio, 4).as("punct_ratio"),
+          round(qs.digitRatio, 4).as("digit_ratio"))
           .orderBy("doc_id")
       },
       Some(s"""SELECT doc_id,
@@ -37,11 +40,14 @@ object TextQueries extends QuerySet {
               |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t
               |ORDER BY doc_id""".stripMargin)),
 
+    // counts via the allocation-free forms (arithmetic span count +
+    // native byte scan) — spec-asserted equal to the array-size
+    // formulations the oracle mirrors
     Q("q_token_count",
       (s, d) => Tables.df(s, d, "documents").select(
         col("doc_id"),
-        size(TextFunctions.tokens(col("text"))).as("n_ws_tokens"),
-        size(TextFunctions.regexTokens(col("text"))).as("n_re_tokens"))
+        TextFunctions.wsTokenCount(col("text")).as("n_ws_tokens"),
+        TextFunctions.regexTokenCount(col("text")).as("n_re_tokens"))
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  len(string_split(text, ' ')) AS n_ws_tokens,

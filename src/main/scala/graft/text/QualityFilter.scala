@@ -31,14 +31,17 @@ object QualityFilter {
     */
   def flags(df: DataFrame, idCol: String, textCol: String,
       t: Thresholds = Thresholds()): DataFrame = {
-    val toks = TextFunctions.tokens(col(textCol))
-    val nToks = size(toks)
+    // all five rules from ONE native byte scan (graft_text_stats);
+    // ratios are bit-identical to the regex/lambda formulations the
+    // oracle mirrors, so the threshold comparisons agree exactly
+    val qs = TextFunctions.qualityStats(col(textCol))
+    val nToks = qs.nTokens
     val lenOk = (nToks >= t.minToks) && (nToks <= t.maxToks)
-    val meanLen = TextFunctions.meanTokenLen(toks)
+    val meanLen = qs.meanTokLen
     val tokLenOk = (meanLen >= t.minMeanTokLen) && (meanLen <= t.maxMeanTokLen)
-    val stopOk = TextFunctions.stopwordRatio(toks) >= t.minStopRatio
-    val punctOk = TextFunctions.punctRatio(col(textCol)) <= t.maxPunctRatio
-    val digitOk = TextFunctions.digitRatio(col(textCol)) <= t.maxDigitRatio
+    val stopOk = qs.stopRatio >= t.minStopRatio
+    val punctOk = qs.punctRatio <= t.maxPunctRatio
+    val digitOk = qs.digitRatio <= t.maxDigitRatio
     df.select(col(idCol), nToks.as("n_toks"),
       lenOk.cast("int").as("len_ok"),
       tokLenOk.cast("int").as("tok_len_ok"),

@@ -22,6 +22,20 @@ object TextFunctions {
   def regexTokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
 
+  /** Whitespace token COUNT without materializing the array:
+    * `size(split(text, " "))` == #spaces + 1, a plain arithmetic scan.
+    */
+  def wsTokenCount(text: Column): Column =
+    length(text) - length(translate(text, " ", "")) + 1
+
+  /** [[regexTokens]] COUNT via the native one-pass byte scan
+    * ([[graft.functions.RegexTokenCount]]) — no regex engine, no
+    * per-token allocation. Callers must have registered
+    * GraftFunctions (Tables/bench/verify sessions do).
+    */
+  def regexTokenCount(text: Column): Column =
+    call_function("graft_re_token_count", lower(text))
+
   /** Deterministic 60-bit hash from md5 (portable to DuckDB). */
   def portableHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
@@ -58,6 +72,29 @@ object TextFunctions {
     when(length(text) === 0, lit(0.0)).otherwise(
       (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("double") /
         length(text).cast("double"))
+
+  /** The five quality-score columns derived from ONE native byte scan
+    * ([[graft.functions.TextStats]]) — bit-identical to the
+    * regex/lambda formulations above (spec-asserted); use these in hot
+    * per-document paths. Physical-plan common-subexpression
+    * elimination evaluates the shared stats array once per row.
+    */
+  final case class QualityStats(nTokens: Column, meanTokLen: Column,
+      stopRatio: Column, punctRatio: Column, digitRatio: Column)
+
+  def qualityStats(text: Column): QualityStats = {
+    val st = call_function("graft_text_stats", text)
+    def el(i: Int): Column = element_at(st, i)
+    val nToks = el(2) + 1 // whitespace tokens = spaces + 1
+    QualityStats(
+      nTokens = nToks.cast("int"),
+      meanTokLen = (el(1) - el(2)).cast("double") / nToks.cast("double"),
+      stopRatio = el(5).cast("double") / nToks.cast("double"),
+      punctRatio = when(el(1) === 0, lit(0.0))
+        .otherwise(el(3).cast("double") / el(1).cast("double")),
+      digitRatio = when(el(1) === 0, lit(0.0))
+        .otherwise(el(4).cast("double") / el(1).cast("double")))
+  }
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Detects bag-of-words duplicates regardless of word order.

@@ -54,6 +54,55 @@ class TextSpec extends SparkSpec {
     one[String](c, "the la") shouldBe "en"
   }
 
+  test("native token counts equal the array-size formulations") {
+    val cases = Seq(
+      "ab12cd!", "", " ", "  ", "a  b", "hello world 42",
+      "ünïcödé — naïve • 漢字テスト", "MIXED Case Text",
+      "tabs\tand\nnewlines stay punct", "a" * 500,
+      "😀 astral 🚀🚀 pair", "1,234.56 = x&y|z")
+    val df = cases.toDF("t")
+    val out = df.select(
+      TextFunctions.wsTokenCount(col("t")).as("ws_fast"),
+      org.apache.spark.sql.functions.size(TextFunctions.tokens(col("t"))).as("ws_ref"),
+      TextFunctions.regexTokenCount(col("t")).as("re_fast"),
+      org.apache.spark.sql.functions.size(TextFunctions.regexTokens(col("t"))).as("re_ref")).collect()
+    out.foreach { r =>
+      r.getAs[Int]("ws_fast") shouldBe r.getAs[Int]("ws_ref")
+      r.getAs[Int]("re_fast") shouldBe r.getAs[Int]("re_ref")
+    }
+    // null propagates on both
+    val n = Seq[Option[String]](None).toDF("t").select(
+      TextFunctions.wsTokenCount(col("t")).as("a"),
+      TextFunctions.regexTokenCount(col("t")).as("b")).collect().head
+    n.isNullAt(0) shouldBe true
+    n.isNullAt(1) shouldBe true
+  }
+
+  test("native qualityStats equals the regex/lambda formulations") {
+    val cases = Seq(
+      "the cat is here", "cat dog", "", " ", "a  b", "ab abcd",
+      "Hello, World! 123", "ünïcödé — naïve • 漢字", "the the the",
+      "1,234.56 = x&y|z", "it", "of a to in is", "😀 a 🚀", "  the  ")
+    val df = cases.toDF("t")
+    val toks = TextFunctions.tokens(col("t"))
+    val qs = TextFunctions.qualityStats(col("t"))
+    val out = df.select(
+      qs.nTokens.as("nt_f"), org.apache.spark.sql.functions.size(toks).as("nt_r"),
+      qs.meanTokLen.as("ml_f"), TextFunctions.meanTokenLen(toks).as("ml_r"),
+      qs.stopRatio.as("sr_f"), TextFunctions.stopwordRatio(toks).as("sr_r"),
+      qs.punctRatio.as("pr_f"), TextFunctions.punctRatio(col("t")).as("pr_r"),
+      qs.digitRatio.as("dr_f"), TextFunctions.digitRatio(col("t")).as("dr_r")).collect()
+    out.zip(cases).foreach { case (r, c) =>
+      withClue(s"case '$c': ") {
+        r.getAs[Int]("nt_f") shouldBe r.getAs[Int]("nt_r")
+        r.getAs[Double]("ml_f") shouldBe r.getAs[Double]("ml_r")
+        r.getAs[Double]("sr_f") shouldBe r.getAs[Double]("sr_r")
+        r.getAs[Double]("pr_f") shouldBe r.getAs[Double]("pr_r")
+        r.getAs[Double]("dr_f") shouldBe r.getAs[Double]("dr_r")
+      }
+    }
+  }
+
   test("portableHash60 fits in a signed long and is deterministic") {
     val h1 = one[Long](TextFunctions.portableHash60(col("t")), "hello")
     val h2 = one[Long](TextFunctions.portableHash60(col("t")), "hello")
