@@ -31,16 +31,18 @@ object MinHash {
     */
   val DefaultMaxBucket = 10000
 
-  /** Deterministic permutation constants (A_i odd, < 2^29; B_i < 2^31). */
+  /** Deterministic permutation constants (A_i odd, < 2^29; B_i < 2^31);
+    * source of truth lives with the native signature expression.
+    */
   def permConsts(i: Int): (Long, Long) =
-    ((48271L * (i + 1) * 2 + 1) % (1L << 29), (2654435761L * (i + 1)) % (1L << 31))
+    graft.functions.MinHashSigs.permConsts(i)
 
   /** One permuted minhash over a PRE-HASHED shingle array column (the
     * 32-bit md5 hash is materialized once per shingle, then the k
     * permutations are pure arithmetic over the cached hashes — md5 runs
     * 1x, not k x).
     */
-  private def minhashExpr(hashesSql: String, i: Int): String = {
+  private[dedup] def minhashExpr(hashesSql: String, i: Int): String = {
     val (a, b) = permConsts(i)
     s"array_min(transform($hashesSql, h -> ($a * h + $b) % $Mersenne61))"
   }
@@ -57,7 +59,13 @@ object MinHash {
     */
   def signatures(df: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 3): DataFrame = {
     val base = hashedShingleDf(df, idCol, textCol, w)
-    val sigCols = (0 until k).map(i => expr(minhashExpr("__hs", i)).as(s"mh_$i"))
+    // all k minima in ONE native pass over the shingle hashes
+    // ([[graft.functions.MinHashSigs]]); the SQL form ([[minhashExpr]],
+    // kept as the oracle's formulation twin) folds k interpreted
+    // lambdas over the same array. Physical-plan CSE evaluates the
+    // shared array expression once per row.
+    val sigArr = call_function("graft_minhash_sigs", col("__hs"), lit(k))
+    val sigCols = (0 until k).map(i => element_at(sigArr, i + 1).as(s"mh_$i"))
     base.filter(size(col("__hs")) > 0)
       .select(col(idCol) +: sigCols: _*)
   }

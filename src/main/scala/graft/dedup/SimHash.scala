@@ -59,7 +59,10 @@ object SimHash {
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.select(col(idCol), expr(tokenHashesExpr(textCol)).as("__hs"))
+    // native one-pass token hashing ([[graft.functions.TokenHashes60]]);
+    // [[tokenHashesExpr]] stays as the oracle's formulation twin
+    df.select(col(idCol),
+        call_function("graft_token_hashes60", col(textCol)).as("__hs"))
       .select(col(idCol), call_function("graft_simhash", col("__hs")).as("simhash"))
   }
 

@@ -96,6 +96,10 @@ object GraftFunctions {
       .registerFunction(RegexTokenCount.info._1, RegexTokenCount.info._2, RegexTokenCount.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(TextStats.info._1, TextStats.info._2, TextStats.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(MinHashSigs.info._1, MinHashSigs.info._2, MinHashSigs.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(TokenHashes60.info._1, TokenHashes60.info._2, TokenHashes60.info._3)
   }
 }
 
@@ -111,5 +115,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TrigramBuckets.info)
     ext.injectFunction(RegexTokenCount.info)
     ext.injectFunction(TextStats.info)
+    ext.injectFunction(MinHashSigs.info)
+    ext.injectFunction(TokenHashes60.info)
   }
 }

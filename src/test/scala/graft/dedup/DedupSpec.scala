@@ -60,6 +60,40 @@ class DedupSpec extends SparkSpec {
     nativeFp shouldBe sqlFp
   }
 
+  test("native minhash signatures are bit-identical to the k lambda folds") {
+    val tricky = Seq(
+      (1, "spark runs fast on big data clusters every day"),
+      (2, "one two three four"), (3, "a  b c d e"),
+      (4, "héllo wörld ünïcode tokens here now"),
+      (5, "x y z x y z x y z")
+    ).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val k = 8
+    val base = tricky.select(col("doc_id"),
+      expr(graft.text.TextFunctions.hashedShinglesSql("text", 3)).as("__hs"))
+      .filter(org.apache.spark.sql.functions.size(col("__hs")) > 0)
+    val sqlSigs = base.select(col("doc_id") +:
+        (0 until k).map(i => expr(MinHash.minhashExpr("__hs", i)).as(s"mh_$i")): _*)
+      .collect().map(r => r.getInt(0) -> (1 to k).map(r.getLong)).toMap
+    val nativeSigs = MinHash.signatures(tricky, "doc_id", "text", k = k, w = 3)
+      .collect().map(r => r.getInt(0) -> (1 to k).map(r.getLong)).toMap
+    nativeSigs shouldBe sqlSigs
+  }
+
+  test("native 60-bit token hashes are bit-identical to the SQL lambda form") {
+    val tricky = Seq(
+      (1, "spark runs fast"), (2, ""), (3, "a  b a"), (4, "héllo wörld héllo")
+    ).toDF("doc_id", "text")
+    graft.functions.GraftFunctions.register(spark)
+    val sql = tricky.select(col("doc_id"),
+      expr(SimHash.tokenHashesExpr("text")).as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val native = tricky.select(col("doc_id"),
+      call_function("graft_token_hashes60", col("text")).as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    native shouldBe sql
+  }
+
   test("bucket cap skips degenerate buckets but leaves normal corpora intact") {
     // 6 identical docs: every band bucket holds all 6 -> cap of 5 skips
     // them all (no quadratic blowup), a generous cap keeps all pairs
