@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.Sessionize
+import graft.ops.{AsofJoin, Sessionize}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics beyond the windowed agg (SURVEY §2 row 54):
@@ -37,6 +37,50 @@ object EventQueries extends QuerySet {
              |      FROM events) t
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
+
+    // As-of join: each purchase matched to the user's LATEST prior (or
+    // same-instant) click — last-touch attribution. The oracle replays
+    // the identical union-window formulation (DuckDB's native ASOF JOIN
+    // picks an unspecified row on exact-ts ties; the window form pins
+    // the tie-break to max event_id on both engines).
+    Q("q_asof_join",
+      (s, d) => {
+        val ev = Tables.df(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+            unix_micros(col("ts")).as("ts_us"))
+        AsofJoin.asofJoin(purchases, clicks, keys = Seq("user_id"), tsCol = "ts",
+            rightIdCol = "event_id", rightCols = Seq("event_id", "value", "ts_us"))
+          .select(col("event_id"), col("user_id"),
+            col("asof_event_id"), col("asof_value"),
+            (unix_micros(col("ts")) - col("asof_ts_us")).as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("""WITH u AS (
+             |  SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, 1 AS side,
+             |         CAST(NULL AS BIGINT) AS rid, event_id AS l_event_id,
+             |         CAST(NULL AS BIGINT) AS r_event_id,
+             |         CAST(NULL AS DOUBLE) AS r_value,
+             |         CAST(NULL AS BIGINT) AS r_ts_us
+             |  FROM events WHERE event_type = 'purchase'
+             |  UNION ALL
+             |  SELECT user_id, CAST(ts AS TIMESTAMP), 0, event_id, NULL,
+             |         event_id, value, epoch_us(CAST(ts AS TIMESTAMP))
+             |  FROM events WHERE event_type = 'click'),
+             |w AS (
+             |  SELECT *,
+             |    last_value(r_event_id IGNORE NULLS) OVER win AS asof_event_id,
+             |    last_value(r_value IGNORE NULLS) OVER win AS asof_value,
+             |    last_value(r_ts_us IGNORE NULLS) OVER win AS asof_ts_us
+             |  FROM u
+             |  WINDOW win AS (PARTITION BY user_id ORDER BY uts, side, rid
+             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value,
+             |  epoch_us(uts) - asof_ts_us AS gap_us
+             |FROM w WHERE side = 1
+             |ORDER BY event_id""".stripMargin)),
 
     // Nested-path find (reference: dotted a.b.c where paths on nested
     // objects): parse props into a struct, filter with a Mongo-style
