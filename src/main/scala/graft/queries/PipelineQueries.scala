@@ -34,6 +34,34 @@ object PipelineQueries extends QuerySet {
       Some(TrainStream.interleaveDuckSql("documents", "doc_id", "source", salt = "r4")
         + "\nORDER BY round, mix_key")),
 
+    // Multimodal binary plumbing, oracle-checked: documents' text BYTES
+    // stand in for an opaque media payload (cast to binary); frame
+    // sampling and hashing run on the binary column exactly as they
+    // would on real media. The DuckDB twin slices VARCHAR — equivalent
+    // because the corpus is ASCII (md5(VARCHAR) hashes its UTF-8 bytes,
+    // same as Spark's md5(binary)).
+    Q("q_multimodal_meta",
+      (s, d) => {
+        val bin = col("text").cast("binary")
+        val frames = graft.multimodal.Multimodal.frameSample(bin, frameSize = 64, everyN = 2)
+        Tables.df(s, d, "documents").select(
+          col("doc_id"),
+          length(bin).as("n_bytes"),
+          md5(bin).as("payload_md5"),
+          size(frames).as("n_sampled"),
+          md5(get(frames, lit(0))).as("first_frame_md5"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  octet_length(encode(text)) AS n_bytes,
+             |  md5(text) AS payload_md5,
+             |  CAST(CASE WHEN length(text) = 0 THEN 0
+             |    ELSE (CAST(ceil(length(text) / 64.0) AS BIGINT) - 1) // 2 + 1 END AS INT) AS n_sampled,
+             |  CASE WHEN length(text) = 0 THEN NULL
+             |    ELSE md5(substring(text, 1, 64)) END AS first_frame_md5
+             |FROM documents
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")
