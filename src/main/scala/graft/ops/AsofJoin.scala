@@ -40,26 +40,30 @@ object AsofJoin {
     val (sideL, sideR) = if (inclusive) (1, 0) else (0, 1)
     val ridType = right.schema(rightIdCol).dataType
     val leftStructType = org.apache.spark.sql.types.StructType(left.schema.fields)
+    // the right payload rides as ONE struct so every asof_* column
+    // comes from the SAME matched row — per-column last(ignoreNulls)
+    // would silently mix rows when a payload column is NULL (the
+    // newest non-null value of each column independently)
+    val rStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
     val lhs = left.select(
       keys.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(sideL).as("__side"),
         lit(null).cast(ridType).as("__rid"),
-        struct(left.columns.map(col): _*).as("__l")) ++
-      rightCols.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")): _*)
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(rStructType).as("__r")): _*)
     val rhs = right.select(
       keys.map(col) ++ Seq(
         col(tsCol).as("__ts"), lit(sideR).as("__side"),
         col(rightIdCol).as("__rid"),
-        lit(null).cast(leftStructType).as("__l")) ++
-      rightCols.map(c => col(c).as(s"__r_$c")): _*)
+        lit(null).cast(leftStructType).as("__l"),
+        struct(rightCols.map(col): _*).as("__r")): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__rid").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = rightCols.map(c =>
-      last(col(s"__r_$c"), ignoreNulls = true).over(w).as(s"asof_$c"))
     lhs.unionByName(rhs)
-      .select(col("*") +: matched: _*)
+      .select(col("*"), last(col("__r"), ignoreNulls = true).over(w).as("__m"))
       .filter(col("__side") === lit(sideL))
-      .select(col("__l.*") +: rightCols.map(c => col(s"asof_$c")): _*)
+      .select(col("__l.*") +: rightCols.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
   }
 }

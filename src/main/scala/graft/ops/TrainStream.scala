@@ -65,12 +65,21 @@ object TrainStream {
     * no single-partition stage anywhere.
     */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
-      seqLen: Int = 256, salt: String = ""): DataFrame = {
+      seqLen: Int = 256, salt: String = "",
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(seqLen >= 1, s"seqLen must be >= 1 (got $seqLen)")
-    val base = df.select(col(idCol),
+    // Persisted: the plan references the projection from two branches
+    // (the per-bucket window and the bucket-totals aggregate), and
+    // Catalyst prunes them differently so no exchange is reusable —
+    // without the cache the corpus would be scanned and tokenized
+    // twice (three times with the triangular join's second reference).
+    // The cache holds only the four NARROW derived columns (id, token
+    // count, order key, bucket) — never the text — so its footprint is
+    // O(|rows|), spillable, independent of document size.
+    val base = scope.persist(df.select(col(idCol),
         size(TextFunctions.tokens(col(textCol))).as("n_toks"),
         mixKey(col(idCol), salt).as("__h"))
-      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int"))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int")))
     val w = Window.partitionBy("__bucket").orderBy(col("__h"), col(idCol))
     val inBucket = base.withColumn("__off_in_bucket",
       coalesce(sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

@@ -61,24 +61,23 @@ object EventQueries extends QuerySet {
       Some("""WITH u AS (
              |  SELECT user_id, CAST(ts AS TIMESTAMP) AS uts, 1 AS side,
              |         CAST(NULL AS BIGINT) AS rid, event_id AS l_event_id,
-             |         CAST(NULL AS BIGINT) AS r_event_id,
-             |         CAST(NULL AS DOUBLE) AS r_value,
-             |         CAST(NULL AS BIGINT) AS r_ts_us
+             |         CAST(NULL AS STRUCT(event_id BIGINT, "value" DOUBLE, ts_us BIGINT)) AS r
              |  FROM events WHERE event_type = 'purchase'
              |  UNION ALL
              |  SELECT user_id, CAST(ts AS TIMESTAMP), 0, event_id, NULL,
-             |         event_id, value, epoch_us(CAST(ts AS TIMESTAMP))
+             |         struct_pack(event_id := event_id, "value" := "value",
+             |                     ts_us := epoch_us(CAST(ts AS TIMESTAMP)))
              |  FROM events WHERE event_type = 'click'),
              |w AS (
              |  SELECT *,
-             |    last_value(r_event_id IGNORE NULLS) OVER win AS asof_event_id,
-             |    last_value(r_value IGNORE NULLS) OVER win AS asof_value,
-             |    last_value(r_ts_us IGNORE NULLS) OVER win AS asof_ts_us
-             |  FROM u
-             |  WINDOW win AS (PARTITION BY user_id ORDER BY uts, side, rid
-             |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-             |SELECT l_event_id AS event_id, user_id, asof_event_id, asof_value,
-             |  epoch_us(uts) - asof_ts_us AS gap_us
+             |    last_value(r IGNORE NULLS) OVER (
+             |      PARTITION BY user_id ORDER BY uts, side, rid
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+             |  FROM u)
+             |SELECT l_event_id AS event_id, user_id,
+             |  struct_extract(m, 'event_id') AS asof_event_id,
+             |  struct_extract(m, 'value') AS asof_value,
+             |  epoch_us(uts) - struct_extract(m, 'ts_us') AS gap_us
              |FROM w WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
 

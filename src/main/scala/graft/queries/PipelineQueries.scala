@@ -37,12 +37,15 @@ object PipelineQueries extends QuerySet {
     // Multimodal binary plumbing, oracle-checked: documents' text BYTES
     // stand in for an opaque media payload (cast to binary); frame
     // sampling and hashing run on the binary column exactly as they
-    // would on real media. The DuckDB twin slices VARCHAR — equivalent
-    // because the corpus is ASCII (md5(VARCHAR) hashes its UTF-8 bytes,
-    // same as Spark's md5(binary)).
+    // would on real media. DuckDB cannot slice BLOBs, so its twin
+    // slices VARCHAR — made charset-INDEPENDENT by normalizing every
+    // non-printable-ASCII code point to '?' on both sides first
+    // (bytes == chars then holds by construction, not by luck of the
+    // corpus; md5(VARCHAR) hashes the same UTF-8 bytes as md5(binary)).
     Q("q_multimodal_meta",
       (s, d) => {
-        val bin = col("text").cast("binary")
+        val ascii = regexp_replace(col("text"), "[^ -~]", "?")
+        val bin = ascii.cast("binary")
         val frames = graft.multimodal.Multimodal.frameSample(bin, frameSize = 64, everyN = 2)
         Tables.df(s, d, "documents").select(
           col("doc_id"),
@@ -53,13 +56,14 @@ object PipelineQueries extends QuerySet {
           .orderBy("doc_id")
       },
       Some("""SELECT doc_id,
-             |  octet_length(encode(text)) AS n_bytes,
-             |  md5(text) AS payload_md5,
-             |  CAST(CASE WHEN length(text) = 0 THEN 0
-             |    ELSE (CAST(ceil(length(text) / 64.0) AS BIGINT) - 1) // 2 + 1 END AS INT) AS n_sampled,
-             |  CASE WHEN length(text) = 0 THEN NULL
-             |    ELSE md5(substring(text, 1, 64)) END AS first_frame_md5
-             |FROM documents
+             |  octet_length(encode(a)) AS n_bytes,
+             |  md5(a) AS payload_md5,
+             |  CAST(CASE WHEN length(a) = 0 THEN 0
+             |    ELSE (CAST(ceil(length(a) / 64.0) AS BIGINT) - 1) // 2 + 1 END AS INT) AS n_sampled,
+             |  CASE WHEN length(a) = 0 THEN NULL
+             |    ELSE md5(substring(a, 1, 64)) END AS first_frame_md5
+             |FROM (SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS a
+             |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
     Q("q_pack_sequences",

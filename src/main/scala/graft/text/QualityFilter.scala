@@ -22,7 +22,7 @@ object QualityFilter {
       maxToks: Int = 90,
       minMeanTokLen: Double = 3.0,
       maxMeanTokLen: Double = 10.0,
-      minStopRatio: Double = 0.0,
+      minStopRatio: Double = 0.02,
       maxPunctRatio: Double = 0.25,
       maxDigitRatio: Double = 0.3)
 

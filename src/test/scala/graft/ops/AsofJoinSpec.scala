@@ -52,6 +52,18 @@ class AsofJoinSpec extends SparkSpec {
     strict.getAs[Long]("asof_rid") shouldBe 9L
   }
 
+  test("asof: all payload columns come from the SAME matched row even when null") {
+    // newest right row has v = NULL: asof_v must be NULL (from that
+    // row), not the older row's non-null value
+    val l = mkLeft((300L, "a", 1L))
+    val r = Seq((90L, "a", 10L, Some(5.0)), (200L, "a", 11L, None))
+      .toDF("ts_n", "k", "rid", "v")
+      .withColumn("ts", timestamp_micros(col("ts_n"))).drop("ts_n")
+    val out = AsofJoin.asofJoin(l, r, Seq("k"), "ts", "rid", Seq("rid", "v")).collect().head
+    out.getAs[Long]("asof_rid") shouldBe 11L
+    out.isNullAt(out.fieldIndex("asof_v")) shouldBe true
+  }
+
   test("asof: left rows with no prior right get nulls; all left columns survive") {
     val l = mkLeft((10L, "a", 1L)).withColumn("extra", lit("keep"))
     val r = mkRight((50L, "a", 10L, 1.0))

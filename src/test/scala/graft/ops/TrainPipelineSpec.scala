@@ -104,11 +104,14 @@ class TrainPipelineSpec extends SparkSpec {
   // --- Quality filter ----------------------------------------------
 
   test("quality flags: each rule fires independently; passes is the conjunction") {
-    val good = (1 to 30).map(i => s"word$i").mkString(" ")       // 30 tokens, clean
+    // 30 tokens with stopwords sprinkled in (the stop rule needs >= 2%)
+    val good = (1 to 28).map(i => s"word$i").mkString("the ", " ", " of")
     val short = "tiny doc"                                       // fails len
-    val punct = (1 to 30).map(_ => "!!!").mkString(" ")          // fails punct + tok-len bounds ok
-    val digits = (1 to 30).map(i => i.toString).mkString(" ")    // digit-heavy
-    val df = Seq((1L, good), (2L, short), (3L, punct), (4L, digits)).toDF("id", "text")
+    val punct = ("the" +: (1 to 29).map(_ => "!!!")).mkString(" ") // fails punct
+    val digits = ("the" +: (1 to 29).map(_.toString)).mkString(" ") // digit-heavy
+    val noStops = (1 to 30).map(i => s"word$i").mkString(" ")    // zero stopwords
+    val df = Seq((1L, good), (2L, short), (3L, punct), (4L, digits), (5L, noStops))
+      .toDF("id", "text")
     val out = QualityFilter.flags(df, "id", "text")
       .orderBy("id").collect()
     out(0).getAs[Int]("passes") shouldBe 1
@@ -118,6 +121,8 @@ class TrainPipelineSpec extends SparkSpec {
     out(2).getAs[Int]("passes") shouldBe 0
     out(3).getAs[Int]("digit_ok") shouldBe 0
     out(3).getAs[Int]("passes") shouldBe 0
+    out(4).getAs[Int]("stop_ok") shouldBe 0 // the stopword floor fires
+    out(4).getAs[Int]("passes") shouldBe 0
   }
 
   test("packSequences plan: no partition-less window, no cartesian") {
