@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ops.{AsofJoin, Sessionize}
+import graft.ops.{AsofJoin, RangeJoin, Sessionize}
 import org.apache.spark.sql.functions._
 
 /** Event-stream analytics beyond the windowed agg (SURVEY §2 row 54):
@@ -80,6 +80,35 @@ object EventQueries extends QuerySet {
              |  epoch_us(uts) - struct_extract(m, 'ts_us') AS gap_us
              |FROM w WHERE side = 1
              |ORDER BY event_id""".stripMargin)),
+
+    // Range join: ALL clicks within the 30 minutes before each purchase
+    // (multi-match attribution window). Bucketized hash join — no
+    // nested-loop anywhere; the oracle states the containment directly.
+    Q("q_range_join",
+      (s, d) => {
+        val ev = Tables.df(s, d, "events")
+        val halfHourUs = 1800L * 1000000L
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            (unix_micros(col("ts")) - halfHourUs).as("lo_us"),
+            unix_micros(col("ts")).as("hi_us"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            unix_micros(col("ts")).as("c_us"))
+        RangeJoin.rangeJoin(clicks, purchases, keys = Seq("user_id"),
+            ptCol = "c_us", loCol = "lo_us", hiCol = "hi_us", bucketWidth = halfHourUs)
+          .select(col("r_purchase_id").as("purchase_id"), col("click_id"),
+            (col("r_hi_us") - col("c_us")).as("gap_us"))
+          .orderBy("purchase_id", "click_id")
+      },
+      Some("""SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+             |  epoch_us(CAST(p.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)) AS gap_us
+             |FROM events p JOIN events c ON p.user_id = c.user_id
+             |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+             |  AND epoch_us(CAST(c.ts AS TIMESTAMP))
+             |      BETWEEN epoch_us(CAST(p.ts AS TIMESTAMP)) - 1800000000
+             |          AND epoch_us(CAST(p.ts AS TIMESTAMP))
+             |ORDER BY purchase_id, click_id""".stripMargin)),
 
     // Nested-path find (reference: dotted a.b.c where paths on nested
     // objects): parse props into a struct, filter with a Mongo-style
