@@ -81,6 +81,16 @@ object TextQueries extends QuerySet {
                   Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0), salt = "r3")}) t
               |ORDER BY doc_id""".stripMargin)),
 
+    // Unigram-LM cross-entropy (KenLM/CCNet-style quality signal): the
+    // corpus trains its own unigram distribution, each doc is scored
+    // -mean(ln p(tok)) under it.
+    Q("q_unigram_xent",
+      (s, d) => graft.text.UnigramLm.crossEntropy(
+        Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(graft.text.UnigramLm.crossEntropyDuckSql("documents", "doc_id", "text")
+        + "\nORDER BY doc_id")),
+
     Q("q_lang_id",
       (s, d) => Tables.df(s, d, "documents").select(
         col("doc_id"),

@@ -103,6 +103,17 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("unigram cross-entropy matches hand-computed probabilities") {
+    val df = Seq((1L, "a a a"), (2L, "b")).toDF("doc_id", "text")
+    val out = UnigramLm.crossEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    graft.api.CacheScope.global.release()
+    // corpus: a x3, b x1 -> p(a)=3/4, p(b)=1/4
+    out(1L)._1 shouldBe 3L
+    out(1L)._2 shouldBe (math.round(-math.log(0.75) * 1e4) / 1e4)
+    out(2L)._2 shouldBe (math.round(-math.log(0.25) * 1e4) / 1e4)
+  }
+
   test("portableHash60 fits in a signed long and is deterministic") {
     val h1 = one[Long](TextFunctions.portableHash60(col("t")), "hello")
     val h2 = one[Long](TextFunctions.portableHash60(col("t")), "hello")
