@@ -123,4 +123,45 @@ class StreamOpsSpec extends SparkSpec {
       last("b") shouldBe ("b", 1L, 10.0)
     } finally q.stop()
   }
+
+  test("stateless pipeline ops (quality gate, chunking) run unchanged on a stream") {
+    // the training-data operators are plain Column plans, so the SAME
+    // code drives readStream — batch/stream parity for the corpus-prep
+    // path (filter + chunk while ingesting)
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, ("the " + (1 to 28).map(i => s"w$i").mkString(" ") + " of")),
+      (2L, "tiny doc"),
+      (3L, ("a " + (1 to 40).map(i => s"x$i").mkString(" "))))
+
+    val flagged = graft.text.QualityFilter.flags(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val chunked = graft.ops.Chunking.chunk(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", win = 8, stride = 8)
+    val q1 = flagged.writeStream.format("memory").queryName("qf_out")
+      .outputMode("append").start()
+    val q2 = chunked.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q1.processAllAvailable(); q2.processAllAvailable()
+      val streamFlags = spark.table("qf_out")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("passes")).toMap
+      val batchFlags = graft.text.QualityFilter.flags(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("passes")).toMap
+      streamFlags shouldBe batchFlags
+      streamFlags(2L) shouldBe 0
+      val streamChunks = spark.table("chunk_out")
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+          r.getAs[String]("chunk"))).toSet
+      val batchChunks = graft.ops.Chunking.chunk(
+        docs.toDF("doc_id", "text"), "doc_id", "text", win = 8, stride = 8)
+        .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+          r.getAs[String]("chunk"))).toSet
+      streamChunks shouldBe batchChunks
+      streamChunks.size should be > 3
+    } finally { q1.stop(); q2.stop() }
+  }
 }
