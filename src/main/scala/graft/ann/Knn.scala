@@ -136,31 +136,47 @@ object Knn {
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
-    // "first nCells vectors by id" literally — an id-range filter would
-    // yield few/zero centroids on corpora whose ids don't start at 0
-    val cent = e.orderBy(col(idCol).asc).limit(nCells)
-      .select(col(idCol).as("__cid"), col("__v").as("__cv"))
-    // cell assignment: argmax dot(v, centroid) = lexicographic min of
-    // struct(-dot, cid) — deterministic tie-break on cell id
-    val assigned = e.crossJoin(broadcast(cent))
-      .groupBy(col(idCol))
-      .agg(min(struct((-VectorFunctions.dot(col("__v"), col("__cv"))).as("nd"),
-        col("__cid").as("cid"))).as("__best"))
-      .select(col(idCol), col("__best.cid").as("__cell"))
-    val cells = e.join(assigned, idCol)
-    // probe cells: the nProbe centroids closest to the query vector
-    val q = e.filter(col(idCol) === queryId).select(col("__v").as("__qv"))
-    val probes = cent.crossJoin(broadcast(q))
-      .select(col("__cid").as("__cell"),
-        (-VectorFunctions.dot(col("__cv"), col("__qv"))).as("__nd"))
-      .orderBy(col("__nd").asc, col("__cell").asc)
-      .limit(nProbe)
-      .select("__cell")
-    cells.join(broadcast(probes), "__cell")
-      .filter(col(idCol) =!= queryId)
-      .crossJoin(broadcast(q))
+    // Centroids + query vector are BOUNDED model state (nCells rows,
+    // one row) — collect them and ship as literals, the KMeans-centers
+    // pattern. Cell assignment is then a per-row argmin evaluated
+    // inside codegen against the literal centroid arrays: no nCells-x
+    // crossJoin blowup, no groupBy shuffle, no join-back on id — the
+    // probe is ONE scan ending in TakeOrdered, at any corpus size.
+    // ("first nCells vectors by id" literally — an id-range filter
+    // would yield few/zero centroids when ids don't start at 0.)
+    val cent: Array[(Long, Seq[Double])] = e.orderBy(col(idCol).asc).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qRows = e.filter(col(idCol) === queryId).select("__v").collect()
+    if (qRows.isEmpty || cent.isEmpty)
+      return e.select(col(idCol), lit(null).cast("double").as("score")).filter(lit(false))
+    val qv = qRows.head.getSeq[Double](0)
+    // probe cells: the nProbe centroids closest to the query vector.
+    // The driver dot folds left-to-right like graft_dot/list_sum, so
+    // the probe SET matches the oracle's bit-for-bit; 0.0-normalize
+    // the negation (Scala's total order ranks -0.0 < 0.0, SQL doesn't).
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val probeCells: Seq[Long] = cent
+      .map { case (cid, cv) =>
+        val d = dotSeq(cv, qv)
+        (if (d == 0.0) 0.0 else -d, cid)
+      }
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+    // per-row argmin: lexicographic min of struct(-dot, cid)
+    val cellExpr = array_min(array(cent.map { case (cid, cv) =>
+      struct((-VectorFunctions.dot(col("__v"), typedLit(cv))).as("nd"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    val qvLit = typedLit(qv)
+    e.filter(col(idCol) =!= queryId)
+      .withColumn("__cell", cellExpr)
+      .filter(col("__cell").isin(probeCells: _*))
       .select(col(idCol),
-        round(VectorFunctions.cosine(col("__v"), col("__qv")), 4).as("score"))
+        round(VectorFunctions.cosine(col("__v"), qvLit), 4).as("score"))
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
