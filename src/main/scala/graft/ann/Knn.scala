@@ -26,10 +26,15 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
-  /** Sign-bit LSH signature over the first `nBits` dimensions. */
+  /** Sign-bit LSH signature over the first `nBits` dimensions. A FLAT
+    * sum of nBits conditional terms (whole-stage codegen), not an
+    * aggregate lambda (interpreted closure per element) — bit-identical
+    * integer arithmetic either way, so the DuckDB twin is unchanged.
+    */
   def signBits(vecCol: String, nBits: Int = 16): Column =
-    expr(s"aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint), " +
-      s"(acc, i) -> acc + IF(element_at($vecCol, i + 1) > 0, shiftleft(cast(1 as bigint), i), cast(0 as bigint)))")
+    (0 until nBits).map { i =>
+      when(element_at(col(vecCol), i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
 
   def signBitsDuck(vecSql: String, nBits: Int = 16): String =
     s"CAST(list_sum(list_transform(range(1, ${nBits + 1}), i -> CASE WHEN $vecSql[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
