@@ -42,7 +42,7 @@ object MinHash {
     * permutations are pure arithmetic over the cached hashes — md5 runs
     * 1x, not k x).
     */
-  private[dedup] def minhashExpr(hashesSql: String, i: Int): String = {
+  private[graft] def minhashExpr(hashesSql: String, i: Int): String = {
     val (a, b) = permConsts(i)
     s"array_min(transform($hashesSql, h -> ($a * h + $b) % $Mersenne61))"
   }

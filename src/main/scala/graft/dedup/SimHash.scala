@@ -31,7 +31,7 @@ object SimHash {
     */
   val DefaultMaxBucket = 10000
 
-  private[dedup] def tokenHashesExpr(textCol: String): String =
+  private[graft] def tokenHashesExpr(textCol: String): String =
     s"transform(array_distinct(split($textCol, ' ')), t -> cast(conv(substr(md5(t), 1, 15), 16, 10) as bigint))"
 
   private def tokenHashesDuck(textCol: String): String =
