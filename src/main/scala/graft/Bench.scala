@@ -46,6 +46,7 @@ object Bench {
         }
         finally graft.api.CacheScope.global.release()
       val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-22s ${if (ok) "" else "FAIL "}$sec%.2f s")
       name -> (if (ok) sec else -sec)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -100,6 +100,8 @@ object GraftFunctions {
       .registerFunction(MinHashSigs.info._1, MinHashSigs.info._2, MinHashSigs.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(TokenHashes60.info._1, TokenHashes60.info._2, TokenHashes60.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(RepetitionStats.info._1, RepetitionStats.info._2, RepetitionStats.info._3)
   }
 }
 
@@ -117,5 +119,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TextStats.info)
     ext.injectFunction(MinHashSigs.info)
     ext.injectFunction(TokenHashes60.info)
+    ext.injectFunction(RepetitionStats.info)
   }
 }

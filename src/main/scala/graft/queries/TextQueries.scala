@@ -95,13 +95,16 @@ object TextQueries extends QuerySet {
     // (per-row HOF expressions, zero shuffle); the oracle recomputes the
     // stats via unnest + GROUP BY, a deliberately different formulation.
     Q("q_repetition",
-      (s, d) => Tables.df(s, d, "documents").select(
-        col("doc_id"),
-        round(graft.text.Repetition.dupTokenFrac(col("text")), 4).as("dup_token_frac"),
-        round(graft.text.Repetition.dupNgramCharFrac(col("text"), 2), 4).as("dup_2gram_frac"),
-        round(graft.text.Repetition.dupNgramCharFrac(col("text"), 3), 4).as("dup_3gram_frac"),
-        round(graft.text.Repetition.top2gramCharFrac(col("text")), 4).as("top_2gram_frac"))
-        .orderBy("doc_id"),
+      (s, d) => {
+        val st = graft.text.Repetition.statsNative(col("text"))
+        Tables.df(s, d, "documents").select(
+          col("doc_id"),
+          round(element_at(st, 1), 4).as("dup_token_frac"),
+          round(element_at(st, 2), 4).as("dup_2gram_frac"),
+          round(element_at(st, 3), 4).as("dup_3gram_frac"),
+          round(element_at(st, 4), 4).as("top_2gram_frac"))
+          .orderBy("doc_id")
+      },
       Some(graft.text.Repetition.statsDuckSql("documents") + "\nORDER BY doc_id")),
 
     Q("q_lang_id",

@@ -29,6 +29,17 @@ import org.apache.spark.sql.functions._
   */
 object Repetition {
 
+  /** All four stats from the native one-pass kernel
+    * ([[graft.functions.RepetitionStats]]): array
+    * `[dup_token_frac, dup_2gram_frac, dup_3gram_frac, top_2gram_frac]`.
+    * This is the corpus-path entry point; the HOF columns below are its
+    * spec-asserted reference twins — interpreted lambdas re-evaluate
+    * child subtrees per iteration, so they are super-quadratic per row
+    * and must never run over a corpus.
+    */
+  def statsNative(text: Column): Column =
+    call_function("graft_repetition_stats", text)
+
   /** Non-distinct token w-grams (space-joined), [] when n_tokens < w. */
   def ngrams(text: Column, w: Int): Column = {
     val t = TextFunctions.tokens(text)

@@ -58,7 +58,14 @@ class NativeTextPropertySpec extends SparkSpec {
       expr(graft.dedup.SimHash.tokenHashesExpr("t")).as("h_r"),
       // hashed shingles (MinHash input)
       call_function("graft_hashed_shingles", col("t"), lit(3)).as("s_f"),
-      expr(TextFunctions.hashedShinglesSql("t", 3)).as("s_r")).collect()
+      expr(TextFunctions.hashedShinglesSql("t", 3)).as("s_r"),
+      // repetition stats (native one-pass vs interpreted HOF twins)
+      call_function("graft_repetition_stats", col("t")).as("rep_f"),
+      array(
+        graft.text.Repetition.dupTokenFrac(col("t")),
+        graft.text.Repetition.dupNgramCharFrac(col("t"), 2),
+        graft.text.Repetition.dupNgramCharFrac(col("t"), 3),
+        graft.text.Repetition.top2gramCharFrac(col("t"))).as("rep_r")).collect()
     out.zip(cases).foreach { case (r, c) =>
       withClue(s"case '$c': ") {
         r.getAs[Int]("re_f") shouldBe r.getAs[Int]("re_r")
@@ -70,6 +77,7 @@ class NativeTextPropertySpec extends SparkSpec {
         r.getAs[Double]("dr_f") shouldBe r.getAs[Double]("dr_r")
         r.getSeq[Long](r.fieldIndex("h_f")) shouldBe r.getSeq[Long](r.fieldIndex("h_r"))
         r.getSeq[Long](r.fieldIndex("s_f")) shouldBe r.getSeq[Long](r.fieldIndex("s_r"))
+        r.getSeq[Double](r.fieldIndex("rep_f")) shouldBe r.getSeq[Double](r.fieldIndex("rep_r"))
       }
     }
     cases.count(_.nonEmpty) should be > 50

@@ -6,14 +6,18 @@ import org.apache.spark.sql.functions.col
 class RepetitionSpec extends SparkSpec {
   import spark.implicits._
 
-  private def statsOf(texts: String*): Seq[(String, Double, Double, Double, Double)] =
+  // exercises the NATIVE kernel (the corpus path); the HOF twins are
+  // asserted bit-identical to it in NativeTextPropertySpec
+  private def statsOf(texts: String*): Seq[(String, Double, Double, Double, Double)] = {
+    val st = Repetition.statsNative(col("text"))
     texts.toDF("text").select(
       col("text"),
-      Repetition.dupTokenFrac(col("text")).as("dt"),
-      Repetition.dupNgramCharFrac(col("text"), 2).as("d2"),
-      Repetition.dupNgramCharFrac(col("text"), 3).as("d3"),
-      Repetition.top2gramCharFrac(col("text")).as("t2"))
+      org.apache.spark.sql.functions.element_at(st, 1).as("dt"),
+      org.apache.spark.sql.functions.element_at(st, 2).as("d2"),
+      org.apache.spark.sql.functions.element_at(st, 3).as("d3"),
+      org.apache.spark.sql.functions.element_at(st, 4).as("t2"))
       .as[(String, Double, Double, Double, Double)].collect().toSeq
+  }
 
   test("all-distinct doc has zero dup fractions") {
     val Seq((_, dt, d2, d3, _)) = statsOf("a b c d")
