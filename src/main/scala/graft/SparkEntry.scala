@@ -12,6 +12,7 @@ object SparkEntry {
     FacetQueries,
     DedupQueries,
     TextQueries,
+    CorpusQueries,
     StatsQueries,
     VectorQueries,
     SchemaQueries,

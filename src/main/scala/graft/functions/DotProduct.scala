@@ -102,6 +102,8 @@ object GraftFunctions {
       .registerFunction(TokenHashes60.info._1, TokenHashes60.info._2, TokenHashes60.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(RepetitionStats.info._1, RepetitionStats.info._2, RepetitionStats.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(ArraySumAgg.info._1, ArraySumAgg.info._2, ArraySumAgg.info._3)
   }
 }
 
@@ -120,5 +122,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSigs.info)
     ext.injectFunction(TokenHashes60.info)
     ext.injectFunction(RepetitionStats.info)
+    ext.injectFunction(ArraySumAgg.info)
   }
 }

@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.text.{Repetition, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics a training-data pipeline runs next to
+  * the per-document quality gates (reference analog: the facet/describe
+  * family in src/linkml_store/api/collection.py — these are the same
+  * "what is in my corpus" questions asked of token n-grams instead of
+  * columns).
+  *
+  * Scale notes (100 TB):
+  *  - topNgrams is explode → partial-agg → one shuffle → TakeOrdered:
+  *    the map-side combine collapses each partition's gram counts
+  *    before anything moves, and the final top-k never global-sorts.
+  *  - tfIdf joins the per-token document frequency (vocab-sized) back
+  *    to the per-(doc,token) counts with an explicit broadcast — the
+  *    corpus-sized side never reshuffles for the join; the top-k per
+  *    doc windows on doc_id (max-cardinality key, no skew).
+  *  - decontaminate is the standard train/eval n-gram overlap check:
+  *    both sides reduce to DISTINCT (doc, gram-hash) postings, the
+  *    eval side (bounded: an eval set, not a corpus) broadcasts, and
+  *    contaminated docs fall out of one hash join + count — pairs
+  *    only ever form on exact gram-hash matches, never all-pairs.
+  *    Grams travel as 60-bit md5 hashes (collision odds at 100 TB:
+  *    ~n²/2⁶¹ — negligible), not strings, to keep the shuffle narrow.
+  */
+object Corpus {
+
+  /** Top-k most frequent token w-grams across the corpus. */
+  def topNgrams(df: DataFrame, textCol: String, w: Int, k: Int): DataFrame =
+    df.select(explode(Repetition.ngrams(col(textCol), w)).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(k)
+
+  /** DuckDB twin of [[topNgrams]]. */
+  def topNgramsDuckSql(table: String, textCol: String, w: Int, k: Int): String =
+    s"""SELECT gram, count(*) AS cnt
+       |FROM (SELECT unnest(${Repetition.ngramsDuck(textCol, w)}) AS gram FROM $table)
+       |GROUP BY gram
+       |ORDER BY cnt DESC, gram ASC
+       |LIMIT $k""".stripMargin
+
+  /** Top-`topK` tokens per document by tf-idf
+    * (idf = ln(N / df), score rounded to 4dp BEFORE ranking so the
+    * rank is reproducible across engines whose ln() may differ in the
+    * last ulp; ties break on token).
+    */
+  def tfIdf(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topK: Int,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    // persisted: both the score join and the document-frequency agg
+    // read the per-(doc, token) counts — without the pin, the corpus
+    // explode+aggregate runs twice
+    val tf = scope.persist(df
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf")))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = df.groupBy().agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 4))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("token").asc)))
+      .filter(col("rnk") <= topK)
+      .select(col(idCol), col("token"), col("score"), col("rnk"))
+      .orderBy(col(idCol), col("rnk"))
+  }
+
+  /** DuckDB twin of [[tfIdf]]. */
+  def tfIdfDuckSql(table: String, idCol: String, textCol: String, topK: Int): String =
+    s"""WITH tf AS (
+       |  SELECT $idCol, unnest(string_split($textCol, ' ')) AS token FROM $table),
+       |tfc AS (SELECT $idCol, token, count(*) AS tf FROM tf GROUP BY $idCol, token),
+       |dfreq AS (SELECT token, count(*) AS df FROM tfc GROUP BY token),
+       |n AS (SELECT count(*) AS n FROM $table),
+       |scored AS (
+       |  SELECT tfc.$idCol, tfc.token,
+       |         round(tf * ln(CAST(n.n AS DOUBLE) / df), 4) AS score
+       |  FROM tfc JOIN dfreq USING (token), n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY $idCol ORDER BY score DESC, token ASC) AS rnk
+       |  FROM scored)
+       |SELECT $idCol, token, score, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= $topK
+       |ORDER BY $idCol, rnk""".stripMargin
+
+  /** Train/eval decontamination: for every "train" row (NOT matching
+    * `evalPred`), the number of DISTINCT token w-grams it shares with
+    * ANY "eval" row — the membership test an LLM pipeline runs before
+    * training to drop benchmark-contaminated documents. Only
+    * contaminated docs (n_shared > 0) are returned.
+    */
+  def decontaminate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalPred: Column,
+      w: Int): DataFrame = {
+    def grams(side: DataFrame): DataFrame = side
+      .select(col(idCol), explode(Repetition.ngrams(col(textCol), w)).as("gram"))
+      .select(col(idCol), TextFunctions.portableHash60(col("gram")).as("gh"))
+    val evalGrams = grams(df.filter(evalPred)).select("gh").distinct()
+    val trainGrams = grams(df.filter(!evalPred)).distinct()
+    trainGrams
+      .join(broadcast(evalGrams), "gh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col(idCol).asc)
+  }
+
+  /** DuckDB twin of [[decontaminate]] (`evalPredSql` mirrors evalPred). */
+  def decontaminateDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      evalPredSql: String,
+      w: Int): String =
+    s"""WITH g0 AS (
+       |  SELECT $idCol, ($evalPredSql) AS is_eval,
+       |         unnest(${Repetition.ngramsDuck(textCol, w)}) AS gram
+       |  FROM $table),
+       |g AS (
+       |  SELECT $idCol, is_eval,
+       |         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+       |  FROM g0),
+       |ev AS (SELECT DISTINCT gh FROM g WHERE is_eval),
+       |tr AS (SELECT DISTINCT $idCol, gh FROM g WHERE NOT is_eval)
+       |SELECT $idCol, count(*) AS n_shared
+       |FROM tr JOIN ev USING (gh)
+       |GROUP BY $idCol
+       |ORDER BY n_shared DESC, $idCol ASC""".stripMargin
+}

@@ -79,6 +79,30 @@ object VectorQueries extends QuerySet {
       },
       Some(Knn.nearDupPairsDuckSql(
         "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",
-        "vec_id", "embedding", threshold = 0.95, dim = Dim)))
+        "vec_id", "embedding", threshold = 0.95, dim = Dim))),
+
+    // Per-label embedding centroid via the native element-wise
+    // array-sum aggregate: partial aggregation reduces each partition
+    // to ONE dim-length buffer per label before the (only) shuffle —
+    // the posexplode->groupBy(label,dim) alternative the oracle uses
+    // would shuffle n×dim rows. Output exploded to (label, dim, v)
+    // AFTER aggregation (labels × dim rows — model state, not data).
+    Q("q_embed_centroid",
+      (s, d) => Tables.df(s, d, "embeddings")
+        .groupBy("label")
+        .agg(call_function("graft_array_sum", col("embedding")).as("sums"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          posexplode(transform(col("sums"), x => round(x / col("n"), 4))))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("v"))
+        .orderBy("label", "dim"),
+      Some("""SELECT label, CAST(dim AS INT) AS dim, round(avg(v), 4) AS v
+             |FROM (
+             |  SELECT label,
+             |         unnest(range(1, len(embedding) + 1)) AS dim,
+             |         unnest(embedding) AS v
+             |  FROM embeddings)
+             |GROUP BY label, dim
+             |ORDER BY label, dim""".stripMargin))
   )
 }

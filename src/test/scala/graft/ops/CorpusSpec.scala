@@ -1,0 +1,70 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("topNgrams counts and orders corpus 2-grams") {
+    val df = Seq("a b a b c", "a b x", "z").toDF("text")
+    val got = Corpus.topNgrams(df, "text", w = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    // "a b": 3 (twice in doc0, once in doc1); then ties break on gram asc
+    got.head shouldBe ("a b", 3L)
+    got should contain ("b a", 1L)
+    got.size shouldBe 3
+  }
+
+  test("tfIdf ranks rare tokens above common ones") {
+    val df = Seq(
+      (1L, "common common rare"),
+      (2L, "common other"),
+      (3L, "common thing")).toDF("doc_id", "text")
+    val got = Corpus.tfIdf(df, "doc_id", "text", topK = 2)
+      .as[(Long, String, Double, Int)].collect().toSeq
+    val doc1 = got.filter(_._1 == 1L)
+    // 'common' has df=3 -> idf=ln(1)=0 -> score 0; 'rare' df=1 -> tf*ln(3)
+    doc1.head._2 shouldBe "rare"
+    doc1.head._3 shouldBe math.rint(math.log(3.0) * 10000) / 10000 +- 1e-9
+    // every doc gets at most topK rows, ranks start at 1
+    got.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._4).sorted shouldBe (1 to rows.size)
+    }
+  }
+
+  test("decontaminate flags only train docs sharing a w-gram with eval") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "eval"),
+      (2L, "the quick brown fox sleeps", "train"), // shares 4-gram "the quick brown fox"
+      (3L, "a completely different doc here", "train"),
+      (4L, "quick brown fox jumps high", "train")  // shares "quick brown fox jumps"
+    ).toDF("doc_id", "text", "split")
+    val got = Corpus.decontaminate(df, "doc_id", "text",
+      evalPred = col("split") === "eval", w = 4)
+      .as[(Long, Long)].collect().toSeq
+    got.map(_._1).toSet shouldBe Set(2L, 4L)
+    got.foreach { case (_, n) => n shouldBe 1L }
+  }
+
+  test("decontaminate matches the DuckDB-twin formulation semantics") {
+    // driver-side replay of the same definition on random token soup
+    val rng = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d")
+    val docs = (0L until 40L).map { i =>
+      (i, Seq.fill(6 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))).mkString(" "),
+        if (i < 8) "eval" else "train")
+    }
+    val df = docs.toDF("doc_id", "text", "split")
+    def grams(t: String): Set[String] =
+      t.split(" ", -1).toSeq.sliding(4).filter(_.size == 4).map(_.mkString(" ")).toSet
+    val evalGrams = docs.filter(_._3 == "eval").flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._3 == "train")
+      .map(d => d._1 -> grams(d._2).count(evalGrams))
+      .filter(_._2 > 0).toMap
+    val got = Corpus.decontaminate(df, "doc_id", "text",
+      evalPred = col("split") === "eval", w = 4)
+      .as[(Long, Long)].collect().toMap
+    got.map { case (k, v) => k -> v.toInt } shouldBe expected
+  }
+}
