@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Path-based access and update of nested columns — the Spark analog of
+  * the reference's dot/bracket object paths (reference:
+  * src/linkml_store/utils/object_utils.py object_path_update /
+  * object_path_get, the engine behind CLI `update --set a[0].b.c=v`).
+  *
+  * Paths use the reference's notation: `a[0].b.c` = field `a`, element
+  * 0 (0-based, like the reference), field `b`, field `c`.
+  *
+  * Spark adaptation (schemas are typed, rows are immutable):
+  *  - struct fields update in place via `withField`; a MISSING struct
+  *    field is ADDED, with any remaining path materialized as fresh
+  *    nested structs (the reference's setdefault-chain).
+  *  - array elements update via `transform` with an index match; an
+  *    index past the end PADS the array with typed nulls (the
+  *    reference pads with `{}`), and a null/missing element being
+  *    descended into is rebuilt as a fresh struct.
+  *  - everything is a pure Column expression — one projection, no
+  *    driver round-trip, vectorizes over the whole DataFrame (the
+  *    reference deep-copies one object at a time).
+  */
+object ObjectPaths {
+
+  private sealed trait Seg
+  private final case class Field(name: String) extends Seg
+  private final case class Index(i: Int) extends Seg
+
+  /** "a[0].b" → [Field(a), Index(0), Field(b)]; bare "[1]" segments and
+    * multi-index "a[0][1]" are accepted.
+    */
+  private def parse(path: String): List[Seg] =
+    path.split('.').toList.flatMap { part =>
+      val open = part.indexOf('[')
+      if (open < 0) List(Field(part))
+      else {
+        val head = part.substring(0, open)
+        val idxs = "\\[(\\d+)\\]".r.findAllMatchIn(part)
+          .map(m => Index(m.group(1).toInt)).toList
+        require(idxs.nonEmpty && part.endsWith("]"),
+          s"malformed path segment '$part'")
+        (if (head.nonEmpty) List(Field(head)) else Nil) ::: idxs
+      }
+    }
+
+  /** The value at `path` under `root` (null where the path misses). */
+  def pathGet(root: Column, path: String): Column =
+    parse(path).foldLeft(root) { (acc, seg) =>
+      seg match {
+        case Field(n) => acc.getField(n)
+        // 1-based; try_ variant: a missing index is a null, not an
+        // ANSI out-of-bounds error
+        case Index(i) => try_element_at(acc, lit(i + 1))
+      }
+    }
+
+  /** A fresh value of `dt` carrying only `segs := value`; everything
+    * else is a typed null (the reference's `{}` scaffolding).
+    */
+  private def fresh(segs: List[Seg], value: Column, dt: DataType): Column =
+    (segs, dt) match {
+      case (Nil, _) => value.cast(dt)
+      case (Field(n) :: rest, st: StructType) =>
+        val idx = st.fieldIndex(n) // throws on a path the schema can't hold
+        struct(st.fields.zipWithIndex.map { case (f, i) =>
+          val v = if (i == idx) fresh(rest, value, f.dataType)
+            else lit(null).cast(f.dataType)
+          v.as(f.name)
+        }.toSeq: _*)
+      case (Index(i) :: rest, at: ArrayType) =>
+        // [null × i, fresh]
+        concat(
+          array_repeat(lit(null).cast(at.elementType), i),
+          array(fresh(rest, value, at.elementType)))
+      case (seg :: _, other) =>
+        throw new IllegalArgumentException(
+          s"path segment $seg cannot descend into $other")
+    }
+
+  private def updateCol(cur: Column, dt: DataType, segs: List[Seg], value: Column): Column =
+    segs match {
+      case Nil => value.cast(dt)
+      case Field(n) :: rest =>
+        val st = dt match {
+          case s: StructType => s
+          case other => throw new IllegalArgumentException(
+            s"field '$n' addressed under non-struct $other")
+        }
+        st.find(_.name == n) match {
+          case Some(f) =>
+            val inner = updateCol(cur.getField(n), f.dataType, rest, value)
+            // a null struct being descended into is rebuilt fresh
+            // (withField on null yields null)
+            if (rest.isEmpty) cur.withField(n, inner)
+            else cur.withField(n,
+              when(cur.getField(n).isNull, fresh(rest, value, f.dataType))
+                .otherwise(inner))
+          case None =>
+            // ADD a new field; remaining path materializes as fresh
+            // structs of the value's own shape
+            val leaf = rest.foldRight(value) { (seg, v) =>
+              seg match {
+                case Field(fn) => struct(v.as(fn))
+                case Index(i) =>
+                  // [null × i, v] — nulls take v's type via the when
+                  transform(sequence(lit(0), lit(i)),
+                    j => when(j === i, v))
+              }
+            }
+            cur.withField(n, leaf)
+        }
+      case Index(i) :: rest =>
+        val at = dt match {
+          case a: ArrayType => a
+          case other => throw new IllegalArgumentException(
+            s"index [$i] addressed under non-array $other")
+        }
+        val base = coalesce(cur, array().cast(at))
+        val padded = when(size(base) >= i + 1, base).otherwise(
+          concat(base, array_repeat(lit(null).cast(at.elementType),
+            lit(i + 1) - size(base))))
+        transform(padded, (x, j) => when(j === i,
+          if (rest.isEmpty) value.cast(at.elementType)
+          else when(x.isNull, fresh(rest, value, at.elementType))
+            .otherwise(updateCol(x, at.elementType, rest, value)))
+          .otherwise(x))
+    }
+
+  /** `df` with `path := value` in every row (top-level columns are the
+    * path roots; a new top-level FIELD requires the root column to
+    * exist — adding whole columns is `withColumn`).
+    */
+  def pathUpdate(df: DataFrame, path: String, value: Column): DataFrame = {
+    val segs = parse(path)
+    segs.head match {
+      case Field(rootName) =>
+        if (!df.schema.fieldNames.contains(rootName)) {
+          // whole-column create, scaffolding the rest of the path
+          val leaf = segs.tail.foldRight(value) { (seg, v) =>
+            seg match {
+              case Field(fn) => struct(v.as(fn))
+              case Index(i) =>
+                transform(sequence(lit(0), lit(i)), j => when(j === i, v))
+            }
+          }
+          df.withColumn(rootName, leaf)
+        } else {
+          val f = df.schema(rootName)
+          df.withColumn(rootName,
+            updateCol(col(rootName), f.dataType, segs.tail, value))
+        }
+      case other =>
+        throw new IllegalArgumentException(s"path must start with a field, got $other")
+    }
+  }
+}

@@ -103,6 +103,32 @@ object VectorQueries extends QuerySet {
              |         unnest(embedding) AS v
              |  FROM embeddings)
              |GROUP BY label, dim
-             |ORDER BY label, dim""".stripMargin))
+             |ORDER BY label, dim""".stripMargin)),
+
+    // Embedding sanity stats (reference: utils/embedding_utils.py:252
+    // compute_embedding_statistics): per-label count, dimensionality,
+    // norm mean/std — one scan, partial agg; the norm is the native
+    // codegen dot, never an interpreted lambda.
+    Q("q_embed_stats",
+      (s, d) => Tables.df(s, d, "embeddings")
+        .select(col("label"),
+          size(col("embedding")).as("dim"),
+          graft.functions.VectorFunctions.norm(col("embedding")).as("nrm"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          max(col("dim")).as("dim"),
+          round(avg(col("nrm")), 4).as("mean_norm"),
+          round(stddev_pop(col("nrm")), 4).as("std_norm"))
+        .orderBy("label"),
+      Some(s"""SELECT label, count(*) AS n, CAST(max(len(embedding)) AS INT) AS dim,
+              |  round(avg(nrm), 4) AS mean_norm,
+              |  round(stddev_pop(nrm), 4) AS std_norm
+              |FROM (
+              |  SELECT label, embedding,
+              |         sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+              |           i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
+              |  FROM embeddings)
+              |GROUP BY label
+              |ORDER BY label""".stripMargin))
   )
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class ObjectPathsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nestedDf = spark.createDataFrame(
+    spark.sparkContext.parallelize(Seq(
+      Row(1L, Row("alice", 30), Seq(Row("a", 1), Row("b", 2))),
+      Row(2L, Row("bob", 25), Seq(Row("c", 3))))),
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "id BIGINT, who STRUCT<name: STRING, age: INT>, " +
+      "tags ARRAY<STRUCT<k: STRING, v: INT>>"))
+
+  test("pathGet walks dot and bracket segments") {
+    val got = nestedDf.select(
+      ObjectPaths.pathGet(col("who"), "name").as("n"),
+      ObjectPaths.pathGet(col("tags"), "[0].k").as("k0"),
+      ObjectPaths.pathGet(col("tags"), "[5].k").as("miss"))
+      .as[(String, String, Option[String])].collect().toSeq.sortBy(_._1)
+    got.head shouldBe ("alice", "a", None)
+  }
+
+  test("update an existing nested struct field") {
+    val got = ObjectPaths.pathUpdate(nestedDf, "who.age", lit(99))
+      .select($"id", $"who.age").as[(Long, Int)].collect().toMap
+    got shouldBe Map(1L -> 99, 2L -> 99)
+  }
+
+  test("add a NEW struct field, scaffolding the remaining path") {
+    val df = ObjectPaths.pathUpdate(nestedDf, "who.address.city", lit("oslo"))
+    df.select($"who.address.city").as[String].collect().toSet shouldBe Set("oslo")
+    // existing fields untouched
+    df.select($"who.name").as[String].collect().toSet shouldBe Set("alice", "bob")
+  }
+
+  test("update an array element's field by index") {
+    val got = ObjectPaths.pathUpdate(nestedDf, "tags[0].v", lit(42))
+      .filter($"id" === 1L)
+      .select($"tags").as[Seq[(String, Int)]].collect().head
+    got shouldBe Seq(("a", 42), ("b", 2))
+  }
+
+  test("index past the end pads with typed nulls, reference-style") {
+    val got = ObjectPaths.pathUpdate(nestedDf, "tags[2].v", lit(7))
+      .filter($"id" === 2L)
+      .select($"tags").collect().head.getSeq[Row](0)
+    got.size shouldBe 3
+    got(0) shouldBe Row("c", 3)
+    got(1) shouldBe null // padded slot stays a typed null
+    got(2) shouldBe Row(null, 7) // fresh element carries only the set leaf
+  }
+
+  test("whole-column create mirrors the reference doctest") {
+    // object_path_update({}, 'persons[0].foo.bar', 1)
+    //   == {'persons': [{'foo': {'bar': 1}}]}
+    val df = ObjectPaths.pathUpdate(Seq(1).toDF("x"), "persons[0].foo.bar", lit(1))
+    val row = df.select($"persons"(0)("foo")("bar")).as[Int].collect().head
+    row shouldBe 1
+  }
+
+  test("scalar array element set with pad") {
+    val df = Seq((1, Seq(10, 20))).toDF("id", "xs")
+    val got = ObjectPaths.pathUpdate(df, "xs[3]", lit(99))
+      .select($"xs").as[Seq[Option[Int]]].collect().head
+    got shouldBe Seq(Some(10), Some(20), None, Some(99))
+  }
+}
