@@ -104,6 +104,16 @@ class ParquetCollection(
   /** Update by primary key — upsert restricted to existing keys. */
   def update(rows: DataFrame, pk: String): Unit = upsert(rows, Seq(pk))
 
+  /** Set a nested `path := value` on every row matching `where` — the
+    * reference CLI's `update --set a[0].b.c=v` (reference:
+    * src/linkml_store/utils/object_utils.py object_path_update via
+    * cli.py update). One projection over the snapshot, committed as the
+    * next version.
+    */
+  def updatePath(path: String, value: org.apache.spark.sql.Column,
+      where: Filter = Filter.True): Unit =
+    commit(graft.ops.ObjectPaths.pathUpdate(df, path, value, where.toColumn))
+
   /** Import a file into the collection (reference import_ — reference:
     * src/linkml_store/api/collection.py:1167-1178): append rows read by
     * the [[graft.io.Formats]] registry (format inferred from the

@@ -81,9 +81,29 @@ object ObjectPaths {
           s"path segment $seg cannot descend into $other")
     }
 
-  private def updateCol(cur: Column, dt: DataType, segs: List[Seg], value: Column): Column =
+  /** Scaffold the remaining path of a brand-new field from the value's
+    * own shape (nulls everywhere but the leaf; non-matching rows get a
+    * null leaf via the `where` guard).
+    */
+  private def scaffold(segs: List[Seg], value: Column, where: Column): Column =
+    segs.foldRight(when(where, value)) { (seg, v) =>
+      seg match {
+        case Field(fn) => struct(v.as(fn))
+        case Index(i) =>
+          // [null × i, v] — nulls take v's type via the when
+          transform(sequence(lit(0), lit(i)), j => when(j === i, v))
+      }
+    }
+
+  /** The `where` guard applies at the LEAF (set vs keep-current), so a
+    * path that widens the schema (new struct fields) still produces ONE
+    * consistent column type for matching and non-matching rows alike.
+    */
+  private def updateCol(
+      cur: Column, dt: DataType, segs: List[Seg], value: Column,
+      where: Column): Column =
     segs match {
-      case Nil => value.cast(dt)
+      case Nil => when(where, value.cast(dt)).otherwise(cur)
       case Field(n) :: rest =>
         val st = dt match {
           case s: StructType => s
@@ -92,26 +112,17 @@ object ObjectPaths {
         }
         st.find(_.name == n) match {
           case Some(f) =>
-            val inner = updateCol(cur.getField(n), f.dataType, rest, value)
+            val inner = updateCol(cur.getField(n), f.dataType, rest, value, where)
             // a null struct being descended into is rebuilt fresh
-            // (withField on null yields null)
+            // (withField on null yields null) — but only where matched
             if (rest.isEmpty) cur.withField(n, inner)
             else cur.withField(n,
-              when(cur.getField(n).isNull, fresh(rest, value, f.dataType))
+              when(cur.getField(n).isNull && where, fresh(rest, value, f.dataType))
                 .otherwise(inner))
           case None =>
             // ADD a new field; remaining path materializes as fresh
             // structs of the value's own shape
-            val leaf = rest.foldRight(value) { (seg, v) =>
-              seg match {
-                case Field(fn) => struct(v.as(fn))
-                case Index(i) =>
-                  // [null × i, v] — nulls take v's type via the when
-                  transform(sequence(lit(0), lit(i)),
-                    j => when(j === i, v))
-              }
-            }
-            cur.withField(n, leaf)
+            cur.withField(n, scaffold(rest, value, where))
         }
       case Index(i) :: rest =>
         val at = dt match {
@@ -120,38 +131,39 @@ object ObjectPaths {
             s"index [$i] addressed under non-array $other")
         }
         val base = coalesce(cur, array().cast(at))
-        val padded = when(size(base) >= i + 1, base).otherwise(
+        val needsPad = size(base) < i + 1
+        // pad only rows the update touches — others keep their length
+        val padded = when(!where || !needsPad, base).otherwise(
           concat(base, array_repeat(lit(null).cast(at.elementType),
             lit(i + 1) - size(base))))
         transform(padded, (x, j) => when(j === i,
-          if (rest.isEmpty) value.cast(at.elementType)
-          else when(x.isNull, fresh(rest, value, at.elementType))
-            .otherwise(updateCol(x, at.elementType, rest, value)))
+          if (rest.isEmpty) when(where, value.cast(at.elementType)).otherwise(x)
+          else when(x.isNull && where, fresh(rest, value, at.elementType))
+            .otherwise(updateCol(x, at.elementType, rest, value, where)))
           .otherwise(x))
     }
 
-  /** `df` with `path := value` in every row (top-level columns are the
-    * path roots; a new top-level FIELD requires the root column to
-    * exist — adding whole columns is `withColumn`).
+  /** `df` with `path := value` in every row matching `where` (other
+    * rows keep their original value; a brand-new root column is null
+    * for them). Top-level columns are the path roots.
     */
-  def pathUpdate(df: DataFrame, path: String, value: Column): DataFrame = {
+  def pathUpdate(
+      df: DataFrame,
+      path: String,
+      value: Column,
+      where: Column = lit(true)): DataFrame = {
     val segs = parse(path)
     segs.head match {
       case Field(rootName) =>
         if (!df.schema.fieldNames.contains(rootName)) {
-          // whole-column create, scaffolding the rest of the path
-          val leaf = segs.tail.foldRight(value) { (seg, v) =>
-            seg match {
-              case Field(fn) => struct(v.as(fn))
-              case Index(i) =>
-                transform(sequence(lit(0), lit(i)), j => when(j === i, v))
-            }
-          }
-          df.withColumn(rootName, leaf)
+          // whole-column create, scaffolding the rest of the path; the
+          // where guard nulls the LEAF for non-matching rows (wrapping
+          // the whole scaffold would null the containers too)
+          df.withColumn(rootName, scaffold(segs.tail, value, where))
         } else {
           val f = df.schema(rootName)
           df.withColumn(rootName,
-            updateCol(col(rootName), f.dataType, segs.tail, value))
+            updateCol(col(rootName), f.dataType, segs.tail, value, where))
         }
       case other =>
         throw new IllegalArgumentException(s"path must start with a field, got $other")

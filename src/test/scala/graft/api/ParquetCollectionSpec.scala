@@ -40,6 +40,19 @@ class ParquetCollectionSpec extends SparkSpec {
     c.count() shouldBe 2
   }
 
+  test("updatePath sets a nested value on matching rows only") {
+    val c = freshColl()
+    c.updatePath("age", org.apache.spark.sql.functions.lit(99),
+      where = Filter.gt("age", 28))
+    c.df.orderBy("id").select("age").as[Int].collect() shouldBe Array(99, 25, 99)
+    // new nested column: scaffolded for matches, null elsewhere
+    c.updatePath("meta.flag", org.apache.spark.sql.functions.lit(true),
+      where = Filter.eq("id", 1))
+    val rows = c.df.orderBy("id")
+      .select($"meta.flag").collect().map(r => Option(r.get(0)))
+    rows shouldBe Array(Some(true), None, None)
+  }
+
   test("upsert replaces matching keys and appends new ones") {
     val c = freshColl()
     c.upsert(Seq((2, "bobby", 26), (9, "zoe", 19)).toDF("id", "name", "age"), Seq("id"))
