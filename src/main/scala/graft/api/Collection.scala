@@ -199,4 +199,25 @@ class Collection(val name: String, val df: DataFrame) {
         (if (sortList) sort_array(collected) else collected).as(inlinedField)
     base.groupBy(groupFields.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Drop near-duplicate documents, keeping ONE representative (the
+    * min id) per duplicate cluster — the full pipeline step: MinHash-LSH
+    * pairs → connected components → anti-join the non-representatives.
+    * Exact duplicates are a subset of near-dups, so this subsumes
+    * exact dedup at threshold 1.0. The pair/cluster tables are tiny
+    * next to the corpus (only docs WITH a duplicate appear), so the
+    * anti-join broadcasts under AQE.
+    */
+  def dedupe(
+      idCol: String,
+      textCol: String,
+      threshold: Double = 0.5,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val pairs = graft.dedup.MinHash.nearDupPairs(
+      df, idCol, textCol, threshold = threshold, scope = scope)
+    val clusters = graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+    val dropped = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
 }

@@ -82,4 +82,22 @@ class CollectionSpec extends SparkSpec {
     // struct list only contains the requested field
     r.head.schema.fieldNames should contain allOf ("status", "amount", "objs")
   }
+
+  test("dedupe keeps one representative per near-dup cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      // near-dup of 1: one appended token -> shingle Jaccard 7/8
+      (3L, "the quick brown fox jumps over the lazy dog today"),
+      (4L, "an entirely different document about spark engines"),
+      (5L, "completely unrelated text with fresh words only")
+    ).toDF("doc_id", "text")
+    val scope = new graft.api.CacheScope
+    val kept = new Collection("docs", docs).dedupe("doc_id", "text",
+      threshold = 0.5, scope = scope)
+      .select("doc_id").as[Long].collect().sorted
+    scope.release()
+    kept shouldBe Array(1L, 4L, 5L) // 2 and 3 fold into cluster min 1
+  }
 }
