@@ -169,4 +169,22 @@ object ObjectPaths {
         throw new IllegalArgumentException(s"path must start with a field, got $other")
     }
   }
+
+  /** Flatten nested struct columns into dotted top-level columns
+    * (reference: src/linkml_store/utils/pandas_utils.py flatten_dict /
+    * nested_objects_to_dataframe — `{a: 1, b: {c: 2}}` → columns
+    * `a, b.c`). Arrays and scalars pass through; one projection, no
+    * data movement.
+    */
+  def flatten(df: DataFrame, sep: String = "."): DataFrame = {
+    def expand(name: String, c: Column, dt: DataType): Seq[(String, Column)] =
+      dt match {
+        case st: StructType =>
+          st.fields.toSeq.flatMap(f =>
+            expand(s"$name$sep${f.name}", c.getField(f.name), f.dataType))
+        case _ => Seq(name -> c)
+      }
+    val cols = df.schema.fields.toSeq.flatMap(f => expand(f.name, col(f.name), f.dataType))
+    df.select(cols.map { case (n, c) => c.as(n) }: _*)
+  }
 }

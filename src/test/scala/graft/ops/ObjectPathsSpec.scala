@@ -62,6 +62,18 @@ class ObjectPathsSpec extends SparkSpec {
     row shouldBe 1
   }
 
+  test("flatten expands nested structs to dotted columns, doctest-style") {
+    // pandas_utils doctest: {'a': 1, 'b': {'c': 2, 'd': {'e': 3}}}
+    //   -> {'a': 1, 'b.c': 2, 'b.d.e': 3}
+    val df = spark.sql("SELECT 1 AS a, named_struct('c', 2, 'd', named_struct('e', 3)) AS b")
+    val flat = ObjectPaths.flatten(df)
+    flat.columns.toSeq shouldBe Seq("a", "b.c", "b.d.e")
+    flat.as[(Int, Int, Int)].collect().head shouldBe ((1, 2, 3))
+    // arrays pass through untouched
+    val withArr = ObjectPaths.flatten(nestedDf)
+    withArr.columns.toSeq shouldBe Seq("id", "who.name", "who.age", "tags")
+  }
+
   test("scalar array element set with pad") {
     val df = Seq((1, Seq(10, 20))).toDF("id", "xs")
     val got = ObjectPaths.pathUpdate(df, "xs[3]", lit(99))
