@@ -301,4 +301,78 @@ object Knn {
        |WHERE score >= $threshold
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** k-NN classification of the probe rows (matching `probePred`): each
+    * probe takes the majority label of its k nearest train neighbors
+    * (train = everything NOT matching `probePred`) by cosine; vote ties
+    * break toward the smaller label, rank ties toward the smaller train
+    * id. The sklearn-engine analog (reference: src/linkml_store/
+    * inference/implementations/sklearn_inference_engine.py) as pure
+    * joins + windows — no fitted model object, no driver loop: the
+    * bounded probe set broadcasts, the train corpus streams once.
+    * At 100 TB the exact candidate set swaps for LSH/IVF buckets
+    * (rows 37/37a) — the rank-and-vote shape is unchanged.
+    * Returns (idCol, label, label_pred, correct) per probe.
+    */
+  def classifyKnn(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      probePred: Column,
+      k: Int): DataFrame = {
+    val e = df.select(col(idCol), col(labelCol),
+      col(vecCol).cast("array<double>").as("__v"))
+    val probes = e.filter(probePred)
+      .select(col(idCol).as("__pid"), col(labelCol).as("label"), col("__v").as("__pv"))
+    val train = e.filter(!probePred)
+      .select(col(idCol).as("__tid"), col(labelCol).as("__tlabel"), col("__v"))
+    val scored = train.crossJoin(broadcast(probes))
+      .select(col("__pid"), col("label"), col("__tid"), col("__tlabel"),
+        round(VectorFunctions.cosine(col("__v"), col("__pv")), 4).as("score"))
+    val top = scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("__pid").orderBy(col("score").desc, col("__tid").asc)))
+      .filter(col("rnk") <= k)
+    top.groupBy(col("__pid"), col("label"), col("__tlabel"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(
+        Window.partitionBy("__pid").orderBy(col("votes").desc, col("__tlabel").asc)))
+      .filter(col("vr") === 1)
+      .select(col("__pid").as(idCol), col("label"),
+        col("__tlabel").as("label_pred"),
+        (col("label") === col("__tlabel")).as("correct"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB twin of [[classifyKnn]]; `probePredSql` mirrors probePred. */
+  def classifyKnnDuckSql(
+      table: String,
+      idCol: String,
+      vecCol: String,
+      labelCol: String,
+      probePredSql: String,
+      k: Int,
+      dim: Int): String =
+    s"""WITH e AS (SELECT $idCol, $labelCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |p AS (SELECT $idCol AS pid, $labelCol AS label, v AS pv FROM e WHERE $probePredSql),
+       |t AS (SELECT $idCol AS tid, $labelCol AS tlabel, v FROM e WHERE NOT ($probePredSql)),
+       |scored AS (
+       |  SELECT pid, label, tid, tlabel,
+       |         round(${cosineDuck("v", "pv", dim)}, 4) AS score
+       |  FROM t, p),
+       |top AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY pid ORDER BY score DESC, tid ASC) AS rnk
+       |  FROM scored),
+       |votes AS (
+       |  SELECT pid, label, tlabel, count(*) AS votes
+       |  FROM top WHERE rnk <= $k GROUP BY pid, label, tlabel),
+       |best AS (
+       |  SELECT *, row_number() OVER (
+       |      PARTITION BY pid ORDER BY votes DESC, tlabel ASC) AS vr
+       |  FROM votes)
+       |SELECT pid AS $idCol, label, tlabel AS label_pred,
+       |       (label = tlabel) AS correct
+       |FROM best WHERE vr = 1
+       |ORDER BY $idCol""".stripMargin
 }

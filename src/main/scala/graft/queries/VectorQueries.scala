@@ -105,6 +105,17 @@ object VectorQueries extends QuerySet {
              |GROUP BY label, dim
              |ORDER BY label, dim""".stripMargin)),
 
+    // k-NN majority-vote classification — the sklearn inference engine
+    // re-expressed as joins + windows (probes broadcast, train corpus
+    // streams once); labels are the synthetic cluster ids, so accuracy
+    // is high and the oracle replays the identical rank-and-vote.
+    Q("q_knn_classify",
+      (s, d) => Knn.classifyKnn(Tables.df(s, d, "embeddings"),
+        "vec_id", "embedding", "label",
+        probePred = col("vec_id") < 100, k = 5),
+      Some(Knn.classifyKnnDuckSql("embeddings", "vec_id", "embedding", "label",
+        probePredSql = "vec_id < 100", k = 5, dim = Dim))),
+
     // Embedding sanity stats (reference: utils/embedding_utils.py:252
     // compute_embedding_statistics): per-label count, dimensionality,
     // norm mean/std — one scan, partial agg; the norm is the native

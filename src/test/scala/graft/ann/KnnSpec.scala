@@ -80,4 +80,20 @@ class KnnSpec extends SparkSpec {
     // orthogonal/opposite vectors never pair at 0.95
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
   }
+
+  test("knn classification takes the majority label of the neighbors") {
+    // two clean clusters around e1 and e2; probes 10/11 sit in them
+    val labeled = Seq(
+      (1L, Seq(1.0f, 0.05f, 0f, 0f), 0), (2L, Seq(0.9f, -0.05f, 0f, 0f), 0),
+      (3L, Seq(0.95f, 0.02f, 0f, 0f), 0),
+      (4L, Seq(0.05f, 1.0f, 0f, 0f), 1), (5L, Seq(-0.03f, 0.9f, 0f, 0f), 1),
+      (6L, Seq(0.01f, 0.95f, 0f, 0f), 1),
+      (10L, Seq(0.99f, 0.0f, 0f, 0f), 0), // probe, true label 0
+      (11L, Seq(0.0f, 0.99f, 0f, 0f), 1)  // probe, true label 1
+    ).toDF("vec_id", "embedding", "label")
+    val r = Knn.classifyKnn(labeled, "vec_id", "embedding", "label",
+      probePred = col("vec_id") >= 10L, k = 3)
+      .as[(Long, Int, Int, Boolean)].collect()
+    r shouldBe Array((10L, 0, 0, true), (11L, 1, 1, true))
+  }
 }
