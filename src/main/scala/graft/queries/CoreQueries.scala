@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.query.Filter
 import graft.api.SortKey
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Core find/query surface (SURVEY §2 rows 1-15, 21-25): Mongo-style
@@ -186,6 +187,50 @@ object CoreQueries extends QuerySet {
              |  FROM orders) t
              |WHERE rn <= 3
              |ORDER BY o_orderpriority, rn""".stripMargin)),
+
+    // Cumulative / offset windows per customer (running revenue, prior
+    // order gap) — partitions on the max-cardinality key, so no skew;
+    // sum accumulates in window order in both engines (bit-identical).
+    Q("q_window_cume",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        Tables.df(s, d, "orders")
+          .filter(col("o_custkey") < 200)
+          .select(col("o_custkey"), col("o_orderkey"),
+            round(sum("o_totalprice").over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 4)
+              .as("run_total"),
+            row_number().over(w).as("order_seq"),
+            lag(col("o_orderkey"), 1).over(w).as("prev_orderkey"))
+          .orderBy("o_custkey", "order_seq")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  round(sum(o_totalprice) OVER w, 4) AS run_total,
+             |  CAST(row_number() OVER w AS INT) AS order_seq,
+             |  lag(o_orderkey, 1) OVER w AS prev_orderkey
+             |FROM orders
+             |WHERE o_custkey < 200
+             |WINDOW w AS (PARTITION BY o_custkey
+             |  ORDER BY o_orderdate ASC, o_orderkey ASC
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, order_seq""".stripMargin)),
+
+    // Multi-level aggregation (ROLLUP): per (flag, status), per flag,
+    // grand total in ONE pass — grouping sets expand map-side, still a
+    // single shuffle. Spark sorts NULLS FIRST ascending; the oracle
+    // says so explicitly (DuckDB defaults NULLS LAST).
+    Q("q_rollup",
+      (s, d) => Tables.df(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+             |FROM lineitem
+             |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+             |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
 
     Q("q_events_window",
       (s, d) => Tables.df(s, d, "events")
