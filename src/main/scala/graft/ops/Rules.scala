@@ -26,17 +26,19 @@ object Rules {
   final case class Rule(pre: Filter, post: Map[String, Column])
 
   /** Apply rules sequentially; non-matching rows keep their values.
-    * New columns materialize as null where no rule fired.
+    * New columns materialize as null where no rule fired. WITHIN one
+    * rule all assignments apply SIMULTANEOUSLY from the pre-rule state
+    * (so `Map("a" -> col("b"), "b" -> col("a"))` swaps) — chaining them
+    * would make the result depend on Map iteration order.
     */
   def applyRules(df: DataFrame, rules: Seq[Rule]): DataFrame =
     rules.foldLeft(df) { (cur, rule) =>
-      rule.post.foldLeft(cur) { case (acc, (field, value)) =>
-        val updated =
-          if (acc.schema.fieldNames.contains(field))
+      cur.withColumns(rule.post.map { case (field, value) =>
+        field -> (
+          if (cur.schema.fieldNames.contains(field))
             when(rule.pre.toColumn, value).otherwise(col(field))
-          else when(rule.pre.toColumn, value)
-        acc.withColumn(field, updated)
-      }
+          else when(rule.pre.toColumn, value))
+      })
     }
 
   /** Prediction accuracy over rows with a non-null target (reference:

@@ -40,6 +40,14 @@ class RulesSpec extends SparkSpec {
     out shouldBe Array(Some(60), None, None)
   }
 
+  test("one rule's assignments apply simultaneously from pre-rule state") {
+    val df = Seq((1, 10, 20)).toDF("id", "a", "b")
+    val out = Rules.applyRules(df,
+      Seq(Rules.Rule(Filter.True, Map("a" -> col("b"), "b" -> col("a")))))
+      .select("a", "b").as[(Int, Int)].collect().head
+    out shouldBe ((20, 10)) // a swap, not a chain
+  }
+
   test("accuracy compares prediction to target, ignoring null targets") {
     val df = Seq(
       ("a", "a"), ("a", "b"), ("c", "c"), (null, "x")

@@ -164,4 +164,27 @@ class StreamOpsSpec extends SparkSpec {
       streamChunks.size should be > 3
     } finally { q1.stop(); q2.stop() }
   }
+
+  test("native codegen kernels (repetition stats) run unchanged on a stream") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z w"), (3L, "q q q q q"))
+    def statsOf(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      graft.text.Repetition.statsNative(
+        org.apache.spark.sql.functions.col("text")).as("st"))
+    val q = statsOf(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("rep_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("rep_out").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      val batch = statsOf(docs.toDF("doc_id", "text")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      stream shouldBe batch
+      stream(3L).head shouldBe 0.8 // q x5 -> dup_token_frac 4/5
+    } finally q.stop()
+  }
 }
