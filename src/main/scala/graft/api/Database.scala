@@ -70,4 +70,18 @@ class Client(val spark: SparkSession) {
     dbs.getOrElse(dbName, throw new NoSuchElementException(s"no database '$dbName' attached"))
 
   def databaseNames: Seq[String] = dbs.keys.toSeq
+
+  /** Detach the handle and remove the database's collections on disk
+    * (reference: client.py:330 drop_database).
+    */
+  def dropDatabase(dbName: String, missingOk: Boolean = false): Unit =
+    dbs.remove(dbName) match {
+      case Some(db) => db.listCollectionNames.foreach(db.dropCollection)
+      case None if missingOk => ()
+      case None => throw new NoSuchElementException(s"no database '$dbName' attached")
+    }
+
+  /** Drop every attached database (reference: client.py:391). */
+  def dropAllDatabases(): Unit =
+    dbs.keys.toSeq.foreach(dropDatabase(_))
 }

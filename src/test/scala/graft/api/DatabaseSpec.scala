@@ -30,6 +30,23 @@ class DatabaseSpec extends SparkSpec {
     a[NoSuchElementException] should be thrownBy client.database("zzz")
   }
 
+  test("dropDatabase detaches the handle and clears collections on disk") {
+    val client = new Client(spark)
+    val root = Files.createTempDirectory("graft-drop").toString
+    val db = client.attachDatabase("d", root)
+    db.createCollection("c1", Seq((1, "x")).toDF("id", "v"))
+    client.dropDatabase("d")
+    client.databaseNames shouldBe empty
+    new Database(spark, root, "d").listCollectionNames shouldBe empty
+    a[NoSuchElementException] should be thrownBy client.dropDatabase("d")
+    client.dropDatabase("d", missingOk = true) // no throw
+    // dropAllDatabases empties the handle map
+    client.attachDatabase("e", Files.createTempDirectory("ge").toString)
+    client.attachDatabase("f", Files.createTempDirectory("gf").toString)
+    client.dropAllDatabases()
+    client.databaseNames shouldBe empty
+  }
+
   test("attachParquet exposes external data read-only") {
     val db = freshDb()
     val p = Files.createTempDirectory("graft-ext").resolve("t.parquet").toString
