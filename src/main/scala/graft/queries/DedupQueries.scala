@@ -57,6 +57,21 @@ object DedupQueries extends QuerySet {
         MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
         "id_a", "id_b") + "\nORDER BY id")),
 
+    // survivors after end-to-end dedupe (pairs -> components -> drop
+    // non-representatives): the oracle replays the same walk and
+    // anti-joins the dropped ids
+    Q("q_dedup_keep",
+      (s, d) => new graft.api.Collection("documents",
+        Tables.df(s, d, "documents")).dedupe("doc_id", "text")
+        .select("doc_id", "source")
+        .orderBy("doc_id"),
+      Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
+                 MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+                 "id_a", "id_b")})
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5),
       Some(NgramJaccard.jaccardPairsDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5)))
