@@ -22,12 +22,22 @@ object Cluster {
 
   /** (id, cluster) for every id appearing in `pairs`; cluster = min id
     * of the component. Deterministic.
+    *
+    * Two execution paths with the identical output contract:
+    *  - ≤ `driverFoldThreshold` directed pairs: BOUNDED-MODEL-STATE fast
+    *    path (the MMR re-rank / IVF-centroids pattern) — the duplicate
+    *    graph holds only docs that HAVE a duplicate, orders smaller
+    *    than the corpus, and the bound is CHECKED by count before any
+    *    collect. One job + a driver union-find replaces O(diameter)
+    *    distributed rounds (each a join + checkpoint + action).
+    *  - above it: iterative min-label propagation, fully distributed.
     */
   def connectedComponents(
       pairs: DataFrame,
       aCol: String,
       bCol: String,
-      maxIter: Int = 25): DataFrame = {
+      maxIter: Int = 25,
+      driverFoldThreshold: Long = 50000L): DataFrame = {
     // Unlike the lazy pair-finders, this builder is EAGER (the loop
     // materializes every round), so cache lifetime is internal: a local
     // scope released before returning — callers never accumulate pinned
@@ -48,13 +58,24 @@ object Cluster {
     // loss — rerun the job on failure; a reliable checkpoint dir slots
     // in where that matters).
     try {
+      val nPairs = p0.count()
+      if (nPairs <= driverFoldThreshold) {
+        val edges = p0.collect().map(r => (r.getLong(0), r.getLong(1)))
+        val labels = driverUnionFind(edges.toSeq)
+        val spark = pairs.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            labels.toSeq.sortBy(_._1)
+              .map { case (id, c) => org.apache.spark.sql.Row(id, c) }, 1),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT NOT NULL, cluster BIGINT NOT NULL"))
+      }
       // Near-dup graphs are usually TINY next to the corpus (nodes =
-      // docs that have a duplicate): on a small graph, 32-partition
+      // docs that have a duplicate): on a moderate graph, 32-partition
       // rounds are pure scheduling overhead, so coalesce each round to
-      // a few partitions. Gated on directed-pair count (cheap — p0 is
-      // cached and needed anyway) — a genuinely large graph keeps the
+      // a few partitions. A genuinely large graph keeps the
       // cluster-wide parallelism.
-      val parts = if (p0.count() < 50000) 4
+      val parts = if (nPairs < 500000) 4
         else pairs.sparkSession.sparkContext.defaultParallelism
       // undirected: propagate along both directions
       val edges = scope.persist(
@@ -98,6 +119,23 @@ object Cluster {
       // so the caches can go (also on the non-convergence throw)
       scope.release()
     }
+  }
+
+  /** Union-find with path compression, larger root hung under smaller —
+    * the canonical root is therefore the component MINIMUM, matching
+    * the distributed min-label contract exactly.
+    */
+  private def driverUnionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
   }
 
   /** DuckDB twin: recursive label walk — every label reachable from a

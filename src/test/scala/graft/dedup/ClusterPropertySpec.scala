@@ -35,11 +35,17 @@ class ClusterPropertySpec extends SparkSpec {
       }.filter { case (a, b) => a != b }
       if (edges.nonEmpty) {
         val expected = unionFind(edges)
-        val got = Cluster.connectedComponents(
-          edges.toDF("id_a", "id_b"), "id_a", "id_b")
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        withClue(s"trial $trial, edges=$edges: ") {
-          got shouldBe expected
+        // exercise BOTH execution paths: threshold 0 forces the
+        // distributed min-label rounds, the default takes the driver
+        // union-find fast path
+        for (threshold <- Seq(0L, 50000L)) {
+          val got = Cluster.connectedComponents(
+            edges.toDF("id_a", "id_b"), "id_a", "id_b",
+            driverFoldThreshold = threshold)
+            .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+          withClue(s"trial $trial, threshold=$threshold, edges=$edges: ") {
+            got shouldBe expected
+          }
         }
       }
     }

@@ -22,11 +22,25 @@ class ClusterSpec extends SparkSpec {
   }
 
   test("a long chain converges within maxIter and a short budget fails loudly") {
+    // force the DISTRIBUTED path (threshold 0) — the driver fast path
+    // has no iteration budget to exercise
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val cc = Cluster.connectedComponents(chain, "id_a", "id_b")
+    val cc = Cluster.connectedComponents(chain, "id_a", "id_b",
+      driverFoldThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     cc.values.toSet shouldBe Set(1L)
     an[IllegalArgumentException] should be thrownBy
-      Cluster.connectedComponents(chain, "id_a", "id_b", maxIter = 2).collect()
+      Cluster.connectedComponents(chain, "id_a", "id_b", maxIter = 2,
+        driverFoldThreshold = 0L).collect()
+  }
+
+  test("driver fast path and distributed path produce identical output") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val fast = Cluster.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Cluster.connectedComponents(pairs, "id_a", "id_b",
+      driverFoldThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fast shouldBe dist
   }
 }
