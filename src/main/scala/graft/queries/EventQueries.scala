@@ -19,6 +19,46 @@ object EventQueries extends QuerySet {
         userCol = "user_id", tsCol = "ts", valueCol = "value",
         orderTieBreak = "event_id", gapSeconds = 1800))),
 
+    // Ordered-sequence conversion funnel (view → click → purchase,
+    // strictly increasing ts): three sequential keyed aggregations —
+    // each stage's table shrinks to per-user minima BEFORE the next
+    // join, so the corpus streams once per step and every join is
+    // keyed on the max-cardinality user id (broadcastable under AQE,
+    // no skew). No window over the whole event log.
+    Q("q_funnel",
+      (s, d) => {
+        val e = Tables.df(s, d, "events").select("user_id", "event_type", "ts")
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t1"))
+        val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+          .filter(col("ts") > col("t1"))
+          .groupBy("user_id").agg(min("ts").as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+          .filter(col("ts") > col("t2"))
+          .groupBy("user_id").agg(min("ts").as("t3"))
+        t1.agg(lit(1).as("step"), lit("view").as("event_type"), count(lit(1)).as("n_users"))
+          .unionByName(t2.agg(lit(2).as("step"), lit("click").as("event_type"), count(lit(1)).as("n_users")))
+          .unionByName(t3.agg(lit(3).as("step"), lit("purchase").as("event_type"), count(lit(1)).as("n_users")))
+          .orderBy("step")
+      },
+      Some("""WITH t1 AS (
+             |  SELECT user_id, min(ts) AS t1 FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (
+             |  SELECT e.user_id, min(ts) AS t2 FROM events e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE event_type = 'click' AND ts > t1.t1 GROUP BY e.user_id),
+             |t3 AS (
+             |  SELECT e.user_id, min(ts) AS t3 FROM events e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE event_type = 'purchase' AND ts > t2.t2 GROUP BY e.user_id)
+             |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM t1
+             |UNION ALL
+             |SELECT 2, 'click', count(*) FROM t2
+             |UNION ALL
+             |SELECT 3, 'purchase', count(*) FROM t3
+             |ORDER BY step""".stripMargin)),
+
     // Semi-structured access: JSON property extraction + typed cast,
     // aggregated — the engine analog of querying nested object fields.
     Q("q_json_extract",
