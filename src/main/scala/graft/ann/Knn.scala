@@ -323,9 +323,13 @@ object Knn {
       k: Int): DataFrame = {
     val e = df.select(col(idCol), col(labelCol),
       col(vecCol).cast("array<double>").as("__v"))
-    val probes = e.filter(probePred)
+    // coalesce the split predicate: a row where it evaluates to NULL
+    // must land in exactly one set (train), not silently vanish from
+    // both sides of the filter pair
+    val isProbe = coalesce(probePred, lit(false))
+    val probes = e.filter(isProbe)
       .select(col(idCol).as("__pid"), col(labelCol).as("label"), col("__v").as("__pv"))
-    val train = e.filter(!probePred)
+    val train = e.filter(!isProbe)
       .select(col(idCol).as("__tid"), col(labelCol).as("__tlabel"), col("__v"))
     val scored = train.crossJoin(broadcast(probes))
       .select(col("__pid"), col("label"), col("__tid"), col("__tlabel"),
@@ -354,8 +358,8 @@ object Knn {
       k: Int,
       dim: Int): String =
     s"""WITH e AS (SELECT $idCol, $labelCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
-       |p AS (SELECT $idCol AS pid, $labelCol AS label, v AS pv FROM e WHERE $probePredSql),
-       |t AS (SELECT $idCol AS tid, $labelCol AS tlabel, v FROM e WHERE NOT ($probePredSql)),
+       |p AS (SELECT $idCol AS pid, $labelCol AS label, v AS pv FROM e WHERE coalesce($probePredSql, false)),
+       |t AS (SELECT $idCol AS tid, $labelCol AS tlabel, v FROM e WHERE NOT coalesce($probePredSql, false)),
        |scored AS (
        |  SELECT pid, label, tid, tlabel,
        |         round(${cosineDuck("v", "pv", dim)}, 4) AS score

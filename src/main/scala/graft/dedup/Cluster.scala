@@ -127,9 +127,17 @@ object Cluster {
     */
   private def driverUnionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map[Long, Long]()
+    // ITERATIVE find (walk to root, then compress): a chain-shaped
+    // duplicate graph built in descending edge order creates a parent
+    // chain up to the fold threshold deep — a recursive find would
+    // overflow the default JVM stack on inputs the distributed path
+    // handles fine
     def find(x: Long): Long = {
-      val p = parent.getOrElseUpdate(x, x)
-      if (p == x) x else { val r = find(p); parent(x) = r; r }
+      var r = parent.getOrElseUpdate(x, x)
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
     }
     edges.foreach { case (a, b) =>
       val (ra, rb) = (find(a), find(b))

@@ -2,6 +2,7 @@ package graft.dedup
 
 import graft.text.TextFunctions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact n-gram Jaccard similarity pairs via an inverted shingle index —
@@ -9,11 +10,25 @@ import org.apache.spark.sql.functions._
   * (doc, shingle), self-join on the shingle, count shared shingles per
   * pair, then jaccard = inter / (|A| + |B| - inter). Pairs only form for
   * documents that actually SHARE a shingle, so the shuffle is bounded by
-  * shingle document-frequency, not |corpus|². Skewed (very common)
-  * shingles dominate the join at scale; pair formation stays correct but
-  * callers should raise `w` to keep shingle frequencies low.
+  * shingle document-frequency, not |corpus|².
+  *
+  * Skew guard: shingles with document frequency above `maxDf` are
+  * DROPPED before the join (from both the postings and the set sizes) —
+  * each hot shingle otherwise contributes df² join rows, and one
+  * stop-word trigram shared by 1% of a 100 TB corpus is ~10¹⁴ pairs in
+  * a single bucket. High-DF shingles carry no near-dup signal (they are
+  * the corpus' stop-grams); dropping them is the standard frequency
+  * filter of set-similarity joins. The cap window partitions on the
+  * SAME key as the self-join, so its exchange is reused, and the oracle
+  * applies the identical cap — results stay engine-equal.
   */
 object NgramJaccard {
+
+  /** Default shingle document-frequency cap. Far above the frequency at
+    * which a shingle still discriminates near-duplicates, far below the
+    * df² blowup region.
+    */
+  val DefaultMaxDf = 1000
 
   def jaccardPairs(
       df: DataFrame,
@@ -21,15 +36,22 @@ object NgramJaccard {
       textCol: String,
       w: Int = 3,
       threshold: Double = 0.5,
+      maxDf: Int = DefaultMaxDf,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     // integer shingles (one md5 per token, native one-pass expression;
     // see TextFunctions/HashedShingles) — the inverted-index join
     // shuffles 8-byte keys instead of strings
-    // persisted: referenced by the size aggregation and BOTH sides of
-    // the inverted-index self-join (three subplan evaluations otherwise)
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val sh = scope.persist(df.select(col(idCol),
-      explode(call_function("graft_hashed_shingles", col(textCol), lit(w))).as("s")))
+    val raw = df.select(col(idCol),
+      explode(call_function("graft_hashed_shingles", col(textCol), lit(w))).as("s"))
+    // persisted AFTER the df-cap: referenced by the size aggregation and
+    // BOTH sides of the inverted-index self-join (three subplan
+    // evaluations otherwise), and the cached blocks arrive
+    // hash-partitioned on `s` from the cap window's exchange
+    val sh = scope.persist(raw
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("__df") <= maxDf)
+      .drop("__df"))
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
     val inter = sh.select(col(idCol).as("id_a"), col("s"))
       .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("s"))
@@ -51,10 +73,14 @@ object NgramJaccard {
       idCol: String,
       textCol: String,
       w: Int = 3,
-      threshold: Double = 0.5): String = {
-    s"""WITH sh AS MATERIALIZED (
+      threshold: Double = 0.5,
+      maxDf: Int = DefaultMaxDf): String = {
+    s"""WITH sh0 AS (
        |  SELECT $idCol, unnest(${TextFunctions.hashedShinglesFromDuckSql("th", w)}) AS s
        |  FROM (SELECT $idCol, ${TextFunctions.tokenHashesDuckSql(textCol)} AS th FROM $table) t0),
+       |sh AS MATERIALIZED (
+       |  SELECT $idCol, s FROM sh0
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= $maxDf),
        |sizes AS (SELECT $idCol, count(*) AS sz FROM sh GROUP BY $idCol),
        |inter AS (
        |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS inter

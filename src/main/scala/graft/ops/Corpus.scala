@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   *  - topNgrams is explode → partial-agg → one shuffle → TakeOrdered:
   *    the map-side combine collapses each partition's gram counts
   *    before anything moves, and the final top-k never global-sorts.
-  *  - tfIdf joins the per-token document frequency (vocab-sized) back
-  *    to the per-(doc,token) counts with an explicit broadcast — the
-  *    corpus-sized side never reshuffles for the join; the top-k per
+  *  - tfIdf joins the per-token document frequency back to the
+  *    per-(doc,token) counts as a plain KEYED join — dfreq is an
+  *    unbounded aggregate (a 100 TB corpus vocabulary is 10⁸-10⁹
+  *    tokens, far past broadcast range), so the hint is left to AQE,
+  *    which still broadcasts when the vocab is actually small. Both
+  *    sides are already hashed on `token` (tf's groupBy), so the join
+  *    adds no extra shuffle of the corpus-sized side. The top-k per
   *    doc windows on doc_id (max-cardinality key, no skew).
   *  - decontaminate is the standard train/eval n-gram overlap check:
   *    both sides reduce to DISTINCT (doc, gram-hash) postings, the
@@ -66,7 +70,7 @@ object Corpus {
     val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val nDocs = df.groupBy().agg(count(lit(1)).as("n"))
     val scored = tf
-      .join(broadcast(dfreq), "token")
+      .join(dfreq, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n").cast("double") / col("df")), 4))
@@ -112,8 +116,11 @@ object Corpus {
     def grams(side: DataFrame): DataFrame = side
       .select(col(idCol), explode(Repetition.ngrams(col(textCol), w)).as("gram"))
       .select(col(idCol), TextFunctions.portableHash60(col("gram")).as("gh"))
-    val evalGrams = grams(df.filter(evalPred)).select("gh").distinct()
-    val trainGrams = grams(df.filter(!evalPred)).distinct()
+    // coalesce the split predicate: a NULL-predicate row must land in
+    // exactly one side (train), not vanish from both filters
+    val isEval = coalesce(evalPred, lit(false))
+    val evalGrams = grams(df.filter(isEval)).select("gh").distinct()
+    val trainGrams = grams(df.filter(!isEval)).distinct()
     trainGrams
       .join(broadcast(evalGrams), "gh")
       .groupBy(col(idCol))
@@ -133,7 +140,7 @@ object Corpus {
        |         unnest(${Repetition.ngramsDuck(textCol, w)}) AS gram
        |  FROM $table),
        |g AS (
-       |  SELECT $idCol, is_eval,
+       |  SELECT $idCol, coalesce(is_eval, false) AS is_eval,
        |         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
        |  FROM g0),
        |ev AS (SELECT DISTINCT gh FROM g WHERE is_eval),

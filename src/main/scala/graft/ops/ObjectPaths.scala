@@ -39,9 +39,12 @@ object ObjectPaths {
       if (open < 0) List(Field(part))
       else {
         val head = part.substring(0, open)
-        val idxs = "\\[(\\d+)\\]".r.findAllMatchIn(part)
-          .map(m => Index(m.group(1).toInt)).toList
-        require(idxs.nonEmpty && part.endsWith("]"),
+        val ms = "\\[(\\d+)\\]".r.findAllMatchIn(part).toList
+        val idxs = ms.map(m => Index(m.group(1).toInt))
+        // the segment must be EXACTLY head + concatenated [n] groups —
+        // interior text ("a[1]b[2]") would otherwise be silently
+        // dropped and the update land on the wrong location
+        require(idxs.nonEmpty && head + ms.map(_.matched).mkString == part,
           s"malformed path segment '$part'")
         (if (head.nonEmpty) List(Field(head)) else Nil) ::: idxs
       }
@@ -113,12 +116,19 @@ object ObjectPaths {
         st.find(_.name == n) match {
           case Some(f) =>
             val inner = updateCol(cur.getField(n), f.dataType, rest, value, where)
-            // a null struct being descended into is rebuilt fresh
+            // a null CHILD struct being descended into is rebuilt fresh
             // (withField on null yields null) — but only where matched
-            if (rest.isEmpty) cur.withField(n, inner)
-            else cur.withField(n,
-              when(cur.getField(n).isNull && where, fresh(rest, value, f.dataType))
-                .otherwise(inner))
+            val updated =
+              if (rest.isEmpty) cur.withField(n, inner)
+              else cur.withField(n,
+                when(cur.getField(n).isNull && where, fresh(rest, value, f.dataType))
+                  .otherwise(inner))
+            // ... and a null struct ITSELF (withField on a null parent
+            // also yields null) materializes with just the addressed
+            // path set where matched — leaf sets included, matching the
+            // reference's setdefault-chain scaffolding
+            when(cur.isNull && where, fresh(Field(n) :: rest, value, st))
+              .otherwise(updated)
           case None =>
             // ADD a new field; remaining path materializes as fresh
             // structs of the value's own shape
@@ -130,12 +140,18 @@ object ObjectPaths {
           case other => throw new IllegalArgumentException(
             s"index [$i] addressed under non-array $other")
         }
-        val base = coalesce(cur, array().cast(at))
+        // null-array materialization and padding apply ONLY to rows the
+        // update touches (where must be coalesced: a NULL predicate is a
+        // non-match, and !where || … three-valued logic would otherwise
+        // pad those rows) — every other row keeps its original value,
+        // nulls included
+        val matched = coalesce(where, lit(false))
+        val base = when(matched, coalesce(cur, array().cast(at))).otherwise(cur)
         val needsPad = size(base) < i + 1
-        // pad only rows the update touches — others keep their length
-        val padded = when(!where || !needsPad, base).otherwise(
+        val padded = when(matched && needsPad,
           concat(base, array_repeat(lit(null).cast(at.elementType),
             lit(i + 1) - size(base))))
+          .otherwise(base)
         transform(padded, (x, j) => when(j === i,
           if (rest.isEmpty) when(where, value.cast(at.elementType)).otherwise(x)
           else when(x.isNull && where, fresh(rest, value, at.elementType))

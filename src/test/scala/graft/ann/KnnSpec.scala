@@ -96,4 +96,22 @@ class KnnSpec extends SparkSpec {
       .as[(Long, Int, Int, Boolean)].collect()
     r shouldBe Array((10L, 0, 0, true), (11L, 1, 1, true))
   }
+
+  test("knn classification: NULL-predicate rows land in train, not nowhere") {
+    // tag is NULL for ids 2/3 — (tag = 'probe') evaluates to NULL there;
+    // those rows must still serve as train neighbors. The majority vote
+    // DEPENDS on them: with nulls dropped from both sides (the old
+    // behavior) the only neighbor is id 1 (label 1) and the prediction
+    // flips to 1.
+    val labeled = Seq(
+      (1L, Seq(1.0f, 0.05f, 0f, 0f), 1, Some("train")),
+      (2L, Seq(0.9f, -0.05f, 0f, 0f), 0, None),
+      (3L, Seq(0.95f, 0.02f, 0f, 0f), 0, None),
+      (10L, Seq(0.99f, 0.0f, 0f, 0f), 0, Some("probe"))
+    ).toDF("vec_id", "embedding", "label", "tag")
+    val r = Knn.classifyKnn(labeled, "vec_id", "embedding", "label",
+      probePred = col("tag") === "probe", k = 3)
+      .as[(Long, Int, Int, Boolean)].collect()
+    r shouldBe Array((10L, 0, 0, true))
+  }
 }

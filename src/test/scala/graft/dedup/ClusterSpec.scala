@@ -34,6 +34,18 @@ class ClusterSpec extends SparkSpec {
         driverFoldThreshold = 0L).collect()
   }
 
+  test("driver fast path survives a deep descending chain (no stack overflow)") {
+    // edges in DESCENDING order build a parent chain as deep as the
+    // edge count — a recursive find() would blow the 1MB default stack
+    // well under the 50k driverFoldThreshold
+    val n = 30000L
+    val chain = (n to 2L by -1L).map(i => (i - 1, i)).toDF("id_a", "id_b")
+    val cc = Cluster.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc.size shouldBe n
+    cc.values.toSet shouldBe Set(1L)
+  }
+
   test("driver fast path and distributed path produce identical output") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val fast = Cluster.connectedComponents(pairs, "id_a", "id_b")

@@ -80,4 +80,56 @@ class ObjectPathsSpec extends SparkSpec {
       .select($"xs").as[Seq[Option[Int]]].collect().head
     got shouldBe Seq(Some(10), Some(20), None, Some(99))
   }
+
+  test("malformed segment with interior text is rejected, not misparsed") {
+    // 'a[1]b[2]' must error — the old parser dropped the 'b' and
+    // updated a[1][2] instead
+    val df = Seq((1, Seq(Seq(10)))).toDF("id", "a")
+    an[IllegalArgumentException] should be thrownBy
+      ObjectPaths.pathUpdate(df, "a[1]b[2]", lit(9))
+  }
+
+  test("non-matching rows keep a NULL array (not rewritten to empty)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Seq(1, 2)), Row(2L, null))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, xs ARRAY<INT>"))
+    val got = ObjectPaths.pathUpdate(df, "xs[0]", lit(9), where = col("id") === 1L)
+      .select($"id", $"xs").as[(Long, Option[Seq[Option[Int]]])]
+      .collect().toMap
+    got(1L) shouldBe Some(Seq(Some(9), Some(2)))
+    got(2L) shouldBe None // null stays null — the contract for untouched rows
+  }
+
+  test("NULL where-predicate rows are untouched (no pad, no rewrite)") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, "x", Seq(1)), Row(2L, null, Seq(2)))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, tag STRING, xs ARRAY<INT>"))
+    // where = (tag = 'x') is NULL for row 2 — it must keep xs = [2],
+    // not get padded through three-valued-logic fallthrough
+    val got = ObjectPaths.pathUpdate(df, "xs[1]", lit(9), where = col("tag") === "x")
+      .select($"id", $"xs").as[(Long, Seq[Option[Int]])].collect().toMap
+    got(1L) shouldBe Seq(Some(1), Some(9))
+    got(2L) shouldBe Seq(Some(2))
+  }
+
+  test("leaf set on a NULL parent struct scaffolds the container where matched") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Row("alice", 30)), Row(2L, null))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, who STRUCT<name: STRING, age: INT>"))
+    val out = ObjectPaths.pathUpdate(df, "who.age", lit(99))
+    val got = out.select($"id", $"who").collect()
+      .map(r => r.getLong(0) -> r.getStruct(1)).toMap
+    got(1L) shouldBe Row("alice", 99)
+    got(2L) shouldBe Row(null, 99) // reference scaffolds {} then sets the leaf
+    // ... but NOT where the predicate misses: the null struct survives
+    val miss = ObjectPaths.pathUpdate(df, "who.age", lit(99), where = col("id") === 1L)
+      .filter($"id" === 2L).select($"who").collect().head
+    miss.isNullAt(0) shouldBe true
+  }
 }
