@@ -240,6 +240,80 @@ object Knn {
        |WHERE rn = 1
        |ORDER BY src_id""".stripMargin
 
+  /** Scale tier of [[findMatches]]: candidate generation via shared
+    * sign-bit LSH bands on BOTH collections, exact cosine re-rank
+    * within the candidates, top-1 per source — the target collection is
+    * never broadcast and never crossJoined, so the plan survives a
+    * target that is itself a full collection (the brute tier's
+    * `broadcast(tgt)` dies when the target outgrows executor memory;
+    * keep it for dim-sized targets only). Sources sharing no band with
+    * any target produce no row — the approximation the banding buys;
+    * the oracle replays the identical banding, so results stay
+    * deterministic. `maxBucket` caps each side's (band, chunk) postings
+    * so a degenerate corpus cannot turn one bucket quadratic.
+    */
+  def findMatchesLsh(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+                     nBits: Int = 16, bands: Int = 4,
+                     maxBucket: Int = 10000): DataFrame = {
+    def withNorm(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
+        .withColumn(s"__n_$id", VectorFunctions.norm(col(s"__v_$id")))
+    def cappedBands(df: DataFrame, id: String) =
+      bandedSignBits(df, idCol, vecCol, nBits, bands)
+        .withColumn("__bsz", count(lit(1)).over(
+          Window.partitionBy("band", "chunk")))
+        .filter(col("__bsz") <= maxBucket)
+        .select(col("band"), col("chunk"), col(idCol).as(id))
+    val cand = cappedBands(src, "src_id")
+      .join(cappedBands(tgt, "tgt_id"), Seq("band", "chunk"))
+      .select("src_id", "tgt_id").distinct()
+    val w = Window.partitionBy("src_id")
+      .orderBy(col("__score").desc, col("tgt_id").asc)
+    cand
+      .join(withNorm(src, "src_id"), "src_id")
+      .join(withNorm(tgt, "tgt_id"), "tgt_id")
+      .withColumn("__score",
+        VectorFunctions.dot(col("__v_src_id"), col("__v_tgt_id")) /
+          (col("__n_src_id") * col("__n_tgt_id")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("src_id"), col("tgt_id"), round(col("__score"), 4).as("score"))
+      .orderBy("src_id")
+  }
+
+  def findMatchesLshDuckSql(table: String, idCol: String, vecCol: String,
+                            srcPred: String, tgtPred: String, dim: Int,
+                            nBits: Int = 16, bands: Int = 4,
+                            maxBucket: Int = 10000): String = {
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT $idCol, is_src, is_tgt, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
+    val cos = s"${dot("ea.v", "eb.v")} / (ea.nrm * eb.nrm)"
+    s"""WITH e AS (SELECT $idCol, ($srcPred) AS is_src, ($tgtPred) AS is_tgt,
+       |             CAST($vecCol AS DOUBLE[]) AS v,
+       |             sqrt(${dot("v", "v")}) AS nrm FROM $table),
+       |sigs AS (SELECT $idCol, is_src, is_tgt, ${signBitsDuck("v", nBits)} AS sig FROM e),
+       |bk AS ($bandSelects),
+       |bka AS (
+       |  SELECT $idCol AS src_id, band, chunk FROM bk WHERE is_src
+       |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $maxBucket),
+       |bkb AS (
+       |  SELECT $idCol AS tgt_id, band, chunk FROM bk WHERE is_tgt
+       |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $maxBucket),
+       |cand AS (SELECT DISTINCT src_id, tgt_id FROM bka JOIN bkb USING (band, chunk)),
+       |scored AS (
+       |  SELECT src_id, tgt_id, $cos AS c,
+       |    row_number() OVER (PARTITION BY src_id ORDER BY $cos DESC, tgt_id ASC) AS rn
+       |  FROM cand JOIN e ea ON cand.src_id = ea.$idCol
+       |            JOIN e eb ON cand.tgt_id = eb.$idCol)
+       |SELECT src_id, tgt_id, round(c, 4) AS score FROM scored WHERE rn = 1
+       |ORDER BY src_id""".stripMargin
+  }
+
   /** Embedding-cosine near-duplicate pairs via sign-bit banding +
     * cosine verify. Pairs only form inside (band, chunk) buckets;
     * 32 sign bits in 8-bit bands keep buckets small (256 values per

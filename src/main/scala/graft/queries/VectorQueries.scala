@@ -68,6 +68,18 @@ object VectorQueries extends QuerySet {
       Some(Knn.findMatchesDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
 
+    // The 100 TB tier of find_matches: LSH-band candidate join on both
+    // collections + exact cosine re-rank — no target broadcast, no
+    // nested-loop join anywhere in the plan.
+    Q("q_find_matches_lsh",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        Knn.findMatchesLsh(e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding")
+      },
+      Some(Knn.findMatchesLshDuckSql("embeddings", "vec_id", "embedding",
+        srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
+
     // Near-dup detection needs near-dups: pair the corpus with an
     // id-shifted copy of itself so every vector has one exact duplicate
     // (cosine 1.0) the LSH banding must recover.

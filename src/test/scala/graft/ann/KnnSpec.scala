@@ -71,6 +71,21 @@ class KnnSpec extends SparkSpec {
     r(0)._3 shouldBe 1.0
   }
 
+  test("findMatchesLsh: exact duplicate shares every band and wins the re-rank") {
+    val src = vecs.filter($"vec_id" <= 2)
+    val tgt = vecs.filter($"vec_id" >= 3)
+    val r = Knn.findMatchesLsh(src, tgt, "vec_id", "embedding", nBits = 4, bands = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    // source 1 = [1,0,0,0]: its duplicate id 5 shares all bands, scores 1.0
+    val m1 = r.find(_._1 == 1L).get
+    m1._2 shouldBe 5L
+    m1._3 shouldBe 1.0
+    // no BroadcastNestedLoopJoin anywhere — the point of the tier
+    val plan = Knn.findMatchesLsh(src, tgt, "vec_id", "embedding", nBits = 4, bands = 2)
+      .queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("embedding near-dup pairs finds the duplicate pair via banding") {
     val pairs = Knn.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.95,
       nBits = 4, bands = 2)
