@@ -150,6 +150,25 @@ class Collection(val name: String, val df: DataFrame) {
       graft.index.TrigramIndexer.index(df, idCol, textCol), idCol, query, k)
   }
 
+  /** Multi-attribute search (reference index_attributes /
+    * text_template — indexer.py:81-156): each object renders to text
+    * via [[graft.index.Indexer.objectText]] (single attribute → its
+    * raw value; several → joined "attr: value" segments, nulls
+    * dropped; template → f-string substitution), then the
+    * hashed-trigram cosine search runs over that rendering. The
+    * rendering is a Column fused into the index scan — no per-object
+    * driver loop.
+    */
+  def searchObjects(query: String, indexAttributes: Seq[String],
+                    template: Option[String] = None, k: Int = 10): DataFrame = {
+    val idCol = df.columns.head
+    val withText = df.withColumn("__obj_text",
+      graft.index.Indexer.objectText(indexAttributes, template))
+    graft.index.Search.searchTrigram(spark,
+      graft.index.TrigramIndexer.index(withText, idCol, "__obj_text"),
+      idCol, query, k)
+  }
+
   /** Search with MMR-diversified re-ranking of the cosine top-`fetchK`
     * (reference: mmr_diversified_search).
     */

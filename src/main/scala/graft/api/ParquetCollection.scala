@@ -155,6 +155,49 @@ class ParquetCollection(
       dim: Int = graft.index.TrigramIndexer.DefaultDim): Unit =
     attachIndex(idCol, textCol, dim)
 
+  /** Materialize a multi-attribute index (reference index_attributes /
+    * text_template — indexer.py:81-156): rows render to text via
+    * [[graft.index.Indexer.objectText]] before trigram hashing. The
+    * shadow collection is keyed by the '+'-joined attribute list, so
+    * single- and multi-attribute indexes coexist.
+    */
+  def attachIndex(idCol: String, attrs: Seq[String],
+      template: Option[String],
+      dim: Int): Unit = {
+    val key = attrs.mkString("+")
+    val withText = df.withColumn("__obj_text",
+      graft.index.Indexer.objectText(attrs, template))
+    indexCollection(key).replace(
+      graft.index.TrigramIndexer.index(withText, idCol, "__obj_text", dim))
+    Files.writeString(Paths.get(s"$root/_index_$key", "_DIM"), dim.toString)
+  }
+
+  def attachIndex(idCol: String, attrs: Seq[String]): Unit =
+    attachIndex(idCol, attrs, None, graft.index.TrigramIndexer.DefaultDim)
+
+  /** Cosine top-k search over a multi-attribute rendering; uses the
+    * materialized shadow index for the same attribute list when one
+    * exists, else builds inline.
+    */
+  def search(idCol: String, attrs: Seq[String], query: String, k: Int,
+      template: Option[String]): DataFrame = {
+    val key = attrs.mkString("+")
+    val idx = indexCollection(key)
+    val materialized = Files.exists(Paths.get(s"$root/_index_$key", "_CURRENT"))
+    val effDim =
+      if (materialized) {
+        val dimFile = Paths.get(s"$root/_index_$key", "_DIM")
+        if (Files.exists(dimFile)) Files.readString(dimFile).trim.toInt
+        else graft.index.TrigramIndexer.DefaultDim
+      } else graft.index.TrigramIndexer.DefaultDim
+    val idxDf =
+      if (materialized) idx.df
+      else graft.index.TrigramIndexer.index(
+        df.withColumn("__obj_text", graft.index.Indexer.objectText(attrs, template)),
+        idCol, "__obj_text", effDim)
+    graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, effDim)
+  }
+
   /** Cosine top-k search. Uses the MATERIALIZED shadow index when one
     * has been attached; otherwise builds the index inline (correct but
     * corpus-scanning — the reference similarly auto-indexes on demand).

@@ -30,6 +30,15 @@ object VectorQueries extends QuerySet {
         "doc_id", Query, k = 10),
       Some(Search.searchTrigramDuckSql("documents", "doc_id", "text", Query, k = 10))),
 
+    // Multi-attribute search (reference index_attributes): the object
+    // renders to "source: …; text: …" before trigram hashing — the
+    // common "index name+description" case, one fused projection.
+    Q("q_search_multiattr",
+      (s, d) => new graft.api.Collection("documents", Tables.df(s, d, "documents"))
+        .searchObjects(Query, Seq("source", "text")),
+      Some(Search.searchTrigramDuckSql("documents", "doc_id",
+        graft.index.Indexer.objectTextDuckSql(Seq("source", "text")), Query, k = 10))),
+
     Q("q_ann_bruteforce",
       (s, d) => Knn.bruteForceTopK(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10),

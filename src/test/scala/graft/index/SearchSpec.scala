@@ -74,6 +74,42 @@ class SearchSpec extends SparkSpec {
     rows.map(_.getAs[Int]("mmr_rank")).toSeq shouldBe Seq(1, 2, 3)
   }
 
+  test("objectText renders reference indexer semantics") {
+    import org.apache.spark.sql.functions.col
+    val objs = Seq(
+      (1, "John", Some(30), Some("likes spark")),
+      (2, "Ann", None, Some("likes ducks")),
+      (3, "Bo", Some(7), None)
+    ).toDF("id", "name", "age", "bio")
+    // single attribute, no template → raw value (str(obj[attr]))
+    objs.select(Indexer.objectText(Seq("age")).as("t"))
+      .as[Option[String]].collect().toSet shouldBe Set(Some("30"), None, Some("7"))
+    // several attributes → joined segments, null-valued attrs dropped
+    objs.filter(col("id") === 2)
+      .select(Indexer.objectText(Seq("name", "age", "bio")).as("t"))
+      .as[String].collect().head shouldBe "name: Ann; bio: likes ducks"
+    // template → f-string substitution; null renders as Python's "None"
+    objs.filter(col("id") === 3)
+      .select(Indexer.objectText(Nil, Some("{name} says: {bio}")).as("t"))
+      .as[String].collect().head shouldBe "Bo says: None"
+  }
+
+  test("multi-attribute search matches on any rendered attribute") {
+    val coll = new graft.api.Collection("docs", Seq(
+      (1, "alpha", "spark is fast"),
+      (2, "spark", "ducks swim in ponds"),
+      (3, "gamma", "wholly unrelated words")
+    ).toDF("doc_id", "title", "body"))
+    // the query hits doc 1 via body and doc 2 via TITLE — a
+    // single-column index over body alone would miss doc 2
+    val ids = coll.searchObjects("spark", Seq("title", "body"), k = 3)
+      .collect().map(_.getInt(0)).toSet
+    ids should contain allOf (1, 2)
+    val bodyOnly = coll.searchObjects("spark", Seq("body"), k = 3)
+      .collect().map(_.getInt(0)).toSet
+    bodyOnly should not contain 2
+  }
+
   test("mmr: first pick is most relevant, then diversity kicks in") {
     val q = Array(1.0, 0.0)
     val docsV = IndexedSeq(
