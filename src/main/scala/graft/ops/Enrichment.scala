@@ -109,7 +109,9 @@ object Enrichment {
     // tiny next to the corpus — so per-row expression cost is nil.
     val base = catSample
       .join(catGlobal, "category")
-      .join(broadcast(sampleTot), "sample")
+      // NO broadcast hint: sample cardinality is data-driven (unbounded
+      // at corpus scale) — AQE still broadcasts when it is actually small
+      .join(sampleTot, "sample")
       .withColumn("ln_pmf", expr(
         s"""${lnfact("k_g")} - ${lnfact("k_s")} - ${lnfact("k_g - k_s")}
            | + ${lnfact("n_g - k_g")} - ${lnfact("n_s - k_s")}

@@ -1,12 +1,15 @@
 package graft
 
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.catalyst.optimizer.BuildSide
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan}
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
 
 /** Plan-shape guardrails over EVERY registered query at sf0.001: the
   * properties that keep the engine viable at 100 TB, asserted on the
-  * physical plan so a regression fails CI, not the cluster.
+  * physical (or optimized logical) plan so a regression fails CI, not
+  * the cluster.
   */
 class PlanAuditSpec extends SparkSpec {
 
@@ -15,6 +18,12 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): SparkPlan = {
     val df = SparkEntry.queries(name)(spark, sfDir)
     try df.queryExecution.sparkPlan
+    finally graft.api.CacheScope.global.release()
+  }
+
+  private def optimized(name: String): LogicalPlan = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    try df.queryExecution.optimizedPlan
     finally graft.api.CacheScope.global.release()
   }
 
@@ -31,6 +40,84 @@ class PlanAuditSpec extends SparkSpec {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       plan(name).collect { case w: WindowExec if w.partitionSpec.isEmpty => w }.nonEmpty
     }
+    offenders shouldBe empty
+  }
+
+  // Queries whose BroadcastNestedLoopJoin is a BOUNDED side by
+  // construction — the KMeans-centers pattern, not a data-sized
+  // broadcast. Every entry is justified; anything NOT listed that
+  // plans a BNLJ is a regression.
+  private val bnljAllowed = Set(
+    "q_ann_bruteforce", // 1-row query vector crossJoin
+    "q_ann_lsh",        // 1-row query vector crossJoin (post-candidates)
+    "q_knn_classify",   // bounded probe set broadcast
+    "q_tfidf",          // 1-row corpus-count crossJoin
+    "q_unigram_xent",   // 1-row token-total crossJoin
+    "q_enrichment",     // 1-row sample/background totals
+    "q_pack_sequences", // 256x256 hex-bucket triangular join (literal-bounded)
+    "q_find_matches"    // the documented BRUTE tier: whole-target
+                        // broadcast, kept for dim-sized targets only —
+                        // q_find_matches_lsh is the collection-scale path
+  )
+
+  test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty
+    }.filterNot(bnljAllowed)
+    offenders shouldBe empty
+  }
+
+  test("every find-family query pushes its filter into the parquet scan") {
+    val findQueries = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith("q_find"))
+    findQueries should not be empty
+    val offenders = findQueries.filter { name =>
+      val pushed = plan(name).collect {
+        case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "[]")
+      }
+      !pushed.exists(p => p.nonEmpty && p != "[]")
+    }
+    offenders shouldBe empty
+  }
+
+  test("q_select_cols prunes the scan to the projected columns") {
+    val df = SparkEntry.queries("q_select_cols")(spark, sfDir)
+    val scans = df.queryExecution.sparkPlan.collect { case s: FileSourceScanExec => s }
+    scans should not be empty
+    // the scan must read exactly the projection, not the full table
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    readCols shouldBe df.columns.toSet
+  }
+
+  test("no query broadcast-hints a grouped (unbounded) aggregate") {
+    // an explicit broadcast() of a groupBy-aggregate ships an
+    // unbounded result (a 100 TB corpus vocabulary / document
+    // frequency table cannot broadcast) — re-adding the tfIdf dfreq
+    // hint reproduces this failure. Global aggregates (count(*) totals,
+    // 1 row) and non-aggregate sides (dim tables, bounded probe sets)
+    // stay allowed.
+    def hintedGroupedAgg(j: Join): Boolean = {
+      // the TOPMOST aggregate decides the hinted side's cardinality: a
+      // global (grouping-less) aggregate emits one row no matter what
+      // it aggregates over, so only a grouped aggregate AT THE TOP is
+      // an unbounded broadcast
+      def grouped(p: LogicalPlan) = p.collectFirst {
+        case a: Aggregate => a
+      }.exists(_.groupingExpressions.nonEmpty)
+      val leftHinted = j.hint.leftHint.exists(_.strategy.isDefined) && grouped(j.left)
+      val rightHinted = j.hint.rightHint.exists(_.strategy.isDefined) && grouped(j.right)
+      leftHinted || rightHinted
+    }
+    // Grouped-aggregate broadcasts whose GROUPING KEY is bounded by
+    // construction (not by the data):
+    //  - q_decontaminate: the EVAL side's distinct grams — bounded by
+    //    the eval suite (not a corpus), documented in Corpus.scala
+    //  - q_mutual_info: totals grouped by column-name PAIRS — ≤ nCols²
+    //    rows, schema-bounded
+    //  - q_pack_sequences: totals grouped by the 256-value hex bucket
+    val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
+    }.filterNot(allowed)
     offenders shouldBe empty
   }
 }
