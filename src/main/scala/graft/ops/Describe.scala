@@ -48,15 +48,35 @@ object Describe {
       val neededIdx: Set[Long] = positions.flatMap { case (_, pos) =>
         Seq(math.floor(pos).toLong, math.ceil(pos).toLong)
       }.toSet
+      // Global sorted position WITHOUT an RDD round-trip and WITHOUT a
+      // partition-less window (the all-rows-to-one-task collapse):
+      // range-partition the values (partition i holds values <= any in
+      // partition i+1), count rows per partition (bounded: one row per
+      // partition), then row_number WITHIN each partition + the
+      // partition's cumulative offset = the exact global index. All
+      // codegen, both jobs over one cached narrow column.
       val sorted = df.select(col(c).cast("double").as("v"))
         .filter(col("v").isNotNull)
-        .orderBy("v")
-      // zipWithIndex preserves the sort order and distributes the scan;
-      // only the <= 6 needed rows come back.
-      val found: Map[Long, Double] = sorted.rdd
-        .map(_.getDouble(0)).zipWithIndex()
-        .filter { case (_, i) => neededIdx.contains(i) }
-        .collect().map { case (v, i) => i -> v }.toMap
+        .repartitionByRange(col("v"))
+        .withColumn("__pid", spark_partition_id())
+        .persist()
+      val found: Map[Long, Double] =
+        try {
+          val cnts = sorted.groupBy("__pid").agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+          val offsets = cnts.map(_._2).scanLeft(0L)(_ + _).init
+          val offMap = map(cnts.map(_._1).zip(offsets).flatMap {
+            case (pid, off) => Seq(lit(pid), lit(off))
+          }.toSeq: _*)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("__pid").orderBy("v")
+          sorted
+            .withColumn("__idx",
+              row_number().over(w).cast("long") - 1 + element_at(offMap, col("__pid")))
+            .filter(col("__idx").isin(neededIdx.toSeq: _*))
+            .select("__idx", "v")
+            .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        } finally sorted.unpersist()
       positions.map { case (k, pos) =>
         val lo = found(math.floor(pos).toLong)
         val hi = found(math.ceil(pos).toLong)

@@ -19,6 +19,36 @@ class OpsSpec extends SparkSpec {
       ("tag", "string", false, true, 1L))
   }
 
+  test("induced class definition carries range/multivalued/inlined/required and round-trips") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "a", Seq(1.0, 2.0),
+          org.apache.spark.sql.Row("x", 1), Seq(org.apache.spark.sql.Row("y", 2))),
+        org.apache.spark.sql.Row(2L, null, Seq(3.0),
+          org.apache.spark.sql.Row("z", 3), Seq.empty[org.apache.spark.sql.Row]))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, tag STRING, scores ARRAY<DOUBLE>, " +
+        "who STRUCT<name: STRING, n: INT>, kids ARRAY<STRUCT<k: STRING, v: INT>>"))
+    val cd = SchemaInduce.induceClassDefinition(df, "Thing")
+    cd.name shouldBe "Thing"
+    val byName = cd.attributes.map(s => s.name -> s).toMap
+    byName("id") shouldBe SchemaInduce.SlotDefinition("id", Some("integer"),
+      multivalued = false, inlined = false, required = true)
+    // observed null → not required (the reference's observation heuristic)
+    byName("tag").required shouldBe false
+    byName("tag").range shouldBe Some("string")
+    byName("scores") shouldBe SchemaInduce.SlotDefinition("scores", Some("float"),
+      multivalued = true, inlined = false, required = true)
+    // nested object → inlined, no range (reference collection.py:1128)
+    byName("who").inlined shouldBe true
+    byName("who").range shouldBe None
+    // list of objects → inlined_as_list
+    byName("kids").multivalued shouldBe true
+    byName("kids").inlinedAsList shouldBe true
+    // the artifact is exportable: JSON round-trips to an equal value
+    SchemaInduce.ClassDefinition.fromJson(cd.toJson) shouldBe cd
+  }
+
   test("validate emits one violation row per broken rule, none for clean rows") {
     val df = Seq(
       (1, "F", 10.0, "1-URGENT"),
