@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Opt-in scale linearity smoke for the pair-finders: runs each on the
+  * documents/embeddings corpus at 1x and 10x and reports the runtime
+  * ratio — the early-warning check that catches the next quadratic
+  * path (an uncapped self-join blows past 10x growth long before the
+  * driver bench does).
+  *
+  * The 10x corpora are id-shifted copies whose CONTENT is salted per
+  * copy (tokens suffixed / embeddings jittered), so copies do not
+  * near-duplicate each other and the duplicate-pair density per row
+  * stays constant — the regime where a healthy pair-finder scales
+  * ~linearly and a skew-uncapped one goes quadratic.
+  *
+  * Run: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 sbt "runMain graft.ScaleSmoke"
+  * Exit code 1 if any ratio exceeds MaxRatio (clear superlinear signal).
+  */
+object ScaleSmoke {
+
+  /** 10x wall-clock budget with generous constant-overhead slack: a
+    * quadratic pair path shows up as >= 50x, linear lands well under.
+    */
+  val MaxRatio = 25.0
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = Tables.df(spark, sfDir, "documents").select("doc_id", "text")
+    val embs = Tables.df(spark, sfDir, "embeddings").select("vec_id", "embedding")
+
+    // k salted copies: copy 0 is the original; higher copies shift ids
+    // and perturb content so cross-copy rows never pair
+    def docsX(k: Int): DataFrame = (0 until k).map { i =>
+      if (i == 0) docs
+      else docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit(s"_$i")))).as("text"))
+    }.reduce(_ unionByName _)
+
+    def embsX(k: Int): DataFrame = (0 until k).map { i =>
+      if (i == 0) embs
+      else embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => x + lit(0.25f) * cos(j.cast("double") * lit(i.toDouble))
+            .cast("float")).as("embedding"))
+    }.reduce(_ unionByName _)
+
+    def time(f: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      f.queryExecution.toRdd.foreach(_ => ())
+      graft.api.CacheScope.global.release(blocking = true)
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val finders: Seq[(String, Int => DataFrame)] = Seq(
+      "ngram_jaccard" -> (k =>
+        graft.dedup.NgramJaccard.jaccardPairs(docsX(k), "doc_id", "text")),
+      "minhash_lsh" -> (k =>
+        graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text")),
+      "embed_neardup" -> (k =>
+        graft.ann.Knn.nearDupPairs(embsX(k), "vec_id", "embedding", threshold = 0.95)))
+
+    var failed = false
+    val results = finders.map { case (name, f) =>
+      val warm = time(f(1)) // JIT/classload warm-up, untimed
+      val t1 = time(f(1))
+      val tk = time(f(copies))
+      val ratio = tk / math.max(t1, 0.01)
+      if (ratio > MaxRatio) failed = true
+      System.err.println(f"[scale] $name%-14s 1x=$t1%.2f s ${copies}x=$tk%.2f s ratio=$ratio%.1f (warm $warm%.2f)")
+      s""""$name":{"t1":$t1,"tk":$tk,"ratio":$ratio}"""
+    }
+    println(s"""{"metric":"scale_smoke","copies":$copies,"max_ratio":$MaxRatio,"finders":{${results.mkString(",")}},"sf":"$sfDir"}""")
+    spark.stop()
+    if (failed) sys.exit(1)
+  }
+}
