@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * reference's Format enum + load/render helpers (reference:
   * src/linkml_store/utils/format_utils.py:24-210; collection.py:
   * 1167-1186 import_/export). Supported: parquet, csv, tsv, json
-  * (array document), jsonl (one object per line). yaml/xlsx are
-  * driver-bound formats out of scope for a distributed engine
-  * (documented divergence).
+  * (array document), jsonl (one object per line), and WRITE-side
+  * yaml (one list document) / yamll (one `---`-separated document per
+  * row, written distributed). YAML READS and xlsx stay out of scope —
+  * the zero-egress container carries no YAML parser / xlsx library
+  * (documented divergence; [[YamlRender]] is the hand-rolled writer).
   *
   * All readers/writers are Spark sources: reads parallelize per file
   * split, writes shard per partition. `json` (array) READS distributed
   * (multiLine); its WRITE is driver-side by necessity (a single JSON
   * array is inherently sequential) and guarded by a row cap — use
-  * `jsonl` for large exports.
+  * `jsonl` for large exports. Same contract for `yaml` (single
+  * document) vs `yamll` (distributed).
   */
 object Formats {
 
@@ -65,7 +68,35 @@ object Formats {
     }
   }
 
-  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json)
+  case object Yaml extends Format("yaml", Seq("yaml", "yml")) {
+    def read(spark: SparkSession, path: String): DataFrame =
+      throw new UnsupportedOperationException(
+        "yaml READ is out of scope (no YAML parser in the container); yaml/yamll are export formats")
+    /** Driver-side single-document export; refuses unboundedly large frames. */
+    def write(df: DataFrame, path: String): Unit = write(df, path, maxRows = 1000000)
+    def write(df: DataFrame, path: String, maxRows: Long): Unit = {
+      val rows = df.limit((maxRows + 1).toInt).collect()
+      require(rows.length <= maxRows,
+        s"yaml (single document) export exceeds $maxRows rows; use yamll for large exports")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+        YamlRender.renderDoc(rows.toSeq))
+    }
+  }
+
+  case object Yamll extends Format("yamll", Seq("yamll")) {
+    def read(spark: SparkSession, path: String): DataFrame =
+      throw new UnsupportedOperationException(
+        "yamll READ is out of scope (no YAML parser in the container); yaml/yamll are export formats")
+    /** Distributed: each row renders to its own `---`-prefixed YAML
+      * document, sharded per partition like any Spark text write.
+      */
+    def write(df: DataFrame, path: String): Unit =
+      df.map(r => "---\n" + YamlRender.renderRow(r))(
+          org.apache.spark.sql.Encoders.STRING)
+        .write.mode(SaveMode.Overwrite).text(path)
+  }
+
+  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json, Yaml, Yamll)
 
   def byName(name: String): Format =
     all.find(_.name == name.toLowerCase).getOrElse(

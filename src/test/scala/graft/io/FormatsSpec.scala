@@ -45,8 +45,56 @@ class FormatsSpec extends SparkSpec {
   test("format inference from extension; unknown formats raise") {
     Formats.fromPath("/x/y/data.parquet") shouldBe Formats.Parquet
     Formats.fromPath("a.tsv") shouldBe Formats.Tsv
+    Formats.fromPath("a.yml") shouldBe Formats.Yaml
     an[IllegalArgumentException] should be thrownBy Formats.fromPath("a.xlsx")
-    an[IllegalArgumentException] should be thrownBy Formats.byName("yaml")
+    an[IllegalArgumentException] should be thrownBy Formats.byName("toml")
+  }
+
+  test("yaml: single list document with nested structs, arrays, nulls") {
+    val nested = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "plain", org.apache.spark.sql.Row("oslo", 3),
+          Seq("a b", "true"), null),
+        org.apache.spark.sql.Row(2L, "needs: quoting", null, Seq.empty[String], 2.5))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, name STRING, addr STRUCT<city: STRING, n: INT>, " +
+        "tags ARRAY<STRING>, score DOUBLE"))
+    val p = tmp("t.yaml")
+    Formats.write(nested.orderBy("id"), p, "yaml")
+    val body = Files.readString(java.nio.file.Paths.get(p))
+    body shouldBe
+      """- id: 1
+        |  name: plain
+        |  addr:
+        |    city: oslo
+        |    n: 3
+        |  tags:
+        |    - a b
+        |    - 'true'
+        |  score: null
+        |- id: 2
+        |  name: 'needs: quoting'
+        |  addr: null
+        |  tags: []
+        |  score: 2.5
+        |""".stripMargin
+  }
+
+  test("yamll: distributed per-row documents with --- separators") {
+    val p = tmp("t.yamll")
+    Formats.write(df, p, "yamll")
+    val w = Files.walk(java.nio.file.Paths.get(p))
+    val text =
+      try {
+        import scala.jdk.CollectionConverters._
+        w.iterator().asScala.filter(_.getFileName.toString.startsWith("part-"))
+          .map(f => Files.readString(f)).mkString
+      } finally w.close()
+    text.split("(?m)^---$").count(_.trim.nonEmpty) shouldBe 3
+    text should include("name: alice")
+    text should include("score: 30.5")
+    // reads are documented out of scope
+    an[UnsupportedOperationException] should be thrownBy Formats.read(spark, p, "yamll")
   }
 
   test("glob ingest stamps each row with its source file") {
