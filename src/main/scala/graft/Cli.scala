@@ -1,0 +1,196 @@
+package graft
+
+import graft.api.{Collection, Query, SortKey}
+import graft.query.Filter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thin command-line surface over the engine API — the analog of the
+  * reference's `linkml-store` CLI (reference: src/linkml_store/cli.py:
+  * query/fq/groupby/describe/pivot/search/schema/validate/diff/export).
+  * Every command is a direct call into the same operators the library
+  * exposes; the CLI adds only argument parsing and output rendering.
+  *
+  *   graft.Cli <command> --path <data> [options]
+  *
+  * Commands: query, fq, describe, pivot, search, schema, validate,
+  * diff, export, peek.
+  * Common options: --path (input; format inferred from extension or
+  * --in-format), --output (written via the Formats registry; default
+  * prints TSV to stdout, first --limit rows), --where k=v[,k2=v2]
+  * (equality; values auto-typed; `k>v k>=v k<v k<=v k!=v` comparisons).
+  */
+object Cli {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = try run(args.toSeq, spark, Console.out.println(_))
+      finally spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+
+  /** Testable entry: parses `args`, runs the command, emits rendered
+    * lines through `out`. Returns a process exit code.
+    */
+  def run(args: Seq[String], spark: SparkSession, out: String => Unit): Int = {
+    if (args.isEmpty) { out(usage); return 2 }
+    val command = args.head
+    val opts = parseOpts(args.tail)
+    try {
+      command match {
+        case "query" => emit(opts, out, queryCmd(spark, opts))
+        case "fq" =>
+          val df = load(spark, opts)
+          val cols = opts.getOrElse("columns",
+            throw new IllegalArgumentException("fq needs --columns")).split(',').toSeq
+          emit(opts, out, new Collection("cli", df)
+            .facetsBatched(cols, whereOf(opts), limitOf(opts, 100).toInt))
+        case "describe" =>
+          val df = load(spark, opts)
+          val cols = opts.get("columns").map(_.split(',').toSeq)
+            .getOrElse(df.schema.fields.toSeq
+              .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+              .map(_.name))
+          emit(opts, out, graft.ops.Describe.describe(df, cols))
+        case "pivot" =>
+          val df = load(spark, opts)
+          def need(k: String) = opts.getOrElse(k,
+            throw new IllegalArgumentException(s"pivot needs --$k"))
+          emit(opts, out, df.groupBy(col(need("index")))
+            .pivot(need("columns"))
+            .agg(sum(col(need("values"))))
+            .orderBy(need("index")))
+        case "search" =>
+          val df = load(spark, opts)
+          val term = opts.getOrElse("query",
+            throw new IllegalArgumentException("search needs --query"))
+          val coll = new Collection("cli", df)
+          val res = opts.get("attrs") match {
+            case Some(attrs) => coll.searchObjects(term, attrs.split(',').toSeq,
+              opts.get("template"), limitOf(opts, 10).toInt)
+            case None => coll.search(opts.getOrElse("text-col", "text"), term,
+              limitOf(opts, 10).toInt)
+          }
+          emit(opts, out, res)
+        case "schema" =>
+          val df = load(spark, opts)
+          out(graft.ops.SchemaInduce.induceClassDefinition(df,
+            opts.getOrElse("class-name", "Induced")).toJson)
+        case "validate" =>
+          val df = load(spark, opts)
+          val pk = opts.getOrElse("id-col", df.columns.head)
+          val rules = opts.getOrElse("required", "").split(',').filter(_.nonEmpty)
+            .map(c => graft.ops.Validate.Required(c)).toSeq
+          if (rules.isEmpty)
+            throw new IllegalArgumentException("validate needs --required col[,col]")
+          emit(opts, out, graft.ops.Validate.validate(df, pk, rules))
+        case "diff" =>
+          val df = load(spark, opts)
+          val other = graft.io.Formats.read(spark,
+            opts.getOrElse("other", throw new IllegalArgumentException("diff needs --other")),
+            opts.getOrElse("in-format", null))
+          val pk = opts.getOrElse("id-col", df.columns.head)
+          emit(opts, out, graft.ops.Diff.diff(df, other, pk))
+        case "export" =>
+          val df = queryCmd(spark, opts)
+          val output = opts.getOrElse("output",
+            throw new IllegalArgumentException("export needs --output"))
+          graft.io.Formats.write(df, output, opts.getOrElse("format", null))
+          out(s"wrote $output")
+        case "peek" => emit(opts, out, load(spark, opts).limit(limitOf(opts, 10).toInt))
+        case other => out(s"unknown command '$other'\n$usage"); return 2
+      }
+      0
+    } catch {
+      case e: IllegalArgumentException => out(s"error: ${e.getMessage}"); 2
+    }
+  }
+
+  private def queryCmd(spark: SparkSession, opts: Map[String, String]): DataFrame =
+    new Collection("cli", load(spark, opts)).find(
+      whereOf(opts),
+      selectCols = opts.get("select").map(_.split(',').toSeq).getOrElse(Nil),
+      sortBy = opts.get("sort").map(_.split(',').toSeq.map(SortKey.parse)).getOrElse(Nil),
+      limit = opts.get("limit").map(_.toLong).getOrElse(-1L),
+      offset = opts.get("offset").map(_.toLong).getOrElse(0L))
+
+  private def load(spark: SparkSession, opts: Map[String, String]): DataFrame =
+    graft.io.Formats.read(spark,
+      opts.getOrElse("path", throw new IllegalArgumentException("missing --path")),
+      opts.getOrElse("in-format", null))
+
+  private def limitOf(opts: Map[String, String], dflt: Long): Long =
+    opts.get("limit").map(_.toLong).getOrElse(dflt)
+
+  /** `--flag value` pairs → map (later repeats win, like the reference). */
+  private def parseOpts(args: Seq[String]): Map[String, String] =
+    args.grouped(2).map {
+      case Seq(k, v) if k.startsWith("--") => k.stripPrefix("--") -> v
+      case other => throw new IllegalArgumentException(
+        s"expected --flag value pairs, got '${other.mkString(" ")}'")
+    }.toMap
+
+  private val Cmp = "^([A-Za-z_][A-Za-z0-9_.]*)(>=|<=|!=|>|<|=)(.*)$".r
+
+  /** Mongo-ish where from `k=v,k2>v2`: equality + comparisons, values
+    * auto-typed (long, double, boolean, else string).
+    */
+  private[graft] def whereOf(opts: Map[String, String]): Filter =
+    opts.get("where") match {
+      case None => Filter.True
+      case Some(spec) =>
+        val parts: Seq[Filter] = spec.split(',').toSeq.map {
+          case Cmp(k, op, raw) =>
+            val v = typed(raw)
+            op match {
+              case "=" => Filter.eq(k, v)
+              case "!=" => Filter.ne(k, v)
+              case ">" => Filter.gt(k, v)
+              case ">=" => Filter.gte(k, v)
+              case "<" => Filter.lt(k, v)
+              case "<=" => Filter.lte(k, v)
+            }
+          case other => throw new IllegalArgumentException(s"bad where term '$other'")
+        }
+        if (parts.size == 1) parts.head else Filter.And(parts)
+    }
+
+  private def typed(raw: String): Any =
+    if (raw.matches("^-?\\d+$")) raw.toLong
+    else if (raw.matches("^-?\\d*\\.\\d+$")) raw.toDouble
+    else if (raw == "true" || raw == "false") raw.toBoolean
+    else raw
+
+  /** First `limit` rows as header + TSV (the reference's default
+    * stdout table), or a file via the Formats registry.
+    */
+  private def emit(opts: Map[String, String], out: String => Unit, df: DataFrame): Unit =
+    opts.get("output") match {
+      case Some(path) =>
+        graft.io.Formats.write(df, path, opts.getOrElse("format", null))
+        out(s"wrote $path")
+      case None =>
+        val rows = df.limit(limitOf(opts, 50).toInt).collect()
+        out(df.columns.mkString("\t"))
+        rows.foreach(r => out((0 until r.length).map(i =>
+          if (r.isNullAt(i)) "null" else r.get(i).toString).mkString("\t")))
+    }
+
+  private val usage: String =
+    """usage: graft.Cli <command> --path <data> [options]
+      |commands: query fq describe pivot search schema validate diff export peek
+      |options: --where k=v,k2>v2  --select a,b  --sort -col  --limit n  --offset n
+      |         --columns a,b  --index/--columns/--values (pivot)  --query term
+      |         --attrs a,b --template "{a}: {b}" (search)  --required a,b (validate)
+      |         --other path --id-col pk (diff)  --output path --format fmt""".stripMargin
+}

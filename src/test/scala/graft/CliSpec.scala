@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.Files
+
+/** The CLI is a thin shell over the library — these specs drive the
+  * command surface end-to-end (parse → operator → rendered output),
+  * reference cli.py analog commands.
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dataPath = {
+    val p = Files.createTempDirectory("graft-cli").resolve("people.parquet").toString
+    Seq(
+      (1L, "alice", 30.5, "oslo"),
+      (2L, "bob", 25.0, "oslo"),
+      (3L, "carol", 41.25, "bergen")
+    ).toDF("id", "name", "score", "city").write.parquet(p)
+    p
+  }
+
+  private def runCli(args: String*): (Int, Seq[String]) = {
+    val lines = scala.collection.mutable.ArrayBuffer[String]()
+    val code = Cli.run(args.toSeq, spark, lines += _)
+    (code, lines.toSeq)
+  }
+
+  test("query: where + select + sort + limit") {
+    val (code, out) = runCli("query", "--path", dataPath,
+      "--where", "city=oslo,score>25.1", "--select", "id,name", "--sort", "-id")
+    code shouldBe 0
+    out.head shouldBe "id\tname"
+    out.tail shouldBe Seq("1\talice")
+  }
+
+  test("fq: facet counts for a column") {
+    val (code, out) = runCli("fq", "--path", dataPath, "--columns", "city")
+    code shouldBe 0
+    // batched facet output: (facet, value, count), count DESC
+    out.tail.head.split('\t').toSeq shouldBe Seq("city", "oslo", "2")
+  }
+
+  test("describe: numeric columns by default") {
+    val (code, out) = runCli("describe", "--path", dataPath)
+    code shouldBe 0
+    out.head.split('\t').head shouldBe "column"
+    out.map(_.split('\t').head) should contain allOf ("id", "score")
+  }
+
+  test("schema: induced class definition as JSON") {
+    val (code, out) = runCli("schema", "--path", dataPath, "--class-name", "Person")
+    code shouldBe 0
+    val cd = graft.ops.SchemaInduce.ClassDefinition.fromJson(out.head)
+    cd.name shouldBe "Person"
+    cd.attributes.map(_.name) should contain allOf ("id", "name", "score", "city")
+  }
+
+  test("search: multi-attribute rendering") {
+    val (code, out) = runCli("search", "--path", dataPath,
+      "--query", "alice oslo", "--attrs", "name,city", "--limit", "2")
+    code shouldBe 0
+    out.head shouldBe "id\tscore"
+    out.tail.head should startWith("1\t") // alice/oslo matches best
+  }
+
+  test("export: query result through the Formats registry") {
+    val outPath = Files.createTempDirectory("graft-cli").resolve("out.jsonl").toString
+    val (code, out) = runCli("export", "--path", dataPath,
+      "--where", "city=oslo", "--output", outPath)
+    code shouldBe 0
+    out.head shouldBe s"wrote $outPath"
+    spark.read.json(outPath).count() shouldBe 2
+  }
+
+  test("validate: required-field violations") {
+    val p = Files.createTempDirectory("graft-cli").resolve("n.parquet").toString
+    Seq((1L, Some("x")), (2L, None)).toDF("id", "tag").write.parquet(p)
+    val (code, out) = runCli("validate", "--path", p, "--required", "tag")
+    code shouldBe 0
+    out.tail.map(_.split('\t').head) shouldBe Seq("2")
+  }
+
+  test("bad usage returns exit code 2 with a message") {
+    runCli("query")._1 shouldBe 2
+    runCli("frobnicate", "--path", dataPath)._1 shouldBe 2
+    runCli()._1 shouldBe 2
+  }
+}
