@@ -51,6 +51,69 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
     */
   def attachParquet(collName: String, path: String): Collection =
     new Collection(collName, spark.read.parquet(path))
+
+  /** Run ANSI SQL over the database's collections (reference:
+    * database.py:445-486 supports_sql / execute_sql — the DuckDB
+    * backend's escape hatch). Spark IS a SQL engine: every collection
+    * registers as a temp view named after itself, then the statement
+    * plans through Catalyst like any DataFrame — pushdown, pruning and
+    * AQE all apply.
+    */
+  def executeSql(sql: String): DataFrame = {
+    listCollectionNames.foreach { c =>
+      collection(c).df.createOrReplaceTempView(c)
+    }
+    spark.sql(sql)
+  }
+
+  /** Induce a class definition per collection (reference:
+    * database.py:610-639 induce_schema_view) — one single-scan
+    * induction per collection, returned as an exportable map.
+    */
+  def induceSchemaView(): Map[String, graft.ops.SchemaInduce.ClassDefinition] =
+    listCollectionNames.map { c =>
+      c -> graft.ops.SchemaInduce.induceClassDefinition(collection(c).df, c)
+    }.toMap
+
+  /** The induced schema view as one JSON document (class name → class
+    * definition), round-trippable via [[graft.ops.SchemaInduce.ClassDefinition.fromJson]]
+    * per entry.
+    */
+  def induceSchemaViewJson(): String =
+    induceSchemaView().toSeq.sortBy(_._1)
+      .map { case (c, cd) => s""""$c":${cd.toJson}""" }
+      .mkString("{", ",", "}")
+
+  /** Export every collection to `location/<name>.<ext>` (reference:
+    * database.py:823-856 export_database; formats from the registry,
+    * so parquet/csv/tsv/jsonl write distributed).
+    */
+  def exportDatabase(location: String, format: String = "parquet"): Unit = {
+    Files.createDirectories(Paths.get(location))
+    listCollectionNames.foreach { c =>
+      graft.io.Formats.write(collection(c).df,
+        Paths.get(location, s"$c.$format").toString, format)
+    }
+  }
+
+  /** Import every `<name>.<ext>` file under `location` as a collection
+    * (reference: database.py:772-821 import_database — the inverse of
+    * [[exportDatabase]]).
+    */
+  def importDatabase(location: String, format: String = "parquet"): Unit = {
+    val dir = Paths.get(location)
+    require(Files.exists(dir), s"no such directory: $location")
+    val s = Files.list(dir)
+    val entries =
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.endsWith(s".$format")).toSeq.sorted
+      finally s.close()
+    entries.foreach { f =>
+      val collName = f.stripSuffix(s".$format")
+      createCollection(collName,
+        graft.io.Formats.read(spark, Paths.get(location, f).toString, format))
+    }
+  }
 }
 
 /** Client: the root handle (reference: src/linkml_store/api/client.py

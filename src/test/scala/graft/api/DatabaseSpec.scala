@@ -22,6 +22,43 @@ class DatabaseSpec extends SparkSpec {
     a[IllegalArgumentException] should be thrownBy db.collection("pets")
   }
 
+  test("executeSql runs ANSI SQL over the collections as views") {
+    val db = freshDb()
+    db.createCollection("people", Seq((1, "alice", 30), (2, "bob", 25)).toDF("id", "name", "age"))
+    db.createCollection("pets", Seq((1, "rex"), (1, "tom"), (2, "flo")).toDF("owner_id", "pet"))
+    val r = db.executeSql(
+      """SELECT p.name, count(*) AS n_pets
+        |FROM people p JOIN pets t ON p.id = t.owner_id
+        |GROUP BY p.name ORDER BY p.name""".stripMargin)
+      .as[(String, Long)].collect()
+    r shouldBe Array(("alice", 2L), ("bob", 1L))
+  }
+
+  test("induceSchemaView emits one class definition per collection") {
+    val db = freshDb()
+    db.createCollection("people", Seq((1, Some("alice")), (2, None)).toDF("id", "name"))
+    val sv = db.induceSchemaView()
+    sv.keySet shouldBe Set("people")
+    val slots = sv("people").attributes.map(s => s.name -> s).toMap
+    slots("id").range shouldBe Some("integer")
+    slots("name").required shouldBe false
+    // the JSON view parses back per entry
+    db.induceSchemaViewJson() should startWith("""{"people":{"name":"people"""")
+  }
+
+  test("exportDatabase/importDatabase round-trip all collections") {
+    val db = freshDb()
+    db.createCollection("people", Seq((1, "alice"), (2, "bob")).toDF("id", "name"))
+    db.createCollection("pets", Seq((1, "rex")).toDF("owner_id", "pet"))
+    val loc = Files.createTempDirectory("graft-exp").toString
+    db.exportDatabase(loc, "jsonl")
+    val db2 = freshDb()
+    db2.importDatabase(loc, "jsonl")
+    db2.listCollectionNames shouldBe Seq("people", "pets")
+    db2.collection("people").count() shouldBe 2
+    db2.collection("pets").df.columns.sorted shouldBe Array("owner_id", "pet")
+  }
+
   test("client tracks attached databases") {
     val client = new Client(spark)
     client.attachDatabase("a", Files.createTempDirectory("ga").toString)
