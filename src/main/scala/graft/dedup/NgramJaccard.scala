@@ -68,6 +68,101 @@ object NgramJaccard {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXACT set-Jaccard pairs via prefix filtering (the AllPairs/PPJoin
+    * family): no frequency cap, no approximation — completeness comes
+    * from the prefix theorem instead. Shingles are ordered globally by
+    * (document frequency ASC, hash ASC) — rarest first — and each
+    * document indexes only its first `|S| - ceil(t*|S|) + 1` shingles:
+    * any pair with set-Jaccard >= t MUST share one of those prefix
+    * shingles, so joining prefixes finds every qualifying pair while
+    * hot (high-df) shingles land at the END of the order and rarely
+    * enter a prefix. A length filter (`t*max(|A|,|B|) <= min(|A|,|B|)`,
+    * necessary for J >= t) prunes candidates before the exact verify
+    * on full shingle sets.
+    *
+    * vs [[jaccardPairs]]: that one is multiset Jaccard over df-capped
+    * postings (fast, approximate under the cap); this one is exact set
+    * Jaccard at any skew — the prefix of a stop-gram-heavy document
+    * consists of its RARE shingles, so one ubiquitous trigram never
+    * creates a quadratic bucket.
+    */
+  def jaccardPairsExact(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.5,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // SET semantics: distinct shingles per doc, as both the exploded
+    // postings (prefix computation) and the per-doc array (verify)
+    val hs = scope.persist(df.select(col(idCol),
+      array_sort(array_distinct(
+        call_function("graft_hashed_shingles", col(textCol), lit(w)))).as("hs"))
+      .filter(size(col("hs")) > 0))
+    val sh = hs.select(col(idCol), col("hs"), explode(col("hs")).as("s"))
+      .select(col(idCol), size(col("hs")).as("sz"), col("s"))
+    // global order: df ASC then hash ASC; the df window shuffles on s,
+    // the rank window on id — the rank's exchange is then reused by
+    // nothing, but both windows carry narrow rows (id, sz, s, df)
+    val ranked = sh
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("__df").asc, col("s").asc)))
+    val prefix = ranked
+      .filter(col("__r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col(idCol), col("sz"), col("s"))
+    val cand = prefix.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
+      .join(prefix.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      // length filter: J >= t requires t * max <= min
+      .filter(lit(threshold) * greatest(col("sz_a"), col("sz_b"))
+        <= least(col("sz_a"), col("sz_b")))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB twin of [[jaccardPairsExact]]. */
+  def jaccardPairsExactDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.5): String =
+    s"""WITH hs AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT $idCol, list_sort(list_distinct(${TextFunctions.hashedShinglesFromDuckSql("th", w)})) AS hs
+       |    FROM (SELECT $idCol, ${TextFunctions.tokenHashesDuckSql(textCol)} AS th FROM $table) t0) t1
+       |  WHERE len(hs) > 0),
+       |sh AS (SELECT $idCol, len(hs) AS sz, unnest(hs) AS s FROM hs),
+       |dfx AS (SELECT *, count(*) OVER (PARTITION BY s) AS df FROM sh),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY $idCol ORDER BY df ASC, s ASC) AS r
+       |  FROM dfx),
+       |prefix AS (
+       |  SELECT $idCol, sz, s FROM ranked
+       |  WHERE r <= sz - ceil($threshold * sz) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |  FROM prefix a JOIN prefix b ON a.s = b.s AND a.$idCol < b.$idCol
+       |  WHERE $threshold * greatest(a.sz, b.sz) <= least(a.sz, b.sz))
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT id_a, id_b,
+       |    round(len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) /
+       |      CAST(len(ha.hs) + len(hb.hs) - len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) AS DOUBLE), 4) AS jaccard
+       |  FROM cand JOIN hs ha ON cand.id_a = ha.$idCol
+       |            JOIN hs hb ON cand.id_b = hb.$idCol) t
+       |WHERE jaccard >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   def jaccardPairsDuckSql(
       table: String,
       idCol: String,

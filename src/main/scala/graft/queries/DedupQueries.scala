@@ -74,6 +74,14 @@ object DedupQueries extends QuerySet {
 
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5),
-      Some(NgramJaccard.jaccardPairsDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5)))
+      Some(NgramJaccard.jaccardPairsDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5))),
+
+    // EXACT set-Jaccard pairs via PPJoin-style prefix filtering — no
+    // frequency cap, completeness from the prefix theorem; hot shingles
+    // sort to the end of the global (df, hash) order and never enter a
+    // prefix, so skew cannot create a quadratic bucket.
+    Q("q_ngram_ppjoin",
+      (s, d) => NgramJaccard.jaccardPairsExact(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5),
+      Some(NgramJaccard.jaccardPairsExactDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5)))
   )
 }

@@ -140,4 +140,35 @@ class DedupSpec extends SparkSpec {
     near should be > 0.1
     near should be < 1.0
   }
+
+  test("ppjoin prefix filtering is EXACT: equals brute-force all-pairs set jaccard") {
+    // a corpus with a deliberately hot shingle ("the the the" appears
+    // everywhere) — the DF-capped variant would drop it; PPJoin must
+    // still produce exactly the brute-force answer
+    val corpus = Seq(
+      (1, "the the the spark runs fast on data every day"),
+      (2, "the the the spark runs fast on data every night"),
+      (3, "the the the cooking pasta recipes with more sauce"),
+      (4, "the the the spark runs fast on data every day"),
+      (5, "the the the cooking pasta recipes with less sauce"),
+      (6, "unrelated words entirely here nothing shared at all")
+    ).toDF("doc_id", "text")
+    val t = 0.4
+    // brute force: distinct shingle sets per doc, all C(n,2) pairs
+    graft.functions.GraftFunctions.register(spark)
+    val sets = corpus.select($"doc_id",
+      array_distinct(call_function("graft_hashed_shingles", $"text", lit(3))).as("hs"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1).toSet).toMap
+    val brute = (for {
+      a <- sets.keys.toSeq; b <- sets.keys.toSeq if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      j = inter / (sets(a).size + sets(b).size - inter)
+      if j >= t
+    } yield (a, b, math.rint(j * 10000) / 10000)).sortBy(p => (p._1, p._2))
+    val ppjoin = NgramJaccard.jaccardPairsExact(corpus, "doc_id", "text", w = 3, threshold = t)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    ppjoin shouldBe brute
+    // the exact-duplicate pair is present at 1.0
+    ppjoin.find(p => p._1 == 1 && p._2 == 4).get._3 shouldBe 1.0
+  }
 }
