@@ -46,8 +46,12 @@ object Bench {
     // per-query numbers stop meaning anything (the round-4 bench showed
     // contiguous alphabetical bands of unchanged queries 6-22x slower).
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional comma-separated filter for targeted timing runs
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     val errors = scala.collection.mutable.ListBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         System.gc()
         val t0 = System.nanoTime()

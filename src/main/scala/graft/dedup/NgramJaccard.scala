@@ -97,28 +97,45 @@ object NgramJaccard {
     // SET semantics: distinct shingles per doc, as both the exploded
     // postings (prefix computation) and the per-doc array (verify)
     val hs = scope.persist(df.select(col(idCol),
-      array_sort(array_distinct(
-        call_function("graft_hashed_shingles", col(textCol), lit(w)))).as("hs"))
+      array_distinct(
+        call_function("graft_hashed_shingles", col(textCol), lit(w))).as("hs"))
       .filter(size(col("hs")) > 0))
     val sh = hs.select(col(idCol), col("hs"), explode(col("hs")).as("s"))
       .select(col(idCol), size(col("hs")).as("sz"), col("s"))
-    // global order: df ASC then hash ASC; the df window shuffles on s,
-    // the rank window on id — the rank's exchange is then reused by
-    // nothing, but both windows carry narrow rows (id, sz, s, df)
-    val ranked = sh
-      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+    // global order: df ASC then hash ASC. Document frequency comes from
+    // a partial-agg groupBy + keyed join (NOT a window over the full
+    // postings): the aggregate is vocab-sized, AQE broadcasts it when
+    // small and keeps a keyed shuffle join at corpus scale — either
+    // way the postings shuffle at most once here
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(dfreq, "s")
       .withColumn("__r", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("__df").asc, col("s").asc)))
     val prefix = ranked
       .filter(col("__r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col(idCol), col("sz"), col("s"))
-    val cand = prefix.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("s"))
-      .join(prefix.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("s")), Seq("s"))
+      .select(col(idCol), col("sz"), col("s"), col("__r"))
+    // candidate pruning before the (expensive) exact verify:
+    //  - length filter: J >= t requires t * max(|A|,|B|) <= min(|A|,|B|)
+    //  - positional filter (PPJoin proper): a shared prefix shingle at
+    //    ranks (r_a, r_b) bounds the overlap by
+    //    1 + min(|A| - r_a, |B| - r_b); J >= t needs overlap >=
+    //    ceil(t/(1+t) * (|A|+|B|)), so pairs whose BEST shared prefix
+    //    shingle cannot reach that are dropped. The per-pair max rides
+    //    the same aggregation that dedupes candidates — the filter is
+    //    free of extra shuffles.
+    val cand = prefix.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
+        col("s"), col("__r").as("__ra"))
+      .join(prefix.select(col(idCol).as("id_b"), col("sz").as("sz_b"),
+        col("s"), col("__r").as("__rb")), Seq("s"))
       .filter(col("id_a") < col("id_b"))
-      // length filter: J >= t requires t * max <= min
       .filter(lit(threshold) * greatest(col("sz_a"), col("sz_b"))
         <= least(col("sz_a"), col("sz_b")))
-      .select("id_a", "id_b").distinct()
+      .groupBy("id_a", "id_b", "sz_a", "sz_b")
+      .agg(max(lit(1) + least(col("sz_a") - col("__ra"), col("sz_b") - col("__rb")))
+        .as("__max_overlap"))
+      .filter(col("__max_overlap") >=
+        ceil(lit(threshold) / (lit(1.0) + lit(threshold)) * (col("sz_a") + col("sz_b"))))
+      .select("id_a", "id_b")
     cand
       .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
@@ -139,21 +156,25 @@ object NgramJaccard {
       threshold: Double = 0.5): String =
     s"""WITH hs AS MATERIALIZED (
        |  SELECT * FROM (
-       |    SELECT $idCol, list_sort(list_distinct(${TextFunctions.hashedShinglesFromDuckSql("th", w)})) AS hs
+       |    SELECT $idCol, list_distinct(${TextFunctions.hashedShinglesFromDuckSql("th", w)}) AS hs
        |    FROM (SELECT $idCol, ${TextFunctions.tokenHashesDuckSql(textCol)} AS th FROM $table) t0) t1
        |  WHERE len(hs) > 0),
        |sh AS (SELECT $idCol, len(hs) AS sz, unnest(hs) AS s FROM hs),
-       |dfx AS (SELECT *, count(*) OVER (PARTITION BY s) AS df FROM sh),
+       |dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
        |ranked AS (
-       |  SELECT *, row_number() OVER (PARTITION BY $idCol ORDER BY df ASC, s ASC) AS r
-       |  FROM dfx),
+       |  SELECT dfx.*, row_number() OVER (PARTITION BY $idCol ORDER BY df ASC, s ASC) AS r
+       |  FROM (SELECT sh.*, df FROM sh JOIN dfreq USING (s)) dfx),
        |prefix AS (
-       |  SELECT $idCol, sz, s FROM ranked
+       |  SELECT $idCol, sz, s, r FROM ranked
        |  WHERE r <= sz - ceil($threshold * sz) + 1),
        |cand AS (
-       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
-       |  FROM prefix a JOIN prefix b ON a.s = b.s AND a.$idCol < b.$idCol
-       |  WHERE $threshold * greatest(a.sz, b.sz) <= least(a.sz, b.sz))
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.$idCol AS id_a, b.$idCol AS id_b, a.sz AS sz_a, b.sz AS sz_b,
+       |           max(1 + least(a.sz - a.r, b.sz - b.r)) AS max_overlap
+       |    FROM prefix a JOIN prefix b ON a.s = b.s AND a.$idCol < b.$idCol
+       |    WHERE $threshold * greatest(a.sz, b.sz) <= least(a.sz, b.sz)
+       |    GROUP BY 1, 2, 3, 4) t
+       |  WHERE max_overlap >= ceil($threshold / (1.0 + $threshold) * (sz_a + sz_b)))
        |SELECT id_a, id_b, jaccard FROM (
        |  SELECT id_a, id_b,
        |    round(len(list_filter(ha.hs, x -> list_contains(hb.hs, x))) /
