@@ -23,17 +23,7 @@ import org.apache.spark.sql.functions._
 object Cli {
 
   def main(args: Array[String]): Unit = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
-      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build()
     val code = try run(args.toSeq, spark, Console.out.println(_))
       finally spark.stop()
     if (code != 0) sys.exit(code)
@@ -45,8 +35,10 @@ object Cli {
   def run(args: Seq[String], spark: SparkSession, out: String => Unit): Int = {
     if (args.isEmpty) { out(usage); return 2 }
     val command = args.head
-    val opts = parseOpts(args.tail)
     try {
+      // inside the catch net: malformed flag lists get the same
+      // friendly `error: ...` + exit 2 as every other argument error
+      val opts = parseOpts(args.tail)
       command match {
         case "query" => emit(opts, out, queryCmd(spark, opts))
         case "fq" =>

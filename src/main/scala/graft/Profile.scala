@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 
 /** Dev profiling main: run named queries (or all) against a sf dir,
   * print per-query wall time and optionally the formatted plan.
@@ -12,16 +12,7 @@ object Profile {
     val rest = args.drop(1)
     val explain = rest.contains("explain")
     val names = rest.filterNot(_ == "explain")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build()
     spark.range(1000000).selectExpr("sum(id)").collect()
     Tables.df(spark, sfDir, "lineitem").select("l_orderkey").limit(1000)
       .queryExecution.toRdd.foreach(_ => ())

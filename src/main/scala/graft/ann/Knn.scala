@@ -250,10 +250,13 @@ object Knn {
     * any target produce no row — the approximation the banding buys;
     * the oracle replays the identical banding, so results stay
     * deterministic. `maxBucket` caps each side's (band, chunk) postings
-    * so a degenerate corpus cannot turn one bucket quadratic.
+    * so a degenerate corpus cannot turn one bucket quadratic. Defaults
+    * follow [[nearDupPairs]]: 32 sign bits in 4 bands = 8-bit chunks
+    * (256 values per band) — wide enough that ordinary corpora spread
+    * across buckets instead of tripping the cap.
     */
   def findMatchesLsh(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
-                     nBits: Int = 16, bands: Int = 4,
+                     nBits: Int = 32, bands: Int = 4,
                      maxBucket: Int = 10000): DataFrame = {
     def withNorm(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
@@ -283,7 +286,7 @@ object Knn {
 
   def findMatchesLshDuckSql(table: String, idCol: String, vecCol: String,
                             srcPred: String, tgtPred: String, dim: Int,
-                            nBits: Int = 16, bands: Int = 4,
+                            nBits: Int = 32, bands: Int = 4,
                             maxBucket: Int = 10000): String = {
     val width = nBits / bands
     val mask = (1L << width) - 1

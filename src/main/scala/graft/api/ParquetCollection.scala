@@ -155,16 +155,37 @@ class ParquetCollection(
       dim: Int = graft.index.TrigramIndexer.DefaultDim): Unit =
     attachIndex(idCol, textCol, dim)
 
+  /** Shadow-index key for a multi-attribute rendering: the '+'-joined
+    * attribute list PLUS a template fingerprint — an index materialized
+    * for one rendering must never serve a search that asked for a
+    * different one (same attrs, different template → different text →
+    * different postings).
+    */
+  private def indexKey(attrs: Seq[String], template: Option[String]): String =
+    attrs.mkString("+") +
+      template.map(t => f"+tpl${t.hashCode & 0x7fffffff}%08x").getOrElse("")
+
+  /** The dim a materialized shadow index was built with, if one exists
+    * for `key` (search must use THAT dim, not the caller's).
+    */
+  private def materializedDim(key: String): Option[Int] =
+    if (!Files.exists(Paths.get(s"$root/_index_$key", "_CURRENT"))) None
+    else {
+      val dimFile = Paths.get(s"$root/_index_$key", "_DIM")
+      Some(if (Files.exists(dimFile)) Files.readString(dimFile).trim.toInt
+        else graft.index.TrigramIndexer.DefaultDim)
+    }
+
   /** Materialize a multi-attribute index (reference index_attributes /
     * text_template — indexer.py:81-156): rows render to text via
     * [[graft.index.Indexer.objectText]] before trigram hashing. The
-    * shadow collection is keyed by the '+'-joined attribute list, so
-    * single- and multi-attribute indexes coexist.
+    * shadow collection is keyed by attributes AND template, so
+    * different renderings coexist.
     */
   def attachIndex(idCol: String, attrs: Seq[String],
       template: Option[String],
       dim: Int): Unit = {
-    val key = attrs.mkString("+")
+    val key = indexKey(attrs, template)
     val withText = df.withColumn("__obj_text",
       graft.index.Indexer.objectText(attrs, template))
     indexCollection(key).replace(
@@ -176,25 +197,20 @@ class ParquetCollection(
     attachIndex(idCol, attrs, None, graft.index.TrigramIndexer.DefaultDim)
 
   /** Cosine top-k search over a multi-attribute rendering; uses the
-    * materialized shadow index for the same attribute list when one
-    * exists, else builds inline.
+    * materialized shadow index for the same (attributes, template)
+    * when one exists, else builds inline.
     */
   def search(idCol: String, attrs: Seq[String], query: String, k: Int,
       template: Option[String]): DataFrame = {
-    val key = attrs.mkString("+")
-    val idx = indexCollection(key)
-    val materialized = Files.exists(Paths.get(s"$root/_index_$key", "_CURRENT"))
-    val effDim =
-      if (materialized) {
-        val dimFile = Paths.get(s"$root/_index_$key", "_DIM")
-        if (Files.exists(dimFile)) Files.readString(dimFile).trim.toInt
-        else graft.index.TrigramIndexer.DefaultDim
-      } else graft.index.TrigramIndexer.DefaultDim
-    val idxDf =
-      if (materialized) idx.df
-      else graft.index.TrigramIndexer.index(
-        df.withColumn("__obj_text", graft.index.Indexer.objectText(attrs, template)),
-        idCol, "__obj_text", effDim)
+    val key = indexKey(attrs, template)
+    val (idxDf, effDim) = materializedDim(key) match {
+      case Some(d) => (indexCollection(key).df, d)
+      case None =>
+        val d = graft.index.TrigramIndexer.DefaultDim
+        (graft.index.TrigramIndexer.index(
+          df.withColumn("__obj_text", graft.index.Indexer.objectText(attrs, template)),
+          idCol, "__obj_text", d), d)
+    }
     graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, effDim)
   }
 

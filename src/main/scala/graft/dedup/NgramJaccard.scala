@@ -12,21 +12,26 @@ import org.apache.spark.sql.functions._
   * documents that actually SHARE a shingle, so the shuffle is bounded by
   * shingle document-frequency, not |corpus|².
   *
-  * Skew guard: shingles with document frequency above `maxDf` are
-  * DROPPED before the join (from both the postings and the set sizes) —
-  * each hot shingle otherwise contributes df² join rows, and one
-  * stop-word trigram shared by 1% of a 100 TB corpus is ~10¹⁴ pairs in
-  * a single bucket. High-DF shingles carry no near-dup signal (they are
-  * the corpus' stop-grams); dropping them is the standard frequency
-  * filter of set-similarity joins. The cap window partitions on the
-  * SAME key as the self-join, so its exchange is reused, and the oracle
-  * applies the identical cap — results stay engine-equal.
+  * Skew guard: shingles whose total OCCURRENCE count (multiset
+  * postings, not distinct documents) exceeds `maxDf` are DROPPED
+  * before the join, from both the postings and the set sizes. The
+  * occurrence count is deliberately the capped quantity: the join
+  * emits occ_a x occ_b rows per shingle, so it — not document
+  * frequency — bounds the join output (a single document repeating
+  * one shingle a million times is as quadratic as a million documents
+  * sharing it once). High-occurrence shingles carry no near-dup
+  * signal (they are the corpus' stop-grams); dropping them is the
+  * standard frequency filter of set-similarity joins, and
+  * [[jaccardPairsExact]] is the cap-free exact alternative. The cap
+  * window partitions on the SAME key as the self-join, so its
+  * exchange is reused, and the oracle applies the identical cap —
+  * results stay engine-equal.
   */
 object NgramJaccard {
 
-  /** Default shingle document-frequency cap. Far above the frequency at
+  /** Default shingle occurrence-count cap. Far above the frequency at
     * which a shingle still discriminates near-duplicates, far below the
-    * df² blowup region.
+    * occ² blowup region.
     */
   val DefaultMaxDf = 1000
 

@@ -95,9 +95,21 @@ object YamlRender {
     case other => sb.append(" ").append(scalar(other)).append("\n")
   }
 
-  // list-element rendering: scalar continues the "- " line
+  // list-element rendering: scalar continues the "- " line; nested
+  // rows/maps/lists continue it in block form (every value kind a Spark
+  // array element can hold renders structurally, never via toString)
   private def renderValue2(v: Any, indent: Int, sb: StringBuilder): Unit = v match {
     case null => sb.append("null\n")
+    case r: Row =>
+      if (r.schema == null || r.schema.isEmpty) sb.append("{}\n")
+      else renderInline(fieldsOf(r), indent + 1, sb)
+    case m: scala.collection.Map[_, _] =>
+      if (m.isEmpty) sb.append("{}\n")
+      else m.toSeq.zipWithIndex.foreach { case ((k, mv), i) =>
+        if (i > 0) sb.append(pad(indent + 1))
+        sb.append(scalar(k)).append(":")
+        renderValue(mv, indent + 1, sb)
+      }
     case s: scala.collection.Seq[_] =>
       if (s.isEmpty) sb.append("[]\n")
       else { // nested list: render each element on the next level

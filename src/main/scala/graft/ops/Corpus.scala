@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   *    per-(doc,token) counts as a plain KEYED join — dfreq is an
   *    unbounded aggregate (a 100 TB corpus vocabulary is 10⁸-10⁹
   *    tokens, far past broadcast range), so the hint is left to AQE,
-  *    which still broadcasts when the vocab is actually small. Both
-  *    sides are already hashed on `token` (tf's groupBy), so the join
-  *    adds no extra shuffle of the corpus-sized side. The top-k per
-  *    doc windows on doc_id (max-cardinality key, no skew).
+  *    which still broadcasts when the vocab is actually small; at
+  *    scale the join re-shuffles tf on `token` (its groupBy hashed on
+  *    the composite (doc, token) key), the honest cost of an exact
+  *    corpus-wide idf. The top-k per doc windows on doc_id
+  *    (max-cardinality key, no skew).
   *  - decontaminate is the standard train/eval n-gram overlap check:
   *    both sides reduce to DISTINCT (doc, gram-hash) postings, the
   *    eval side (bounded: an eval set, not a corpus) broadcasts, and

@@ -131,8 +131,15 @@ object ObjectPaths {
               .otherwise(updated)
           case None =>
             // ADD a new field; remaining path materializes as fresh
-            // structs of the value's own shape
-            cur.withField(n, scaffold(rest, value, where))
+            // structs of the value's own shape. A null struct ITSELF
+            // needs the same rebuild as the Some branch (withField on a
+            // null parent yields null): existing fields become typed
+            // nulls, the new field carries the scaffold.
+            val nullStruct = struct(st.fields.toSeq.map(f =>
+              lit(null).cast(f.dataType).as(f.name)): _*)
+            when(cur.isNull && where,
+              nullStruct.withField(n, scaffold(rest, value, where)))
+              .otherwise(cur.withField(n, scaffold(rest, value, where)))
         }
       case Index(i) :: rest =>
         val at = dt match {

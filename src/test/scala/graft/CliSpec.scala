@@ -84,5 +84,11 @@ class CliSpec extends SparkSpec {
     runCli("query")._1 shouldBe 2
     runCli("frobnicate", "--path", dataPath)._1 shouldBe 2
     runCli()._1 shouldBe 2
+    // malformed flag lists (odd count / missing --) get the same
+    // friendly error instead of an escaping exception
+    val (oddCode, oddOut) = runCli("query", "--path")
+    oddCode shouldBe 2
+    oddOut.head should startWith("error:")
+    runCli("query", dataPath)._1 shouldBe 2
   }
 }

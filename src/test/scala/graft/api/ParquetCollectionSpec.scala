@@ -161,4 +161,21 @@ class ParquetCollectionSpec extends SparkSpec {
     c.search("doc_id", "text", "spark is fast", k = 5)
       .collect().map(_.getInt(0)).sorted shouldBe Array(1, 3, 4)
   }
+
+  test("a materialized no-template index never serves a templated search") {
+    val dir = Files.createTempDirectory("graft-idx2").toString
+    val c = new ParquetCollection(spark, dir, "docs")
+    c.replace(Seq(
+      (1, "alpha", "zebra stripes everywhere"), // zebra only in BODY
+      (2, "zebra", "plain text without animals") // zebra only in TITLE
+    ).toDF("doc_id", "title", "body"))
+    // materialize the attrs-only rendering ("title: ...; body: ...")
+    c.attachIndex("doc_id", Seq("title", "body"))
+    // a TEMPLATE search over the same attrs renders "{title}" only —
+    // it must NOT reuse the materialized no-template postings (doc 1
+    // matches only through body, which the template excludes)
+    val r = c.search("doc_id", Seq("title", "body"), "zebra", 2, Some("{title}"))
+      .collect().map(_.getInt(0))
+    r shouldBe Array(2)
+  }
 }

@@ -80,6 +80,22 @@ class FormatsSpec extends SparkSpec {
         |""".stripMargin
   }
 
+  test("yaml renders maps and deeply nested collections structurally, never via toString") {
+    val df = spark.sql(
+      """SELECT map('a', 1, 'b', 2) AS m,
+        |       array(map('k', 7)) AS am,
+        |       array(array(named_struct('x', 1))) AS aas""".stripMargin)
+    val doc = YamlRender.renderRow(df.collect().head)
+    doc should include("m:")
+    doc should include("a: 1")
+    // array of maps: block mapping under the list dash
+    doc should include("- k: 7")
+    // array of arrays of structs: nested dashes, struct fields inline
+    doc should include("- x: 1")
+    doc should not include "Map("
+    doc should not include "GenericRow"
+  }
+
   test("yamll: distributed per-row documents with --- separators") {
     val p = tmp("t.yamll")
     Formats.write(df, p, "yamll")

@@ -116,6 +116,25 @@ class ObjectPathsSpec extends SparkSpec {
     got(2L) shouldBe Seq(Some(2))
   }
 
+  test("ADDING a new field to a NULL parent struct also scaffolds the container") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        Row(1L, Row("alice", 30)), Row(2L, null))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, who STRUCT<name: STRING, age: INT>"))
+    // 'city' is NOT in the schema → the add-new-field branch; row 2's
+    // null struct must materialize (existing fields null, city set)
+    val got = ObjectPaths.pathUpdate(df, "who.city", lit("oslo"))
+      .select($"id", $"who.name", $"who.city").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    got(1L) shouldBe ("alice", "oslo")
+    got(2L) shouldBe (null, "oslo")
+    // non-matching rows keep the null struct
+    val miss = ObjectPaths.pathUpdate(df, "who.city", lit("oslo"), where = col("id") === 1L)
+      .filter($"id" === 2L).select($"who").collect().head
+    miss.isNullAt(0) shouldBe true
+  }
+
   test("leaf set on a NULL parent struct scaffolds the container where matched") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
