@@ -52,6 +52,25 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
   def attachParquet(collName: String, path: String): Collection =
     new Collection(collName, spark.read.parquet(path))
 
+  /** Save rows as a Spark BUCKETED table (bucketBy + sortBy on the
+    * join key) registered in the session catalog, stored under the
+    * database root. Two tables bucketed on the same key with the same
+    * bucket count join WITHOUT any exchange — the co-location lever
+    * for repeated fact-fact joins: at 100 TB, pre-bucketing both fact
+    * tables turns every subsequent join on that key into a zip of
+    * already-sorted buckets (no shuffle, no sort). Collections remain
+    * the mutable CRUD surface; bucketed tables are the read-optimized
+    * layout for join-heavy analytics.
+    */
+  def saveBucketedTable(tableName: String, rows: DataFrame, key: String,
+      nBuckets: Int): Unit =
+    rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", Paths.get(root, "_tables", tableName).toString)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(tableName)
+
   /** Run ANSI SQL over the database's collections (reference:
     * database.py:445-486 supports_sql / execute_sql — the DuckDB
     * backend's escape hatch). Spark IS a SQL engine: every collection

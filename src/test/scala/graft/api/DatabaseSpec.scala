@@ -59,6 +59,27 @@ class DatabaseSpec extends SparkSpec {
     db2.collection("pets").df.columns.sorted shouldBe Array("owner_id", "pet")
   }
 
+  test("bucketed tables join with NO shuffle exchange on either side") {
+    val db = freshDb()
+    val orders = (1 to 200).map(i => (i % 20, s"order_$i")).toDF("cust_id", "item")
+    val custs = (0 until 20).map(i => (i, s"cust_$i")).toDF("cust_id", "cname")
+    db.saveBucketedTable("bt_orders", orders, "cust_id", 8)
+    db.saveBucketedTable("bt_custs", custs, "cust_id", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force a sort-merge join so the exchange question is real
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bt_orders").join(spark.table("bt_custs"), "cust_id")
+      val exchanges = j.queryExecution.sparkPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      // co-located: both sides are bucketed on the join key with the
+      // same bucket count, so EnsureRequirements inserts NO exchange
+      exchanges shouldBe empty
+      j.count() shouldBe 200
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("client tracks attached databases") {
     val client = new Client(spark)
     client.attachDatabase("a", Files.createTempDirectory("ga").toString)
