@@ -42,12 +42,17 @@ object ScaleSmoke {
           t => concat(t, lit(s"_$i")))).as("text"))
     }.reduce(_ unionByName _)
 
+    // jitter must vary PER ROW (vec_id enters the phase): a constant
+    // per-copy offset would shift every row of a copy toward the same
+    // direction and collapse whole copies into a handful of sign-bit
+    // buckets — measuring that artifact, not the operator
     def embsX(k: Int): DataFrame = (0 until k).map { i =>
       if (i == 0) embs
       else embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
         transform(col("embedding"),
-          (x, j) => x + lit(0.25f) * cos(j.cast("double") * lit(i.toDouble))
-            .cast("float")).as("embedding"))
+          (x, j) => x + lit(0.25f) *
+            cos(j.cast("double") * lit(i.toDouble) + col("vec_id").cast("double"))
+              .cast("float")).as("embedding"))
     }.reduce(_ unionByName _)
 
     def time(f: => DataFrame): Double = {
