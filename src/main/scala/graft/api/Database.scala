@@ -52,6 +52,18 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
   def attachParquet(collName: String, path: String): Collection =
     new Collection(collName, spark.read.parquet(path))
 
+  /** Store a map of named object sets in one call (reference:
+    * database.py:197-240 store — a dict keyed by collection name
+    * inserts into each collection, creating missing ones).
+    */
+  def store(objects: Map[String, DataFrame]): Unit = {
+    val existing = listCollectionNames.toSet
+    objects.foreach { case (collName, rows) =>
+      if (existing(collName)) collection(collName).insert(rows)
+      else createCollection(collName, rows)
+    }
+  }
+
   /** Save rows as a Spark BUCKETED table (bucketBy + sortBy on the
     * join key) registered in the session catalog, stored under the
     * database root. Two tables bucketed on the same key with the same

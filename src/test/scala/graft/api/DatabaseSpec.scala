@@ -22,6 +22,16 @@ class DatabaseSpec extends SparkSpec {
     a[IllegalArgumentException] should be thrownBy db.collection("pets")
   }
 
+  test("store inserts into existing collections and creates missing ones") {
+    val db = freshDb()
+    db.createCollection("people", Seq((1, "alice")).toDF("id", "name"))
+    db.store(Map(
+      "people" -> Seq((2, "bob")).toDF("id", "name"),
+      "pets" -> Seq((1, "rex")).toDF("owner_id", "pet")))
+    db.collection("people").count() shouldBe 2
+    db.collection("pets").count() shouldBe 1
+  }
+
   test("executeSql runs ANSI SQL over the collections as views") {
     val db = freshDb()
     db.createCollection("people", Seq((1, "alice", 30), (2, "bob", 25)).toDF("id", "name", "age"))
