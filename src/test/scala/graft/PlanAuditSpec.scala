@@ -88,6 +88,33 @@ class PlanAuditSpec extends SparkSpec {
     readCols shouldBe df.columns.toSet
   }
 
+  test("hot scan queries compile to whole-stage codegen") {
+    // the corpus-wide per-row paths must stay inside generated code —
+    // an interpreted expression on a scan path costs 10-100x at 100 TB
+    val hot = Seq("q1_agg", "q_find_eq", "q_select_cols", "q_text_quality",
+      "q_token_count", "q_minhash_sig")
+    // AQE wraps the plan in AdaptiveSparkPlan, under which the codegen
+    // explain reports 0 subtrees until runtime — disable it for the
+    // static check only
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    val offenders =
+      try {
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        hot.filter { name =>
+          val df = SparkEntry.queries(name)(spark, sfDir)
+          val n =
+            try {
+              val s = df.queryExecution.explainString(
+                org.apache.spark.sql.execution.CodegenMode)
+              "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(s)
+                .map(_.group(1).toInt).getOrElse(0)
+            } finally graft.api.CacheScope.global.release()
+          n == 0
+        }
+      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    offenders shouldBe empty
+  }
+
   test("no query broadcast-hints a grouped (unbounded) aggregate") {
     // an explicit broadcast() of a groupBy-aggregate ships an
     // unbounded result (a 100 TB corpus vocabulary / document
