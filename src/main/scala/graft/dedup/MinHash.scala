@@ -134,10 +134,16 @@ object MinHash {
     // projection has no reusable exchange
     val sh = scope.persist(hashedShingleDf(df, idCol, textCol, w)
       .select(col(idCol), col("__hs").as("sh")))
+    // contained-count semantics (LEFT multiset), the native kernel —
+    // bit-identical to the oracle's list_filter/list_contains form even
+    // when a document carries duplicate shingles (a repeated phrase);
+    // size(array_intersect(...)) would count DISTINCT shared values and
+    // silently diverge on such documents
     val verified = candidates
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", call_function("graft_contained_count",
+        col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

@@ -141,10 +141,14 @@ object NgramJaccard {
       .filter(col("__max_overlap") >=
         ceil(lit(threshold) / (lit(1.0) + lit(threshold)) * (col("sz_a") + col("sz_b"))))
       .select("id_a", "id_b")
+    // native contained-count verify (arrays here are distinct sets, so
+    // multiset-left semantics equal set intersection — and they match
+    // the oracle's list_filter form exactly)
     cand
       .join(hs.select(col(idCol).as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(hs.select(col(idCol).as("id_b"), col("hs").as("hs_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("double"))
+      .withColumn("inter", call_function("graft_contained_count",
+        col("hs_a"), col("hs_b")).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)

@@ -104,6 +104,8 @@ object GraftFunctions {
       .registerFunction(RepetitionStats.info._1, RepetitionStats.info._2, RepetitionStats.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(ArraySumAgg.info._1, ArraySumAgg.info._2, ArraySumAgg.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(ContainedCount.info._1, ContainedCount.info._2, ContainedCount.info._3)
   }
 }
 
@@ -123,5 +125,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TokenHashes60.info)
     ext.injectFunction(RepetitionStats.info)
     ext.injectFunction(ArraySumAgg.info)
+    ext.injectFunction(ContainedCount.info)
   }
 }

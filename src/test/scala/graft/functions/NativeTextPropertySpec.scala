@@ -83,6 +83,25 @@ class NativeTextPropertySpec extends SparkSpec {
     cases.count(_.nonEmpty) should be > 50
   }
 
+  test("native contained count equals the SQL filter twin, duplicates included") {
+    graft.functions.GraftFunctions.register(spark)
+    // shingle arrays from random texts — duplicates arise naturally
+    // from repeated tokens in the generator; add explicit dup-heavy
+    // pairs to pin the multiset-left semantics
+    val pairs = cases.zip(cases.reverse).toDF("ta", "tb")
+    val out = pairs.select(
+      call_function("graft_contained_count",
+        expr(TextFunctions.hashedShinglesSql("ta", 3)),
+        expr(TextFunctions.hashedShinglesSql("tb", 3))).as("f"),
+      org.apache.spark.sql.functions.size(expr(
+        s"filter(${TextFunctions.hashedShinglesSql("ta", 3)}, x -> array_contains(${TextFunctions.hashedShinglesSql("tb", 3)}, x))")).as("r")).collect()
+    out.foreach(r => r.getAs[Int]("f") shouldBe r.getAs[Int]("r"))
+    val dup = Seq((Seq(1L, 1L, 2L, 3L), Seq(1L, 3L, 9L))).toDF("a", "b")
+      .select(call_function("graft_contained_count", col("a"), col("b")).as("n"))
+      .collect().head.getInt(0)
+    dup shouldBe 3 // 1 (twice, multiset) + 3 — NOT the distinct count 2
+  }
+
   test("native minhash signatures equal the lambda folds on random strings") {
     graft.functions.GraftFunctions.register(spark)
     val k = 8
