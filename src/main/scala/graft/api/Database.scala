@@ -73,15 +73,38 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
     * already-sorted buckets (no shuffle, no sort). Collections remain
     * the mutable CRUD surface; bucketed tables are the read-optimized
     * layout for join-heavy analytics.
+    *
+    * The catalog entry is NAMESPACED by this database's name (the
+    * session catalog is global — a bare name would let two databases
+    * silently overwrite each other's tables); returns the qualified
+    * name to query via `spark.table(...)` / [[bucketedTable]].
+    * [[Client.dropDatabase]] drops the catalog entries along with the
+    * files.
     */
   def saveBucketedTable(tableName: String, rows: DataFrame, key: String,
-      nBuckets: Int): Unit =
+      nBuckets: Int): String = {
+    val qualified = catalogName(tableName)
     rows.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
       .format("parquet")
       .option("path", Paths.get(root, "_tables", tableName).toString)
       .bucketBy(nBuckets, key)
       .sortBy(key)
-      .saveAsTable(tableName)
+      .saveAsTable(qualified)
+    qualified
+  }
+
+  /** The session-catalog name of a bucketed table of this database. */
+  def catalogName(tableName: String): String = s"${name}__$tableName"
+
+  /** A bucketed table previously saved by [[saveBucketedTable]]. */
+  def bucketedTable(tableName: String): DataFrame =
+    spark.table(catalogName(tableName))
+
+  /** Drop every catalog entry this database registered. */
+  private[api] def dropCatalogTables(): Unit =
+    spark.catalog.listTables().collect()
+      .filter(_.name.startsWith(s"${name}__"))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `${t.name}`"))
 
   /** Run ANSI SQL over the database's collections (reference:
     * database.py:445-486 supports_sql / execute_sql — the DuckDB
@@ -170,7 +193,9 @@ class Client(val spark: SparkSession) {
     */
   def dropDatabase(dbName: String, missingOk: Boolean = false): Unit =
     dbs.remove(dbName) match {
-      case Some(db) => db.listCollectionNames.foreach(db.dropCollection)
+      case Some(db) =>
+        db.listCollectionNames.foreach(db.dropCollection)
+        db.dropCatalogTables()
       case None if missingOk => ()
       case None => throw new NoSuchElementException(s"no database '$dbName' attached")
     }

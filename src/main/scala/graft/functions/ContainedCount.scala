@@ -39,15 +39,26 @@ case class ContainedCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_contained_count"
 
+  // NULL SLOTS are skipped on both sides, matching the SQL twin's
+  // three-valued logic: a null left element makes array_contains null,
+  // which filter() treats as false (not counted); null right elements
+  // can never equal a non-null value. getLong on a null slot would
+  // otherwise read 0 and phantom-match a real 0L.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val set = new java.util.HashSet[java.lang.Long](y.numElements() * 2)
     var j = 0
-    while (j < y.numElements()) { set.add(y.getLong(j)); j += 1 }
+    while (j < y.numElements()) {
+      if (!y.isNullAt(j)) set.add(y.getLong(j))
+      j += 1
+    }
     var cnt = 0
     var i = 0
-    while (i < x.numElements()) { if (set.contains(x.getLong(i))) cnt += 1; i += 1 }
+    while (i < x.numElements()) {
+      if (!x.isNullAt(i) && set.contains(x.getLong(i))) cnt += 1
+      i += 1
+    }
     cnt
   }
 
@@ -60,11 +71,11 @@ case class ContainedCount(left: Expression, right: Expression)
       s"""
          |java.util.HashSet<Long> $set = new java.util.HashSet<Long>($y.numElements() * 2);
          |for (int $j = 0; $j < $y.numElements(); $j++) {
-         |  $set.add($y.getLong($j));
+         |  if (!$y.isNullAt($j)) $set.add($y.getLong($j));
          |}
          |int $cnt = 0;
          |for (int $i = 0; $i < $x.numElements(); $i++) {
-         |  if ($set.contains($x.getLong($i))) $cnt++;
+         |  if (!$x.isNullAt($i) && $set.contains($x.getLong($i))) $cnt++;
          |}
          |${ev.value} = $cnt;
        """.stripMargin

@@ -88,30 +88,26 @@ class PlanAuditSpec extends SparkSpec {
     readCols shouldBe df.columns.toSet
   }
 
-  test("hot scan queries compile to whole-stage codegen") {
+  test("hot scan queries carry NO interpreted (CodegenFallback) expressions") {
     // the corpus-wide per-row paths must stay inside generated code —
-    // an interpreted expression on a scan path costs 10-100x at 100 TB
+    // an interpreted expression on a scan path costs 10-100x at 100 TB.
+    // Counting WholeStageCodegen subtrees is vacuous here (the parquet
+    // scan alone always contributes one); the real guard is that no
+    // expression in the plan is a CodegenFallback — exactly what the
+    // higher-order-function lambdas (transform/aggregate) are, so
+    // regressing a native kernel back to its interpreted twin trips
+    // this immediately.
+    import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
     val hot = Seq("q1_agg", "q_find_eq", "q_select_cols", "q_text_quality",
       "q_token_count", "q_minhash_sig")
-    // AQE wraps the plan in AdaptiveSparkPlan, under which the codegen
-    // explain reports 0 subtrees until runtime — disable it for the
-    // static check only
-    val prev = spark.conf.get("spark.sql.adaptive.enabled")
-    val offenders =
-      try {
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        hot.filter { name =>
-          val df = SparkEntry.queries(name)(spark, sfDir)
-          val n =
-            try {
-              val s = df.queryExecution.explainString(
-                org.apache.spark.sql.execution.CodegenMode)
-              "Found (\\d+) WholeStageCodegen".r.findFirstMatchIn(s)
-                .map(_.group(1).toInt).getOrElse(0)
-            } finally graft.api.CacheScope.global.release()
-          n == 0
-        }
-      } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+    val offenders = hot.flatMap { name =>
+      val fallbacks =
+        try plan(name).flatMap(_.expressions.flatMap(_.collect {
+          case e: CodegenFallback => e.getClass.getSimpleName
+        })).distinct
+        finally graft.api.CacheScope.global.release()
+      if (fallbacks.isEmpty) None else Some(s"$name: ${fallbacks.mkString(",")}")
+    }
     offenders shouldBe empty
   }
 

@@ -73,21 +73,33 @@ class DatabaseSpec extends SparkSpec {
     val db = freshDb()
     val orders = (1 to 200).map(i => (i % 20, s"order_$i")).toDF("cust_id", "item")
     val custs = (0 until 20).map(i => (i, s"cust_$i")).toDF("cust_id", "cname")
-    db.saveBucketedTable("bt_orders", orders, "cust_id", 8)
-    db.saveBucketedTable("bt_custs", custs, "cust_id", 8)
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val tOrders = db.saveBucketedTable("bt_orders", orders, "cust_id", 8)
+    val tCusts = db.saveBucketedTable("bt_custs", custs, "cust_id", 8)
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    // exchanges are inserted by EnsureRequirements, which only runs for
+    // the EXECUTED plan — sparkPlan never contains them, so the check
+    // must look there (with AQE off so the plan is final statically)
+    def exchanges(j: org.apache.spark.sql.DataFrame) =
+      j.queryExecution.executedPlan.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
     try {
       // force a sort-merge join so the exchange question is real
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val j = spark.table("bt_orders").join(spark.table("bt_custs"), "cust_id")
-      val exchanges = j.queryExecution.sparkPlan.collect {
-        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
-      // co-located: both sides are bucketed on the join key with the
-      // same bucket count, so EnsureRequirements inserts NO exchange
-      exchanges shouldBe empty
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      // NEGATIVE CONTROL: the same join over non-bucketed inputs DOES
+      // shuffle — proving this assertion can fail
+      exchanges(orders.join(custs, "cust_id")) should not be empty
+      // co-located: both sides bucketed on the join key, same count →
+      // EnsureRequirements inserts NO exchange
+      val j = spark.table(tOrders).join(spark.table(tCusts), "cust_id")
+      exchanges(j) shouldBe empty
       j.count() shouldBe 200
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   test("client tracks attached databases") {

@@ -100,6 +100,16 @@ class NativeTextPropertySpec extends SparkSpec {
       .select(call_function("graft_contained_count", col("a"), col("b")).as("n"))
       .collect().head.getInt(0)
     dup shouldBe 3 // 1 (twice, multiset) + 3 — NOT the distinct count 2
+    // null slots are skipped (SQL twin's filter drops null predicates);
+    // in particular a null slot must not phantom-match a real 0L
+    val withNulls = Seq((Seq[java.lang.Long](null, 1L, 0L), Seq[java.lang.Long](0L, 1L, null)))
+      .toDF("a", "b")
+      .select(call_function("graft_contained_count", col("a"), col("b")).as("n"),
+        org.apache.spark.sql.functions.size(
+          expr("filter(a, x -> array_contains(b, x))")).as("twin"))
+      .collect().head
+    withNulls.getInt(0) shouldBe 2 // 1L and 0L, never the null
+    withNulls.getInt(0) shouldBe withNulls.getInt(1)
   }
 
   test("native minhash signatures equal the lambda folds on random strings") {
