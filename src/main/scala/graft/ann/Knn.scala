@@ -124,6 +124,63 @@ object Knn {
        |LIMIT $k""".stripMargin
   }
 
+  /** Multi-probe LSH top-k: like [[lshTopK]], but each band also probes
+    * the buckets whose chunk differs from the query's in EXACTLY ONE
+    * bit — the standard multi-probe trick: near neighbors that barely
+    * missed the query's bucket usually landed one sign-flip away, so
+    * probing Hamming-1 neighbors buys most of the recall of doubling
+    * the bands at (width+1)x probe cost and ZERO extra index size.
+    * Candidate generation stays a bucket join (the probe list is
+    * bounded: bands * (width+1) keys, broadcast); exact cosine re-ranks
+    * the survivors. Deterministic, so the oracle replays it.
+    */
+  def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
+                        nBits: Int = 16, bands: Int = 4): DataFrame = {
+    val width = nBits / bands
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    val bk = bandedSignBits(df, idCol, vecCol, nBits, bands)
+    // the query's own chunk plus its width Hamming-1 neighbors
+    val probeChunks = array(
+      col("chunk") +: (0 until width).map(i =>
+        col("chunk").bitwiseXOR(lit(1L << i))): _*)
+    val qb = bk.filter(col(idCol) === queryId)
+      .select(col("band"), explode(probeChunks).as("chunk"))
+    val cand = bk.filter(col(idCol) =!= queryId)
+      .join(broadcast(qb), Seq("band", "chunk"))
+      .select(col(idCol)).distinct()
+    val q = e.filter(col(idCol) === queryId).select(col("__v").as("__qv"))
+    cand.join(e, idCol)
+      .crossJoin(broadcast(q))
+      .select(col(idCol),
+        round(VectorFunctions.cosine(col("__v"), col("__qv")), 4).as("score"))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  def lshTopKMultiProbeDuckSql(table: String, idCol: String, vecCol: String, queryId: Long,
+                               k: Int, dim: Int, nBits: Int = 16, bands: Int = 4): String = {
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    val bandSelects = (0 until bands).map { b =>
+      s"SELECT $idCol, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM $table),
+       |sigs AS (SELECT $idCol, ${signBitsDuck("v", nBits)} AS sig FROM e),
+       |bk AS ($bandSelects),
+       |qb AS (
+       |  SELECT band, unnest(list_prepend(chunk,
+       |    list_transform(range(0, $width), i -> xor(chunk, CAST(1 AS BIGINT) << i)))) AS chunk
+       |  FROM bk WHERE $idCol = $queryId),
+       |cand AS (
+       |  SELECT DISTINCT bk.$idCol FROM bk JOIN qb USING (band, chunk)
+       |  WHERE bk.$idCol <> $queryId),
+       |q AS (SELECT v AS qv FROM e WHERE $idCol = $queryId)
+       |SELECT e.$idCol, round(${cosineDuck("v", "qv", dim)}, 4) AS score
+       |FROM cand JOIN e ON cand.$idCol = e.$idCol, q
+       |ORDER BY score DESC, e.$idCol ASC
+       |LIMIT $k""".stripMargin
+  }
+
   /** IVF (inverted-file) ANN: vectors are assigned to the cell of their
     * nearest CENTROID; a query probes only the `nProbe` cells whose
     * centroids are closest, then ranks the probed vectors exactly. The

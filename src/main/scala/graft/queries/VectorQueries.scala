@@ -51,6 +51,15 @@ object VectorQueries extends QuerySet {
       Some(Knn.lshTopKDuckSql("embeddings", "vec_id", "embedding",
         queryId = 0L, k = 10, dim = Dim))),
 
+    // multi-probe: each band also probes its Hamming-1 neighbor
+    // buckets — most of the recall of doubling the bands, zero extra
+    // index size
+    Q("q_ann_multiprobe",
+      (s, d) => Knn.lshTopKMultiProbe(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
+        queryId = 0L, k = 10),
+      Some(Knn.lshTopKMultiProbeDuckSql("embeddings", "vec_id", "embedding",
+        queryId = 0L, k = 10, dim = Dim))),
+
     Q("q_ann_ivf",
       (s, d) => Knn.ivfTopK(Tables.df(s, d, "embeddings"), "vec_id", "embedding",
         queryId = 0L, k = 10),

@@ -38,6 +38,24 @@ class KnnSpec extends SparkSpec {
     r.head shouldBe (5L, 1.0)
   }
 
+  test("multi-probe lsh recovers a neighbor one sign-flip away from the query bucket") {
+    // query [1,0.1,0,0] and its near-neighbor [1,-0.1,0,0] differ in
+    // exactly one sign bit (dim 2): plain single-bucket LSH with one
+    // band misses it, multi-probe finds it
+    val vs = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),   // query
+      (2L, Seq(1.0f, -0.1f, 0.0f, 0.0f)),  // Hamming-1 from query
+      (3L, Seq(-1.0f, -1.0f, -1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val plain = Knn.lshTopK(vs, "vec_id", "embedding", queryId = 1L, k = 3,
+      nBits = 4, bands = 1).collect().map(_.getLong(0))
+    plain should not contain 2L
+    val multi = Knn.lshTopKMultiProbe(vs, "vec_id", "embedding", queryId = 1L, k = 3,
+      nBits = 4, bands = 1).collect().map(_.getLong(0))
+    multi should contain(2L)
+    multi should not contain 3L // 4 sign flips away — not probed
+  }
+
   test("ivf top-k probes only the nearest cells and finds the exact duplicate") {
     // centroids = first 3 ids -> c1=[1,0,0,0], c2=[.9,.1,0,0],
     // c3=[0,1,0,0]. Assignments by argmax dot: v1,v2,v5 -> cell 1;
