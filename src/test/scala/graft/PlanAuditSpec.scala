@@ -50,6 +50,7 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q_ann_bruteforce", // 1-row query vector crossJoin
     "q_ann_lsh",        // 1-row query vector crossJoin (post-candidates)
+    "q_ann_multiprobe", // same: 1-row query vector crossJoin
     "q_knn_classify",   // bounded probe set broadcast
     "q_tfidf",          // 1-row corpus-count crossJoin
     "q_unigram_xent",   // 1-row token-total crossJoin
