@@ -99,6 +99,51 @@ object Cli {
             throw new IllegalArgumentException("export needs --output"))
           graft.io.Formats.write(df, output, opts.getOrElse("format", null))
           out(s"wrote $output")
+        case "groupby" =>
+          val df = load(spark, opts)
+          val by = opts.getOrElse("by",
+            throw new IllegalArgumentException("groupby needs --by col[,col]")).split(',').toSeq
+          val aggs = opts.getOrElse("agg", "count:*").split(',').toSeq.map { spec =>
+            spec.split(':') match {
+              case Array("count", _) => count(lit(1)).as("count")
+              case Array(fn, c) =>
+                val target = col(c)
+                (fn match {
+                  case "sum" => sum(target)
+                  case "avg" | "mean" => avg(target)
+                  case "min" => min(target)
+                  case "max" => max(target)
+                  case other =>
+                    throw new IllegalArgumentException(s"unknown agg '$other' (sum/avg/min/max/count)")
+                }).as(s"${fn}_$c")
+              case _ => throw new IllegalArgumentException(s"bad agg spec '$spec' (fn:col)")
+            }
+          }
+          emit(opts, out, df.filter(Filter.bind(whereOf(opts), df.schema).toColumn)
+            .groupBy(by.map(col): _*).agg(aggs.head, aggs.tail: _*).orderBy(by.map(col): _*))
+        case "enrichment" =>
+          val df = load(spark, opts)
+          emit(opts, out, graft.ops.Enrichment.enrich(df,
+            opts.getOrElse("sample-col",
+              throw new IllegalArgumentException("enrichment needs --sample-col")),
+            opts.getOrElse("text-col", "text"),
+            opts.get("min-occurrences").map(_.toInt).getOrElse(5)))
+        case "apply" =>
+          val df = load(spark, opts)
+          val patches = graft.io.Formats.read(spark,
+            opts.getOrElse("patches",
+              throw new IllegalArgumentException("apply needs --patches <file>")),
+            opts.getOrElse("patch-format", null))
+          val pk = opts.getOrElse("id-col", df.columns.head)
+          emit(opts, out, graft.ops.Diff.applyPatches(df, patches, pk))
+        case "insert" =>
+          val rows = load(spark, opts)
+          val root = opts.getOrElse("collection",
+            throw new IllegalArgumentException("insert needs --collection <dir>"))
+          val coll = new graft.api.ParquetCollection(spark, root,
+            opts.getOrElse("name", "cli"))
+          coll.insert(rows)
+          out(s"inserted ${rows.count()} rows into $root (now ${coll.count()})")
         case "peek" => emit(opts, out, load(spark, opts).limit(limitOf(opts, 10).toInt))
         case other => out(s"unknown command '$other'\n$usage"); return 2
       }
@@ -180,9 +225,12 @@ object Cli {
 
   private val usage: String =
     """usage: graft.Cli <command> --path <data> [options]
-      |commands: query fq describe pivot search schema validate diff export peek
+      |commands: query fq groupby describe pivot enrichment search schema validate
+      |          diff apply insert export peek
       |options: --where k=v,k2>v2  --select a,b  --sort -col  --limit n  --offset n
       |         --columns a,b  --index/--columns/--values (pivot)  --query term
+      |         --by a,b --agg sum:x,avg:y (groupby)  --sample-col s (enrichment)
       |         --attrs a,b --template "{a}: {b}" (search)  --required a,b (validate)
-      |         --other path --id-col pk (diff)  --output path --format fmt""".stripMargin
+      |         --other path --id-col pk (diff)  --patches file (apply)
+      |         --collection dir (insert)  --output path --format fmt""".stripMargin
 }

@@ -7,11 +7,13 @@ import org.apache.spark.sql.functions._
   * reference's Format enum + load/render helpers (reference:
   * src/linkml_store/utils/format_utils.py:24-210; collection.py:
   * 1167-1186 import_/export). Supported: parquet, csv, tsv, json
-  * (array document), jsonl (one object per line), and WRITE-side
-  * yaml (one list document) / yamll (one `---`-separated document per
-  * row, written distributed). YAML READS and xlsx stay out of scope —
-  * the zero-egress container carries no YAML parser / xlsx library
-  * (documented divergence; [[YamlRender]] is the hand-rolled writer).
+  * (array document), jsonl (one object per line), yaml (one list
+  * document) / yamll (one `---`-separated document per row, written
+  * distributed), and xlsx. The zero-egress container carries no YAML
+  * or xlsx library, so all four ride hand-rolled pure-JDK codecs:
+  * [[YamlRender]] (writer) / [[YamlParse]] (block-subset parser →
+  * JSON → distributed `spark.read.json` inference) and [[XlsxIO]]
+  * (zip + StAX over the OOXML parts).
   *
   * All readers/writers are Spark sources: reads parallelize per file
   * split, writes shard per partition. `json` (array) READS distributed
@@ -69,9 +71,17 @@ object Formats {
   }
 
   case object Yaml extends Format("yaml", Seq("yaml", "yml")) {
-    def read(spark: SparkSession, path: String): DataFrame =
-      throw new UnsupportedOperationException(
-        "yaml READ is out of scope (no YAML parser in the container); yaml/yamll are export formats")
+    /** Whole-file documents (the single-document export shape is one
+      * list; multi-doc files work too). Parsing runs per file in
+      * executors; a top-level list document explodes one row per
+      * element (Spark's JSON source semantics for top-level arrays).
+      */
+    def read(spark: SparkSession, path: String): DataFrame = {
+      import spark.implicits._
+      val docs = spark.read.option("wholetext", "true").textFile(path)
+        .flatMap(t => YamlParse.docsToJson(t))
+      spark.read.json(docs)
+    }
     /** Driver-side single-document export; refuses unboundedly large frames. */
     def write(df: DataFrame, path: String): Unit = write(df, path, maxRows = 1000000)
     def write(df: DataFrame, path: String, maxRows: Long): Unit = {
@@ -84,9 +94,22 @@ object Formats {
   }
 
   case object Yamll extends Format("yamll", Seq("yamll")) {
-    def read(spark: SparkSession, path: String): DataFrame =
-      throw new UnsupportedOperationException(
-        "yamll READ is out of scope (no YAML parser in the container); yaml/yamll are export formats")
+    /** Distributed read: documents split on the `\n---` separator via
+      * the text source's multi-char lineSep — one task per file split,
+      * never whole-file (a multi-line string scalar can't contain a
+      * raw newline in the rendered subset, so the separator is
+      * unambiguous). Each document parses in-executor to JSON;
+      * `spark.read.json` infers the schema.
+      */
+    def read(spark: SparkSession, path: String): DataFrame = {
+      import spark.implicits._
+      val docs = spark.read.option("lineSep", "\n---").textFile(path)
+        .flatMap { rec =>
+          val body = rec.stripPrefix("---")
+          YamlParse.docsToJson(body)
+        }
+      spark.read.json(docs)
+    }
     /** Distributed: each row renders to its own `---`-prefixed YAML
       * document, sharded per partition like any Spark text write.
       */
@@ -96,7 +119,15 @@ object Formats {
         .write.mode(SaveMode.Overwrite).text(path)
   }
 
-  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json, Yaml, Yamll)
+  case object Xlsx extends Format("xlsx", Seq("xlsx")) {
+    def read(spark: SparkSession, path: String): DataFrame = XlsxIO.read(spark, path)
+    /** Driver-side single-workbook export, capped at Excel's own
+      * sheet limit (same contract as the json-array/yaml exports).
+      */
+    def write(df: DataFrame, path: String): Unit = XlsxIO.write(df, path)
+  }
+
+  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json, Yaml, Yamll, Xlsx)
 
   def byName(name: String): Format =
     all.find(_.name == name.toLowerCase).getOrElse(

@@ -1,0 +1,365 @@
+package graft.io
+
+/** Block-style YAML parsing — the reader half of the reference's
+  * yaml/yamll formats (reference: src/linkml_store/utils/format_utils
+  * .py:170-176: `yaml.safe_load` / `safe_load_all`). Hand-rolled
+  * because the zero-egress container carries no YAML library; covers
+  * the subset PyYAML safe_dump (and [[YamlRender]]) emit, which is
+  * what round-trips through the reference:
+  *
+  *   - `---`-separated documents, full-line and trailing comments
+  *   - block mappings and block lists at 2+-space indentation,
+  *     including the inline `- key: value` list-of-maps shape
+  *   - flow collections `[a, b]` / `{k: v}` (nested, one line)
+  *   - single-quoted (doubled-quote escape) and double-quoted
+  *     (JSON-style escapes) strings; plain scalars typed as
+  *     null/bool/long/double/string exactly like PyYAML's resolver
+  *
+  * NOT covered (documented divergence, none emitted by safe_dump for
+  * tabular data): block scalars (`|`/`>`), anchors/aliases/tags,
+  * multi-line flow collections.
+  *
+  * Documents convert to compact JSON strings so ingestion rides
+  * Spark's distributed JSON schema inference (`spark.read.json` over a
+  * Dataset[String]) — the parser itself is a pure serializable
+  * function, safe to call inside executors.
+  */
+object YamlParse extends Serializable {
+
+  /** Every document in `text` (multi-doc: `---` separators) as compact
+    * JSON. Empty documents are skipped.
+    */
+  def docsToJson(text: String): Seq[String] = {
+    val docs = scala.collection.mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    def flush(): Unit = {
+      docToJson(cur.toString).foreach(docs += _)
+      cur.clear()
+    }
+    text.split("\n", -1).foreach { line =>
+      val t = line.trim
+      if (t == "---" || t.startsWith("--- ")) {
+        flush()
+        if (t.length > 3) cur.append(line.substring(line.indexOf("---") + 4)).append('\n')
+      } else if (t == "...") flush()
+      else cur.append(line).append('\n')
+    }
+    flush()
+    docs.toSeq
+  }
+
+  /** One document body as compact JSON; None when the document holds
+    * no content (blank / comments only).
+    */
+  def docToJson(text: String): Option[String] = {
+    val lines: Array[Line] = text.split("\n", -1).iterator
+      .map { raw =>
+        val indent = raw.takeWhile(_ == ' ').length
+        Line(indent, raw.trim)
+      }
+      .filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
+      .toArray
+    if (lines.isEmpty) None
+    else {
+      val p = new P(lines)
+      val v = p.parseBlock(0)
+      require(p.done, s"yaml: unparsed trailing content at '${p.peek}'")
+      val sb = new StringBuilder
+      jsonify(v, sb)
+      Some(sb.toString)
+    }
+  }
+
+  private final case class Line(indent: Int, text: String)
+
+  /** Recursive-descent over the indentation tree with a cursor. */
+  private final class P(lines: Array[Line]) {
+    private var i = 0
+
+    def done: Boolean = i >= lines.length
+    def peek: String = if (done) "<eof>" else lines(i).text
+
+    /** The block node whose lines sit at indent >= `min`. */
+    def parseBlock(min: Int): Any = {
+      if (i >= lines.length || lines(i).indent < min) return null
+      val l = lines(i)
+      if (l.text == "-" || l.text.startsWith("- ")) parseList(l.indent)
+      else if (splitKey(l.text).isDefined) parseMap(l.indent, None)
+      else { i += 1; scalar(stripComment(l.text)) } // top-level scalar document
+    }
+
+    private def parseList(indent: Int): Any = {
+      val out = scala.collection.mutable.ArrayBuffer[Any]()
+      while (i < lines.length && lines(i).indent == indent &&
+             (lines(i).text == "-" || lines(i).text.startsWith("- "))) {
+        val l = lines(i)
+        i += 1
+        if (l.text == "-") out += parseBlock(indent + 1)
+        else {
+          val rest = l.text.substring(2).trim
+          // column where the item's content begins — nested map keys
+          // (`- k: v` continuation) align here
+          val col = l.indent + (l.text.length - rest.length)
+          out += parseItem(rest, col)
+        }
+      }
+      out.toSeq
+    }
+
+    /** An inline list-item body: scalar, flow, nested list, or the
+      * first entry of a map whose siblings sit at column `col`.
+      */
+    private def parseItem(s: String, col: Int): Any = {
+      if (s == "-" || s.startsWith("- ")) {
+        // nested list written inline ("- - a") — re-parse as a list
+        // whose items continue at this column
+        val rest = if (s == "-") "" else s.substring(2).trim
+        val out = scala.collection.mutable.ArrayBuffer[Any](
+          if (rest.isEmpty) null else parseItem(rest, col + 2))
+        while (i < lines.length && lines(i).indent == col &&
+               (lines(i).text == "-" || lines(i).text.startsWith("- "))) {
+          val l = lines(i); i += 1
+          if (l.text == "-") out += parseBlock(col + 1)
+          else out += parseItem(l.text.substring(2).trim, l.indent + 2)
+        }
+        return out.toSeq
+      }
+      splitKey(s) match {
+        case Some((k, rest)) => parseMap(col, Some((k, rest)))
+        case None            => scalar(stripComment(s))
+      }
+    }
+
+    /** A block map at column `col`; `first` injects an entry parsed
+      * from an inline `- key: value` head.
+      */
+    private def parseMap(col: Int, first: Option[(String, String)]): Any = {
+      val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+      def entry(k: String, rest: String): Unit = out(k) = {
+        val v = stripComment(rest)
+        if (v.isEmpty) parseBlock(col + 1) match {
+          case null => null
+          case nested => nested
+        }
+        else scalar(v)
+      }
+      first.foreach { case (k, rest) => entry(k, rest) }
+      while (i < lines.length && lines(i).indent == col &&
+             !(lines(i).text == "-" || lines(i).text.startsWith("- "))) {
+        val l = lines(i)
+        splitKey(l.text) match {
+          case Some((k, rest)) => i += 1; entry(k, rest)
+          case None =>
+            throw new IllegalArgumentException(s"yaml: expected 'key: value', got '${l.text}'")
+        }
+      }
+      out
+    }
+  }
+
+  /** "key: value" → (key, value-text); None when the line is not a map
+    * entry. Quoted keys are unquoted; plain keys end at the first
+    * ": " (or a trailing ":"), so colons inside the VALUE are safe.
+    */
+  private def splitKey(s: String): Option[(String, String)] = {
+    if (s.startsWith("'") || s.startsWith("\"")) {
+      val (k, after) = quoted(s)
+      val t = s.substring(after).trim
+      if (t.startsWith(":")) Some((k, t.substring(1).trim)) else None
+    } else {
+      val sep = s.indexOf(": ")
+      if (sep >= 0) Some((s.substring(0, sep).trim, s.substring(sep + 2).trim))
+      else if (s.endsWith(":")) Some((s.dropRight(1).trim, ""))
+      else None
+    }
+  }
+
+  /** Trailing ` #comment` on a plain scalar (quote-aware: called only
+    * on text that is either fully quoted or fully plain).
+    */
+  private def stripComment(s: String): String =
+    if (s.startsWith("'") || s.startsWith("\"")) s
+    else {
+      val h = s.indexOf(" #")
+      (if (h >= 0) s.substring(0, h) else s).trim
+    }
+
+  /** Leading quoted string in `s` → (value, chars consumed). */
+  private def quoted(s: String): (String, Int) =
+    if (s.startsWith("'")) {
+      val sb = new StringBuilder
+      var j = 1
+      var done = false
+      while (!done) {
+        if (j >= s.length) throw new IllegalArgumentException(s"yaml: unterminated ' in '$s'")
+        val c = s.charAt(j)
+        if (c == '\'') {
+          if (j + 1 < s.length && s.charAt(j + 1) == '\'') { sb.append('\''); j += 2 }
+          else { done = true; j += 1 }
+        } else { sb.append(c); j += 1 }
+      }
+      (sb.toString, j)
+    } else {
+      val sb = new StringBuilder
+      var j = 1
+      var done = false
+      while (!done) {
+        if (j >= s.length) throw new IllegalArgumentException(s"yaml: unterminated \" in '$s'")
+        val c = s.charAt(j)
+        if (c == '"') { done = true; j += 1 }
+        else if (c == '\\') {
+          if (j + 1 >= s.length) throw new IllegalArgumentException(s"yaml: dangling \\ in '$s'")
+          s.charAt(j + 1) match {
+            case 'n' => sb.append('\n'); j += 2
+            case 't' => sb.append('\t'); j += 2
+            case 'r' => sb.append('\r'); j += 2
+            case '"' => sb.append('"'); j += 2
+            case '\\' => sb.append('\\'); j += 2
+            case '0' => sb.append(' '); j += 2
+            case 'u' =>
+              sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar); j += 6
+            case other =>
+              throw new IllegalArgumentException(s"yaml: unsupported escape \\$other")
+          }
+        } else { sb.append(c); j += 1 }
+      }
+      (sb.toString, j)
+    }
+
+  private val IntRe = "^[+-]?\\d+$".r
+  private val FloatRe = "^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$".r
+
+  /** One scalar token (or one-line flow collection) → typed value,
+    * following PyYAML's core-schema resolver.
+    */
+  private[io] def scalar(s: String): Any = {
+    if (s.isEmpty) return null
+    if (s.startsWith("'") || s.startsWith("\"")) {
+      val (v, used) = quoted(s)
+      val rest = s.substring(used).trim
+      if (rest.nonEmpty && !rest.startsWith("#"))
+        throw new IllegalArgumentException(s"yaml: trailing content after quoted scalar: '$s'")
+      return v
+    }
+    if (s.startsWith("[") || s.startsWith("{")) return flow(s)
+    s match {
+      case "null" | "Null" | "NULL" | "~" => null
+      case "true" | "True" | "TRUE" => true
+      case "false" | "False" | "FALSE" => false
+      case IntRe() => try s.toLong catch { case _: NumberFormatException => s }
+      case FloatRe(_, _) => s.toDouble
+      case ".inf" | ".Inf" => Double.PositiveInfinity
+      case "-.inf" | "-.Inf" => Double.NegativeInfinity
+      case ".nan" | ".NaN" => Double.NaN
+      case _ => s
+    }
+  }
+
+  /** One-line flow collection: `[a, {k: v}, [b]]`. */
+  private def flow(s: String): Any = {
+    val (v, used) = flowValue(s, 0)
+    if (s.substring(used).trim.nonEmpty)
+      throw new IllegalArgumentException(s"yaml: trailing content after flow: '$s'")
+    v
+  }
+
+  private def flowValue(s: String, from: Int): (Any, Int) = {
+    var j = from
+    while (j < s.length && s.charAt(j) == ' ') j += 1
+    s.charAt(j) match {
+      case '[' =>
+        j += 1
+        val out = scala.collection.mutable.ArrayBuffer[Any]()
+        var closed = false
+        while (!closed) {
+          while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == ',')) j += 1
+          if (j >= s.length) throw new IllegalArgumentException(s"yaml: unterminated [ in '$s'")
+          if (s.charAt(j) == ']') { closed = true; j += 1 }
+          else { val (v, n) = flowValue(s, j); out += v; j = n }
+        }
+        (out.toSeq, j)
+      case '{' =>
+        j += 1
+        val out = scala.collection.mutable.LinkedHashMap[String, Any]()
+        var closed = false
+        while (!closed) {
+          while (j < s.length && (s.charAt(j) == ' ' || s.charAt(j) == ',')) j += 1
+          if (j >= s.length) throw new IllegalArgumentException(s"yaml: unterminated { in '$s'")
+          if (s.charAt(j) == '}') { closed = true; j += 1 }
+          else {
+            val (k, n) = flowScalarOrQuoted(s, j)
+            j = n
+            while (j < s.length && s.charAt(j) == ' ') j += 1
+            require(j < s.length && s.charAt(j) == ':', s"yaml: expected ':' in flow map '$s'")
+            j += 1
+            val (v, n2) = flowValue(s, j)
+            out(String.valueOf(k)) = v
+            j = n2
+          }
+        }
+        (out, j)
+      case _ => flowScalarOrQuoted(s, j)
+    }
+  }
+
+  private def flowScalarOrQuoted(s: String, from: Int): (Any, Int) = {
+    var j = from
+    while (j < s.length && s.charAt(j) == ' ') j += 1
+    if (j < s.length && (s.charAt(j) == '\'' || s.charAt(j) == '"')) {
+      val (v, used) = quoted(s.substring(j))
+      (v, j + used)
+    } else {
+      var k = j
+      while (k < s.length && !",]}:".contains(s.charAt(k))) k += 1
+      (scalar(s.substring(j, k).trim), k)
+    }
+  }
+
+  /** Parsed value → compact JSON. */
+  private def jsonify(v: Any, sb: StringBuilder): Unit = v match {
+    case null => sb.append("null")
+    case b: Boolean => sb.append(b)
+    case n: Long => sb.append(n)
+    case d: Double =>
+      // JSON has no inf/nan literals; stringify them (PyYAML round-
+      // trips them as floats, but they never appear in tabular dumps)
+      if (d.isInfinite || d.isNaN) { sb.append('"').append(d).append('"') }
+      else sb.append(d)
+    case s: String => jsonString(s, sb)
+    case m: scala.collection.Map[_, _] =>
+      sb.append('{')
+      var first = true
+      m.foreach { case (k, mv) =>
+        if (!first) sb.append(',')
+        first = false
+        jsonString(String.valueOf(k), sb)
+        sb.append(':')
+        jsonify(mv, sb)
+      }
+      sb.append('}')
+    case xs: scala.collection.Seq[_] =>
+      sb.append('[')
+      var first = true
+      xs.foreach { e =>
+        if (!first) sb.append(',')
+        first = false
+        jsonify(e, sb)
+      }
+      sb.append(']')
+    case other => jsonString(other.toString, sb)
+  }
+
+  private def jsonString(s: String, sb: StringBuilder): Unit = {
+    sb.append('"')
+    s.foreach {
+      case '"' => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"')
+  }
+}

@@ -80,6 +80,57 @@ class CliSpec extends SparkSpec {
     out.tail.map(_.split('\t').head) shouldBe Seq("2")
   }
 
+  test("groupby: agg specs over filtered rows") {
+    val (code, out) = runCli("groupby", "--path", dataPath,
+      "--by", "city", "--agg", "count:*,avg:score,max:id")
+    code shouldBe 0
+    out.head shouldBe "city\tcount\tavg_score\tmax_id"
+    out.tail shouldBe Seq("bergen\t1\t41.25\t3", "oslo\t2\t27.75\t2")
+    val (code2, out2) = runCli("groupby", "--path", dataPath,
+      "--by", "city", "--where", "score>26.0")
+    code2 shouldBe 0
+    out2.tail shouldBe Seq("bergen\t1", "oslo\t1")
+    runCli("groupby", "--path", dataPath, "--by", "city", "--agg", "median:x")._1 shouldBe 2
+  }
+
+  test("enrichment: per-sample token enrichment end-to-end") {
+    val p = Files.createTempDirectory("graft-cli").resolve("docs.parquet").toString
+    Seq(("s1", "apple apple apple banana"), ("s1", "apple apple apple"),
+        ("s2", "banana banana cherry banana"), ("s2", "banana banana cherry"))
+      .toDF("sample", "text").write.parquet(p)
+    val (code, out) = runCli("enrichment", "--path", p,
+      "--sample-col", "sample", "--min-occurrences", "2")
+    code shouldBe 0
+    out.head.split('\t') should contain("category")
+    out.length should be > 1
+  }
+
+  test("apply: JSON-Patch file against a collection") {
+    val dir = Files.createTempDirectory("graft-cli")
+    val src = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+    val patched = Seq((1L, "alicia"), (2L, "bob")).toDF("id", "name")
+    val patchPath = dir.resolve("patches.jsonl").toString
+    graft.ops.Diff.diff(src, patched, "id").write.json(patchPath)
+    val srcPath = dir.resolve("src.parquet").toString
+    src.write.parquet(srcPath)
+    val (code, out) = runCli("apply", "--path", srcPath,
+      "--patches", patchPath, "--id-col", "id", "--sort", "id")
+    code shouldBe 0
+    out should contain("1\talicia")
+    out should contain("2\tbob")
+  }
+
+  test("insert: append a file into a versioned collection") {
+    val dir = Files.createTempDirectory("graft-cli")
+    val collDir = dir.resolve("coll").toString
+    val (code, _) = runCli("insert", "--path", dataPath, "--collection", collDir)
+    code shouldBe 0
+    val (code2, out2) = runCli("insert", "--path", dataPath, "--collection", collDir)
+    code2 shouldBe 0
+    out2.head should endWith("(now 6)")
+    new graft.api.ParquetCollection(spark, collDir, "cli").count() shouldBe 6
+  }
+
   test("bad usage returns exit code 2 with a message") {
     runCli("query")._1 shouldBe 2
     runCli("frobnicate", "--path", dataPath)._1 shouldBe 2

@@ -46,7 +46,7 @@ class FormatsSpec extends SparkSpec {
     Formats.fromPath("/x/y/data.parquet") shouldBe Formats.Parquet
     Formats.fromPath("a.tsv") shouldBe Formats.Tsv
     Formats.fromPath("a.yml") shouldBe Formats.Yaml
-    an[IllegalArgumentException] should be thrownBy Formats.fromPath("a.xlsx")
+    Formats.fromPath("a.xlsx") shouldBe Formats.Xlsx
     an[IllegalArgumentException] should be thrownBy Formats.byName("toml")
   }
 
@@ -109,8 +109,97 @@ class FormatsSpec extends SparkSpec {
     text.split("(?m)^---$").count(_.trim.nonEmpty) shouldBe 3
     text should include("name: alice")
     text should include("score: 30.5")
-    // reads are documented out of scope
-    an[UnsupportedOperationException] should be thrownBy Formats.read(spark, p, "yamll")
+  }
+
+  test("yaml round-trip: write then read back typed") { roundTrip("yaml", tmp("rt.yaml")) }
+  test("yamll round-trip: distributed docs read back typed") { roundTrip("yamll", tmp("rt.yamll")) }
+  test("xlsx round-trip: zip+StAX workbook read back typed") { roundTrip("xlsx", tmp("rt.xlsx")) }
+
+  test("yaml read: nested structs, arrays, quoting, nulls round-trip") {
+    val nested = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "plain", org.apache.spark.sql.Row("oslo", 3L),
+          Seq("a b", "true"), null),
+        org.apache.spark.sql.Row(2L, "needs: quoting", null, Seq.empty[String], 2.5))),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, name STRING, addr STRUCT<city: STRING, n: BIGINT>, " +
+        "tags ARRAY<STRING>, score DOUBLE"))
+    val p = tmp("nested.yaml")
+    Formats.write(nested.orderBy("id"), p, "yaml")
+    val back = Formats.read(spark, p, "yaml").orderBy("id")
+    back.count() shouldBe 2
+    val r1 = back.collect()(0)
+    r1.getAs[Long]("id") shouldBe 1L
+    r1.getAs[org.apache.spark.sql.Row]("addr").getAs[String]("city") shouldBe "oslo"
+    r1.getAs[scala.collection.Seq[String]]("tags") shouldBe Seq("a b", "true")
+    val r2 = back.collect()(1)
+    r2.getAs[String]("name") shouldBe "needs: quoting"
+    r2.getAs[Double]("score") shouldBe 2.5
+  }
+
+  test("yaml parser: PyYAML-style hand-written fixture with comments and flow") {
+    val doc =
+      """# top comment
+        |---
+        |id: 7          # trailing comment
+        |title: "hello \"world\""
+        |ratio: 0.25
+        |ok: true
+        |missing: ~
+        |tags: [x, y]
+        |meta: {k: 1, s: 'it''s'}
+        |children:
+        |  - name: a
+        |    depth: 1
+        |  - name: b
+        |    depth: 2
+        |""".stripMargin
+    val json = YamlParse.docsToJson(doc)
+    json.length shouldBe 1
+    json.head shouldBe
+      """{"id":7,"title":"hello \"world\"","ratio":0.25,"ok":true,"missing":null,""" +
+      """"tags":["x","y"],"meta":{"k":1,"s":"it's"},""" +
+      """"children":[{"name":"a","depth":1},{"name":"b","depth":2}]}"""
+  }
+
+  test("yaml parser: multi-doc split, empty docs skipped, scalar docs") {
+    YamlParse.docsToJson("---\na: 1\n---\n# only a comment\n---\nb: 2\n") shouldBe
+      Seq("""{"a":1}""", """{"b":2}""")
+    YamlParse.docToJson("plain text\n") shouldBe Some("\"plain text\"")
+    YamlParse.docToJson("- 1\n- 2\n") shouldBe Some("[1,2]")
+  }
+
+  test("yaml parser: malformed input raises instead of silently dropping") {
+    an[IllegalArgumentException] should be thrownBy
+      YamlParse.docToJson("a: 1\nnot a map entry\n")
+    an[IllegalArgumentException] should be thrownBy
+      YamlParse.scalar("'unterminated")
+  }
+
+  test("xlsx: cell refs, column letters, nulls and types") {
+    XlsxIO.ref(0, 1) shouldBe "A1"
+    XlsxIO.ref(25, 3) shouldBe "Z3"
+    XlsxIO.ref(26, 2) shouldBe "AA2"
+    XlsxIO.ref(701, 9) shouldBe "ZZ9"
+    XlsxIO.colOf("A1") shouldBe 0
+    XlsxIO.colOf("AA12") shouldBe 26
+    val p = tmp("typed.xlsx")
+    val typed = Seq((1L, "x<&>y", true, 1.5), (2L, null, false, -3.0))
+      .toDF("id", "s", "flag", "v")
+    Formats.write(typed, p, "xlsx")
+    val back = Formats.read(spark, p, "xlsx").orderBy("id")
+    back.count() shouldBe 2
+    val r = back.collect()(0)
+    r.getAs[Long]("id") shouldBe 1L
+    r.getAs[String]("s") shouldBe "x<&>y"
+    r.getAs[Boolean]("flag") shouldBe true
+    r.getAs[Double]("v") shouldBe 1.5
+    back.collect()(1).isNullAt(back.columns.indexOf("s")) shouldBe true
+  }
+
+  test("xlsx export refuses oversized frames") {
+    an[IllegalArgumentException] should be thrownBy
+      XlsxIO.write(df, tmp("big.xlsx"), maxRows = 2)
   }
 
   test("glob ingest stamps each row with its source file") {
