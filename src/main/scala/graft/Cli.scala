@@ -208,8 +208,9 @@ object Cli {
     else if (raw == "true" || raw == "false") raw.toBoolean
     else raw
 
-  /** First `limit` rows as header + TSV (the reference's default
-    * stdout table), or a file via the Formats registry.
+  /** First `limit` rows rendered to stdout (default TSV; any
+    * [[graft.io.Render]] type via --output-type, the reference's
+    * render_output), or a file via the Formats registry.
     */
   private def emit(opts: Map[String, String], out: String => Unit, df: DataFrame): Unit =
     opts.get("output") match {
@@ -217,10 +218,8 @@ object Cli {
         graft.io.Formats.write(df, path, opts.getOrElse("format", null))
         out(s"wrote $path")
       case None =>
-        val rows = df.limit(limitOf(opts, 50).toInt).collect()
-        out(df.columns.mkString("\t"))
-        rows.foreach(r => out((0 until r.length).map(i =>
-          if (r.isNullAt(i)) "null" else r.get(i).toString).mkString("\t")))
+        graft.io.Render.render(df, opts.getOrElse("output-type", "tsv"),
+          limitOf(opts, 50).toInt).foreach(out)
     }
 
   private val usage: String =
@@ -232,5 +231,6 @@ object Cli {
       |         --by a,b --agg sum:x,avg:y (groupby)  --sample-col s (enrichment)
       |         --attrs a,b --template "{a}: {b}" (search)  --required a,b (validate)
       |         --other path --id-col pk (diff)  --patches file (apply)
-      |         --collection dir (insert)  --output path --format fmt""".stripMargin
+      |         --collection dir (insert)  --output path --format fmt
+      |         --output-type tsv|csv|json|jsonl|yaml|markdown|table""".stripMargin
 }

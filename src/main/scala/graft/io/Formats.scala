@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * 1167-1186 import_/export). Supported: parquet, csv, tsv, json
   * (array document), jsonl (one object per line), yaml (one list
   * document) / yamll (one `---`-separated document per row, written
-  * distributed), and xlsx. The zero-egress container carries no YAML
-  * or xlsx library, so all four ride hand-rolled pure-JDK codecs:
-  * [[YamlRender]] (writer) / [[YamlParse]] (block-subset parser →
-  * JSON → distributed `spark.read.json` inference) and [[XlsxIO]]
-  * (zip + StAX over the OOXML parts).
+  * distributed), xlsx, and READ-side toml (one object per file, like
+  * the reference's read-only tomllib). The zero-egress container
+  * carries no YAML/xlsx/toml library, so these ride hand-rolled
+  * pure-JDK codecs: [[YamlRender]] (writer) / [[YamlParse]] /
+  * [[TomlParse]] (parsers → JSON → distributed `spark.read.json`
+  * inference) and [[XlsxIO]] (zip + StAX over the OOXML parts).
   *
   * All readers/writers are Spark sources: reads parallelize per file
   * split, writes shard per partition. `json` (array) READS distributed
@@ -127,7 +128,22 @@ object Formats {
     def write(df: DataFrame, path: String): Unit = XlsxIO.write(df, path)
   }
 
-  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json, Yaml, Yamll, Xlsx)
+  case object Toml extends Format("toml", Seq("toml")) {
+    /** One object per .toml file (reference: tomllib.load → a single
+      * dict), parsed in-executor, schema via JSON inference.
+      */
+    def read(spark: SparkSession, path: String): DataFrame = {
+      import spark.implicits._
+      val docs = spark.read.option("wholetext", "true").textFile(path)
+        .map(t => TomlParse.tomlToJson(t))
+      spark.read.json(docs)
+    }
+    def write(df: DataFrame, path: String): Unit =
+      throw new UnsupportedOperationException(
+        "toml WRITE is out of scope (the reference's tomllib is read-only)")
+  }
+
+  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json, Yaml, Yamll, Xlsx, Toml)
 
   def byName(name: String): Format =
     all.find(_.name == name.toLowerCase).getOrElse(

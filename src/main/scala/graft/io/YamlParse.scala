@@ -315,8 +315,8 @@ object YamlParse extends Serializable {
     }
   }
 
-  /** Parsed value → compact JSON. */
-  private def jsonify(v: Any, sb: StringBuilder): Unit = v match {
+  /** Parsed value → compact JSON (shared with [[TomlParse]]). */
+  private[io] def jsonify(v: Any, sb: StringBuilder): Unit = v match {
     case null => sb.append("null")
     case b: Boolean => sb.append(b)
     case n: Long => sb.append(n)

@@ -131,6 +131,41 @@ class CliSpec extends SparkSpec {
     new graft.api.ParquetCollection(spark, collDir, "cli").count() shouldBe 6
   }
 
+  test("output-type: json, yaml, markdown, table renderings") {
+    val (c1, json) = runCli("query", "--path", dataPath, "--where", "id=1",
+      "--select", "id,name", "--output-type", "json")
+    c1 shouldBe 0
+    json.head shouldBe "["
+    json.last shouldBe "]"
+    json.mkString should include(""""name":"alice"""")
+
+    val (c2, yaml) = runCli("query", "--path", dataPath, "--where", "id=1",
+      "--select", "id,name", "--output-type", "yaml")
+    c2 shouldBe 0
+    yaml shouldBe Seq("---", "id: 1", "name: alice")
+
+    val (c3, md) = runCli("query", "--path", dataPath, "--where", "id=1",
+      "--select", "name", "--output-type", "markdown")
+    c3 shouldBe 0
+    md.head shouldBe "## Object"
+    md should contain(" * name: alice")
+
+    val (c4, tbl) = runCli("query", "--path", dataPath, "--sort", "id",
+      "--select", "id,city", "--output-type", "table")
+    c4 shouldBe 0
+    tbl.head should fullyMatch regex "\\+-+\\+-+\\+"
+    tbl(1) should include("| id")
+    tbl should have size 7 // rule, header, mid-rule, 3 rows, rule
+    tbl(3) should include("| 1")
+
+    val (c5, csv) = runCli("query", "--path", dataPath, "--where", "id=1",
+      "--output-type", "csv")
+    c5 shouldBe 0
+    csv.head shouldBe "id,name,score,city"
+
+    runCli("query", "--path", dataPath, "--output-type", "dot")._1 shouldBe 2
+  }
+
   test("bad usage returns exit code 2 with a message") {
     runCli("query")._1 shouldBe 2
     runCli("frobnicate", "--path", dataPath)._1 shouldBe 2

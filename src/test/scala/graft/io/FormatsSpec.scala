@@ -47,7 +47,8 @@ class FormatsSpec extends SparkSpec {
     Formats.fromPath("a.tsv") shouldBe Formats.Tsv
     Formats.fromPath("a.yml") shouldBe Formats.Yaml
     Formats.fromPath("a.xlsx") shouldBe Formats.Xlsx
-    an[IllegalArgumentException] should be thrownBy Formats.byName("toml")
+    Formats.byName("toml") shouldBe Formats.Toml
+    an[IllegalArgumentException] should be thrownBy Formats.byName("hdf5")
   }
 
   test("yaml: single list document with nested structs, arrays, nulls") {
@@ -195,6 +196,56 @@ class FormatsSpec extends SparkSpec {
     r.getAs[Boolean]("flag") shouldBe true
     r.getAs[Double]("v") shouldBe 1.5
     back.collect()(1).isNullAt(back.columns.indexOf("s")) shouldBe true
+  }
+
+  test("toml read: tables, arrays of tables, inline tables, typed values") {
+    val doc =
+      """# config-style document
+        |title = "demo"
+        |count = 1_000
+        |ratio = 0.5
+        |ok = true
+        |created = 2024-01-02T03:04:05Z
+        |tags = [
+        |  "a", # inline comment
+        |  "b",
+        |]
+        |point = { x = 1, y = -2 }
+        |
+        |[owner.contact]
+        |email = 'raw\literal@example.com'
+        |
+        |[[servers]]
+        |host = "alpha"
+        |port = 8001
+        |
+        |[[servers]]
+        |host = "beta"
+        |port = 8002
+        |""".stripMargin
+    TomlParse.tomlToJson(doc) shouldBe
+      """{"title":"demo","count":1000,"ratio":0.5,"ok":true,""" +
+      """"created":"2024-01-02T03:04:05Z","tags":["a","b"],""" +
+      """"point":{"x":1,"y":-2},""" +
+      """"owner":{"contact":{"email":"raw\\literal@example.com"}},""" +
+      """"servers":[{"host":"alpha","port":8001},{"host":"beta","port":8002}]}"""
+    val p = tmp("conf.toml")
+    Files.writeString(java.nio.file.Paths.get(p), doc)
+    val back = Formats.read(spark, p, "toml")
+    back.count() shouldBe 1
+    val r = back.collect().head
+    r.getAs[Long]("count") shouldBe 1000L
+    r.getAs[org.apache.spark.sql.Row]("point").getAs[Long]("x") shouldBe 1L
+    an[UnsupportedOperationException] should be thrownBy Formats.write(df, tmp("t.toml"), "toml")
+  }
+
+  test("toml parser: multiline strings and malformed input") {
+    TomlParse.tomlToJson("s = \"\"\"\nline1\nline2\"\"\"\n") shouldBe
+      """{"s":"line1\nline2"}"""
+    TomlParse.tomlToJson("s = '''raw \\ text'''\n") shouldBe
+      """{"s":"raw \\ text"}"""
+    an[IllegalArgumentException] should be thrownBy TomlParse.parse("just words\n")
+    an[IllegalArgumentException] should be thrownBy TomlParse.parse("a = 1\na = 2\n")
   }
 
   test("xlsx export refuses oversized frames") {
