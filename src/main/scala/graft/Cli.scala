@@ -144,6 +144,38 @@ object Cli {
             opts.getOrElse("name", "cli"))
           coll.insert(rows)
           out(s"inserted ${rows.count()} rows into $root (now ${coll.count()})")
+        case "infer" =>
+          val df = load(spark, opts)
+          val spec = opts.getOrElse("rules",
+            throw new IllegalArgumentException(
+              "infer needs --rules \"where => col=val[,col=val]; ...\""))
+          val rules = spec.split(';').toSeq.filter(_.trim.nonEmpty).map { clause =>
+            clause.split("=>", 2) match {
+              case Array(w, a) if a.trim.nonEmpty =>
+                val post = a.trim.split(',').map { kv =>
+                  kv.split("=", 2) match {
+                    case Array(k, v) if v.startsWith("@") => k.trim -> col(v.substring(1))
+                    case Array(k, v) => k.trim -> lit(typed(v.trim))
+                    case _ => throw new IllegalArgumentException(s"bad assignment '$kv'")
+                  }
+                }.toMap
+                graft.ops.Rules.Rule(parseWhere(w.trim), post)
+              case _ => throw new IllegalArgumentException(
+                s"bad rule '$clause' (expected: where => col=val)")
+            }
+          }
+          val inferred = graft.ops.Rules.applyRules(df, rules)
+          opts.get("target-col").foreach { t =>
+            val p = opts.getOrElse("predict-col",
+              throw new IllegalArgumentException("--target-col needs --predict-col"))
+            out(f"accuracy: ${graft.ops.Rules.accuracy(inferred, t, p)}%.4f")
+          }
+          // --select/--sort/--limit shape the output like `query`
+          emit(opts, out, new Collection("cli", inferred).find(
+            Filter.True,
+            selectCols = opts.get("select").map(_.split(',').toSeq).getOrElse(Nil),
+            sortBy = opts.get("sort").map(_.split(',').toSeq.map(SortKey.parse)).getOrElse(Nil),
+            limit = opts.get("limit").map(_.toLong).getOrElse(-1L)))
         case "peek" => emit(opts, out, load(spark, opts).limit(limitOf(opts, 10).toInt))
         case other => out(s"unknown command '$other'\n$usage"); return 2
       }
@@ -185,8 +217,11 @@ object Cli {
   private[graft] def whereOf(opts: Map[String, String]): Filter =
     opts.get("where") match {
       case None => Filter.True
-      case Some(spec) =>
-        val parts: Seq[Filter] = spec.split(',').toSeq.map {
+      case Some(spec) => parseWhere(spec)
+    }
+
+  private[graft] def parseWhere(spec: String): Filter = {
+    val parts: Seq[Filter] = spec.split(',').toSeq.map {
           case Cmp(k, op, raw) =>
             val v = typed(raw)
             op match {
@@ -199,8 +234,8 @@ object Cli {
             }
           case other => throw new IllegalArgumentException(s"bad where term '$other'")
         }
-        if (parts.size == 1) parts.head else Filter.And(parts)
-    }
+    if (parts.size == 1) parts.head else Filter.And(parts)
+  }
 
   private def typed(raw: String): Any =
     if (raw.matches("^-?\\d+$")) raw.toLong
@@ -224,12 +259,13 @@ object Cli {
 
   private val usage: String =
     """usage: graft.Cli <command> --path <data> [options]
-      |commands: query fq groupby describe pivot enrichment search schema validate
-      |          diff apply insert export peek
+      |commands: query fq groupby describe pivot enrichment infer search schema
+      |          validate diff apply insert export peek
       |options: --where k=v,k2>v2  --select a,b  --sort -col  --limit n  --offset n
       |         --columns a,b  --index/--columns/--values (pivot)  --query term
       |         --by a,b --agg sum:x,avg:y (groupby)  --sample-col s (enrichment)
       |         --attrs a,b --template "{a}: {b}" (search)  --required a,b (validate)
+      |         --rules "where => col=val; ..." [--target-col t --predict-col p] (infer)
       |         --other path --id-col pk (diff)  --patches file (apply)
       |         --collection dir (insert)  --output path --format fmt
       |         --output-type tsv|csv|json|jsonl|yaml|markdown|table""".stripMargin

@@ -131,6 +131,22 @@ class CliSpec extends SparkSpec {
     new graft.api.ParquetCollection(spark, collDir, "cli").count() shouldBe 6
   }
 
+  test("infer: sequential rules with typed and column-ref assignments") {
+    val (code, out) = runCli("infer", "--path", dataPath,
+      "--rules", "score>30.0 => tier=high,ref=@name; score<=30.0 => tier=low",
+      "--select", "id,tier,ref", "--sort", "id")
+    code shouldBe 0
+    out.head shouldBe "id\ttier\tref"
+    out.tail shouldBe Seq("1\thigh\talice", "2\tlow\tnull", "3\thigh\tcarol")
+    // evaluation path: self-accuracy of a copied column is 1
+    val (c2, out2) = runCli("infer", "--path", dataPath,
+      "--rules", "id>0 => pred=@city",
+      "--target-col", "city", "--predict-col", "pred")
+    c2 shouldBe 0
+    out2.head shouldBe "accuracy: 1.0000"
+    runCli("infer", "--path", dataPath, "--rules", "nonsense")._1 shouldBe 2
+  }
+
   test("output-type: json, yaml, markdown, table renderings") {
     val (c1, json) = runCli("query", "--path", dataPath, "--where", "id=1",
       "--select", "id,name", "--output-type", "json")
