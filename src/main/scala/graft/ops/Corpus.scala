@@ -129,6 +129,39 @@ object Corpus {
       .orderBy(col("n_shared").desc, col(idCol).asc)
   }
 
+  /** Scale variant of [[decontaminate]]: the eval-side gram set rides
+    * a Bloom filter instead of a broadcast join — bounded bits
+    * regardless of eval size (1e8 grams at 1% fpp ≈ 114 MB), and the
+    * train side becomes a map-only filter, no join at all. Guarantee:
+    * never misses a contaminated doc (no false negatives); a ~fpp
+    * share of clean grams test positive, so `n_shared` is an upper
+    * bound and marginal docs need the exact [[decontaminate]] verify.
+    */
+  def decontaminateBloom(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalPred: Column,
+      w: Int,
+      fpp: Double = 0.01): DataFrame = {
+    def grams(side: DataFrame): DataFrame = side
+      .select(col(idCol), explode(Repetition.ngrams(col(textCol), w)).as("gram"))
+      .select(col(idCol), TextFunctions.portableHash60(col("gram")).as("gh"))
+    val isEval = coalesce(evalPred, lit(false))
+    val evalGrams = grams(df.filter(isEval)).select("gh").distinct()
+    // expected-items from a real count: the distinct aggregation is the
+    // same work the exact path does, and a right-sized filter beats a
+    // guessed one at any scale
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = Sketches.buildBloom(evalGrams, col("gh"), n, fpp)
+    val trainGrams = grams(df.filter(!isEval)).distinct()
+    trainGrams
+      .filter(Sketches.mightContain(trainGrams, bloom, col("gh")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("n_shared").desc, col(idCol).asc)
+  }
+
   /** DuckDB twin of [[decontaminate]] (`evalPredSql` mirrors evalPred). */
   def decontaminateDuckSql(
       table: String,

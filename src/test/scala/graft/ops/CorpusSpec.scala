@@ -67,4 +67,25 @@ class CorpusSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     got.map { case (k, v) => k -> v.toInt } shouldBe expected
   }
+
+  test("decontaminateBloom: superset of exact, counts upper-bound, no false negatives") {
+    val rng = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val docs = (0L until 60L).map { i =>
+      (i, Seq.fill(6 + rng.nextInt(6))(vocab(rng.nextInt(vocab.size))).mkString(" "),
+        if (i < 10) "eval" else "train")
+    }
+    val df = docs.toDF("doc_id", "text", "split")
+    val exact = Corpus.decontaminate(df, "doc_id", "text",
+      evalPred = col("split") === "eval", w = 4).as[(Long, Long)].collect().toMap
+    val bloomed = Corpus.decontaminateBloom(df, "doc_id", "text",
+      evalPred = col("split") === "eval", w = 4, fpp = 0.01).as[(Long, Long)].collect().toMap
+    // every truly contaminated doc is present with at least its exact count
+    exact.foreach { case (id, n) =>
+      bloomed.keySet should contain(id)
+      bloomed(id) should be >= n
+    }
+    // at 1% fpp on this tiny gram universe, spurious extras stay rare
+    (bloomed.keySet -- exact.keySet).size should be <= 3
+  }
 }
