@@ -65,6 +65,8 @@ object ScaleSmoke {
     val finders: Seq[(String, Int => DataFrame)] = Seq(
       "ngram_jaccard" -> (k =>
         graft.dedup.NgramJaccard.jaccardPairs(docsX(k), "doc_id", "text")),
+      "ngram_ppjoin" -> (k =>
+        graft.dedup.NgramJaccard.jaccardPairsExact(docsX(k), "doc_id", "text")),
       "minhash_lsh" -> (k =>
         graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text")),
       "embed_neardup" -> (k =>
