@@ -105,7 +105,9 @@ object Cli {
             throw new IllegalArgumentException("groupby needs --by col[,col]")).split(',').toSeq
           val aggs = opts.getOrElse("agg", "count:*").split(',').toSeq.map { spec =>
             spec.split(':') match {
-              case Array("count", _) => count(lit(1)).as("count")
+              case Array("count", "*") => count(lit(1)).as("count")
+              // SQL count(col) semantics: non-null values only
+              case Array("count", c) => count(col(c)).as(s"count_$c")
               case Array(fn, c) =>
                 val target = col(c)
                 (fn match {
@@ -135,7 +137,7 @@ object Cli {
               throw new IllegalArgumentException("apply needs --patches <file>")),
             opts.getOrElse("patch-format", null))
           val pk = opts.getOrElse("id-col", df.columns.head)
-          emit(opts, out, graft.ops.Diff.applyPatches(df, patches, pk))
+          emit(opts, out, shaped(opts, graft.ops.Diff.applyPatches(df, patches, pk)))
         case "insert" =>
           val rows = load(spark, opts)
           val root = opts.getOrElse("collection",
@@ -170,18 +172,14 @@ object Cli {
               throw new IllegalArgumentException("--target-col needs --predict-col"))
             out(f"accuracy: ${graft.ops.Rules.accuracy(inferred, t, p)}%.4f")
           }
-          // --select/--sort/--limit shape the output like `query`
-          emit(opts, out, new Collection("cli", inferred).find(
-            Filter.True,
-            selectCols = opts.get("select").map(_.split(',').toSeq).getOrElse(Nil),
-            sortBy = opts.get("sort").map(_.split(',').toSeq.map(SortKey.parse)).getOrElse(Nil),
-            limit = opts.get("limit").map(_.toLong).getOrElse(-1L)))
+          emit(opts, out, shaped(opts, inferred))
         case "peek" => emit(opts, out, load(spark, opts).limit(limitOf(opts, 10).toInt))
         case other => out(s"unknown command '$other'\n$usage"); return 2
       }
       0
     } catch {
       case e: IllegalArgumentException => out(s"error: ${e.getMessage}"); 2
+      case e: UnsupportedOperationException => out(s"error: ${e.getMessage}"); 2
     }
   }
 
@@ -192,6 +190,14 @@ object Cli {
       sortBy = opts.get("sort").map(_.split(',').toSeq.map(SortKey.parse)).getOrElse(Nil),
       limit = opts.get("limit").map(_.toLong).getOrElse(-1L),
       offset = opts.get("offset").map(_.toLong).getOrElse(0L))
+
+  /** --select/--sort/--limit shape a derived result like `query`. */
+  private def shaped(opts: Map[String, String], df: DataFrame): DataFrame =
+    new Collection("cli", df).find(
+      Filter.True,
+      selectCols = opts.get("select").map(_.split(',').toSeq).getOrElse(Nil),
+      sortBy = opts.get("sort").map(_.split(',').toSeq.map(SortKey.parse)).getOrElse(Nil),
+      limit = opts.get("limit").map(_.toLong).getOrElse(-1L))
 
   private def load(spark: SparkSession, opts: Map[String, String]): DataFrame =
     graft.io.Formats.read(spark,

@@ -108,7 +108,8 @@ object XlsxIO {
       case '&' => "&amp;"
       case '"' => "&quot;"
       case c if c == '\n' || c == '\t' => c.toString
-      case c if c < ' ' => "" // other control chars are not representable in XML 1.0
+      case '\r' => "&#13;" // char-ref survives the parser's line-end normalization
+      case c if c < ' ' => "" // remaining control chars are not representable in XML 1.0
       case c => c.toString
     }
 
@@ -152,14 +153,7 @@ object XlsxIO {
     try {
       val shared = Option(zf.getEntry("xl/sharedStrings.xml"))
         .map(e => parseSharedStrings(zf, e)).getOrElse(Array.empty[String])
-      val sheetEntry = {
-        import scala.jdk.CollectionConverters._
-        val sheets = zf.entries().asScala
-          .filter(e => e.getName.startsWith("xl/worksheets/sheet") && e.getName.endsWith(".xml"))
-          .toSeq.sortBy(_.getName)
-        require(sheets.nonEmpty, s"xlsx: no worksheet part in $path")
-        sheets.head
-      }
+      val sheetEntry = firstSheetEntry(zf, path)
       val rows = parseSheet(zf, sheetEntry, shared)
       if (rows.isEmpty) return Nil
       val header = rows.head.map { case (c, v) => c -> String.valueOf(v) }.toMap
@@ -188,18 +182,60 @@ object XlsxIO {
     }
   }
 
-  private def jsonStr(s: String, sb: StringBuilder): Unit = {
-    sb.append('"')
-    s.foreach {
-      case '"' => sb.append("\\\"")
-      case '\\' => sb.append("\\\\")
-      case '\n' => sb.append("\\n")
-      case '\r' => sb.append("\\r")
-      case '\t' => sb.append("\\t")
-      case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
-      case c => sb.append(c)
+  // JSON string escaping shared with the YAML/TOML read paths
+  private def jsonStr(s: String, sb: StringBuilder): Unit =
+    YamlParse.jsonString(s, sb)
+
+  /** The FIRST sheet in workbook order: workbook.xml's first `<sheet>`
+    * resolved through its r:id relationship — tab order and >9 sheets
+    * both break a lexicographic part-name sort. Falls back to the
+    * name-sorted part only when the workbook/rels parts are absent.
+    */
+  private def firstSheetEntry(zf: ZipFile, path: String): ZipEntry = {
+    import scala.jdk.CollectionConverters._
+    val viaWorkbook = for {
+      wb <- Option(zf.getEntry("xl/workbook.xml"))
+      relsEntry <- Option(zf.getEntry("xl/_rels/workbook.xml.rels"))
+      firstRid <- {
+        val r = xmlReader(zf, wb)
+        try {
+          var rid: Option[String] = None
+          while (rid.isEmpty && r.hasNext) {
+            if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet")
+              rid = Option(r.getAttributeValue(
+                "http://schemas.openxmlformats.org/officeDocument/2006/relationships", "id"))
+                .orElse(Option(r.getAttributeValue(null, "id")))
+          }
+          rid
+        } finally r.close()
+      }
+      target <- {
+        val r = xmlReader(zf, relsEntry)
+        try {
+          var t: Option[String] = None
+          while (t.isEmpty && r.hasNext) {
+            if (r.next() == XMLStreamConstants.START_ELEMENT &&
+                r.getLocalName == "Relationship" &&
+                r.getAttributeValue(null, "Id") == firstRid)
+              t = Option(r.getAttributeValue(null, "Target"))
+          }
+          t
+        } finally r.close()
+      }
+      entry <- {
+        val name =
+          if (target.startsWith("/")) target.stripPrefix("/")
+          else "xl/" + target
+        Option(zf.getEntry(name))
+      }
+    } yield entry
+    viaWorkbook.getOrElse {
+      val sheets = zf.entries().asScala
+        .filter(e => e.getName.startsWith("xl/worksheets/sheet") && e.getName.endsWith(".xml"))
+        .toSeq.sortBy(_.getName)
+      require(sheets.nonEmpty, s"xlsx: no worksheet part in $path")
+      sheets.head
     }
-    sb.append('"')
   }
 
   private def xmlReader(zf: ZipFile, e: ZipEntry) = {

@@ -137,9 +137,15 @@ object YamlParse extends Serializable {
       val out = scala.collection.mutable.LinkedHashMap[String, Any]()
       def entry(k: String, rest: String): Unit = out(k) = {
         val v = stripComment(rest)
-        if (v.isEmpty) parseBlock(col + 1) match {
-          case null => null
-          case nested => nested
+        if (v.isEmpty) {
+          // PyYAML's DEFAULT block style is the indentless sequence —
+          // dashes at the KEY's column still belong to this key (a
+          // sibling key can never start with "- "), so a list value is
+          // accepted at indent >= col while a map value needs > col
+          if (i < lines.length && lines(i).indent >= col &&
+              (lines(i).text == "-" || lines(i).text.startsWith("- ")))
+            parseList(lines(i).indent)
+          else parseBlock(col + 1)
         }
         else scalar(v)
       }
@@ -215,7 +221,7 @@ object YamlParse extends Serializable {
             case 'r' => sb.append('\r'); j += 2
             case '"' => sb.append('"'); j += 2
             case '\\' => sb.append('\\'); j += 2
-            case '0' => sb.append(' '); j += 2
+            case '0' => sb.append('\u0000'); j += 2
             case 'u' =>
               sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar); j += 6
             case other =>
@@ -321,9 +327,11 @@ object YamlParse extends Serializable {
     case b: Boolean => sb.append(b)
     case n: Long => sb.append(n)
     case d: Double =>
-      // JSON has no inf/nan literals; stringify them (PyYAML round-
-      // trips them as floats, but they never appear in tabular dumps)
-      if (d.isInfinite || d.isNaN) { sb.append('"').append(d).append('"') }
+      // bare NaN/Infinity literals: Spark's JSON reader accepts them
+      // (allowNonNumericNumbers is on by default) and keeps the
+      // column DOUBLE — quoting them would string-poison the column
+      if (d.isNaN) sb.append("NaN")
+      else if (d.isInfinite) sb.append(if (d > 0) "Infinity" else "-Infinity")
       else sb.append(d)
     case s: String => jsonString(s, sb)
     case m: scala.collection.Map[_, _] =>
@@ -349,7 +357,7 @@ object YamlParse extends Serializable {
     case other => jsonString(other.toString, sb)
   }
 
-  private def jsonString(s: String, sb: StringBuilder): Unit = {
+  private[io] def jsonString(s: String, sb: StringBuilder): Unit = {
     sb.append('"')
     s.foreach {
       case '"' => sb.append("\\\"")

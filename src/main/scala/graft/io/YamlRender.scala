@@ -126,8 +126,18 @@ object YamlRender {
     case null => "null"
     case b: Boolean => b.toString
     case n @ (_: Byte | _: Short | _: Int | _: Long) => n.toString
-    case f: Float => f.toString
-    case d: Double => d.toString
+    // YAML core-schema float specials (.nan/.inf) — a bare NaN would
+    // read back as the STRING "NaN" and poison the column type
+    case f: Float =>
+      if (f.isNaN) ".nan"
+      else if (f.isPosInfinity) ".inf"
+      else if (f.isNegInfinity) "-.inf"
+      else f.toString
+    case d: Double =>
+      if (d.isNaN) ".nan"
+      else if (d.isPosInfinity) ".inf"
+      else if (d.isNegInfinity) "-.inf"
+      else d.toString
     case d: java.math.BigDecimal => d.toPlainString
     case d: BigDecimal => d.bigDecimal.toPlainString
     case b: Array[Byte] => quote(java.util.Base64.getEncoder.encodeToString(b))

@@ -143,12 +143,15 @@ object Corpus {
       textCol: String,
       evalPred: Column,
       w: Int,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     def grams(side: DataFrame): DataFrame = side
       .select(col(idCol), explode(Repetition.ngrams(col(textCol), w)).as("gram"))
       .select(col(idCol), TextFunctions.portableHash60(col("gram")).as("gh"))
     val isEval = coalesce(evalPred, lit(false))
-    val evalGrams = grams(df.filter(isEval)).select("gh").distinct()
+    // persisted: count() (filter sizing) and bloomFilter() are two
+    // actions over the same explode/distinct — one scan, not two
+    val evalGrams = scope.persist(grams(df.filter(isEval)).select("gh").distinct())
     // expected-items from a real count: the distinct aggregation is the
     // same work the exact path does, and a right-sized filter beats a
     // guessed one at any scale

@@ -91,6 +91,20 @@ class CliSpec extends SparkSpec {
     code2 shouldBe 0
     out2.tail shouldBe Seq("bergen\t1", "oslo\t1")
     runCli("groupby", "--path", dataPath, "--by", "city", "--agg", "median:x")._1 shouldBe 2
+    // count:col skips nulls (SQL semantics) and names the column count_col
+    val p = java.nio.file.Files.createTempDirectory("graft-cli").resolve("n2.parquet").toString
+    Seq(("x", Some(1.0)), ("x", None), ("y", Some(2.0))).toDF("g", "v").write.parquet(p)
+    val (c3, out3) = runCli("groupby", "--path", p, "--by", "g", "--agg", "count:v")
+    c3 shouldBe 0
+    out3.head shouldBe "g\tcount_v"
+    out3.tail shouldBe Seq("x\t1", "y\t1")
+  }
+
+  test("unsupported operations exit 2 with a friendly error") {
+    val (code, out) = runCli("export", "--path", dataPath,
+      "--output", "/tmp/nope.toml", "--format", "toml")
+    code shouldBe 2
+    out.head should startWith("error: toml WRITE is out of scope")
   }
 
   test("enrichment: per-sample token enrichment end-to-end") {

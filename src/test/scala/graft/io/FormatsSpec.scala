@@ -170,6 +170,42 @@ class FormatsSpec extends SparkSpec {
     YamlParse.docToJson("- 1\n- 2\n") shouldBe Some("[1,2]")
   }
 
+  test("yaml parser: PyYAML default indentless block sequences") {
+    // yaml.safe_dump puts sequence dashes at the KEY's column
+    YamlParse.docToJson("tags:\n- a\n- b\nn: 1\n") shouldBe
+      Some("""{"tags":["a","b"],"n":1}""")
+    // nested: indentless under an indented key, then a sibling
+    YamlParse.docToJson("outer:\n  inner:\n  - 1\n  - 2\n  other: x\n") shouldBe
+      Some("""{"outer":{"inner":[1,2],"other":"x"}}""")
+    // indented sequences still work
+    YamlParse.docToJson("tags:\n  - a\n  - b\n") shouldBe Some("""{"tags":["a","b"]}""")
+  }
+
+  test("yaml round-trip keeps NaN/Infinity columns double-typed") {
+    val p = tmp("nan.yaml")
+    val withNan = Seq((1L, 1.5), (2L, Double.NaN), (3L, Double.PositiveInfinity))
+      .toDF("id", "v")
+    Formats.write(withNan, p, "yaml")
+    val body = Files.readString(java.nio.file.Paths.get(p))
+    body should include("v: .nan")
+    body should include("v: .inf")
+    val back = Formats.read(spark, p, "yaml").orderBy("id")
+    back.schema("v").dataType shouldBe org.apache.spark.sql.types.DoubleType
+    val vs = back.select("v").as[Double].collect()
+    vs(0) shouldBe 1.5
+    vs(1).isNaN shouldBe true
+    vs(2).isPosInfinity shouldBe true
+  }
+
+  test("xlsx round-trip preserves CRLF and control-adjacent strings") {
+    val p = tmp("crlf.xlsx")
+    val d = Seq((1L, "a\r\nb"), (2L, "tab\there")).toDF("id", "s")
+    Formats.write(d, p, "xlsx")
+    val back = Formats.read(spark, p, "xlsx").orderBy("id").select("s").as[String].collect()
+    back(0) shouldBe "a\r\nb"
+    back(1) shouldBe "tab\there"
+  }
+
   test("yaml parser: malformed input raises instead of silently dropping") {
     an[IllegalArgumentException] should be thrownBy
       YamlParse.docToJson("a: 1\nnot a map entry\n")
