@@ -173,6 +173,16 @@ object Cli {
             out(f"accuracy: ${graft.ops.Rules.accuracy(inferred, t, p)}%.4f")
           }
           emit(opts, out, shaped(opts, inferred))
+        case "collections" => dbOf(spark, opts).listCollectionNames.foreach(out)
+        case "drop-collection" =>
+          val nm = opts.getOrElse("name",
+            throw new IllegalArgumentException("drop-collection needs --name"))
+          dbOf(spark, opts).dropCollection(nm)
+          out(s"dropped $nm")
+        case "sql" =>
+          // collections register as temp views; any Spark SQL over them
+          emit(opts, out, dbOf(spark, opts).executeSql(
+            opts.getOrElse("sql", throw new IllegalArgumentException("sql needs --sql"))))
         case "peek" => emit(opts, out, load(spark, opts).limit(limitOf(opts, 10).toInt))
         case other => out(s"unknown command '$other'\n$usage"); return 2
       }
@@ -190,6 +200,10 @@ object Cli {
       sortBy = opts.get("sort").map(_.split(',').toSeq.map(SortKey.parse)).getOrElse(Nil),
       limit = opts.get("limit").map(_.toLong).getOrElse(-1L),
       offset = opts.get("offset").map(_.toLong).getOrElse(0L))
+
+  private def dbOf(spark: SparkSession, opts: Map[String, String]): graft.api.Database =
+    new graft.api.Database(spark,
+      opts.getOrElse("db", throw new IllegalArgumentException("missing --db <dir>")), "cli")
 
   /** --select/--sort/--limit shape a derived result like `query`. */
   private def shaped(opts: Map[String, String], df: DataFrame): DataFrame =
@@ -267,6 +281,7 @@ object Cli {
     """usage: graft.Cli <command> --path <data> [options]
       |commands: query fq groupby describe pivot enrichment infer search schema
       |          validate diff apply insert export peek
+      |          collections drop-collection sql (database-level: --db <dir>)
       |options: --where k=v,k2>v2  --select a,b  --sort -col  --limit n  --offset n
       |         --columns a,b  --index/--columns/--values (pivot)  --query term
       |         --by a,b --agg sum:x,avg:y (groupby)  --sample-col s (enrichment)

@@ -100,6 +100,30 @@ class CliSpec extends SparkSpec {
     out3.tail shouldBe Seq("x\t1", "y\t1")
   }
 
+  test("database commands: collections, sql over views, drop-collection") {
+    val dbDir = Files.createTempDirectory("graft-cli-db").toString
+    val db = new graft.api.Database(spark, dbDir, "t")
+    db.createCollection("people", Seq((1L, "alice"), (2L, "bob")).toDF("id", "name"))
+    db.createCollection("pets", Seq((1L, "rex")).toDF("owner_id", "pet"))
+
+    val (c1, out1) = runCli("collections", "--db", dbDir)
+    c1 shouldBe 0
+    out1 shouldBe Seq("people", "pets")
+
+    val (c2, out2) = runCli("sql", "--db", dbDir,
+      "--sql", "SELECT name, pet FROM people JOIN pets ON id = owner_id ORDER BY name")
+    c2 shouldBe 0
+    out2 shouldBe Seq("name\tpet", "alice\trex")
+
+    val (c3, out3) = runCli("drop-collection", "--db", dbDir, "--name", "pets")
+    c3 shouldBe 0
+    out3.head shouldBe "dropped pets"
+    runCli("collections", "--db", dbDir)._2 shouldBe Seq("people")
+
+    runCli("sql", "--db", dbDir)._1 shouldBe 2
+    runCli("collections")._1 shouldBe 2
+  }
+
   test("unsupported operations exit 2 with a friendly error") {
     val (code, out) = runCli("export", "--path", dataPath,
       "--output", "/tmp/nope.toml", "--format", "toml")
