@@ -115,6 +115,16 @@ object TextQueries extends QuerySet {
         .orderBy("doc_id"),
       Some(s"""SELECT doc_id, lang, ${LangId.predictDuckSql("toks")} AS lang_pred
               |FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) t
-              |ORDER BY doc_id""".stripMargin))
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Multinomial Naive Bayes fit + argmax scoring entirely in-plan
+    // (the sklearn-engine analog): every 10th doc is the probe split,
+    // the rest train a lang classifier on whitespace tokens.
+    Q("q_nb_classify",
+      (s, d) => graft.ops.NaiveBayes.classify(Tables.df(s, d, "documents"),
+        "doc_id", "text", "lang",
+        probePred = col("doc_id") % 10 === 0),
+      Some(graft.ops.NaiveBayes.classifyDuckSql("documents",
+        "doc_id", "text", "lang", probePredSql = "doc_id % 10 = 0")))
   )
 }

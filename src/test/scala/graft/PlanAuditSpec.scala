@@ -56,6 +56,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_unigram_xent",   // 1-row token-total crossJoin
     "q_enrichment",     // 1-row sample/background totals
     "q_pack_sequences", // 256x256 hex-bucket triangular join (literal-bounded)
+    "q_nb_classify",    // 1-row vocab/doc-total crossJoins + #classes model broadcast
     "q_find_matches"    // the documented BRUTE tier: whole-target
                         // broadcast, kept for dim-sized targets only —
                         // q_find_matches_lsh is the collection-scale path
@@ -138,7 +139,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_mutual_info: totals grouped by column-name PAIRS — ≤ nCols²
     //    rows, schema-bounded
     //  - q_pack_sequences: totals grouped by the 256-value hex bucket
-    val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences")
+    //  - q_nb_classify: the class table grouped by the LABEL domain —
+    //    #classes rows (a classifier's label set, not a corpus);
+    //    the vocab-sized logp model is deliberately NOT hinted
+    val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
+      "q_nb_classify")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
