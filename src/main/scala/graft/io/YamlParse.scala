@@ -9,11 +9,16 @@ package graft.io
   *
   *   - `---`-separated documents, full-line and trailing comments
   *   - block mappings and block lists at 2+-space indentation,
-  *     including the inline `- key: value` list-of-maps shape
+  *     including the inline `- key: value` list-of-maps shape and
+  *     PyYAML's default indentless sequences
   *   - flow collections `[a, b]` / `{k: v}` (nested, one line)
   *   - single-quoted (doubled-quote escape) and double-quoted
   *     (JSON-style escapes) strings; plain scalars typed as
   *     null/bool/long/double/string exactly like PyYAML's resolver
+  *   - scalar FOLDING: width-wrapped plain/quoted scalars continue
+  *     across lines (n+1 breaks → n newlines; double-quoted `\`
+  *     break join) — safe_dump wraps at width=80, so any dump with
+  *     long text fields needs this
   *
   * NOT covered (documented divergence, none emitted by safe_dump for
   * tabular data): block scalars (`|`/`>`), anchors/aliases/tags,
@@ -52,14 +57,17 @@ object YamlParse extends Serializable {
     * no content (blank / comments only).
     */
   def docToJson(text: String): Option[String] = {
+    // blank lines are KEPT (they carry folding information inside
+    // multi-line scalars: n+1 line breaks fold to n newlines); the
+    // structural loops skip them
     val lines: Array[Line] = text.split("\n", -1).iterator
       .map { raw =>
         val indent = raw.takeWhile(_ == ' ').length
         Line(indent, raw.trim)
       }
-      .filter(l => l.text.nonEmpty && !l.text.startsWith("#"))
+      .filter(l => !l.text.startsWith("#"))
       .toArray
-    if (lines.isEmpty) None
+    if (lines.forall(_.text.isEmpty)) None
     else {
       val p = new P(lines)
       val v = p.parseBlock(0)
@@ -76,11 +84,15 @@ object YamlParse extends Serializable {
   private final class P(lines: Array[Line]) {
     private var i = 0
 
-    def done: Boolean = i >= lines.length
+    private def skipBlanks(): Unit =
+      while (i < lines.length && lines(i).text.isEmpty) i += 1
+
+    def done: Boolean = { skipBlanks(); i >= lines.length }
     def peek: String = if (done) "<eof>" else lines(i).text
 
     /** The block node whose lines sit at indent >= `min`. */
     def parseBlock(min: Int): Any = {
+      skipBlanks()
       if (i >= lines.length || lines(i).indent < min) return null
       val l = lines(i)
       if (l.text == "-" || l.text.startsWith("- ")) parseList(l.indent)
@@ -90,6 +102,7 @@ object YamlParse extends Serializable {
 
     private def parseList(indent: Int): Any = {
       val out = scala.collection.mutable.ArrayBuffer[Any]()
+      skipBlanks()
       while (i < lines.length && lines(i).indent == indent &&
              (lines(i).text == "-" || lines(i).text.startsWith("- "))) {
         val l = lines(i)
@@ -98,10 +111,12 @@ object YamlParse extends Serializable {
         else {
           val rest = l.text.substring(2).trim
           // column where the item's content begins — nested map keys
-          // (`- k: v` continuation) align here
+          // (`- k: v` continuation) align here; plain-scalar folding
+          // only needs to clear the DASH column
           val col = l.indent + (l.text.length - rest.length)
-          out += parseItem(rest, col)
+          out += parseItem(rest, col, l.indent)
         }
+        skipBlanks()
       }
       out.toSeq
     }
@@ -109,25 +124,72 @@ object YamlParse extends Serializable {
     /** An inline list-item body: scalar, flow, nested list, or the
       * first entry of a map whose siblings sit at column `col`.
       */
-    private def parseItem(s: String, col: Int): Any = {
+    private def parseItem(s: String, col: Int, foldCol: Int): Any = {
       if (s == "-" || s.startsWith("- ")) {
         // nested list written inline ("- - a") — re-parse as a list
         // whose items continue at this column
         val rest = if (s == "-") "" else s.substring(2).trim
         val out = scala.collection.mutable.ArrayBuffer[Any](
-          if (rest.isEmpty) null else parseItem(rest, col + 2))
+          if (rest.isEmpty) null else parseItem(rest, col + 2, col))
         while (i < lines.length && lines(i).indent == col &&
                (lines(i).text == "-" || lines(i).text.startsWith("- "))) {
           val l = lines(i); i += 1
           if (l.text == "-") out += parseBlock(col + 1)
-          else out += parseItem(l.text.substring(2).trim, l.indent + 2)
+          else out += parseItem(l.text.substring(2).trim, l.indent + 2, l.indent)
         }
         return out.toSeq
       }
       splitKey(s) match {
         case Some((k, rest)) => parseMap(col, Some((k, rest)))
-        case None            => scalar(stripComment(s))
+        case None            => scalar(folded(stripComment(s), foldCol))
       }
+    }
+
+    /** PyYAML wraps scalars at width=80: a quoted scalar whose quote
+      * does not close on its line, or a plain scalar followed by
+      * deeper non-key/non-dash lines, continues across physical lines.
+      * YAML folding joins the segments: n+1 line breaks → n newlines
+      * (so adjacent lines fold to one space, one blank line to \n).
+      * Returns the single logical scalar string; [[scalar]] then
+      * handles quotes/escapes as usual.
+      */
+    private def folded(first: String, col: Int): String = {
+      val isQuoted = first.startsWith("'") || first.startsWith("\"")
+      if (isQuoted && !quoteClosed(first)) {
+        val sb = new StringBuilder(first)
+        var closed = false
+        while (!closed) {
+          require(i < lines.length, s"yaml: unterminated quoted scalar '$first'")
+          var blanks = 0
+          while (i < lines.length && lines(i).text.isEmpty) { blanks += 1; i += 1 }
+          require(i < lines.length, s"yaml: unterminated quoted scalar '$first'")
+          // double-quoted explicit join: an ODD run of trailing
+          // backslashes escapes the break — no folded space
+          val oddBackslash = first.startsWith("\"") && blanks == 0 && {
+            var b = 0
+            while (b < sb.length && sb.charAt(sb.length - 1 - b) == '\\') b += 1
+            b % 2 == 1
+          }
+          if (oddBackslash) sb.deleteCharAt(sb.length - 1)
+          else if (blanks == 0) sb.append(' ')
+          else sb.append("\n" * blanks)
+          sb.append(lines(i).text)
+          i += 1
+          closed = quoteClosed(sb.toString)
+        }
+        sb.toString
+      } else if (!isQuoted) {
+        // plain folding: deeper lines that are not themselves structure
+        val sb = new StringBuilder(first)
+        var go = true
+        while (go && i < lines.length && lines(i).text.nonEmpty &&
+               lines(i).indent > col) {
+          val t = lines(i).text
+          if (t == "-" || t.startsWith("- ") || splitKey(t).isDefined) go = false
+          else { sb.append(' ').append(t); i += 1 }
+        }
+        sb.toString
+      } else first
     }
 
     /** A block map at column `col`; `first` injects an entry parsed
@@ -138,6 +200,7 @@ object YamlParse extends Serializable {
       def entry(k: String, rest: String): Unit = out(k) = {
         val v = stripComment(rest)
         if (v.isEmpty) {
+          skipBlanks()
           // PyYAML's DEFAULT block style is the indentless sequence —
           // dashes at the KEY's column still belong to this key (a
           // sibling key can never start with "- "), so a list value is
@@ -147,9 +210,10 @@ object YamlParse extends Serializable {
             parseList(lines(i).indent)
           else parseBlock(col + 1)
         }
-        else scalar(v)
+        else scalar(folded(v, col))
       }
       first.foreach { case (k, rest) => entry(k, rest) }
+      skipBlanks()
       while (i < lines.length && lines(i).indent == col &&
              !(lines(i).text == "-" || lines(i).text.startsWith("- "))) {
         val l = lines(i)
@@ -158,6 +222,7 @@ object YamlParse extends Serializable {
           case None =>
             throw new IllegalArgumentException(s"yaml: expected 'key: value', got '${l.text}'")
         }
+        skipBlanks()
       }
       out
     }
@@ -189,6 +254,10 @@ object YamlParse extends Serializable {
       val h = s.indexOf(" #")
       (if (h >= 0) s.substring(0, h) else s).trim
     }
+
+  /** Whether the leading quoted scalar in `s` terminates within `s`. */
+  private def quoteClosed(s: String): Boolean =
+    try { quoted(s); true } catch { case _: IllegalArgumentException => false }
 
   /** Leading quoted string in `s` → (value, chars consumed). */
   private def quoted(s: String): (String, Int) =

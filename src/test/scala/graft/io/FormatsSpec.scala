@@ -206,6 +206,43 @@ class FormatsSpec extends SparkSpec {
     back(1) shouldBe "tab\there"
   }
 
+  test("yaml parser: PyYAML width-folding of long and multi-line scalars") {
+    // safe_dump({'s': 'a\nb'}): single-quoted spanning a blank line
+    YamlParse.docToJson("s: 'a\n\n  b'\n") shouldBe Some("""{"s":"a\nb"}""")
+    // width=80 wrap of a long plain scalar, then a sibling key
+    YamlParse.docToJson("s: aaa bbb\n  ccc ddd\nt: 1\n") shouldBe
+      Some("""{"s":"aaa bbb ccc ddd","t":1}""")
+    // wrapped single-quoted without blank: break folds to one space
+    YamlParse.docToJson("s: 'long text\n  more'\n") shouldBe
+      Some("""{"s":"long text more"}""")
+    // wrapped list items fold past the dash column
+    YamlParse.docToJson("- aaa\n  bbb\n- c\n") shouldBe Some("""["aaa bbb","c"]""")
+    // double-quoted explicit break join (trailing backslash, no space)
+    YamlParse.docToJson("s: \"ab\\\n  cd\"\n") shouldBe Some("""{"s":"abcd"}""")
+    // two blank lines -> two newlines
+    YamlParse.docToJson("s: 'a\n\n\n  b'\n") shouldBe Some("""{"s":"a\n\nb"}""")
+  }
+
+  test("yaml parser: reference-repo fixtures parse exactly as PyYAML does") {
+    // expected JSON generated by yaml.safe_load on the same files
+    val nested = java.nio.file.Paths.get("/root/reference/tests/input/nested-target.yaml")
+    assume(java.nio.file.Files.exists(nested))
+    val docs = YamlParse.docsToJson(Files.readString(nested))
+    docs.length shouldBe 1
+    docs.head should startWith(
+      """[{"paper":{"abstract":"eric likes cheese, dave likes football"},""" +
+      """"triples":[{"subject":"eric","predicate":"likes","object":"cheese"}""")
+    docs.head should include(""""triples":[]""")
+
+    val conf = java.nio.file.Paths.get(
+      "/root/reference/tests/input/countries/countries.config.yaml")
+    assume(java.nio.file.Files.exists(conf))
+    YamlParse.docsToJson(Files.readString(conf)).head shouldBe
+      """{"databases":{"countries_db":{"handle":"duckdb:///{base_dir}/countries.db",""" +
+      """"schema_location":"{base_dir}/countries.linkml.yaml",""" +
+      """"collections":{"countries":{"type":"Country"}}}}}"""
+  }
+
   test("yaml parser: malformed input raises instead of silently dropping") {
     an[IllegalArgumentException] should be thrownBy
       YamlParse.docToJson("a: 1\nnot a map entry\n")
