@@ -20,9 +20,12 @@ package graft.io
   *     break join) — safe_dump wraps at width=80, so any dump with
   *     long text fields needs this
   *
+  *   - block scalars: `|` literal and `>` folded with `-`/`+`
+  *     chomping (hand-written configs use these constantly)
+  *
   * NOT covered (documented divergence, none emitted by safe_dump for
-  * tabular data): block scalars (`|`/`>`), anchors/aliases/tags,
-  * multi-line flow collections.
+  * tabular data): anchors/aliases/tags, multi-line flow collections,
+  * explicit block-scalar indentation digits.
   *
   * Documents convert to compact JSON strings so ingestion rides
   * Spark's distributed JSON schema inference (`spark.read.json` over a
@@ -57,17 +60,17 @@ object YamlParse extends Serializable {
     * no content (blank / comments only).
     */
   def docToJson(text: String): Option[String] = {
-    // blank lines are KEPT (they carry folding information inside
-    // multi-line scalars: n+1 line breaks fold to n newlines); the
-    // structural loops skip them
+    // blank lines and comment lines are KEPT through tokenization —
+    // blanks carry folding information inside multi-line scalars and
+    // both can be CONTENT inside a block scalar; the structural loops
+    // skip them instead
     val lines: Array[Line] = text.split("\n", -1).iterator
       .map { raw =>
         val indent = raw.takeWhile(_ == ' ').length
         Line(indent, raw.trim)
       }
-      .filter(l => !l.text.startsWith("#"))
       .toArray
-    if (lines.forall(_.text.isEmpty)) None
+    if (lines.forall(l => l.text.isEmpty || l.text.startsWith("#"))) None
     else {
       val p = new P(lines)
       val v = p.parseBlock(0)
@@ -80,12 +83,22 @@ object YamlParse extends Serializable {
 
   private final case class Line(indent: Int, text: String)
 
+  /** Block-scalar headers: `|` / `>` with optional chomping. Explicit
+    * indentation digits (rare, unemitted by PyYAML) are not accepted.
+    */
+  private val BlockHeader = "^[|>][+-]?$".r
+
   /** Recursive-descent over the indentation tree with a cursor. */
   private final class P(lines: Array[Line]) {
     private var i = 0
 
+    /** Advance past blank and full-line-comment lines (ignorable in
+      * structural positions; meaningful inside scalars, which consume
+      * lines directly).
+      */
     private def skipBlanks(): Unit =
-      while (i < lines.length && lines(i).text.isEmpty) i += 1
+      while (i < lines.length &&
+             (lines(i).text.isEmpty || lines(i).text.startsWith("#"))) i += 1
 
     def done: Boolean = { skipBlanks(); i >= lines.length }
     def peek: String = if (done) "<eof>" else lines(i).text
@@ -141,7 +154,59 @@ object YamlParse extends Serializable {
       }
       splitKey(s) match {
         case Some((k, rest)) => parseMap(col, Some((k, rest)))
-        case None            => scalar(folded(stripComment(s), foldCol))
+        case None =>
+          val v = stripComment(s)
+          if (BlockHeader.matches(v)) blockScalar(v, foldCol)
+          else scalar(folded(v, foldCol))
+      }
+    }
+
+    /** Block scalar (`|` literal / `>` folded, `-` strip / `+` keep
+      * chomping): all following lines blank or deeper than `col`.
+      * Leading spaces beyond the block's indentation are preserved
+      * (reconstructed from each line's measured indent).
+      */
+    private def blockScalar(header: String, col: Int): String = {
+      val literal = header.startsWith("|")
+      val chomp = header.drop(1)
+      val buf = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+      while (i < lines.length && (lines(i).text.isEmpty || lines(i).indent > col)) {
+        buf += ((lines(i).indent, lines(i).text))
+        i += 1
+      }
+      var end = buf.length
+      while (end > 0 && buf(end - 1)._2.isEmpty) end -= 1
+      val trailingBlanks = buf.length - end
+      val content = buf.take(end)
+      if (content.isEmpty) return if (chomp == "+") "\n" * trailingBlanks else ""
+      val blockIndent = content.iterator.filter(_._2.nonEmpty).map(_._1).min
+      val raws = content.map { case (ind, t) =>
+        if (t.isEmpty) "" else " " * (ind - blockIndent) + t
+      }
+      val body =
+        if (literal) raws.mkString("\n")
+        else {
+          // folded: adjacent lines -> space, blank runs -> newlines,
+          // more-indented lines stay literal with hard breaks
+          val sb = new StringBuilder
+          var prev: Option[String] = None
+          raws.foreach { ln =>
+            prev match {
+              case None => sb.append(ln)
+              case Some(p) =>
+                if (ln.isEmpty) sb.append('\n')
+                else if (ln.startsWith(" ") || p.startsWith(" ")) sb.append('\n').append(ln)
+                else if (p.isEmpty) sb.append(ln)
+                else sb.append(' ').append(ln)
+            }
+            prev = Some(ln)
+          }
+          sb.toString
+        }
+      chomp match {
+        case "-" => body
+        case "+" => body + "\n" * (1 + trailingBlanks)
+        case _ => body + "\n"
       }
     }
 
@@ -185,7 +250,8 @@ object YamlParse extends Serializable {
         while (go && i < lines.length && lines(i).text.nonEmpty &&
                lines(i).indent > col) {
           val t = lines(i).text
-          if (t == "-" || t.startsWith("- ") || splitKey(t).isDefined) go = false
+          if (t == "-" || t.startsWith("- ") || t.startsWith("#") ||
+              splitKey(t).isDefined) go = false
           else { sb.append(' ').append(t); i += 1 }
         }
         sb.toString
@@ -210,6 +276,7 @@ object YamlParse extends Serializable {
             parseList(lines(i).indent)
           else parseBlock(col + 1)
         }
+        else if (BlockHeader.matches(v)) blockScalar(v, col)
         else scalar(folded(v, col))
       }
       first.foreach { case (k, rest) => entry(k, rest) }

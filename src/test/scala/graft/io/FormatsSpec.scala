@@ -223,6 +223,22 @@ class FormatsSpec extends SparkSpec {
     YamlParse.docToJson("s: 'a\n\n\n  b'\n") shouldBe Some("""{"s":"a\n\nb"}""")
   }
 
+  test("yaml parser: block scalars match PyYAML (literal/folded, chomping)") {
+    // ground truth from yaml.safe_load on the same inputs
+    YamlParse.docToJson("s: |\n  line1\n  line2\nt: 1\n") shouldBe
+      Some("""{"s":"line1\nline2\n","t":1}""")
+    YamlParse.docToJson("s: |-\n  a\n  b\n") shouldBe Some("""{"s":"a\nb"}""")
+    YamlParse.docToJson("s: |+\n  a\n\n\nt: 1\n") shouldBe
+      Some("""{"s":"a\n\n\n","t":1}""")
+    YamlParse.docToJson("s: >\n  a\n  b\n\n  c\n") shouldBe
+      Some("""{"s":"a b\nc\n"}""")
+    YamlParse.docToJson("s: |\n  def f():\n    pass\n") shouldBe
+      Some("""{"s":"def f():\n  pass\n"}""")
+    YamlParse.docToJson("s: |\n  # not a comment\nt: 2\n") shouldBe
+      Some("""{"s":"# not a comment\n","t":2}""")
+    YamlParse.docToJson("s: >-\n  x\n  y\n") shouldBe Some("""{"s":"x y"}""")
+  }
+
   test("yaml parser: reference-repo fixtures parse exactly as PyYAML does") {
     // expected JSON generated by yaml.safe_load on the same files
     val nested = java.nio.file.Paths.get("/root/reference/tests/input/nested-target.yaml")
