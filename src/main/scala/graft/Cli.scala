@@ -177,7 +177,9 @@ object Cli {
         case "drop-collection" =>
           val nm = opts.getOrElse("name",
             throw new IllegalArgumentException("drop-collection needs --name"))
-          dbOf(spark, opts).dropCollection(nm)
+          val db = dbOf(spark, opts)
+          require(db.listCollectionNames.contains(nm), s"no collection '$nm' in --db")
+          db.dropCollection(nm)
           out(s"dropped $nm")
         case "sql" =>
           // collections register as temp views; any Spark SQL over them
@@ -201,9 +203,17 @@ object Cli {
       limit = opts.get("limit").map(_.toLong).getOrElse(-1L),
       offset = opts.get("offset").map(_.toLong).getOrElse(0L))
 
-  private def dbOf(spark: SparkSession, opts: Map[String, String]): graft.api.Database =
-    new graft.api.Database(spark,
-      opts.getOrElse("db", throw new IllegalArgumentException("missing --db <dir>")), "cli")
+  /** The CLI only ATTACHES existing databases — a typo'd --db path
+    * must surface as an error, not be silently created on disk (the
+    * Database constructor scaffolds its root for API users).
+    */
+  private def dbOf(spark: SparkSession, opts: Map[String, String]): graft.api.Database = {
+    val root = opts.getOrElse("db",
+      throw new IllegalArgumentException("missing --db <dir>"))
+    require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(root)),
+      s"no database directory '$root'")
+    new graft.api.Database(spark, root, "cli")
+  }
 
   /** --select/--sort/--limit shape a derived result like `query`. */
   private def shaped(opts: Map[String, String], df: DataFrame): DataFrame =

@@ -246,8 +246,10 @@ object TomlParse extends Serializable {
               case 'f' => sb.append('\f'); p += 2
               case 'b' => sb.append('\b'); p += 2
               case 'u' =>
+                require(p + 6 <= buf.length, "toml: truncated \\u escape")
                 sb.append(Integer.parseInt(buf.substring(p + 2, p + 6), 16).toChar); p += 6
               case 'U' =>
+                require(p + 10 <= buf.length, "toml: truncated \\U escape")
                 sb.appendAll(Character.toChars(Integer.parseInt(buf.substring(p + 2, p + 10), 16)))
                 p += 10
               case other => throw new IllegalArgumentException(s"toml: bad escape \\$other")
@@ -292,7 +294,9 @@ object TomlParse extends Serializable {
               case 'r' => sb.append('\r'); j += 2
               case '"' => sb.append('"'); j += 2
               case '\\' => sb.append('\\'); j += 2
-              case 'u' => sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar); j += 6
+              case 'u' =>
+                require(j + 6 <= s.length, "toml: truncated \\u escape")
+                sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar); j += 6
               case _ => sb.append(s.charAt(j)); j += 1
             }
           } else { sb.append(s.charAt(j)); j += 1 }

@@ -45,10 +45,13 @@ object YamlParse extends Serializable {
       cur.clear()
     }
     text.split("\n", -1).foreach { line =>
-      val t = line.trim
+      // document markers are only recognized at COLUMN 0 (YAML spec) —
+      // an indented '---' is scalar content (block/multi-line scalars
+      // legitimately contain marker-looking lines)
+      val t = line.stripTrailing()
       if (t == "---" || t.startsWith("--- ")) {
         flush()
-        if (t.length > 3) cur.append(line.substring(line.indexOf("---") + 4)).append('\n')
+        if (t.length > 3) cur.append(t.substring(4)).append('\n')
       } else if (t == "...") flush()
       else cur.append(line).append('\n')
     }
@@ -144,11 +147,13 @@ object YamlParse extends Serializable {
         val rest = if (s == "-") "" else s.substring(2).trim
         val out = scala.collection.mutable.ArrayBuffer[Any](
           if (rest.isEmpty) null else parseItem(rest, col + 2, col))
+        skipBlanks()
         while (i < lines.length && lines(i).indent == col &&
                (lines(i).text == "-" || lines(i).text.startsWith("- "))) {
           val l = lines(i); i += 1
           if (l.text == "-") out += parseBlock(col + 1)
           else out += parseItem(l.text.substring(2).trim, l.indent + 2, l.indent)
+          skipBlanks()
         }
         return out.toSeq
       }
@@ -244,15 +249,26 @@ object YamlParse extends Serializable {
         }
         sb.toString
       } else if (!isQuoted) {
-        // plain folding: deeper lines that are not themselves structure
+        // plain folding: deeper lines that are not themselves
+        // structure; blank runs fold to newlines (n+1 breaks → n
+        // newlines) exactly like the quoted branch
         val sb = new StringBuilder(first)
         var go = true
-        while (go && i < lines.length && lines(i).text.nonEmpty &&
-               lines(i).indent > col) {
-          val t = lines(i).text
-          if (t == "-" || t.startsWith("- ") || t.startsWith("#") ||
-              splitKey(t).isDefined) go = false
-          else { sb.append(' ').append(t); i += 1 }
+        while (go) {
+          val mark = i
+          var blanks = 0
+          while (i < lines.length && lines(i).text.isEmpty) { blanks += 1; i += 1 }
+          if (i < lines.length && lines(i).indent > col) {
+            // trailing comments fold away per continuation line too
+            val t = stripComment(lines(i).text)
+            if (t.isEmpty || t == "-" || t.startsWith("- ") ||
+                splitKey(lines(i).text).isDefined) { i = mark; go = false }
+            else {
+              if (blanks == 0) sb.append(' ') else sb.append("\n" * blanks)
+              sb.append(t)
+              i += 1
+            }
+          } else { i = mark; go = false }
         }
         sb.toString
       } else first
@@ -359,6 +375,7 @@ object YamlParse extends Serializable {
             case '\\' => sb.append('\\'); j += 2
             case '0' => sb.append('\u0000'); j += 2
             case 'u' =>
+              require(j + 6 <= s.length, s"yaml: truncated \\u escape in '$s'")
               sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar); j += 6
             case other =>
               throw new IllegalArgumentException(s"yaml: unsupported escape \\$other")

@@ -58,11 +58,14 @@ object NaiveBayes {
     val classDocs = train.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("docs"))
     val totDocs = train.agg(count(lit(1)).as("n"))
 
-    // #classes rows: prior + smoothing denominator per class
-    val classes = classDocs.join(clsTot, "cls")
+    // #classes rows: prior + smoothing denominator per class. LEFT
+    // join + coalesce: a class whose docs carry no tokens (all-null
+    // text) still exists with ct=0 — an inner join would silently
+    // drop it from the model while its docs inflate every prior
+    val classes = classDocs.join(clsTot, Seq("cls"), "left")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(totDocs))
       .select(col("cls"), (log(col("docs")) - log(col("n"))).as("prior"),
-        col("ct"), col("v"))
+        coalesce(col("ct"), lit(0L)).as("ct"), col("v"))
     // seen-token log-probabilities, keyed by token
     val logp = tokCls.join(clsTot, "cls").crossJoin(broadcast(vocab))
       .select(col("tok"), col("cls"),
@@ -70,8 +73,10 @@ object NaiveBayes {
 
     val probeTok = probe.select(col(idCol),
       explode(TextFunctions.tokens(col(textCol))).as("tok"))
+    // count = #spaces + 1 without materializing the array (equals
+    // size(tokens(text)) for non-null text, null for null)
     val nTok = probe.select(col(idCol),
-      size(TextFunctions.tokens(col(textCol))).as("n_tok"))
+      TextFunctions.wsTokenCount(col(textCol)).as("n_tok"))
 
     val matched = probeTok.join(logp, "tok")
       .groupBy(col(idCol), col("cls"))
@@ -110,8 +115,8 @@ object NaiveBayes {
        |classdocs AS (SELECT lbl AS cls, count(*) AS docs FROM train GROUP BY lbl),
        |tot AS (SELECT count(*) AS n FROM train),
        |classes AS (
-       |  SELECT cls, ln(docs) - ln(n) AS prior, ct, v
-       |  FROM classdocs JOIN clstot USING (cls) CROSS JOIN vocab CROSS JOIN tot),
+       |  SELECT cls, ln(docs) - ln(n) AS prior, coalesce(ct, 0) AS ct, v
+       |  FROM classdocs LEFT JOIN clstot USING (cls) CROSS JOIN vocab CROSS JOIN tot),
        |logp AS (
        |  SELECT tok, cls, ln(cnt + 1.0) - ln(ct + v) AS lp
        |  FROM tokcls JOIN clstot USING (cls) CROSS JOIN vocab),

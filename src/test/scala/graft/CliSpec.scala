@@ -122,6 +122,14 @@ class CliSpec extends SparkSpec {
 
     runCli("sql", "--db", dbDir)._1 shouldBe 2
     runCli("collections")._1 shouldBe 2
+    // a typo'd --db path errors instead of being silently created
+    val bogus = dbDir + "-nope"
+    val (c4, out4) = runCli("collections", "--db", bogus)
+    c4 shouldBe 2
+    out4.head should include("no database directory")
+    java.nio.file.Files.exists(java.nio.file.Paths.get(bogus)) shouldBe false
+    // dropping a missing collection reports the mistake
+    runCli("drop-collection", "--db", dbDir, "--name", "nope")._1 shouldBe 2
   }
 
   test("unsupported operations exit 2 with a friendly error") {

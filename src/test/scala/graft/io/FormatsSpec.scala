@@ -239,6 +239,29 @@ class FormatsSpec extends SparkSpec {
     YamlParse.docToJson("s: >-\n  x\n  y\n") shouldBe Some("""{"s":"x y"}""")
   }
 
+  test("yaml parser: document markers only at column 0; scalars may contain '---'") {
+    // safe_dump({'s': 'a\n---\nb'}) folds the marker-looking line into
+    // a multi-line quoted scalar — NOT a document split
+    YamlParse.docsToJson("s: 'a\n\n  ---\n\n  b'\n") shouldBe Seq("""{"s":"a\n---\nb"}""")
+    // block scalar containing a '---' content line
+    YamlParse.docsToJson("s: |\n  ---\n  a\n") shouldBe Seq("""{"s":"---\na\n"}""")
+    // a column-0 marker still splits
+    YamlParse.docsToJson("a: 1\n---\nb: 2\n").length shouldBe 2
+  }
+
+  test("yaml parser: review regressions — nested-list blanks, folded comments, escapes") {
+    // blank/comment lines between nested inline-list items
+    YamlParse.docToJson("- - a\n\n  - b\n") shouldBe Some("""[["a","b"]]""")
+    YamlParse.docToJson("- - a\n  # note\n  - b\n") shouldBe Some("""[["a","b"]]""")
+    // trailing comment on a folded continuation line is not content
+    YamlParse.docToJson("s: aaa\n  bbb # note\n") shouldBe Some("""{"s":"aaa bbb"}""")
+    // plain folding across a blank line -> newline (PyYAML semantics)
+    YamlParse.docToJson("k: aaa\n\n  bbb\n") shouldBe Some("""{"k":"aaa\nbbb"}""")
+    // truncated \u escape raises IAE, never StringIndexOutOfBounds
+    an[IllegalArgumentException] should be thrownBy
+      YamlParse.docsToJson("s: \"a\\u12\n")
+  }
+
   test("yaml parser: reference-repo fixtures parse exactly as PyYAML does") {
     // expected JSON generated by yaml.safe_load on the same files
     val nested = java.nio.file.Paths.get("/root/reference/tests/input/nested-target.yaml")

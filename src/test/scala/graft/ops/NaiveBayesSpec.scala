@@ -41,6 +41,24 @@ class NaiveBayesSpec extends SparkSpec {
     got.head.getAs[Double]("score") shouldBe (math.max(big, small) +- 1e-4)
   }
 
+  test("a class whose docs have null text stays in the model") {
+    val df = Seq(
+      (1L, None, Some("empty")),
+      (2L, None, Some("empty")),
+      (3L, None, Some("empty")),
+      (4L, Some("a b"), Some("full")),
+      (5L, Some("z"), None) // probe: OOV token
+    ).toDF("id", "text", "label")
+    val got = NaiveBayes.classify(df, "id", "text", "label", col("label").isNull).collect()
+    got.length shouldBe 1
+    // class 'empty' must survive with ct=0: prior ln(3/4) + 1·ln(1/(0+2))
+    // beats 'full' prior ln(1/4) + 1·ln(1/(2+2))
+    val e = math.log(3.0 / 4) + math.log(1.0 / 2)
+    val f = math.log(1.0 / 4) + math.log(1.0 / 4)
+    e should be > f
+    got.head.getAs[String]("pred") shouldBe "empty"
+  }
+
   test("null probe predicate rows train rather than vanish") {
     val df = Seq(
       (1L, "x x", "a", Some(false)),
