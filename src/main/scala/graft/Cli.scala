@@ -173,6 +173,26 @@ object Cli {
             out(f"accuracy: ${graft.ops.Rules.accuracy(inferred, t, p)}%.4f")
           }
           emit(opts, out, shaped(opts, inferred))
+        case "update" =>
+          // reference cli.py `update --set a[0].b.c=v`: nested path
+          // assignments on rows matching --where, committed as the
+          // next collection snapshot
+          val root = opts.getOrElse("collection",
+            throw new IllegalArgumentException("update needs --collection <dir>"))
+          val sets = opts.getOrElse("set",
+            throw new IllegalArgumentException("update needs --set path=value[,path=value]"))
+          val coll = new graft.api.ParquetCollection(spark, root,
+            opts.getOrElse("name", "cli"))
+          val where = whereOf(opts)
+          sets.split(',').foreach { kv =>
+            kv.split("=", 2) match {
+              case Array(p, v) if v.startsWith("@") =>
+                coll.updatePath(p.trim, col(v.substring(1)), where)
+              case Array(p, v) => coll.updatePath(p.trim, lit(typed(v.trim)), where)
+              case _ => throw new IllegalArgumentException(s"bad --set entry '$kv'")
+            }
+          }
+          out(s"updated ${sets.split(',').length} path(s) in $root")
         case "collections" => dbOf(spark, opts).listCollectionNames.foreach(out)
         case "drop-collection" =>
           val nm = opts.getOrElse("name",
@@ -290,7 +310,7 @@ object Cli {
   private val usage: String =
     """usage: graft.Cli <command> --path <data> [options]
       |commands: query fq groupby describe pivot enrichment infer search schema
-      |          validate diff apply insert export peek
+      |          validate diff apply insert update export peek
       |          collections drop-collection sql (database-level: --db <dir>)
       |options: --where k=v,k2>v2  --select a,b  --sort -col  --limit n  --offset n
       |         --columns a,b  --index/--columns/--values (pivot)  --query term

@@ -166,6 +166,24 @@ class CliSpec extends SparkSpec {
     out should contain("2\tbob")
   }
 
+  test("update: path-based --set on rows matching --where") {
+    val dir = Files.createTempDirectory("graft-cli")
+    val collDir = dir.resolve("upd").toString
+    val coll = new graft.api.ParquetCollection(spark, collDir, "upd")
+    coll.replace(Seq((1L, "alice", "oslo"), (2L, "bob", "bergen")).toDF("id", "name", "city"))
+    val (code, out) = runCli("update", "--collection", collDir,
+      "--where", "city=oslo", "--set", "name=ALICE")
+    code shouldBe 0
+    out.head should startWith("updated 1 path(s)")
+    coll.df.orderBy("id").select("name").as[String].collect() shouldBe
+      Array("ALICE", "bob")
+    // column-ref assignment via @
+    runCli("update", "--collection", collDir, "--set", "name=@city")._1 shouldBe 0
+    coll.df.orderBy("id").select("name").as[String].collect() shouldBe
+      Array("oslo", "bergen")
+    runCli("update", "--collection", collDir)._1 shouldBe 2
+  }
+
   test("insert: append a file into a versioned collection") {
     val dir = Files.createTempDirectory("graft-cli")
     val collDir = dir.resolve("coll").toString
