@@ -106,6 +106,8 @@ object GraftFunctions {
       .registerFunction(ArraySumAgg.info._1, ArraySumAgg.info._2, ArraySumAgg.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(ContainedCount.info._1, ContainedCount.info._2, ContainedCount.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(ManhattanDistance.info._1, ManhattanDistance.info._2, ManhattanDistance.info._3)
   }
 }
 
@@ -126,5 +128,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(RepetitionStats.info)
     ext.injectFunction(ArraySumAgg.info)
     ext.injectFunction(ContainedCount.info)
+    ext.injectFunction(ManhattanDistance.info)
   }
 }

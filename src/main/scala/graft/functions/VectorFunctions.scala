@@ -30,6 +30,12 @@ object VectorFunctions {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Manhattan (L1) distance — the native codegen [[ManhattanDistance]]
+    * expression; fold order matches DuckDB's list_sum.
+    */
+  def l1(a: Column, b: Column): Column =
+    call_function("graft_l1", a.cast("array<double>"), b.cast("array<double>"))
+
   /** Literal query vector as an array<double> column. */
   def vecLit(v: Seq[Double]): Column = array(v.map(lit): _*)
 }

@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.ann.Knn
+import graft.ann.{Knn, Matcher}
+import graft.ann.Matcher.MatchConfig
 import graft.index.{Search, TrigramIndexer}
 import org.apache.spark.sql.functions._
 
@@ -97,6 +98,57 @@ object VectorQueries extends QuerySet {
       },
       Some(Knn.findMatchesLshDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
+
+    // Generalized matcher (reference embedding_matcher.py MatchingConfig):
+    // top-n per source under a similarity threshold, default cosine.
+    Q("q_find_matches_topn",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        Matcher.findMatchesTopN(e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding",
+          MatchConfig(metric = "cosine", topN = 3, minSimilarity = Some(0.1)))
+      },
+      Some(Matcher.findMatchesTopNDuckSql("embeddings", "vec_id", "embedding",
+        srcPred = "label = 0", tgtPred = "label = 1", dim = Dim,
+        MatchConfig(metric = "cosine", topN = 3, minSimilarity = Some(0.1))))),
+
+    // Euclidean metric: distance from the ||a-b||² expansion, similarity
+    // max-normalized over the full pair matrix (reference :133-146).
+    Q("q_find_matches_eucl",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        Matcher.findMatchesTopN(e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding", MatchConfig(metric = "euclidean", topN = 3))
+      },
+      Some(Matcher.findMatchesTopNDuckSql("embeddings", "vec_id", "embedding",
+        srcPred = "label = 0", tgtPred = "label = 1", dim = Dim,
+        MatchConfig(metric = "euclidean", topN = 3)))),
+
+    // Manhattan metric through the native graft_l1 codegen kernel, with
+    // a distance threshold (reference distance_threshold semantics).
+    Q("q_find_matches_l1",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        Matcher.findMatchesTopN(e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding",
+          MatchConfig(metric = "manhattan", topN = 2, maxDistance = Some(12.0)))
+      },
+      Some(Matcher.findMatchesTopNDuckSql("embeddings", "vec_id", "embedding",
+        srcPred = "label = 0", tgtPred = "label = 1", dim = Dim,
+        MatchConfig(metric = "manhattan", topN = 2, maxDistance = Some(12.0))))),
+
+    // Within-collection mode on the LSH (scale) tier: src == tgt +
+    // excludeSelf (reference match_embeddings_within_collection :326) —
+    // banded candidates, no broadcast, no nested loop.
+    Q("q_find_matches_within",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings").filter(col("vec_id") < 400)
+        Matcher.findMatchesLshTopN(e, e, "vec_id", "embedding",
+          MatchConfig(metric = "cosine", topN = 2, excludeSelf = true))
+      },
+      Some(Matcher.findMatchesLshTopNDuckSql("embeddings", "vec_id", "embedding",
+        srcPred = "vec_id < 400", tgtPred = "vec_id < 400", dim = Dim,
+        MatchConfig(metric = "cosine", topN = 2, excludeSelf = true)))),
 
     // Near-dup detection needs near-dups: pair the corpus with an
     // id-shifted copy of itself so every vector has one exact duplicate

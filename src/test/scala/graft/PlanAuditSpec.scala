@@ -57,9 +57,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_enrichment",     // 1-row sample/background totals
     "q_pack_sequences", // 256x256 hex-bucket triangular join (literal-bounded)
     "q_nb_classify",    // 1-row vocab/doc-total crossJoins + #classes model broadcast
-    "q_find_matches"    // the documented BRUTE tier: whole-target
+    "q_find_matches",   // the documented BRUTE tier: whole-target
                         // broadcast, kept for dim-sized targets only —
                         // q_find_matches_lsh is the collection-scale path
+    "q_find_matches_topn", // same brute tier (Matcher), dim-sized target
+    "q_find_matches_eucl", // brute tier + 1-row max-dist crossJoin
+    "q_find_matches_l1"    // brute tier + 1-row max-dist crossJoin
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
