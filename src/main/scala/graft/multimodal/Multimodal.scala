@@ -1,5 +1,9 @@
 package graft.multimodal
 
+import java.awt.image.{BufferedImage, DataBufferByte}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -7,15 +11,14 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing (SURVEY §2 row 56):
   * media travels as opaque `binary` columns with a typed metadata
   * struct; decode / feature-extraction runs per-partition over batches
-  * of rows so a real decoder amortizes model/codec setup once per
-  * partition (the Scala analog of mapInPandas batching).
+  * of rows so codec setup amortizes once per partition (the Scala
+  * analog of mapInPandas batching).
   *
-  * The DECODE step is STUBBED: this environment has no image/audio
-  * libraries, so [[RealDecoder]] is an unimplemented hook (???) and
-  * [[FakeDecoder]] produces deterministic md5-seeded pseudo-features
-  * with the exact schema/batch shape the real one would have. The
-  * Spark-side plumbing — schema, partition batching, frame sampling,
-  * metadata transforms — is real and spec-tested.
+  * The image decode path is REAL: [[ImageIoDecoder]] reads any format
+  * the pure-JDK `javax.imageio` registry supports (PNG, JPEG, GIF,
+  * BMP) and extracts dimensions, channel count and per-channel
+  * mean/std directly from the raster. [[FakeDecoder]] remains as the
+  * deterministic stand-in for codecs the JDK lacks (audio/video).
   */
 object Multimodal {
 
@@ -30,15 +33,77 @@ object Multimodal {
     def features(bytes: Array[Byte], dim: Int): Array[Float]
   }
 
-  /** Hook for a real codec (javax.imageio / ffmpeg / librosa-alike).
-    * Unimplemented here by design — no media libraries in this
-    * environment.
+  /** Decoded image summary: container format, dimensions, bands, and
+    * per-band pixel mean/std (population).
     */
-  object RealDecoder extends Decoder {
-    def features(bytes: Array[Byte], dim: Int): Array[Float] = ???
+  final case class ImageStats(
+      format: String, width: Int, height: Int, channels: Int,
+      channelMean: Array[Double], channelStd: Array[Double])
+
+  /** Decode an image payload with `javax.imageio`; None when no
+    * installed reader recognizes the bytes (truncated/non-image
+    * payloads decode to None, not an exception — a corpus-scale scan
+    * must survive dirty rows).
+    */
+  def imageStats(bytes: Array[Byte]): Option[ImageStats] = {
+    if (bytes == null || bytes.isEmpty) return None
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val img = reader.read(0)
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val sum = new Array[Double](bands)
+        val sumSq = new Array[Double](bands)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              val v = raster.getSampleDouble(x, y, b)
+              sum(b) += v
+              sumSq(b) += v * v
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toDouble
+        val mean = sum.map(_ / n)
+        val std = (0 until bands).map { b =>
+          math.sqrt(math.max(0.0, sumSq(b) / n - mean(b) * mean(b)))
+        }.toArray
+        Some(ImageStats(reader.getFormatName.toLowerCase, w, h, bands, mean, std))
+      } catch {
+        case _: java.io.IOException => None
+      } finally reader.dispose()
+    } finally if (iis != null) iis.close()
   }
 
-  /** Deterministic stand-in: md5-chained pseudo-features in [-1, 1]. */
+  /** Real pure-JDK image decoder: features are
+    * `[width, height, channels, mean_0..mean_{c-1}, std_0..std_{c-1}]`
+    * zero-padded/truncated to `dim`; unreadable payloads yield null.
+    */
+  object ImageIoDecoder extends Decoder {
+    def features(bytes: Array[Byte], dim: Int): Array[Float] =
+      imageStats(bytes) match {
+        case None => null
+        case Some(s) =>
+          val raw = Array(s.width.toDouble, s.height.toDouble, s.channels.toDouble) ++
+            s.channelMean ++ s.channelStd
+          Array.tabulate(dim)(i => if (i < raw.length) raw(i).toFloat else 0.0f)
+      }
+  }
+
+  /** Deterministic stand-in for codecs the JDK lacks (audio/video):
+    * md5-chained pseudo-features in [-1, 1].
+    */
   object FakeDecoder extends Decoder {
     def features(bytes: Array[Byte], dim: Int): Array[Float] = {
       val md = java.security.MessageDigest.getInstance("MD5")
@@ -53,6 +118,65 @@ object Multimodal {
       }
       out
     }
+  }
+
+  /** Encode a payload's first `w*h` bytes (zero-padded) as an 8-bit
+    * grayscale PNG. Pixels are written straight into the raster's
+    * backing buffer (row-major), so a later [[imageStats]] recovers
+    * the exact byte values — PNG is lossless.
+    */
+  def encodeGrayPng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val buf = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
+    val n = math.min(buf.length, if (bytes == null) 0 else bytes.length)
+    System.arraycopy(bytes, 0, buf, 0, n)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Per-partition PNG encoding of a binary column into `outCol` —
+    * the write half of the image pipeline (testdata has no media
+    * files; real corpora would carry the encoded bytes already).
+    */
+  def encodeGrayPngCol(df: DataFrame, binCol: String, w: Int, h: Int,
+                       outCol: String = "png"): DataFrame = {
+    val outSchema = df.schema.add(StructField(outCol, BinaryType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](binIdx)
+        val png = if (bytes == null) null else encodeGrayPng(bytes, w, h)
+        Row.fromSeq(r.toSeq :+ png)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Per-partition image decode appending `img_format` (string),
+    * `width`/`height`/`channels` (int) and `chan_mean`/`chan_std`
+    * (array<double>); unreadable payloads decode to nulls. Constant
+    * memory, reader lookup amortized by the JDK's registry.
+    */
+  def decodeImageMeta(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = df.schema
+      .add(StructField("img_format", StringType))
+      .add(StructField("width", IntegerType))
+      .add(StructField("height", IntegerType))
+      .add(StructField("channels", IntegerType))
+      .add(StructField("chan_mean", ArrayType(DoubleType)))
+      .add(StructField("chan_std", ArrayType(DoubleType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] = imageStats(r.getAs[Array[Byte]](binIdx)) match {
+          case Some(s) =>
+            Seq(s.format, s.width, s.height, s.channels,
+              s.channelMean.toSeq, s.channelStd.toSeq)
+          case None => Seq(null, null, null, null, null, null)
+        }
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(Encoders.row(outSchema))
   }
 
   /** Per-partition batched feature extraction: appends `features`
@@ -90,9 +214,10 @@ object Multimodal {
         (_, i) => i % everyN === 0))
   }
 
-  /** Metadata-only "resize": records the new dimensions. A real
-    * implementation would re-encode pixels in [[Decoder]]; the payload
-    * passthrough documents that this is plumbing, not codec work.
+  /** Metadata-only "resize": records the new dimensions. A pixel
+    * resize would re-encode through [[encodeGrayPng]]-style raster
+    * work; the passthrough keeps the metadata surface separate from
+    * codec work.
     */
   def resizeMeta(df: DataFrame, metaCol: String, w: Int, h: Int): DataFrame =
     df.withColumn(metaCol,

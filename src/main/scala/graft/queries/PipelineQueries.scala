@@ -66,6 +66,34 @@ object PipelineQueries extends QuerySet {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // REAL image decode, oracle-checked end-to-end: each doc's first 64
+    // normalized-ASCII bytes become an 8x8 grayscale PNG (per-partition
+    // javax.imageio encode), then decodeImageMeta reads the PNG back and
+    // reports dims/channels/pixel mean. PNG is lossless and the pixels
+    // ARE the payload bytes, so DuckDB can state the expected decode
+    // output arithmetically (unicode(char) == byte value after the
+    // printable-ASCII normalization; rpad truncates-or-pads to 64 in
+    // both engines).
+    Q("q_image_decode",
+      (s, d) => {
+        val ascii = regexp_replace(col("text"), "[^ -~]", "?")
+        val base = Tables.df(s, d, "documents").select(
+          col("doc_id"), rpad(ascii, 64, " ").cast("binary").as("payload"))
+        val png = graft.multimodal.Multimodal.encodeGrayPngCol(base, "payload", w = 8, h = 8)
+        graft.multimodal.Multimodal.decodeImageMeta(png, "png")
+          .select(col("doc_id"), col("img_format"), col("width"), col("height"),
+            col("channels"), round(element_at(col("chan_mean"), 1), 4).as("px_mean"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, 'png' AS img_format, CAST(8 AS INT) AS width,
+             |  CAST(8 AS INT) AS height, CAST(1 AS INT) AS channels,
+             |  round(list_sum(list_transform(range(1, 65),
+             |    i -> unicode(substring(p, i, 1)))) / 64.0, 4) AS px_mean
+             |FROM (SELECT doc_id,
+             |        rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 64, ' ') AS p
+             |      FROM documents) t
+             |ORDER BY doc_id""".stripMargin)),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")

@@ -64,8 +64,60 @@ class MultimodalSpec extends SparkSpec {
       .as[Int].collect().toSet shouldBe Set(8)
   }
 
-  test("the real decoder is an explicit unimplemented hook") {
-    an[NotImplementedError] should be thrownBy
-      Multimodal.RealDecoder.features(Array[Byte](1, 2), 4)
+  test("grayscale PNG roundtrip recovers exact pixel bytes and stats") {
+    val bytes = Array.tabulate[Byte](64)(i => (i * 3 % 251).toByte)
+    val png = Multimodal.encodeGrayPng(bytes, 8, 8)
+    // a real PNG container, recognized by the imageio registry
+    png.take(4).map(_ & 0xff) shouldBe Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)
+    val s = Multimodal.imageStats(png).get
+    s.format shouldBe "png"
+    (s.width, s.height, s.channels) shouldBe ((8, 8, 1))
+    val px = bytes.map(b => (b & 0xff).toDouble)
+    s.channelMean.head shouldBe (px.sum / 64.0) +- 1e-9
+    val mean = px.sum / 64.0
+    val variance = px.map(v => (v - mean) * (v - mean)).sum / 64.0
+    s.channelStd.head shouldBe math.sqrt(variance) +- 1e-9
+  }
+
+  test("RGB PNG decodes 3 channels with per-channel means") {
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // r g / b r: distinct per-channel means
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+    img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xff0000)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val s = Multimodal.imageStats(bos.toByteArray).get
+    s.channels shouldBe 3
+    s.channelMean.map(m => math.round(m * 100) / 100.0) shouldBe
+      Array(127.5, 63.75, 63.75) // 2x255/4, 255/4, 255/4
+  }
+
+  test("ImageIoDecoder features lay out [w, h, c, means, stds] padded to dim") {
+    val png = Multimodal.encodeGrayPng(Array.fill[Byte](64)(100), 8, 8)
+    val f = Multimodal.ImageIoDecoder.features(png, 8)
+    f.length shouldBe 8
+    f.take(5) shouldBe Array(8.0f, 8.0f, 1.0f, 100.0f, 0.0f) // constant image: std 0
+    f.drop(5) shouldBe Array(0.0f, 0.0f, 0.0f) // zero padding
+  }
+
+  test("non-image payloads decode to None / null features, not an exception") {
+    Multimodal.imageStats("not an image".getBytes) shouldBe None
+    Multimodal.imageStats(Array.emptyByteArray) shouldBe None
+    Multimodal.ImageIoDecoder.features("junk".getBytes, 4) shouldBe null
+  }
+
+  test("encode + decodeImageMeta round-trips through DataFrames") {
+    val base = media.select(col("id"), col("media"))
+    val png = Multimodal.encodeGrayPngCol(base, "media", w = 2, h = 4)
+    val out = Multimodal.decodeImageMeta(png, "png").orderBy("id").collect()
+    out.foreach { r =>
+      r.getAs[String]("img_format") shouldBe "png"
+      r.getAs[Int]("width") shouldBe 2
+      r.getAs[Int]("height") shouldBe 4
+      r.getAs[Int]("channels") shouldBe 1
+    }
+    // id 1 payload "abcdefgh": mean of byte values a..h
+    val exp = "abcdefgh".getBytes.map(_.toDouble).sum / 8.0
+    out(0).getAs[Seq[Double]]("chan_mean").head shouldBe exp +- 1e-9
   }
 }
