@@ -193,6 +193,103 @@ object Cli {
             }
           }
           out(s"updated ${sets.split(',').length} path(s) in $root")
+        case "store" =>
+          // reference cli.py:283 `store`: insert WITHOUT naming a
+          // collection — a dict document (yaml/json) keyed by
+          // collection name stores each key's object list into that
+          // collection; a tabular file stores under --name (default:
+          // file basename). Creates the database root if missing.
+          val root = opts.getOrElse("db",
+            throw new IllegalArgumentException("store needs --db <dir>"))
+          val db = new graft.api.Database(spark, root, "cli")
+          val path = opts.getOrElse("path",
+            throw new IllegalArgumentException("store needs --path <file>"))
+          val fmt = opts.get("in-format")
+            .getOrElse(path.substring(path.lastIndexOf('.') + 1).toLowerCase)
+          val stored: Seq[(String, Long)] =
+            if (Seq("yaml", "yml", "json").contains(fmt)) {
+              val text = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+              val docJson =
+                if (fmt == "json") text
+                else graft.io.YamlParse.docToJson(text).getOrElse(
+                  throw new IllegalArgumentException(s"empty document: $path"))
+              if (!docJson.trim.startsWith("{"))
+                throw new IllegalArgumentException(
+                  s"store needs a top-level map of collection -> objects in $path")
+              // one-row frame whose columns are the top-level keys;
+              // each array<struct> column is a collection's object list
+              import spark.implicits._
+              val doc = spark.read.json(Seq(docJson).toDS)
+              doc.schema.fields.toSeq.collect {
+                case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+                  val rows = doc.select(explode(col(s"`${f.name}`")).as("r")).select("r.*")
+                  db.store(Map(f.name -> rows))
+                  f.name -> rows.count()
+              }
+            } else {
+              val rows = load(spark, opts)
+              val collName = opts.getOrElse("name", {
+                val base = path.substring(path.lastIndexOf('/') + 1)
+                base.substring(0, base.lastIndexOf('.'))
+              })
+              db.store(Map(collName -> rows))
+              Seq(collName -> rows.count())
+            }
+          stored.foreach { case (c, n) => out(s"stored $n objects into '$c'") }
+        case "import" =>
+          // reference cli.py:333 import: inverse of export — every
+          // <name>.<format> under --location becomes a collection
+          val db = dbOfCreate(spark, opts)
+          val loc = opts.getOrElse("location",
+            throw new IllegalArgumentException("import needs --location <dir>"))
+          val fmt = opts.getOrElse("format", "parquet")
+          db.importDatabase(loc, fmt)
+          db.listCollectionNames.foreach(c =>
+            out(s"$c: ${db.collection(c).count()} rows"))
+        case "index" =>
+          // reference cli.py:912: materialize a (trigram) index over a
+          // collection — single text column or multi-attribute rendering
+          val coll = collOf(spark, opts)
+          val idCol = opts.getOrElse("id-col",
+            throw new IllegalArgumentException("index needs --id-col"))
+          val dim = opts.get("dim").map(_.toInt)
+            .getOrElse(graft.index.TrigramIndexer.DefaultDim)
+          opts.get("attrs") match {
+            case Some(attrs) =>
+              coll.attachIndex(idCol, attrs.split(',').toSeq, opts.get("template"), dim)
+            case None =>
+              coll.attachIndex(idCol, opts.getOrElse("text-col", "text"), dim)
+          }
+          coll.listIndexes.foreach { case (k, d) => out(s"indexed $k (dim $d)") }
+        case "indexes" =>
+          // reference cli.py:986: list a collection's materialized indexes
+          val ixs = collOf(spark, opts).listIndexes
+          if (ixs.isEmpty) out("no indexes")
+          else ixs.foreach { case (k, d) => out(s"$k: trigram (dim $d)") }
+        case "find-matches" =>
+          // reference cli.py:999: embedding matcher over two tables (or
+          // within one when --target is absent); --tier lsh is the
+          // banded no-broadcast path
+          val src = load(spark, opts)
+          val tgt = opts.get("target") match {
+            case Some(p) => graft.io.Formats.read(spark, p, opts.getOrElse("in-format", null))
+            case None => src // within-collection mode
+          }
+          val cfg = graft.ann.Matcher.MatchConfig(
+            metric = opts.getOrElse("metric", "cosine"),
+            topN = opts.get("max-matches").map(_.toInt).getOrElse(5),
+            minSimilarity = opts.get("similarity-threshold").map(_.toDouble),
+            maxDistance = opts.get("distance-threshold").map(_.toDouble),
+            excludeSelf = opts.get("target").isEmpty)
+          val idCol = opts.getOrElse("id-col",
+            throw new IllegalArgumentException("find-matches needs --id-col"))
+          val vecCol = opts.getOrElse("vec-col", "embedding")
+          val res = opts.getOrElse("tier", "brute") match {
+            case "lsh" => graft.ann.Matcher.findMatchesLshTopN(src, tgt, idCol, vecCol, cfg)
+            case "brute" => graft.ann.Matcher.findMatchesTopN(src, tgt, idCol, vecCol, cfg)
+            case other => throw new IllegalArgumentException(s"unknown --tier '$other' (brute/lsh)")
+          }
+          emit(opts, out, res)
         case "collections" => dbOf(spark, opts).listCollectionNames.foreach(out)
         case "drop-collection" =>
           val nm = opts.getOrElse("name",
@@ -234,6 +331,20 @@ object Cli {
       s"no database directory '$root'")
     new graft.api.Database(spark, root, "cli")
   }
+
+  /** Like [[dbOf]] but scaffolds a missing root — for commands whose
+    * JOB is populating a new database (store/import).
+    */
+  private def dbOfCreate(spark: SparkSession, opts: Map[String, String]): graft.api.Database =
+    new graft.api.Database(spark,
+      opts.getOrElse("db", throw new IllegalArgumentException("missing --db <dir>")), "cli")
+
+  /** The mutable collection a command targets (--collection <dir>). */
+  private def collOf(spark: SparkSession, opts: Map[String, String]): graft.api.ParquetCollection =
+    new graft.api.ParquetCollection(spark,
+      opts.getOrElse("collection",
+        throw new IllegalArgumentException("missing --collection <dir>")),
+      opts.getOrElse("name", "cli"))
 
   /** --select/--sort/--limit shape a derived result like `query`. */
   private def shaped(opts: Map[String, String], df: DataFrame): DataFrame =
@@ -311,13 +422,16 @@ object Cli {
     """usage: graft.Cli <command> --path <data> [options]
       |commands: query fq groupby describe pivot enrichment infer search schema
       |          validate diff apply insert update export peek
-      |          collections drop-collection sql (database-level: --db <dir>)
+      |          index indexes find-matches (collection/matcher)
+      |          store import collections drop-collection sql (database-level: --db <dir>)
       |options: --where k=v,k2>v2  --select a,b  --sort -col  --limit n  --offset n
       |         --columns a,b  --index/--columns/--values (pivot)  --query term
       |         --by a,b --agg sum:x,avg:y (groupby)  --sample-col s (enrichment)
       |         --attrs a,b --template "{a}: {b}" (search)  --required a,b (validate)
       |         --rules "where => col=val; ..." [--target-col t --predict-col p] (infer)
       |         --other path --id-col pk (diff)  --patches file (apply)
-      |         --collection dir (insert)  --output path --format fmt
+      |         --collection dir (insert/index/indexes)  --output path --format fmt
+      |         --db dir --location dir (import)  --name coll (store)
+      |         --target path --metric m --max-matches n --tier brute|lsh (find-matches)
       |         --output-type tsv|csv|json|jsonl|yaml|markdown|table""".stripMargin
 }

@@ -33,7 +33,10 @@ object Knn {
     */
   def signBits(vecCol: String, nBits: Int = 16): Column =
     (0 until nBits).map { i =>
-      when(element_at(col(vecCol), i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+      // try_element_at: a vector shorter than nBits contributes 0 for
+      // the missing dimensions (ANSI element_at would throw), exactly
+      // like the oracle's list index -> NULL -> CASE ELSE 0
+      when(try_element_at(col(vecCol), lit(i + 1)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   def signBitsDuck(vecSql: String, nBits: Int = 16): String =

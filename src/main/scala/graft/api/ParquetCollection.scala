@@ -196,6 +196,30 @@ class ParquetCollection(
   def attachIndex(idCol: String, attrs: Seq[String]): Unit =
     attachIndex(idCol, attrs, None, graft.index.TrigramIndexer.DefaultDim)
 
+  /** Materialized shadow indexes as (key, dim) pairs — one entry per
+    * `_index_*` directory holding a current snapshot (reference:
+    * cli.py:986 `indexes` lists a collection's indexers).
+    */
+  def listIndexes: Seq[(String, Int)] = {
+    val rootPath = Paths.get(root)
+    if (!Files.exists(rootPath)) Nil
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(rootPath)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("_index_") &&
+          Files.exists(p.resolve("_CURRENT")))
+        .map { p =>
+          val key = p.getFileName.toString.stripPrefix("_index_")
+          val dimFile = p.resolve("_DIM")
+          val dim = if (Files.exists(dimFile)) Files.readString(dimFile).trim.toInt
+            else graft.index.TrigramIndexer.DefaultDim
+          key -> dim
+        }.toSeq.sortBy(_._1)
+      finally s.close()
+    }
+  }
+
   /** Cosine top-k search over a multi-attribute rendering; uses the
     * materialized shadow index for the same (attributes, template)
     * when one exists, else builds inline.

@@ -246,6 +246,101 @@ class CliSpec extends SparkSpec {
     runCli("query", "--path", dataPath, "--output-type", "dot")._1 shouldBe 2
   }
 
+  test("store: dict document fans out one collection per top-level key") {
+    val dir = Files.createTempDirectory("graft-cli-store")
+    val doc = dir.resolve("data.yaml")
+    Files.writeString(doc,
+      """people:
+        |  - id: 1
+        |    name: alice
+        |  - id: 2
+        |    name: bob
+        |places:
+        |  - city: oslo
+        |""".stripMargin)
+    val dbDir = dir.resolve("db").toString
+    val (code, out) = runCli("store", "--db", dbDir, "--path", doc.toString)
+    code shouldBe 0
+    out.toSet shouldBe Set("stored 2 objects into 'people'", "stored 1 objects into 'places'")
+    val db = new graft.api.Database(spark, dbDir, "t")
+    db.listCollectionNames shouldBe Seq("people", "places")
+    db.collection("people").count() shouldBe 2
+    // a second store into the same db INSERTS (reference db.store)
+    runCli("store", "--db", dbDir, "--path", doc.toString)._1 shouldBe 0
+    db.collection("people").count() shouldBe 4
+  }
+
+  test("store: tabular file lands under --name (or the file basename)") {
+    val dir = Files.createTempDirectory("graft-cli-store2")
+    val dbDir = dir.resolve("db").toString
+    val (code, out) = runCli("store", "--db", dbDir, "--path", dataPath, "--name", "people")
+    code shouldBe 0
+    out.head shouldBe "stored 3 objects into 'people'"
+    new graft.api.Database(spark, dbDir, "t").collection("people").count() shouldBe 3
+  }
+
+  test("import: a dump directory round-trips through export") {
+    val dir = Files.createTempDirectory("graft-cli-import")
+    val srcDb = new graft.api.Database(spark, dir.resolve("src").toString, "src")
+    srcDb.createCollection("people",
+      Seq((1L, "alice"), (2L, "bob")).toDF("id", "name"))
+    val dump = dir.resolve("dump").toString
+    srcDb.exportDatabase(dump, "jsonl")
+    val dstDir = dir.resolve("dst").toString
+    val (code, out) = runCli("import", "--db", dstDir, "--location", dump,
+      "--format", "jsonl")
+    code shouldBe 0
+    out shouldBe Seq("people: 2 rows")
+    new graft.api.Database(spark, dstDir, "t").collection("people").count() shouldBe 2
+  }
+
+  test("index + indexes: materialize and list a collection's indexes") {
+    val dir = Files.createTempDirectory("graft-cli-index")
+    val collDir = dir.resolve("docs").toString
+    new graft.api.ParquetCollection(spark, collDir, "docs").replace(
+      Seq((1L, "spark engine", "a"), (2L, "query plan", "b"))
+        .toDF("doc_id", "text", "source"))
+    runCli("indexes", "--collection", collDir)._2 shouldBe Seq("no indexes")
+    val (c1, out1) = runCli("index", "--collection", collDir, "--id-col", "doc_id")
+    c1 shouldBe 0
+    out1 shouldBe Seq("indexed text (dim 512)")
+    val (c2, out2) = runCli("index", "--collection", collDir, "--id-col", "doc_id",
+      "--attrs", "source,text", "--dim", "128")
+    c2 shouldBe 0
+    out2 should contain("indexed source+text (dim 128)")
+    val (c3, out3) = runCli("indexes", "--collection", collDir)
+    c3 shouldBe 0
+    out3 shouldBe Seq("source+text: trigram (dim 128)", "text: trigram (dim 512)")
+  }
+
+  test("find-matches: cross-table and within-collection tiers") {
+    val dir = Files.createTempDirectory("graft-cli-fm")
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val p = dir.resolve("vecs.parquet").toString
+    vecs.write.parquet(p)
+    // within-collection (no --target): self-matches excluded
+    val (c1, out1) = runCli("find-matches", "--path", p, "--id-col", "vec_id",
+      "--max-matches", "1", "--output-type", "csv")
+    c1 shouldBe 0
+    out1.head shouldBe "src_id,tgt_id,similarity,distance,match_rank"
+    out1 should contain("1,2,0.9939,0.0061,1")
+    out1.filterNot(_.startsWith("src")).foreach { l =>
+      val Array(s, t, _*) = l.split(','); s should not be t
+    }
+    // cross-table euclidean with the same table as an explicit target
+    val (c2, out2) = runCli("find-matches", "--path", p, "--target", p,
+      "--id-col", "vec_id", "--metric", "euclidean", "--max-matches", "1",
+      "--output-type", "csv")
+    c2 shouldBe 0
+    // self-matches allowed in cross mode: each row matches itself at distance 0
+    out2 should contain("1,1,1.0,0.0,1")
+    // lsh tier runs the banded path end-to-end
+    runCli("find-matches", "--path", p, "--id-col", "vec_id",
+      "--tier", "lsh", "--max-matches", "1")._1 shouldBe 0
+  }
+
   test("bad usage returns exit code 2 with a message") {
     runCli("query")._1 shouldBe 2
     runCli("frobnicate", "--path", dataPath)._1 shouldBe 2
