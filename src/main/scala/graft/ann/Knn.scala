@@ -407,7 +407,6 @@ object Knn {
         VectorFunctions.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4))
       .filter(col("score") >= threshold)
       .select(col("id_a"), col("id_b"), col("score"))
-      .orderBy("id_a", "id_b")
   }
 
   def nearDupPairsDuckSql(fromSql: String, idCol: String, vecCol: String, threshold: Double,

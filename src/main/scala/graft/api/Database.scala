@@ -1,8 +1,23 @@
 package graft.api
 
-import java.nio.file.{Files, Paths}
+import java.nio.file.{Files, Path, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 import scala.jdk.CollectionConverters._
+
+/** Declared lineage of a derived collection (reference:
+  * src/linkml_store/api/collection.py:727-778 _materialize_derivations
+  * — derived_from carries source collection, `where` and slot
+  * `mappings`). `where` is a SQL predicate over the source; `mappings`
+  * are (targetColumn, sourceExpression) pairs evaluated by Catalyst,
+  * so a mapping can rename (`"name"`), compute (`"price * qty"`), or
+  * restructure (`"named_struct(...)"`). Order is preserved in the
+  * materialized schema.
+  */
+final case class Derivation(
+    source: String,
+    where: Option[String],
+    mappings: Seq[(String, String)])
 
 /** A database = a directory of named parquet-backed collections — the
   * engine analog of the reference Database (reference:
@@ -22,8 +37,16 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
   }
 
   def collection(collName: String): ParquetCollection = {
-    require(Files.exists(dirOf(collName)), s"no collection '$collName' in database $name")
-    new ParquetCollection(spark, dirOf(collName).toString, collName)
+    val dir = dirOf(collName)
+    require(Files.exists(dir), s"no collection '$collName' in database $name")
+    // a declared-but-unmaterialized collection populates at attach
+    // time (reference load_from_source / _materialize_derivations run
+    // lazily on first touch)
+    if (!Files.exists(dir.resolve("_CURRENT"))) {
+      if (Files.exists(dir.resolve("_SOURCE"))) loadFromSource(collName)
+      else if (Files.exists(dir.resolve("_DERIVED"))) rematerializeDerived(collName)
+    }
+    new ParquetCollection(spark, dir.toString, collName)
   }
 
   def listCollectionNames: Seq[String] =
@@ -51,6 +74,107 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
     */
   def attachParquet(collName: String, path: String): Collection =
     new Collection(collName, spark.read.parquet(path))
+
+  // ------------------------------------------------------ derived collections
+
+  /** One-line `k<TAB>v` spec files beside the snapshots: humans can
+    * read them, and values (SQL expressions, globs) may contain '='.
+    */
+  private def writeSpec(file: Path, entries: Seq[(String, String)]): Unit =
+    Files.writeString(file, entries.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
+
+  private def readSpec(file: Path): Seq[(String, String)] =
+    Files.readString(file).split('\n').toSeq.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"malformed spec line in $file: '$line'")
+      line.substring(0, i) -> line.substring(i + 1)
+    }
+
+  /** Declare AND materialize a collection derived from another
+    * (reference collection.py:727-778): rows of `d.source` matching
+    * `d.where`, transformed by `d.mappings` — one declarative
+    * filter+project plan, so pushdown/pruning reach the source scan.
+    * The derivation spec persists beside the snapshots;
+    * [[rematerializeDerived]] refreshes after source changes.
+    */
+  def createDerivedCollection(collName: String, d: Derivation): ParquetCollection = {
+    require(d.mappings.nonEmpty, s"no mappings for derived collection '$collName'")
+    val dir = dirOf(collName)
+    Files.createDirectories(dir)
+    writeSpec(dir.resolve("_DERIVED"),
+      ("source" -> d.source) +:
+        d.where.map("where" -> _).toSeq ++:
+        d.mappings.map { case (t, e) => s"map.$t" -> e })
+    rematerializeDerived(collName)
+    new ParquetCollection(spark, dir.toString, collName)
+  }
+
+  /** The persisted derivation of a derived collection, if any. */
+  def derivationOf(collName: String): Option[Derivation] = {
+    val f = dirOf(collName).resolve("_DERIVED")
+    if (!Files.exists(f)) None
+    else {
+      val entries = readSpec(f)
+      Some(Derivation(
+        source = entries.collectFirst { case ("source", v) => v }
+          .getOrElse(throw new IllegalStateException(s"derivation of '$collName' names no source")),
+        where = entries.collectFirst { case ("where", v) => v },
+        mappings = entries.collect { case (k, v) if k.startsWith("map.") =>
+          k.stripPrefix("map.") -> v }))
+    }
+  }
+
+  /** Re-run a derived collection's transform over the CURRENT source
+    * snapshot and swap it in as the next version.
+    */
+  def rematerializeDerived(collName: String): Unit = {
+    val d = derivationOf(collName).getOrElse(
+      throw new IllegalArgumentException(s"'$collName' is not a derived collection"))
+    val src = collection(d.source).df
+    val filtered = d.where.map(w => src.filter(expr(w))).getOrElse(src)
+    val out = filtered.select(d.mappings.map { case (t, e) => expr(e).as(t) }: _*)
+    new ParquetCollection(spark, dirOf(collName).toString, collName).replace(out)
+  }
+
+  /** Refresh every derived collection (dependency-free derivations:
+    * sources are ordinary collections; re-run in name order).
+    */
+  def materializeDerivations(): Unit =
+    listCollectionNames.filter(c => Files.exists(dirOf(c).resolve("_DERIVED")))
+      .foreach(rematerializeDerived)
+
+  // ----------------------------------------------------------- local sources
+
+  /** Declare a collection populated from a local path/glob via the
+    * Formats registry (reference collection.py:689 load_from_source —
+    * network sources stay out of scope). Loads immediately unless the
+    * collection already holds data.
+    */
+  def declareSource(collName: String, path: String, format: String = null): ParquetCollection = {
+    val dir = dirOf(collName)
+    Files.createDirectories(dir)
+    writeSpec(dir.resolve("_SOURCE"),
+      Seq("path" -> path) ++ Option(format).map("format" -> _))
+    loadFromSource(collName)
+    new ParquetCollection(spark, dir.toString, collName)
+  }
+
+  /** (Re)load a source-declared collection. With `loadIfExists=false`
+    * (the reference default) an already-populated collection is left
+    * untouched; `true` re-reads the source and REPLACES the snapshot.
+    */
+  def loadFromSource(collName: String, loadIfExists: Boolean = false): Unit = {
+    val dir = dirOf(collName)
+    val f = dir.resolve("_SOURCE")
+    require(Files.exists(f), s"'$collName' declares no source")
+    if (Files.exists(dir.resolve("_CURRENT")) && !loadIfExists) return
+    val entries = readSpec(f)
+    val path = entries.collectFirst { case ("path", v) => v }
+      .getOrElse(throw new IllegalStateException(s"source of '$collName' names no path"))
+    val format = entries.collectFirst { case ("format", v) => v }.orNull
+    new ParquetCollection(spark, dir.toString, collName)
+      .replace(graft.io.Formats.read(spark, path, format))
+  }
 
   /** Store a map of named object sets in one call (reference:
     * database.py:197-240 store — a dict keyed by collection name

@@ -148,7 +148,7 @@ object MinHash {
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    verified.orderBy("id_a", "id_b")
+    verified
   }
 
   def nearDupPairsDuckSql(

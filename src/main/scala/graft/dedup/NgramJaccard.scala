@@ -70,7 +70,6 @@ object NgramJaccard {
         (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** EXACT set-Jaccard pairs via prefix filtering (the AllPairs/PPJoin
@@ -153,7 +152,6 @@ object NgramJaccard {
         (size(col("hs_a")) + size(col("hs_b")) - col("inter")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .orderBy("id_a", "id_b")
   }
 
   /** DuckDB twin of [[jaccardPairsExact]]. */

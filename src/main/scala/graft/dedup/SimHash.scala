@@ -122,7 +122,6 @@ object SimHash {
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
       .distinct()
-      .orderBy("id_a", "id_b")
   }
 
   def nearDupPairsDuckSql(table: String, idCol: String, textCol: String, maxDist: Int = 3,

@@ -33,8 +33,12 @@ object DedupQueries extends QuerySet {
         .orderBy("doc_id"),
       Some(MinHash.signaturesDuckSql("documents", "doc_id", "text") + "\nORDER BY doc_id")),
 
+    // pair finders return UNSORTED pairs (library callers like
+    // Collection.dedupe compose sort-free); the registry wrappers add
+    // the deterministic order the oracle diff wants
     Q("q_dedup_minhash",
-      (s, d) => MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
+      (s, d) => MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
       Some(MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"))),
 
     Q("q_dedup_simhash",
@@ -43,7 +47,8 @@ object DedupQueries extends QuerySet {
       Some(SimHash.fingerprintsDuckSql("documents", "doc_id", "text"))),
 
     Q("q_simhash_pairs",
-      (s, d) => SimHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text", maxDist = 3),
+      (s, d) => SimHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text", maxDist = 3)
+        .orderBy("id_a", "id_b"),
       Some(SimHash.nearDupPairsDuckSql("documents", "doc_id", "text", maxDist = 3))),
 
     // Duplicate clusters from the MinHash pairs: connected components
@@ -73,7 +78,8 @@ object DedupQueries extends QuerySet {
               |ORDER BY doc_id""".stripMargin)),
 
     Q("q_ngram_jaccard",
-      (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5),
+      (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
       Some(NgramJaccard.jaccardPairsDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5))),
 
     // EXACT set-Jaccard pairs via PPJoin-style prefix filtering — no
@@ -81,7 +87,8 @@ object DedupQueries extends QuerySet {
     // sort to the end of the global (df, hash) order and never enter a
     // prefix, so skew cannot create a quadratic bucket.
     Q("q_ngram_ppjoin",
-      (s, d) => NgramJaccard.jaccardPairsExact(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5),
+      (s, d) => NgramJaccard.jaccardPairsExact(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
       Some(NgramJaccard.jaccardPairsExactDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5)))
   )
 }

@@ -158,6 +158,7 @@ object VectorQueries extends QuerySet {
         val e = Tables.df(s, d, "embeddings").select("vec_id", "embedding")
         val shifted = e.withColumn("vec_id", col("vec_id") + lit(10000L))
         Knn.nearDupPairs(e.unionByName(shifted), "vec_id", "embedding", threshold = 0.95)
+          .orderBy("id_a", "id_b")
       },
       Some(Knn.nearDupPairsDuckSql(
         "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",

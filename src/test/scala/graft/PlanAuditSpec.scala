@@ -116,6 +116,32 @@ class PlanAuditSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
+  test("the dedupe library path plans NO global sort") {
+    // pair finders used to end in orderBy(id_a, id_b) for oracle
+    // determinism; at 100 TB the pair OUTPUT can be large, and library
+    // compositions like Collection.dedupe never need the order — the
+    // sort now lives only in the query-registry wrappers. A global
+    // (non-partition-local) SortExec reappearing in this path is a
+    // regression.
+    import org.apache.spark.sql.execution.SortExec
+    val docs = graft.Tables.df(spark, sfDir, "documents")
+    val plans = Seq(
+      new graft.api.Collection("documents", docs).dedupe("doc_id", "text"),
+      graft.dedup.MinHash.nearDupPairs(docs, "doc_id", "text"),
+      graft.dedup.NgramJaccard.jaccardPairs(docs, "doc_id", "text"),
+      graft.dedup.NgramJaccard.jaccardPairsExact(docs, "doc_id", "text"),
+      graft.dedup.SimHash.nearDupPairs(docs, "doc_id", "text"))
+    try {
+      val offenders = plans.zipWithIndex.flatMap { case (df, i) =>
+        val globalSorts = df.queryExecution.sparkPlan.collect {
+          case s: SortExec if s.global => s
+        }
+        if (globalSorts.isEmpty) None else Some(s"plan #$i: ${globalSorts.head}")
+      }
+      offenders shouldBe empty
+    } finally graft.api.CacheScope.global.release()
+  }
+
   test("no query broadcast-hints a grouped (unbounded) aggregate") {
     // an explicit broadcast() of a groupBy-aggregate ships an
     // unbounded result (a 100 TB corpus vocabulary / document

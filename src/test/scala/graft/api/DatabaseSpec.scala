@@ -102,6 +102,56 @@ class DatabaseSpec extends SparkSpec {
     }
   }
 
+  test("derived collection materializes mappings and re-materializes on source change") {
+    val db = freshDb()
+    db.createCollection("orders",
+      Seq((1L, "a", 10.0, 3L), (2L, "b", 5.0, 2L), (3L, "a", 2.0, 1L))
+        .toDF("order_id", "cust", "price", "qty"))
+    val derived = db.createDerivedCollection("big_orders", Derivation(
+      source = "orders",
+      where = Some("price * qty >= 10.0"),
+      mappings = Seq("id" -> "order_id", "customer" -> "cust", "total" -> "price * qty")))
+    derived.df.columns.toSeq shouldBe Seq("id", "customer", "total")
+    derived.df.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq shouldBe Seq((1L, "a", 30.0), (2L, "b", 10.0))
+    // the spec round-trips from disk
+    db.derivationOf("big_orders").get.mappings.map(_._1) shouldBe Seq("id", "customer", "total")
+    // source changes, re-materialization reflects them
+    db.collection("orders").insert(Seq((4L, "c", 100.0, 1L)).toDF("order_id", "cust", "price", "qty"))
+    db.rematerializeDerived("big_orders")
+    db.collection("big_orders").count() shouldBe 3
+    // a fresh handle on the same root still knows the derivation
+    val again = new Database(spark, db.root, "again")
+    again.derivationOf("big_orders").get.source shouldBe "orders"
+    again.materializeDerivations()
+    again.collection("big_orders").count() shouldBe 3
+  }
+
+  test("source-declared collection loads at declare time and refreshes explicitly") {
+    val db = freshDb()
+    val dir = Files.createTempDirectory("graft-src")
+    val f = dir.resolve("people.jsonl")
+    Files.writeString(f, "{\"id\": 1, \"name\": \"alice\"}\n{\"id\": 2, \"name\": \"bob\"}\n")
+    val coll = db.declareSource("people", f.toString, "jsonl")
+    coll.count() shouldBe 2
+    // loadIfExists=false (default): an already-populated collection is untouched
+    Files.writeString(f, "{\"id\": 3, \"name\": \"carol\"}\n")
+    db.loadFromSource("people")
+    db.collection("people").count() shouldBe 2
+    // explicit refresh re-reads the source
+    db.loadFromSource("people", loadIfExists = true)
+    db.collection("people").count() shouldBe 1
+  }
+
+  test("source-declared glob loads every matching file with format inference") {
+    val db = freshDb()
+    val dir = Files.createTempDirectory("graft-src-glob")
+    Files.writeString(dir.resolve("a.jsonl"), "{\"id\": 1}\n")
+    Files.writeString(dir.resolve("b.jsonl"), "{\"id\": 2}\n{\"id\": 3}\n")
+    val coll = db.declareSource("merged", s"$dir/*.jsonl")
+    coll.count() shouldBe 3
+  }
+
   test("client tracks attached databases") {
     val client = new Client(spark)
     client.attachDatabase("a", Files.createTempDirectory("ga").toString)
