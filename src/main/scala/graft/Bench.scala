@@ -61,8 +61,6 @@ object Bench {
       System.err.println(f"[bench] $name%-22s ${if (ok) "" else "FAIL "}$sec%.2f s (min of $reps)")
       name -> (if (ok) sec else -sec)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // Apples-to-apples vs the round-1 baseline (BENCH_r01: 20 queries,
     // 43.3 s): subtotal over exactly those 20 query keys.
@@ -74,7 +72,19 @@ object Bench {
       "q_facet_mv", "q_facet_batched")
     val r1Subtotal = results.collect { case (k, v) if v >= 0 && r1Keys(k) => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"r1_subset_total":$r1Subtotal,"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir"}""")
+    // The harness capturing stdout keeps only the LAST ~2000 chars, so
+    // (a) per-query values are rounded to 2dp to fit the whole line in
+    // the window, and (b) the summary fields (value = total seconds)
+    // come AFTER the queries map so they survive even if the head is
+    // clipped. Full-precision numbers go to BENCH_FULL.json in cwd.
+    def fmt(v: Double, dp: Int) = BigDecimal(v).setScale(dp, BigDecimal.RoundingMode.HALF_UP).toString
+    def qsJson(dp: Int) = results.map { case (k, v) => "\"" + k + "\":" + fmt(v, dp) }
+      .mkString("{", ",", "}")
+    def lineJson(dp: Int) =
+      s"""{"metric":"total","unit":"sec","queries":${qsJson(dp)},"r1_subset_total":${fmt(r1Subtotal, 3)},"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","total_s":${fmt(total, 3)},"value":${fmt(total, 3)}}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), lineJson(6) + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    println(lineJson(2))
     spark.stop()
   }
 }
