@@ -35,8 +35,8 @@ object Render {
           if (i < rows.length - 1) body :+ "" else body
         }.toSeq
       case "table" => psqlTable(df, limit)
-      case "tsv" => delimited(df, limit, "\t", quote = false)
-      case "csv" => delimited(df, limit, ",", quote = true)
+      case "tsv" => delimited(df, limit, "\t")
+      case "csv" => delimited(df, limit, ",")
       case other =>
         throw new IllegalArgumentException(
           s"unknown output type '$other' (supported: ${types.mkString(", ")})")
@@ -46,9 +46,12 @@ object Render {
   private def cell(r: Row, j: Int): String =
     if (r.isNullAt(j)) "null" else r.get(j).toString
 
-  private def delimited(df: DataFrame, limit: Int, sep: String, quote: Boolean): Seq[String] = {
+  private def delimited(df: DataFrame, limit: Int, sep: String): Seq[String] = {
+    // minimal quoting for BOTH csv and tsv (csv.DictWriter with
+    // delimiter='\t' quote-wraps values containing the separator too —
+    // an unquoted embedded tab would shift every later column)
     def esc(s: String): String =
-      if (quote && (s.contains(sep) || s.contains("\"") || s.contains("\n")))
+      if (s.contains(sep) || s.contains("\"") || s.contains("\n"))
         "\"" + s.replace("\"", "\"\"") + "\""
       else s
     df.columns.mkString(sep) +:

@@ -31,6 +31,16 @@ object TomlParse extends Serializable {
   def parse(text: String): scala.collection.Map[String, Any] = {
     val root = newTbl
     var current: Tbl = root
+    // TOML 1.0 definition tracking (by object identity — paths repeat
+    // legally across [[array-of-tables]] elements): a [t] header may
+    // not target a table already defined by a header, created via
+    // dotted keys, or standing in for an array of tables.
+    val headerDefined = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Tbl, java.lang.Boolean]())
+    val dottedDefined = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Tbl, java.lang.Boolean]())
+    val arrayElem = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Tbl, java.lang.Boolean]())
     val it = new Lines(text.split("\n", -1))
     while (it.hasNext) {
       val line = it.next().trim
@@ -40,18 +50,29 @@ object TomlParse extends Serializable {
         val end = h.indexOf("]]")
         require(end >= 0, s"toml: malformed table array header '$line'")
         current = appendTableArray(root, keyPath(h.substring(0, end)))
+        arrayElem.add(current)
       } else if (line.startsWith("[")) {
         val h = line.stripPrefix("[")
         val end = h.indexOf("]")
         require(end >= 0, s"toml: malformed table header '$line'")
-        current = descend(root, keyPath(h.substring(0, end)), create = true)
+        val path = keyPath(h.substring(0, end))
+        val tbl = descend(root, path, create = true)
+        require(!headerDefined.contains(tbl),
+          s"toml: duplicate table [${path.mkString(".")}]")
+        require(!dottedDefined.contains(tbl),
+          s"toml: table [${path.mkString(".")}] already defined via dotted keys")
+        require(!arrayElem.contains(tbl),
+          s"toml: [${path.mkString(".")}] conflicts with array of tables")
+        headerDefined.add(tbl)
+        current = tbl
       } else {
         val (path, rest) = splitKeyValue(line)
         val s = new Scanner(rest, it)
         val v = s.value()
         s.expectEnd()
         val owner = if (path.length == 1) current
-                    else descend(current, path.dropRight(1), create = true)
+                    else descend(current, path.dropRight(1), create = true,
+                                 created = dottedDefined)
         require(!owner.contains(path.last), s"toml: duplicate key '${path.mkString(".")}'")
         owner(path.last) = v
       }
@@ -108,9 +129,15 @@ object TomlParse extends Serializable {
     (keyPath(line.substring(0, j)), line.substring(j + 1).trim)
   }
 
-  private def descend(from: Tbl, path: Seq[String], create: Boolean): Tbl =
+  /** Walk (and optionally create) the table chain for `path`. Every
+    * table stepped through is added to `created` when supplied — the
+    * dotted-key branch uses it to mark tables as dotted-defined so a
+    * later [t] header over them raises (TOML 1.0).
+    */
+  private def descend(from: Tbl, path: Seq[String], create: Boolean,
+                      created: java.util.Set[Tbl] = null): Tbl =
     path.foldLeft(from) { (t, k) =>
-      t.get(k) match {
+      val next = t.get(k) match {
         case Some(child: Tbl @unchecked) if child.isInstanceOf[Tbl] => child
         case Some(arr: scala.collection.mutable.ArrayBuffer[_]) =>
           // [a.b] after [[a]]: descend into the LAST table of the array
@@ -125,6 +152,8 @@ object TomlParse extends Serializable {
           t(k) = child
           child
       }
+      if (created ne null) created.add(next)
+      next
     }
 
   private def appendTableArray(root: Tbl, path: Seq[String]): Tbl = {
@@ -235,25 +264,7 @@ object TomlParse extends Serializable {
         require(p < buf.length, "toml: unterminated string")
         buf.charAt(p) match {
           case '"' => done = true; p += 1
-          case '\\' =>
-            require(p + 1 < buf.length, "toml: dangling escape")
-            buf.charAt(p + 1) match {
-              case 'n' => sb.append('\n'); p += 2
-              case 't' => sb.append('\t'); p += 2
-              case 'r' => sb.append('\r'); p += 2
-              case '"' => sb.append('"'); p += 2
-              case '\\' => sb.append('\\'); p += 2
-              case 'f' => sb.append('\f'); p += 2
-              case 'b' => sb.append('\b'); p += 2
-              case 'u' =>
-                require(p + 6 <= buf.length, "toml: truncated \\u escape")
-                sb.append(Integer.parseInt(buf.substring(p + 2, p + 6), 16).toChar); p += 6
-              case 'U' =>
-                require(p + 10 <= buf.length, "toml: truncated \\U escape")
-                sb.appendAll(Character.toChars(Integer.parseInt(buf.substring(p + 2, p + 10), 16)))
-                p += 10
-              case other => throw new IllegalArgumentException(s"toml: bad escape \\$other")
-            }
+          case '\\' => p = decodeEscape(buf, p, sb)
           case c => sb.append(c); p += 1
         }
       }
@@ -282,27 +293,45 @@ object TomlParse extends Serializable {
       p = end + 3
       if (s.startsWith("\n")) s = s.substring(1) // leading newline trimmed per spec
       if (basic) {
-        // line-ending backslash joins; then standard escapes
+        // line-ending backslash joins; then the SAME escape set as
+        // single-line basic strings (one shared decoder — the two
+        // string forms must not parse escapes differently)
         s = s.replaceAll("\\\\\n\\s*", "")
         val sb = new StringBuilder
         var j = 0
         while (j < s.length) {
-          if (s.charAt(j) == '\\' && j + 1 < s.length) {
-            s.charAt(j + 1) match {
-              case 'n' => sb.append('\n'); j += 2
-              case 't' => sb.append('\t'); j += 2
-              case 'r' => sb.append('\r'); j += 2
-              case '"' => sb.append('"'); j += 2
-              case '\\' => sb.append('\\'); j += 2
-              case 'u' =>
-                require(j + 6 <= s.length, "toml: truncated \\u escape")
-                sb.append(Integer.parseInt(s.substring(j + 2, j + 6), 16).toChar); j += 6
-              case _ => sb.append(s.charAt(j)); j += 1
-            }
-          } else { sb.append(s.charAt(j)); j += 1 }
+          if (s.charAt(j) == '\\') j = decodeEscape(s, j, sb)
+          else { sb.append(s.charAt(j)); j += 1 }
         }
         sb.toString
       } else s
+    }
+
+    /** Decode one escape sequence at `s.charAt(j) == '\\'`, appending
+      * the decoded char(s) to `sb`; returns the index just past the
+      * escape. Shared by basicString() and multiline(basic = true) so
+      * both forms accept exactly the TOML 1.0 escape set and raise on
+      * anything else.
+      */
+    private def decodeEscape(s: CharSequence, j: Int, sb: StringBuilder): Int = {
+      require(j + 1 < s.length, "toml: dangling escape")
+      s.charAt(j + 1) match {
+        case 'n' => sb.append('\n'); j + 2
+        case 't' => sb.append('\t'); j + 2
+        case 'r' => sb.append('\r'); j + 2
+        case '"' => sb.append('"'); j + 2
+        case '\\' => sb.append('\\'); j + 2
+        case 'f' => sb.append('\f'); j + 2
+        case 'b' => sb.append('\b'); j + 2
+        case 'u' =>
+          require(j + 6 <= s.length, "toml: truncated \\u escape")
+          sb.append(Integer.parseInt(s.subSequence(j + 2, j + 6).toString, 16).toChar); j + 6
+        case 'U' =>
+          require(j + 10 <= s.length, "toml: truncated \\U escape")
+          sb.appendAll(Character.toChars(Integer.parseInt(s.subSequence(j + 2, j + 10).toString, 16)))
+          j + 10
+        case other => throw new IllegalArgumentException(s"toml: bad escape \\$other")
+      }
     }
 
     private val DateLike =

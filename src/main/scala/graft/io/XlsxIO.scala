@@ -293,11 +293,13 @@ object XlsxIO {
                 row = scala.collection.mutable.ArrayBuffer[(String, Any)]()
                 seq = 0
               case "c" =>
-                cellRef = Option(r.getAttributeValue(null, "r"))
-                  .map(_.takeWhile(_.isLetter)).getOrElse {
-                    val c = ref(seq, 1).dropRight(1); c
-                  }
-                seq += 1
+                val explicit = Option(r.getAttributeValue(null, "r"))
+                  .map(_.takeWhile(_.isLetter)).filter(_.nonEmpty)
+                cellRef = explicit.getOrElse(ref(seq, 1).dropRight(1))
+                // resync the fallback counter to the explicit ref —
+                // sparse rows skip columns, so a blind increment would
+                // attribute later r-less cells to the wrong header
+                seq = explicit.map(colOf(_) + 1).getOrElse(seq + 1)
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
                 text = new StringBuilder
               case "v" | "t" => inText = true

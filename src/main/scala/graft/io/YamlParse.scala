@@ -405,7 +405,11 @@ object YamlParse extends Serializable {
       case "null" | "Null" | "NULL" | "~" => null
       case "true" | "True" | "TRUE" => true
       case "false" | "False" | "FALSE" => false
-      case IntRe() => try s.toLong catch { case _: NumberFormatException => s }
+      case IntRe() =>
+        // PyYAML yields an arbitrary-precision int past Long range —
+        // keep it numeric (jsonify emits BigInt digits unquoted, Spark
+        // JSON inference picks decimal/double), never a string
+        try s.toLong catch { case _: NumberFormatException => BigInt(s) }
       case FloatRe(_, _) => s.toDouble
       case ".inf" | ".Inf" => Double.PositiveInfinity
       case "-.inf" | "-.Inf" => Double.NegativeInfinity
@@ -479,6 +483,7 @@ object YamlParse extends Serializable {
     case null => sb.append("null")
     case b: Boolean => sb.append(b)
     case n: Long => sb.append(n)
+    case n: BigInt => sb.append(n) // >Long digits stay a JSON number
     case d: Double =>
       // bare NaN/Infinity literals: Spark's JSON reader accepts them
       // (allowNonNumericNumbers is on by default) and keeps the

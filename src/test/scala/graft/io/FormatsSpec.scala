@@ -365,6 +365,74 @@ class FormatsSpec extends SparkSpec {
       XlsxIO.write(df, tmp("big.xlsx"), maxRows = 2)
   }
 
+  test("toml multiline basic strings decode the full escape set, same as single-line") {
+    // \f, \b, \U and bad-escape behavior must not differ between the
+    // two basic-string forms (they share one decoder)
+    TomlParse.tomlToJson("s = \"\"\"a\\fb\\bc\\U0001F600d\\u0041\"\"\"\n") shouldBe
+      TomlParse.tomlToJson("s = \"a\\fb\\bc\\U0001F600d\\u0041\"\n")
+    an[IllegalArgumentException] should be thrownBy
+      TomlParse.parse("s = \"\"\"bad \\q escape\"\"\"\n")
+    an[IllegalArgumentException] should be thrownBy
+      TomlParse.parse("s = \"bad \\q escape\"\n")
+  }
+
+  test("toml duplicate table definitions raise (TOML 1.0)") {
+    an[IllegalArgumentException] should be thrownBy
+      TomlParse.parse("[a]\nx = 1\n[a]\ny = 2\n")
+    // [t] over a table created via dotted keys
+    an[IllegalArgumentException] should be thrownBy
+      TomlParse.parse("a.b = 1\n[a]\nx = 2\n")
+    // [t] over an array of tables
+    an[IllegalArgumentException] should be thrownBy
+      TomlParse.parse("[[a]]\nx = 1\n[a]\ny = 2\n")
+    // legal: the same sub-table path under successive array elements
+    TomlParse.tomlToJson(
+      "[[fruit]]\n[fruit.physical]\ncolor = \"red\"\n" +
+      "[[fruit]]\n[fruit.physical]\ncolor = \"green\"\n") shouldBe
+      """{"fruit":[{"physical":{"color":"red"}},{"physical":{"color":"green"}}]}"""
+    // legal: super-table header after its sub-table header
+    TomlParse.tomlToJson("[a.b]\nx = 1\n[a]\ny = 2\n") shouldBe
+      """{"a":{"b":{"x":1},"y":2}}"""
+  }
+
+  test("xlsx sparse rows: r-less cells resync to the previous explicit ref") {
+    // row 2 holds an explicit B2 then an r-less cell — the r-less cell
+    // is column C (next after B), not a blind second-position B
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="str"><v>a</v></c><c r="B1" t="str"><v>b</v></c><c r="C1" t="str"><v>c</v></c></row>
+        |<row r="2"><c r="B2"><v>2</v></c><c><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val p = tmp("sparse.xlsx")
+    val zos = new java.util.zip.ZipOutputStream(new java.io.FileOutputStream(p))
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    zos.write(sheet.getBytes("UTF-8"))
+    zos.closeEntry(); zos.close()
+    XlsxIO.readJsonLines(p) shouldBe Seq("""{"b":2,"c":3}""")
+  }
+
+  test("tsv rendering quotes embedded separators like csv") {
+    val tricky = Seq((1L, "has\ttab", "has\nnewline"), (2L, "plain", "x"))
+      .toDF("id", "a", "b")
+    val tsv = Render.render(tricky, "tsv", 10)
+    tsv.head shouldBe "id\ta\tb"
+    tsv(1) shouldBe "1\t\"has\ttab\"\t\"has\nnewline\""
+    tsv(2) shouldBe "2\tplain\tx"
+    val csv = Render.render(tricky, "csv", 10)
+    csv(1) shouldBe "1,has\ttab,\"has\nnewline\"" // tab needs no csv quote
+  }
+
+  test("yaml integers past Long range stay numeric, matching PyYAML") {
+    YamlParse.docToJson("big: 18446744073709551616\nsmall: 3").get shouldBe
+      """{"big":18446744073709551616,"small":3}"""
+    val p = tmp("big.yaml")
+    Files.writeString(java.nio.file.Paths.get(p), "big: 18446744073709551616\n")
+    val back = Formats.read(spark, p, "yaml")
+    // Spark JSON inference types >Long digits as decimal — numeric, not string
+    back.schema("big").dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] shouldBe true
+  }
+
   test("glob ingest stamps each row with its source file") {
     val dir = Files.createTempDirectory("graft-glob")
     df.filter($"id" <= 2).coalesce(1).write.option("header", "true")
