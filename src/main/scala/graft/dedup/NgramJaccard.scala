@@ -89,6 +89,14 @@ object NgramJaccard {
     * Jaccard at any skew — the prefix of a stop-gram-heavy document
     * consists of its RARE shingles, so one ubiquitous trigram never
     * creates a quadratic bucket.
+    *
+    * Scale note: ScaleSmoke's ~7x wall-clock at 10x data is LINEAR
+    * stage growth, not candidate blowup — [[graft.PPJoinDiag]] measures
+    * every stage at 9.9-10.1x for 10x salted corpus (postings 261k,
+    * prefix 134k, len-filtered join 13.9k, post-positional 274,
+    * verified 250 — vs exactly 1/10th each at 1x). The sub-10x ratio is
+    * fixed session overhead amortizing; a suffix filter would prune a
+    * candidate set that the positional filter already cuts 28:1.
     */
   def jaccardPairsExact(
       df: DataFrame,
