@@ -28,6 +28,12 @@ object Multimodal {
     StructField("width", IntegerType),
     StructField("height", IntegerType)))
 
+  // ImageIO's default stream cache is DISK-backed: without this, every
+  // per-row encode/decode creates and deletes a temp FILE. Memory-only
+  // caching; referenced from each codec entry point so any executor
+  // JVM flips it before its first image op.
+  @transient private lazy val imageIoInit: Unit = ImageIO.setUseCache(false)
+
   trait Decoder extends Serializable {
     /** Fixed-dim feature vector for one media payload. */
     def features(bytes: Array[Byte], dim: Int): Array[Float]
@@ -47,6 +53,7 @@ object Multimodal {
     */
   def imageStats(bytes: Array[Byte]): Option[ImageStats] = {
     if (bytes == null || bytes.isEmpty) return None
+    imageIoInit
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(iis)
@@ -126,6 +133,7 @@ object Multimodal {
     * the exact byte values — PNG is lossless.
     */
   def encodeGrayPng(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    imageIoInit
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val buf = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
     val n = math.min(buf.length, if (bytes == null) 0 else bytes.length)
