@@ -289,7 +289,8 @@ object Cli {
             case "brute" => graft.ann.Matcher.findMatchesTopN(src, tgt, idCol, vecCol, cfg)
             case other => throw new IllegalArgumentException(s"unknown --tier '$other' (brute/lsh)")
           }
-          emit(opts, out, res)
+          // deterministic CLI output (the library path stays sort-free)
+          emit(opts, out, res.orderBy("src_id", "match_rank"))
         case "collections" => dbOf(spark, opts).listCollectionNames.foreach(out)
         case "drop-collection" =>
           val nm = opts.getOrElse("name",

@@ -70,7 +70,14 @@ object ScaleSmoke {
       "minhash_lsh" -> (k =>
         graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text")),
       "embed_neardup" -> (k =>
-        graft.ann.Knn.nearDupPairs(embsX(k), "vec_id", "embedding", threshold = 0.95)))
+        graft.ann.Knn.nearDupPairs(embsX(k), "vec_id", "embedding", threshold = 0.95)),
+      "matcher_lsh" -> (k => {
+        // within-collection generalized matcher on the LSH tier — the
+        // round-6 operator; banded candidates keep it near-linear
+        val e = embsX(k)
+        graft.ann.Matcher.findMatchesLshTopN(e, e, "vec_id", "embedding",
+          graft.ann.Matcher.MatchConfig(topN = 3, minSimilarity = Some(0.9)))
+      }))
 
     var failed = false
     val results = finders.map { case (name, f) =>

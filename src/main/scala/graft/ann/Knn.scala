@@ -284,7 +284,6 @@ object Knn {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("src_id"), col("tgt_id"), round(col("__score"), 4).as("score"))
-      .orderBy("src_id")
   }
 
   def findMatchesDuckSql(table: String, idCol: String, vecCol: String,
@@ -341,7 +340,6 @@ object Knn {
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("src_id"), col("tgt_id"), round(col("__score"), 4).as("score"))
-      .orderBy("src_id")
   }
 
   def findMatchesLshDuckSql(table: String, idCol: String, vecCol: String,

@@ -98,7 +98,8 @@ object Matcher {
         round(col("__sim"), 4).as("similarity"),
         round(col("__dist"), 4).as("distance"),
         col("match_rank"))
-      .orderBy("src_id", "match_rank")
+    // no global sort here: match output is |src|-sized — registry
+    // wrappers add the deterministic order the oracle diff wants
   }
 
   /** BRUTE tier: target broadcast + per-source rank window. Keep for

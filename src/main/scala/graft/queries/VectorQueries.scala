@@ -82,7 +82,7 @@ object VectorQueries extends QuerySet {
       (s, d) => {
         val e = Tables.df(s, d, "embeddings")
         Knn.findMatches(e.filter(col("label") === 0), e.filter(col("label") === 1),
-          "vec_id", "embedding")
+          "vec_id", "embedding").orderBy("src_id")
       },
       Some(Knn.findMatchesDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
@@ -94,7 +94,7 @@ object VectorQueries extends QuerySet {
       (s, d) => {
         val e = Tables.df(s, d, "embeddings")
         Knn.findMatchesLsh(e.filter(col("label") === 0), e.filter(col("label") === 1),
-          "vec_id", "embedding")
+          "vec_id", "embedding").orderBy("src_id")
       },
       Some(Knn.findMatchesLshDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
@@ -107,6 +107,7 @@ object VectorQueries extends QuerySet {
         Matcher.findMatchesTopN(e.filter(col("label") === 0), e.filter(col("label") === 1),
           "vec_id", "embedding",
           MatchConfig(metric = "cosine", topN = 3, minSimilarity = Some(0.1)))
+          .orderBy("src_id", "match_rank")
       },
       Some(Matcher.findMatchesTopNDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim,
@@ -119,6 +120,7 @@ object VectorQueries extends QuerySet {
         val e = Tables.df(s, d, "embeddings")
         Matcher.findMatchesTopN(e.filter(col("label") === 0), e.filter(col("label") === 1),
           "vec_id", "embedding", MatchConfig(metric = "euclidean", topN = 3))
+          .orderBy("src_id", "match_rank")
       },
       Some(Matcher.findMatchesTopNDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim,
@@ -132,6 +134,7 @@ object VectorQueries extends QuerySet {
         Matcher.findMatchesTopN(e.filter(col("label") === 0), e.filter(col("label") === 1),
           "vec_id", "embedding",
           MatchConfig(metric = "manhattan", topN = 2, maxDistance = Some(12.0)))
+          .orderBy("src_id", "match_rank")
       },
       Some(Matcher.findMatchesTopNDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim,
@@ -145,6 +148,7 @@ object VectorQueries extends QuerySet {
         val e = Tables.df(s, d, "embeddings").filter(col("vec_id") < 400)
         Matcher.findMatchesLshTopN(e, e, "vec_id", "embedding",
           MatchConfig(metric = "cosine", topN = 2, excludeSelf = true))
+          .orderBy("src_id", "match_rank")
       },
       Some(Matcher.findMatchesLshTopNDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "vec_id < 400", tgtPred = "vec_id < 400", dim = Dim,

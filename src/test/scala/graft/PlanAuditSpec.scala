@@ -125,12 +125,15 @@ class PlanAuditSpec extends SparkSpec {
     // regression.
     import org.apache.spark.sql.execution.SortExec
     val docs = graft.Tables.df(spark, sfDir, "documents")
+    val embs = graft.Tables.df(spark, sfDir, "embeddings")
     val plans = Seq(
       new graft.api.Collection("documents", docs).dedupe("doc_id", "text"),
       graft.dedup.MinHash.nearDupPairs(docs, "doc_id", "text"),
       graft.dedup.NgramJaccard.jaccardPairs(docs, "doc_id", "text"),
       graft.dedup.NgramJaccard.jaccardPairsExact(docs, "doc_id", "text"),
-      graft.dedup.SimHash.nearDupPairs(docs, "doc_id", "text"))
+      graft.dedup.SimHash.nearDupPairs(docs, "doc_id", "text"),
+      graft.ann.Knn.findMatchesLsh(embs, embs, "vec_id", "embedding"),
+      graft.ann.Matcher.findMatchesLshTopN(embs, embs, "vec_id", "embedding"))
     try {
       val offenders = plans.zipWithIndex.flatMap { case (df, i) =>
         val globalSorts = df.queryExecution.sparkPlan.collect {
