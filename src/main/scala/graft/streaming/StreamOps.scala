@@ -44,6 +44,29 @@ object StreamOps {
       df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
     else df.dropDuplicates(keyCols)
 
+  /** Streaming NEAR-dedup: drop documents whose 60-bit SimHash
+    * fingerprint exactly matches an earlier document's within the
+    * watermark — the streaming tier of the batch
+    * [[graft.dedup.SimHash]] pair-finder. Exact-fingerprint match
+    * catches the near-identical mass (boilerplate, templated spam,
+    * re-crawls) at bounded state: one 8-byte fingerprint per document
+    * inside the watermark, partitioned by fingerprint — no pair join
+    * appears anywhere in the plan, so the op is safe on an unbounded
+    * ingest stream. Batch input runs the same code as a plain
+    * fingerprint dropDuplicates (parity spec-checked).
+    */
+  def nearDedupeStream(df: DataFrame, textCol: String, tsCol: String,
+                       watermark: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fp = df.withColumn("__fp", call_function("graft_simhash",
+      call_function("graft_token_hashes60", col(textCol))))
+    val deduped =
+      if (df.isStreaming)
+        fp.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(Seq("__fp"))
+      else fp.dropDuplicates("__fp")
+    deduped.drop("__fp")
+  }
+
   /** A closed gap-session (streaming twin of [[graft.ops.Sessionize]]):
     * event-time micros of the first/last event, event count, value sum.
     */

@@ -53,6 +53,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupeStream drops simhash-identical docs within the watermark") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // docs 1 and 3 are identical, doc 4 differs by full rewording;
+    // doc 2 only reorders two tokens of doc 1 — identical token
+    // multiset means identical SimHash, so it drops too
+    val docs = Seq(
+      (ts(1), 1L, "the quick brown fox jumps over the lazy dog"),
+      (ts(2), 2L, "the quick brown fox jumps over the dog lazy"),
+      (ts(3), 3L, "the quick brown fox jumps over the lazy dog"),
+      (ts(4), 4L, "completely different text about something else"))
+    val deduped = StreamOps.nearDedupeStream(
+      input.toDF().toDF("ts", "doc_id", "text"), "text", "ts", "1 hour")
+    val q = deduped.writeStream.format("memory")
+      .queryName("neardedup_out").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val kept = spark.table("neardedup_out").select("doc_id").as[Long].collect().sorted
+      kept shouldBe Array(1L, 4L)
+      // batch parity: same function, same survivors
+      val batch = StreamOps.nearDedupeStream(
+        docs.toDF("ts", "doc_id", "text"), "text", "ts", "1 hour")
+        .select("doc_id").as[Long].collect().sorted
+      batch shouldBe kept
+      // the streamed schema carries no helper column
+      spark.table("neardedup_out").columns.toSeq shouldBe Seq("ts", "doc_id", "text")
+    } finally q.stop()
+  }
+
   test("sessionizeStream closes gap sessions and matches the batch sessionizer") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String, Double)]
