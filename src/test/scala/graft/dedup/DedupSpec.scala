@@ -167,6 +167,7 @@ class DedupSpec extends SparkSpec {
     } yield (a, b, math.rint(j * 10000) / 10000)).sortBy(p => (p._1, p._2))
     val ppjoin = NgramJaccard.jaccardPairsExact(corpus, "doc_id", "text", w = 3, threshold = t)
       .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+      .sortBy(p => (p._1, p._2)) // library path is sort-free; order here for the compare
     ppjoin shouldBe brute
     // the exact-duplicate pair is present at 1.0
     ppjoin.find(p => p._1 == 1 && p._2 == 4).get._3 shouldBe 1.0
