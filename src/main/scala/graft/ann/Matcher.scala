@@ -160,6 +160,28 @@ object Matcher {
     finish(scored, cfg)
   }
 
+  /** Mean per-source recall@k of an approximate match result against
+    * exact truth. Both inputs are matcher-shaped frames
+    * (src_id, tgt_id, match_rank). Per source: |approx ∩ truth| /
+    * |truth| over the rank-≤k rows (truth may have fewer than k rows
+    * after thresholds — the denominator is what truth actually
+    * holds). Returns the mean over sources as a driver scalar: this
+    * is an index-quality eval metric (one number per tuning run), so
+    * the only collect is the final 1-row aggregate; the joins and
+    * per-source counts stay distributed, which is what matters when
+    * truth is a 10⁶-query sample of a 100 TB corpus.
+    */
+  def recallAtK(truth: DataFrame, approx: DataFrame, k: Int): Double = {
+    val t = truth.filter(col("match_rank") <= k).select("src_id", "tgt_id")
+    val a = approx.filter(col("match_rank") <= k).select("src_id", "tgt_id")
+      .withColumn("__hit", lit(1))
+    val per = t.join(a, Seq("src_id", "tgt_id"), "left")
+      .groupBy("src_id")
+      .agg((sum(coalesce(col("__hit"), lit(0))) / count(lit(1))).as("__recall"))
+    val row = per.agg(avg(col("__recall"))).head()
+    if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+  }
+
   // ---------------------------------------------------------------- oracle
 
   private def duckDot(x: String, y: String, dim: Int): String =

@@ -67,6 +67,35 @@ object StreamOps {
     deduped.drop("__fp")
   }
 
+  /** Streaming train/eval decontamination: drop stream documents that
+    * share ANY w-gram with a STATIC eval set — the streaming tier of
+    * [[graft.ops.Corpus.decontaminateBloom]]. The eval side is batch:
+    * its distinct gram hashes build one Bloom filter at stream-
+    * definition time (right-sized from a real count), broadcast once.
+    * The stream side is then a pure map — per row, hash the w-grams
+    * and test `exists(gh, mightContain)` — so the operator is
+    * STATELESS: no watermark, no state store, no shuffle, safe at any
+    * ingest rate. False positives over-drop at ~`fpp` (never
+    * under-drop); docs shorter than w tokens have no grams and always
+    * pass. Batch input runs the identical filter (parity
+    * spec-checked against the batch decontaminator).
+    */
+  def decontaminateStream(stream: DataFrame, evalDf: DataFrame, textCol: String,
+                          evalTextCol: String, w: Int, fpp: Double = 0.01): DataFrame = {
+    import graft.text.{Repetition, TextFunctions}
+    val evalGrams = evalDf
+      .select(explode(Repetition.ngrams(col(evalTextCol), w)).as("gram"))
+      .select(TextFunctions.portableHash60(col("gram")).as("gh"))
+      .distinct()
+    val n = math.max(evalGrams.count(), 1L)
+    val bloom = graft.ops.Sketches.buildBloom(evalGrams, col("gh"), n, fpp)
+    val bc = stream.sparkSession.sparkContext.broadcast(bloom)
+    val anyHit = udf((hs: Seq[Long]) => hs != null && hs.exists(bc.value.mightContainLong))
+    val gramHashes = transform(Repetition.ngrams(col(textCol), w),
+      g => TextFunctions.portableHash60(g))
+    stream.filter(!anyHit(gramHashes))
+  }
+
   /** A closed gap-session (streaming twin of [[graft.ops.Sessionize]]):
     * event-time micros of the first/last event, event count, value sum.
     */

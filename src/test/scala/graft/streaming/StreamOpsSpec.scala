@@ -217,4 +217,44 @@ class StreamOpsSpec extends SparkSpec {
       stream(3L).head shouldBe 0.8 // q x5 -> dup_token_frac 4/5
     } finally q.stop()
   }
+
+  test("decontaminateStream drops exactly the batch decontaminator's contaminated docs") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalText = "the secret benchmark answer key sequence"
+    val evalDocs = Seq((100L, evalText)).toDF("doc_id", "text")
+    // doc 2 contains an eval 5-gram verbatim; doc 4 is shorter than w
+    // tokens (no grams — must pass); 1 and 3 are clean
+    val docs = Seq(
+      (ts(1), 1L, "a clean training document about cooking pasta nicely"),
+      (ts(2), 2L, "contains the secret benchmark answer key sequence verbatim inside"),
+      (ts(3), 3L, "another clean document on entirely unrelated topics here"),
+      (ts(4), 4L, "short one"))
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val filtered = StreamOps.decontaminateStream(
+      input.toDF().toDF("ts", "doc_id", "text"), evalDocs, "text", "text", w = 5)
+    val q = filtered.writeStream.format("memory")
+      .queryName("decontam_out").outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val kept = spark.table("decontam_out").select("doc_id").as[Long].collect().sorted
+      kept shouldBe Array(1L, 3L, 4L)
+
+      // batch parity 1: the same function over a batch frame
+      val batchKept = StreamOps.decontaminateStream(
+        docs.toDF("ts", "doc_id", "text"), evalDocs, "text", "text", w = 5)
+        .select("doc_id").as[Long].collect().sorted
+      batchKept shouldBe kept
+
+      // batch parity 2: the docs the stream DROPPED are exactly the
+      // batch decontaminator's contaminated set over train ∪ eval
+      val union = docs.map(d => (d._2, d._3, false)).toDF("doc_id", "text", "is_eval")
+        .union(Seq((100L, evalText, true)).toDF("doc_id", "text", "is_eval"))
+      val contaminated = graft.ops.Corpus.decontaminateBloom(
+        union, "doc_id", "text", org.apache.spark.sql.functions.col("is_eval"), w = 5)
+        .select("doc_id").as[Long].collect().sorted
+      val dropped = docs.map(_._2).filterNot(kept.contains).sorted
+      dropped shouldBe contaminated
+    } finally q.stop()
+  }
 }
