@@ -39,16 +39,23 @@ object Formats {
   private def csvReader(spark: SparkSession, sep: String): DataFrameReader =
     spark.read.option("header", "true").option("inferSchema", "true").option("sep", sep)
 
+  /** Spark's csv WRITER trims leading/trailing whitespace by default
+    * (ignore*WhiteSpace default true on write, false on read) — padded
+    * values are data, so both formats disable the trim.
+    */
+  private def csvWriter(df: DataFrame, sep: String) =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").option("sep", sep)
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+
   case object Csv extends Format("csv", Seq("csv")) {
     def read(spark: SparkSession, path: String): DataFrame = csvReader(spark, ",").csv(path)
-    def write(df: DataFrame, path: String): Unit =
-      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    def write(df: DataFrame, path: String): Unit = csvWriter(df, ",").csv(path)
   }
 
   case object Tsv extends Format("tsv", Seq("tsv", "tab")) {
     def read(spark: SparkSession, path: String): DataFrame = csvReader(spark, "\t").csv(path)
-    def write(df: DataFrame, path: String): Unit =
-      df.write.mode(SaveMode.Overwrite).option("header", "true").option("sep", "\t").csv(path)
+    def write(df: DataFrame, path: String): Unit = csvWriter(df, "\t").csv(path)
   }
 
   case object Jsonl extends Format("jsonl", Seq("jsonl", "ndjson")) {

@@ -177,7 +177,13 @@ object XlsxIO {
     sb.append(':')
     v match {
       case b: Boolean => sb.append(b)
-      case d: Double => if (d == d.toLong && math.abs(d) < 1e15) sb.append(d.toLong) else sb.append(d)
+      case d: Double =>
+        // integral doubles emit as JSON integers so integer columns
+        // keep their type through inference — but NOT negative zero,
+        // whose sign "0" would silently drop (-0.0 == 0L is true)
+        val negZero = d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L
+        if (d == d.toLong && !negZero && math.abs(d) < 1e15) sb.append(d.toLong)
+        else sb.append(d)
       case s => jsonStr(String.valueOf(s), sb)
     }
   }
