@@ -170,7 +170,21 @@ object Cli {
           opts.get("target-col").foreach { t =>
             val p = opts.getOrElse("predict-col",
               throw new IllegalArgumentException("--target-col needs --predict-col"))
-            out(f"accuracy: ${graft.ops.Rules.accuracy(inferred, t, p)}%.4f")
+            // reference cli.py:880: --evaluation-match-function selects
+            // the graded leaf matcher; default stays exact accuracy
+            opts.get("match-function") match {
+              case Some("score_text_overlap") | Some("text-overlap") =>
+                val o = graft.ops.Evaluation.evaluatePredictor(
+                  inferred, p, t, Some(graft.ops.Evaluation.textOverlapFn))
+                out(f"accuracy: ${o.accuracy}%.4f (graded text-overlap, tp=${o.truePositive}%.2f/${o.total})")
+              case Some("struct") =>
+                val o = graft.ops.Evaluation.evaluatePredictor(inferred, p, t)
+                out(f"accuracy: ${o.accuracy}%.4f (graded struct, tp=${o.truePositive}%.2f/${o.total})")
+              case Some(other) =>
+                throw new IllegalArgumentException(s"unknown --match-function '$other'")
+              case None =>
+                out(f"accuracy: ${graft.ops.Rules.accuracy(inferred, t, p)}%.4f")
+            }
           }
           emit(opts, out, shaped(opts, inferred))
         case "update" =>

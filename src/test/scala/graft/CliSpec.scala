@@ -208,6 +208,16 @@ class CliSpec extends SparkSpec {
       "--target-col", "city", "--predict-col", "pred")
     c2 shouldBe 0
     out2.head shouldBe "accuracy: 1.0000"
+    // graded matchers (reference --evaluation-match-function)
+    val (c3, out3) = runCli("infer", "--path", dataPath,
+      "--rules", "id>0 => pred=@city",
+      "--target-col", "city", "--predict-col", "pred",
+      "--match-function", "text-overlap")
+    c3 shouldBe 0
+    out3.head should startWith("accuracy: 1.0000 (graded text-overlap")
+    runCli("infer", "--path", dataPath, "--rules", "id>0 => pred=@city",
+      "--target-col", "city", "--predict-col", "pred",
+      "--match-function", "bogus")._1 shouldBe 2
     runCli("infer", "--path", dataPath, "--rules", "nonsense")._1 shouldBe 2
   }
 
