@@ -306,6 +306,19 @@ object Cli {
           // deterministic CLI output (the library path stays sort-free)
           emit(opts, out, res.orderBy("src_id", "match_rank"))
         case "collections" => dbOf(spark, opts).listCollectionNames.foreach(out)
+        case "config" =>
+          // reference cli.py -C/--config: attach everything a YAML
+          // config declares, then report database → collection counts
+          val cfgPath = opts.getOrElse("path",
+            throw new IllegalArgumentException("config needs --path <config.yaml>"))
+          val client = new graft.api.Client(spark).fromConfig(cfgPath, autoAttach = true)
+          client.databaseNames.foreach { dbName =>
+            val db = client.database(dbName)
+            out(s"database $dbName (${db.root})")
+            db.listCollectionNames.foreach { c =>
+              out(s"  $c\t${db.collection(c).count()}")
+            }
+          }
         case "drop-collection" =>
           val nm = opts.getOrElse("name",
             throw new IllegalArgumentException("drop-collection needs --name"))
@@ -439,6 +452,7 @@ object Cli {
       |          validate diff apply insert update export peek
       |          index indexes find-matches (collection/matcher)
       |          store import collections drop-collection sql (database-level: --db <dir>)
+      |          config (attach a YAML client config: --path config.yaml)
       |options: --where k=v,k2>v2  --select a,b  --sort -col  --limit n  --offset n
       |         --columns a,b  --index/--columns/--values (pivot)  --query term
       |         --by a,b --agg sum:x,avg:y (groupby)  --sample-col s (enrichment)

@@ -327,4 +327,106 @@ class Client(val spark: SparkSession) {
   /** Drop every attached database (reference: client.py:391). */
   def dropAllDatabases(): Unit =
     dbs.keys.toSeq.foreach(dropDatabase(_))
+
+  /** Attach databases and collections from a YAML config file
+    * (reference: client.py:117 from_config + api/config.py
+    * ClientConfig/DatabaseConfig/CollectionConfig). Supported keys —
+    * the local-engine subset of the reference model:
+    *
+    * {{{
+    * base_dir: /data               # resolves relative handles/paths
+    * default_database: db1
+    * databases:
+    *   db1:
+    *     handle: warehouse/db1     # directory root; file:// ok
+    *     collections:
+    *       docs:
+    *         source: {local_path: in/docs.jsonl, format: jsonl}
+    *         derived_from:
+    *           - {collection: docs, where: "quality > 0.5",
+    *              mappings: {id: doc_id, text: "upper(text)"}}
+    *         indexers:
+    *           ix: {index_attributes: [title, text], id_attribute: id}
+    * }}}
+    *
+    * With `autoAttach=false` (the reference default) the config is
+    * validated and database handles resolved but nothing attaches.
+    * Network sources (url) are out of scope and rejected. All
+    * loads/materializations run through the same Formats/derivation/
+    * indexer paths the explicit API uses.
+    */
+  def fromConfig(path: String, autoAttach: Boolean = false): Client = {
+    val text = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+    val cfg = graft.io.YamlParse.docToValue(text) match {
+      case Some(m: scala.collection.Map[_, _]) =>
+        m.map { case (k, v) => String.valueOf(k) -> v }
+      case other => throw new IllegalArgumentException(
+        s"config '$path' must be a YAML mapping, got ${other.map(_.getClass.getSimpleName)}")
+    }
+    def str(v: Any): String = String.valueOf(v)
+    // the parser yields mutable LinkedHashMaps / buffers; view them
+    // uniformly without caring which concrete collection arrived
+    def asMap(v: Any): scala.collection.Map[String, Any] = v match {
+      case m: scala.collection.Map[_, _] => m.map { case (k, mv) => String.valueOf(k) -> mv }
+      case other => throw new IllegalArgumentException(s"expected a mapping, got $other")
+    }
+    def asSeq(v: Any): scala.collection.Seq[Any] = v match {
+      case xs: scala.collection.Seq[_] => xs
+      case other => throw new IllegalArgumentException(s"expected a list, got $other")
+    }
+    val baseDir = cfg.get("base_dir").map(str)
+      .getOrElse(Option(java.nio.file.Paths.get(path).getParent).map(_.toString).getOrElse("."))
+    def resolve(p: String): String = {
+      val clean = p.stripPrefix("file://").stripPrefix("parquet://")
+      if (java.nio.file.Paths.get(clean).isAbsolute) clean
+      else java.nio.file.Paths.get(baseDir, clean).toString
+    }
+    val databases = cfg.get("databases").map(asMap).getOrElse(Map.empty[String, Any])
+    if (!autoAttach) return this
+    databases.foreach { case (dbName, dbCfgAny) =>
+      val dbCfg = asMap(dbCfgAny)
+      val handle = dbCfg.get("handle").map(str).getOrElse(
+        throw new IllegalArgumentException(s"database '$dbName' has no handle"))
+      val db = attachDatabase(dbName, resolve(handle))
+      dbCfg.get("collections").foreach { collsAny =>
+        val colls = asMap(collsAny).map { case (n, v) => n -> asMap(v) }
+        // sources first: a derivation may name a sibling collection
+        // declared later in the mapping (map order is not load order)
+        colls.foreach { case (collName, c) =>
+          c.get("source").foreach { srcAny =>
+            val src = asMap(srcAny)
+            require(!src.contains("url"), s"collection '$collName': network sources are out of scope")
+            val local = src.get("local_path").map(str).getOrElse(
+              throw new IllegalArgumentException(s"collection '$collName' source has no local_path"))
+            db.declareSource(collName, resolve(local), src.get("format").map(str).orNull)
+          }
+        }
+        colls.foreach { case (collName, c) =>
+          c.get("derived_from").foreach { derAny =>
+            asSeq(derAny).foreach { dAny =>
+              val d = asMap(dAny)
+              val mappings = d.get("mappings").map(asMap).getOrElse(Map.empty[String, Any])
+                .map { case (t, e) => t -> str(e) }
+              db.createDerivedCollection(collName, Derivation(
+                source = d.get("collection").map(str).getOrElse(
+                  throw new IllegalArgumentException(s"derivation of '$collName' names no collection")),
+                where = d.get("where").map(str),
+                mappings = mappings.toSeq))
+            }
+          }
+          c.get("indexers").foreach { ixAny =>
+            asMap(ixAny).foreach { case (_, ixCfgAny) =>
+              val ix = asMap(ixCfgAny)
+              val attrs = ix.get("index_attributes").map(asSeq).getOrElse(Nil).map(str)
+              require(attrs.nonEmpty, s"indexer on '$collName' lists no index_attributes")
+              val idAttr = ix.get("id_attribute").map(str).getOrElse(
+                throw new IllegalArgumentException(s"indexer on '$collName' needs id_attribute"))
+              db.collection(collName).attachIndex(idAttr, attrs.toSeq)
+            }
+          }
+        }
+      }
+    }
+    this
+  }
 }

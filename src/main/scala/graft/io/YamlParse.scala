@@ -59,14 +59,12 @@ object YamlParse extends Serializable {
     docs.toSeq
   }
 
-  /** One document body as compact JSON; None when the document holds
-    * no content (blank / comments only).
+  /** One document body as parsed values (Map/List/String/Long/Double/
+    * Boolean/null); None when the document holds no content. The
+    * driver-side entry for config files — [[docToJson]] is this plus
+    * JSON rendering.
     */
-  def docToJson(text: String): Option[String] = {
-    // blank lines and comment lines are KEPT through tokenization —
-    // blanks carry folding information inside multi-line scalars and
-    // both can be CONTENT inside a block scalar; the structural loops
-    // skip them instead
+  def docToValue(text: String): Option[Any] = {
     val lines: Array[Line] = text.split("\n", -1).iterator
       .map { raw =>
         val indent = raw.takeWhile(_ == ' ').length
@@ -78,11 +76,23 @@ object YamlParse extends Serializable {
       val p = new P(lines)
       val v = p.parseBlock(0)
       require(p.done, s"yaml: unparsed trailing content at '${p.peek}'")
-      val sb = new StringBuilder
-      jsonify(v, sb)
-      Some(sb.toString)
+      Some(v)
     }
   }
+
+  /** One document body as compact JSON; None when the document holds
+    * no content (blank / comments only).
+    */
+  def docToJson(text: String): Option[String] =
+    // blank lines and comment lines are KEPT through tokenization —
+    // blanks carry folding information inside multi-line scalars and
+    // both can be CONTENT inside a block scalar; the structural loops
+    // skip them instead
+    docToValue(text).map { v =>
+      val sb = new StringBuilder
+      jsonify(v, sb)
+      sb.toString
+    }
 
   private final case class Line(indent: Int, text: String)
 

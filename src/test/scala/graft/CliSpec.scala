@@ -351,6 +351,26 @@ class CliSpec extends SparkSpec {
       "--tier", "lsh", "--max-matches", "1")._1 shouldBe 0
   }
 
+  test("config command attaches a YAML client config and reports counts") {
+    val base = java.nio.file.Files.createTempDirectory("cli-cfg")
+    java.nio.file.Files.writeString(base.resolve("rows.jsonl"),
+      "{\"id\": 1, \"v\": \"a\"}\n{\"id\": 2, \"v\": \"b\"}\n")
+    val cfg = base.resolve("c.yaml")
+    java.nio.file.Files.writeString(cfg,
+      """databases:
+        |  main:
+        |    handle: wh
+        |    collections:
+        |      rows:
+        |        source: {local_path: rows.jsonl, format: jsonl}
+        |""".stripMargin)
+    val (code, lines) = runCli("config", "--path", cfg.toString)
+    code shouldBe 0
+    lines.head should startWith("database main")
+    lines should contain("  rows\t2")
+    runCli("config")._1 shouldBe 2
+  }
+
   test("bad usage returns exit code 2 with a message") {
     runCli("query")._1 shouldBe 2
     runCli("frobnicate", "--path", dataPath)._1 shouldBe 2
