@@ -107,6 +107,37 @@ object TextQueries extends QuerySet {
       },
       Some(graft.text.Repetition.statsDuckSql("documents") + "\nORDER BY doc_id")),
 
+    // PII redaction (training-data privacy pass): both engines build
+    // the SAME deterministic PII-bearing suffix from doc_id, so the
+    // oracle checks real positives (email + IP + phone per row) AND
+    // pass-through of ordinary text, not just a no-op scrub.
+    Q("q_redact_pii",
+      (s, d) => {
+        val pii = concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@mail.example.com at 10.0."),
+          col("doc_id") % 256, lit(".7 or 555-867-5309"))
+        Tables.df(s, d, "documents").select(
+          col("doc_id"),
+          TextFunctions.redactPii(pii).as("redacted"),
+          size(regexp_extract_all(pii, lit(TextFunctions.emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(pii, lit(TextFunctions.ipRe), lit(0))).as("n_ips"),
+          size(regexp_extract_all(pii, lit(TextFunctions.phoneRe), lit(0))).as("n_phones"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id,
+              |  regexp_replace(regexp_replace(regexp_replace(pii,
+              |    '${TextFunctions.emailRe}', '[EMAIL]', 'g'),
+              |    '${TextFunctions.ipRe}', '[IP]', 'g'),
+              |    '${TextFunctions.phoneRe}', '[PHONE]', 'g') AS redacted,
+              |  len(regexp_extract_all(pii, '${TextFunctions.emailRe}')) AS n_emails,
+              |  len(regexp_extract_all(pii, '${TextFunctions.ipRe}')) AS n_ips,
+              |  len(regexp_extract_all(pii, '${TextFunctions.phoneRe}')) AS n_phones
+              |FROM (SELECT doc_id,
+              |        text || ' contact u' || doc_id || '@mail.example.com at 10.0.' ||
+              |        (doc_id % 256) || '.7 or 555-867-5309' AS pii
+              |      FROM documents) t
+              |ORDER BY doc_id""".stripMargin)),
+
     Q("q_lang_id",
       (s, d) => Tables.df(s, d, "documents").select(
         col("doc_id"),

@@ -40,6 +40,31 @@ object TextFunctions {
   def portableHash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  // ------------------------------------------------------- PII redaction
+
+  /** Redaction patterns, shared verbatim with the DuckDB oracle (both
+    * engines' regex dialects — java.util.regex and RE2 — agree on
+    * this subset: classes, bounded repeats, \b). Order matters:
+    * emails go first (their local part can contain digits and dots),
+    * then IPs (four dot-separated octets — a 3-group phone can't
+    * match), then dashed phones.
+    */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** Scrub emails/IPv4s/phone numbers to typed placeholder tags — the
+    * standard pre-training privacy pass. Three chained
+    * `regexp_replace` calls, all inside whole-stage codegen; a
+    * map-only op at any corpus size.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "[EMAIL]"),
+        ipRe, "[IP]"),
+      phoneRe, "[PHONE]")
+
   /** English-ish stopwords used by quality + langid heuristics. */
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
