@@ -186,4 +186,135 @@ object Corpus {
        |FROM tr JOIN ev USING (gh)
        |GROUP BY $idCol
        |ORDER BY n_shared DESC, $idCol ASC""".stripMargin
+
+  // ------------------------------------------------- corpus distribution stats
+
+  /** Per-group vocabulary statistics (corpus health dashboard):
+    * token count, vocabulary size, hapax fraction (|count==1| /
+    * vocab — Zipf-tail mass) and top-token share. Two-level keyed
+    * aggregation — partial aggs on (group, token) then on group —
+    * nothing corpus-wide on the driver.
+    */
+  def vocabStats(df: DataFrame, groupCol: String, textCol: String): DataFrame =
+    df.select(col(groupCol), explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab_size"),
+        round(sum(when(col("c") === 1, 1).otherwise(0)) / count(lit(1)).cast("double"), 4)
+          .as("hapax_frac"),
+        round(max(col("c")) / sum(col("c")).cast("double"), 4).as("top_token_share"))
+      .orderBy(groupCol)
+
+  /** DuckDB twin of [[vocabStats]]. */
+  def vocabStatsDuckSql(table: String, groupCol: String, textCol: String): String =
+    s"""SELECT $groupCol,
+       |  sum(c) AS n_tokens,
+       |  count(*) AS vocab_size,
+       |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS hapax_frac,
+       |  round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_share
+       |FROM (
+       |  SELECT $groupCol, tok, count(*) AS c
+       |  FROM (SELECT $groupCol, unnest(string_split($textCol, ' ')) AS tok FROM $table)
+       |  GROUP BY $groupCol, tok)
+       |GROUP BY $groupCol
+       |ORDER BY $groupCol""".stripMargin
+
+  /** Add-one-smoothed KL divergence between every ordered pair of
+    * group corpora' unigram distributions (distribution-drift check,
+    * e.g. train vs eval slice): P(t) = (c_a(t)+1)/(N_a+V) over the
+    * GLOBAL vocabulary V.
+    *
+    * Scale shape: the naive sum ranges over V × L² (vocabulary ×
+    * group pairs) — at a 10⁷ vocabulary that materializes nothing but
+    * wastes a grid join. Tokens absent from BOTH groups contribute a
+    * per-pair CONSTANT, so the sum splits into (1) tokens present in
+    * a — one keyed left join, (2) tokens present only in b — one
+    * keyed anti join, (3) a closed-form remainder (V − |vocab_a ∪
+    * vocab_b|) · (1/(N_a+V)) · ln((N_b+V)/(N_a+V)). Only the tiny
+    * (group, total) frame ever cross-joins.
+    */
+  def klDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(groupCol).as("g"), explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).cast("double").as("c"))
+      .persist()
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val vRow = counts.agg(countDistinct(col("tok")).cast("double").as("v"))
+    val a = counts.select(col("g").as("la"), col("tok"), col("c").as("ca"))
+    val b = counts.select(col("g").as("lb"), col("tok"), col("c").as("cb"))
+    val ta = totals.select(col("g").as("la"), col("n").as("na"))
+    val tb = totals.select(col("g").as("lb"), col("n").as("nb"))
+    def term(ca: Column, cb: Column): Column = {
+      val p = (ca + 1.0) / (col("na") + col("v"))
+      val q = (cb + 1.0) / (col("nb") + col("v"))
+      p * log(p / q)
+    }
+    // (1) tokens present in a, paired with every other group
+    val part1 = a.crossJoin(broadcast(tb)).join(b, Seq("lb", "tok"), "left")
+      .join(ta, "la").crossJoin(broadcast(vRow))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("t", term(col("ca"), coalesce(col("cb"), lit(0.0))))
+      .groupBy(col("la"), col("lb")).agg(sum(col("t")).as("s"), count(lit(1)).as("k"))
+    // (2) tokens present ONLY in b (ca = 0)
+    val part2 = b.crossJoin(broadcast(ta)).join(a, Seq("la", "tok"), "left_anti")
+      .join(tb, "lb").crossJoin(broadcast(vRow))
+      .filter(col("la") =!= col("lb"))
+      .withColumn("t", term(lit(0.0), col("cb")))
+      .groupBy(col("la"), col("lb")).agg(sum(col("t")).as("s"), count(lit(1)).as("k"))
+    // (3) closed-form remainder for tokens in neither group
+    part1.union(part2)
+      .groupBy(col("la"), col("lb")).agg(sum(col("s")).as("s"), sum(col("k")).as("k"))
+      .join(ta, "la").join(tb, "lb").crossJoin(broadcast(vRow))
+      .select(col("la").as("lang_a"), col("lb").as("lang_b"),
+        round(col("s") + (col("v") - col("k")) * (lit(1.0) / (col("na") + col("v")))
+          * log((col("nb") + col("v")) / (col("na") + col("v"))), 4).as("kl"))
+      .orderBy("lang_a", "lang_b")
+  }
+
+  /** DuckDB twin of [[klDivergence]] — the same three-part split. */
+  def klDivergenceDuckSql(table: String, groupCol: String, textCol: String): String =
+    s"""WITH counts AS (
+       |  SELECT g, tok, CAST(count(*) AS DOUBLE) AS c
+       |  FROM (SELECT $groupCol AS g, unnest(string_split($textCol, ' ')) AS tok FROM $table)
+       |  GROUP BY g, tok),
+       |totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY g),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM counts),
+       |part1 AS (
+       |  SELECT a.g AS la, tb.g AS lb,
+       |    sum(((a.c + 1.0) / (ta.n + v.v)) * ln(((a.c + 1.0) / (ta.n + v.v))
+       |        / ((coalesce(b.c, 0.0) + 1.0) / (tb.n + v.v)))) AS s,
+       |    count(*) AS k
+       |  FROM counts a
+       |  CROSS JOIN totals tb
+       |  LEFT JOIN counts b ON b.g = tb.g AND b.tok = a.tok
+       |  JOIN totals ta ON ta.g = a.g
+       |  CROSS JOIN v
+       |  WHERE a.g <> tb.g
+       |  GROUP BY a.g, tb.g),
+       |part2 AS (
+       |  SELECT ta.g AS la, b.g AS lb,
+       |    sum(((0.0 + 1.0) / (ta.n + v.v)) * ln(((0.0 + 1.0) / (ta.n + v.v))
+       |        / ((b.c + 1.0) / (tb.n + v.v)))) AS s,
+       |    count(*) AS k
+       |  FROM counts b
+       |  CROSS JOIN totals ta
+       |  JOIN totals tb ON tb.g = b.g
+       |  CROSS JOIN v
+       |  WHERE ta.g <> b.g
+       |    AND NOT EXISTS (SELECT 1 FROM counts a WHERE a.g = ta.g AND a.tok = b.tok)
+       |  GROUP BY ta.g, b.g),
+       |merged AS (
+       |  SELECT la, lb, sum(s) AS s, sum(k) AS k
+       |  FROM (SELECT * FROM part1 UNION ALL SELECT * FROM part2)
+       |  GROUP BY la, lb)
+       |SELECT m.la AS lang_a, m.lb AS lang_b,
+       |  round(m.s + (v.v - m.k) * (1.0 / (ta.n + v.v)) * ln((tb.n + v.v) / (ta.n + v.v)), 4) AS kl
+       |FROM merged m
+       |JOIN totals ta ON ta.g = m.la
+       |JOIN totals tb ON tb.g = m.lb
+       |CROSS JOIN v
+       |ORDER BY lang_a, lang_b""".stripMargin
 }

@@ -28,6 +28,17 @@ object CorpusQueries extends QuerySet {
         Tables.df(s, d, "documents"), "doc_id", "text",
         evalPred = col("source") === "src0", w = 4),
       Some(Corpus.decontaminateDuckSql(
-        "documents", "doc_id", "text", "source = 'src0'", w = 4)))
+        "documents", "doc_id", "text", "source = 'src0'", w = 4))),
+
+    // corpus health dashboard: per-language token/vocab/hapax/top-share
+    Q("q_vocab_stats",
+      (s, d) => Corpus.vocabStats(Tables.df(s, d, "documents"), "lang", "text"),
+      Some(Corpus.vocabStatsDuckSql("documents", "lang", "text"))),
+
+    // distribution drift between language corpora: add-one-smoothed KL
+    // over the global vocabulary, absent-absent mass in closed form
+    Q("q_corpus_kl",
+      (s, d) => Corpus.klDivergence(Tables.df(s, d, "documents"), "lang", "text"),
+      Some(Corpus.klDivergenceDuckSql("documents", "lang", "text")))
   )
 }

@@ -62,7 +62,10 @@ class PlanAuditSpec extends SparkSpec {
                         // q_find_matches_lsh is the collection-scale path
     "q_find_matches_topn", // same brute tier (Matcher), dim-sized target
     "q_find_matches_eucl", // brute tier + 1-row max-dist crossJoin
-    "q_find_matches_l1"    // brute tier + 1-row max-dist crossJoin
+    "q_find_matches_l1",   // brute tier + 1-row max-dist crossJoin
+    "q_corpus_kl"          // group-totals frame (L rows; the op's own
+                           // output is L² so L is small by contract)
+                           // + 1-row vocab-size crossJoins
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
@@ -174,8 +177,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_nb_classify: the class table grouped by the LABEL domain —
     //    #classes rows (a classifier's label set, not a corpus);
     //    the vocab-sized logp model is deliberately NOT hinted
+    //  - q_corpus_kl: per-group token totals — L rows, the same L
+    //    whose square is the op's OUTPUT cardinality; only the
+    //    crossJoin sides stay hinted (a cartesian would be worse)
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
-      "q_nb_classify")
+      "q_nb_classify", "q_corpus_kl")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
