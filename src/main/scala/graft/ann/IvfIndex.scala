@@ -1,0 +1,73 @@
+package graft.ann
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF vector index — the "build once, probe many" tier of
+  * [[Knn.ivfTopK]] (which recomputes cell assignments on every call).
+  *
+  * Build writes the cell assignments PARTITIONED BY CELL, so a probe
+  * is a partition-pruned read of `nProbe` directories — at 100 TB the
+  * probe I/O is corpus_size × nProbe / nCells, not a full scan, and
+  * the pruning happens in the planner (spec-asserted), not at runtime.
+  * Centroids use the same deterministic first-nCells-by-id pattern as
+  * [[Knn.ivfTopK]], stored beside the cells; both are bounded model
+  * state (nCells rows).
+  *
+  * Layout under `dir`: `centroids/` (cid, vec) and `cells/`
+  * (__cell=<cid>/ partitioned parquet of id, vec).
+  */
+object IvfIndex {
+
+  /** Assign every row to its nearest centroid (max dot product, ties
+    * to the lower cid — the [[Knn.ivfTopK]] argmin) and persist.
+    */
+  def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
+            dir: String): Unit = {
+    // normalized index schema (id, __v) regardless of source names
+    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+    val cent: Array[(Long, Seq[Double])] = e.orderBy(col("id").asc).limit(nCells)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cent.nonEmpty, "cannot build an IVF index over an empty collection")
+    val spark = df.sparkSession
+    import spark.implicits._
+    cent.toSeq.toDF("cid", "vec")
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    val cellExpr = array_min(array(cent.map { case (cid, cv) =>
+      struct((-VectorFunctions.dot(col("__v"), typedLit(cv))).as("nd"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+    e.withColumn("__cell", cellExpr)
+      .write.mode("overwrite").partitionBy("__cell").parquet(s"$dir/cells")
+  }
+
+  /** Exact cosine top-k within the `nProbe` cells whose centroids best
+    * match the query vector. One partition-pruned scan ending in
+    * TakeOrdered; only the centroid frame (nCells rows) is collected.
+    */
+  def probe(spark: SparkSession, dir: String, queryVec: Seq[Double], k: Int,
+            nProbe: Int = 4): DataFrame = {
+    val cent = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val probeCells: Seq[Long] = cent
+      .map { case (cid, cv) =>
+        val d = dotSeq(cv, queryVec)
+        (if (d == 0.0) 0.0 else -d, cid)
+      }
+      .sortBy(identity).take(nProbe).map(_._2).toSeq
+    val qvLit = typedLit(queryVec)
+    spark.read.parquet(s"$dir/cells")
+      .filter(col("__cell").isin(probeCells: _*)) // planner partition pruning
+      .select(col("id"),
+        round(VectorFunctions.cosine(col("__v"), qvLit), 4).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+}

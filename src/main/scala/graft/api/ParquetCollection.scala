@@ -155,6 +155,24 @@ class ParquetCollection(
       dim: Int = graft.index.TrigramIndexer.DefaultDim): Unit =
     attachIndex(idCol, textCol, dim)
 
+  /** Materialize a persisted IVF vector index over `vecCol`
+    * ([[graft.ann.IvfIndex]]): cell assignments land partitioned by
+    * cell, so [[searchVector]] probes are PARTITION-PRUNED reads of
+    * nProbe cells, never a corpus scan. Call again after mutations.
+    */
+  def attachVectorIndex(idCol: String, vecCol: String, nCells: Int = 16): Unit =
+    graft.ann.IvfIndex.build(df, idCol, vecCol, nCells, s"$root/_vindex_$vecCol")
+
+  /** Exact cosine top-k against the materialized IVF index of
+    * `vecCol` (build with [[attachVectorIndex]] first).
+    */
+  def searchVector(vecCol: String, queryVec: Seq[Double], k: Int,
+      nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
+    require(Files.exists(Paths.get(s"$root/_vindex_$vecCol")),
+      s"no vector index on '$vecCol' — call attachVectorIndex first")
+    graft.ann.IvfIndex.probe(spark, s"$root/_vindex_$vecCol", queryVec, k, nProbe)
+  }
+
   /** Shadow-index key for a multi-attribute rendering: the '+'-joined
     * attribute list PLUS a template fingerprint — an index materialized
     * for one rendering must never serve a search that asked for a

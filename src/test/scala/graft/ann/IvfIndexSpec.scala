@@ -1,0 +1,60 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF index: parity with the scan-time [[Knn.ivfTopK]] and
+  * the plan-level guarantee that probes prune to nProbe cell
+  * partitions (the point of persisting the index).
+  */
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("persisted probe matches scan-time ivfTopK on real embeddings") {
+    val root = java.nio.file.Files.createTempDirectory("ivf").toString
+    val coll = new graft.api.ParquetCollection(spark, root, "emb")
+    coll.replace(emb)
+    coll.attachVectorIndex("vec_id", "embedding", nCells = 16)
+
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0)
+    val got = coll.searchVector("embedding", qv, k = 11, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .filter(_._1 != 0L).take(10) // ivfTopK excludes the query row
+    val want = Knn.ivfTopK(emb, "vec_id", "embedding", queryId = 0L, k = 10,
+      nCells = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    got shouldBe want
+  }
+
+  test("probe plans a partition-pruned scan of the cell directories") {
+    val root = java.nio.file.Files.createTempDirectory("ivf2").toString
+    val coll = new graft.api.ParquetCollection(spark, root, "emb")
+    coll.replace(emb)
+    coll.attachVectorIndex("vec_id", "embedding", nCells = 16)
+    val qv = Seq.fill(64)(0.1)
+    val probe = coll.searchVector("embedding", qv, k = 5, nProbe = 4)
+    val scans = probe.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec if s.relation.location.rootPaths.exists(_.toString.contains("cells")) => s
+    }
+    scans should not be empty
+    // the cell filter must reach the PARTITION level (planner prunes
+    // directories), not sit above the scan as a data filter
+    scans.head.partitionFilters should not be empty
+    // and only nProbe of the nCells partitions survive pruning
+    scans.head.relation.location.listFiles(scans.head.partitionFilters, Nil)
+      .size should be <= 4
+  }
+
+  test("searchVector without an index raises") {
+    val root = java.nio.file.Files.createTempDirectory("ivf3").toString
+    val coll = new graft.api.ParquetCollection(spark, root, "emb")
+    coll.replace(emb)
+    an[IllegalArgumentException] should be thrownBy
+      coll.searchVector("embedding", Seq(1.0), k = 3)
+  }
+}
