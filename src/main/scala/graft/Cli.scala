@@ -268,18 +268,29 @@ object Cli {
             throw new IllegalArgumentException("index needs --id-col"))
           val dim = opts.get("dim").map(_.toInt)
             .getOrElse(graft.index.TrigramIndexer.DefaultDim)
-          opts.get("attrs") match {
-            case Some(attrs) =>
-              coll.attachIndex(idCol, attrs.split(',').toSeq, opts.get("template"), dim)
+          opts.get("vector-col") match {
+            case Some(vc) =>
+              coll.attachVectorIndex(idCol, vc, opts.get("cells").map(_.toInt).getOrElse(16))
+              coll.listVectorIndexes.foreach { case (k, n) => out(s"indexed $k (ivf, $n cells)") }
             case None =>
-              coll.attachIndex(idCol, opts.getOrElse("text-col", "text"), dim)
+              opts.get("attrs") match {
+                case Some(attrs) =>
+                  coll.attachIndex(idCol, attrs.split(',').toSeq, opts.get("template"), dim)
+                case None =>
+                  coll.attachIndex(idCol, opts.getOrElse("text-col", "text"), dim)
+              }
+              coll.listIndexes.foreach { case (k, d) => out(s"indexed $k (dim $d)") }
           }
-          coll.listIndexes.foreach { case (k, d) => out(s"indexed $k (dim $d)") }
         case "indexes" =>
           // reference cli.py:986: list a collection's materialized indexes
-          val ixs = collOf(spark, opts).listIndexes
-          if (ixs.isEmpty) out("no indexes")
-          else ixs.foreach { case (k, d) => out(s"$k: trigram (dim $d)") }
+          val c = collOf(spark, opts)
+          val ixs = c.listIndexes
+          val vixs = c.listVectorIndexes
+          if (ixs.isEmpty && vixs.isEmpty) out("no indexes")
+          else {
+            ixs.foreach { case (k, d) => out(s"$k: trigram (dim $d)") }
+            vixs.foreach { case (k, n) => out(s"$k: ivf ($n cells)") }
+          }
         case "find-matches" =>
           // reference cli.py:999: embedding matcher over two tables (or
           // within one when --target is absent); --tier lsh is the

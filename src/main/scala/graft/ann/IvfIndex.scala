@@ -40,6 +40,10 @@ object IvfIndex {
     }: _*)).getField("cid")
     e.withColumn("__cell", cellExpr)
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$dir/cells")
+    // bounded metadata for listings (no spark job to answer "what
+    // indexes exist with what geometry")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_CELLS"), cent.length.toString)
   }
 
   /** Exact cosine top-k within the `nProbe` cells whose centroids best

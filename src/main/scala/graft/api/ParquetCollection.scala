@@ -163,6 +163,23 @@ class ParquetCollection(
   def attachVectorIndex(idCol: String, vecCol: String, nCells: Int = 16): Unit =
     graft.ann.IvfIndex.build(df, idCol, vecCol, nCells, s"$root/_vindex_$vecCol")
 
+  /** Materialized IVF vector indexes as (vecCol, nCells) pairs. */
+  def listVectorIndexes: Seq[(String, Int)] = {
+    val rootPath = Paths.get(root)
+    if (!Files.isDirectory(rootPath)) return Nil
+    val s = Files.list(rootPath)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_vindex_"))
+        .map { p =>
+          val cellsFile = p.resolve("_CELLS")
+          val n = if (Files.exists(cellsFile)) Files.readString(cellsFile).trim.toInt else -1
+          p.getFileName.toString.stripPrefix("_vindex_") -> n
+        }.toSeq.sortBy(_._1)
+    } finally s.close()
+  }
+
   /** Exact cosine top-k against the materialized IVF index of
     * `vecCol` (build with [[attachVectorIndex]] first).
     */

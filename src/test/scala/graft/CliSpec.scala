@@ -323,6 +323,21 @@ class CliSpec extends SparkSpec {
     out3 shouldBe Seq("source+text: trigram (dim 128)", "text: trigram (dim 512)")
   }
 
+  test("index --vector-col materializes an IVF index; indexes lists it") {
+    val dir = Files.createTempDirectory("graft-cli-vindex")
+    val collDir = dir.resolve("vecs").toString
+    new graft.api.ParquetCollection(spark, collDir, "vecs").replace(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+        .toDF("vec_id", "embedding"))
+    val (c1, out1) = runCli("index", "--collection", collDir,
+      "--id-col", "vec_id", "--vector-col", "embedding", "--cells", "2")
+    c1 shouldBe 0
+    out1 shouldBe Seq("indexed embedding (ivf, 2 cells)")
+    val (c2, out2) = runCli("indexes", "--collection", collDir)
+    c2 shouldBe 0
+    out2 shouldBe Seq("embedding: ivf (2 cells)")
+  }
+
   test("find-matches: cross-table and within-collection tiers") {
     val dir = Files.createTempDirectory("graft-cli-fm")
     val vecs = Seq(
