@@ -26,7 +26,7 @@ object IvfIndex {
   def build(df: DataFrame, idCol: String, vecCol: String, nCells: Int,
             dir: String): Unit = {
     // normalized index schema (id, __v) regardless of source names
-    val e = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("__v"))
+    val e = df.select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("__v"))
     val cent: Array[(Long, Seq[Double])] = e.orderBy(col("id").asc).limit(nCells)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
     require(cent.nonEmpty, "cannot build an IVF index over an empty collection")

@@ -236,11 +236,14 @@ object Corpus {
     * vocab_b|) · (1/(N_a+V)) · ln((N_b+V)/(N_a+V)). Only the tiny
     * (group, total) frame ever cross-joins.
     */
-  def klDivergence(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
-    val counts = df
+  def klDivergence(df: DataFrame, groupCol: String, textCol: String,
+                   scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    // persisted via the tracked scope (the bench/verify harness
+    // releases it between queries): parts 1, 2 and the totals all
+    // re-read the per-(group, token) counts
+    val counts = scope.persist(df
       .select(col(groupCol).as("g"), explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
-      .groupBy(col("g"), col("tok")).agg(count(lit(1)).cast("double").as("c"))
-      .persist()
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).cast("double").as("c")))
     val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
     val vRow = counts.agg(countDistinct(col("tok")).cast("double").as("v"))
     val a = counts.select(col("g").as("la"), col("tok"), col("c").as("ca"))
