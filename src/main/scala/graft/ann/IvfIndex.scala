@@ -34,11 +34,7 @@ object IvfIndex {
     import spark.implicits._
     cent.toSeq.toDF("cid", "vec")
       .write.mode("overwrite").parquet(s"$dir/centroids")
-    val cellExpr = array_min(array(cent.map { case (cid, cv) =>
-      struct((-VectorFunctions.dot(col("__v"), typedLit(cv))).as("nd"),
-        lit(cid).as("cid"))
-    }: _*)).getField("cid")
-    e.withColumn("__cell", cellExpr)
+    e.withColumn("__cell", Knn.ivfCellExpr(cent))
       .write.mode("overwrite").partitionBy("__cell").parquet(s"$dir/cells")
     // bounded metadata for listings (no spark job to answer "what
     // indexes exist with what geometry")
@@ -54,18 +50,9 @@ object IvfIndex {
             nProbe: Int = 4): DataFrame = {
     val cent = spark.read.parquet(s"$dir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val probeCells: Seq[Long] = cent
-      .map { case (cid, cv) =>
-        val d = dotSeq(cv, queryVec)
-        (if (d == 0.0) 0.0 else -d, cid)
-      }
-      .sortBy(identity).take(nProbe).map(_._2).toSeq
+    // shared with the scan-time tier: same dot fold, same -0.0
+    // normalization, same (nd, cid) tie-break
+    val probeCells = Knn.ivfProbeCells(cent, queryVec, nProbe)
     val qvLit = typedLit(queryVec)
     spark.read.parquet(s"$dir/cells")
       .filter(col("__cell").isin(probeCells: _*)) // planner partition pruning

@@ -198,6 +198,37 @@ object Knn {
     * dot product (the embeddings are unit-norm); ties break on cell id
     * in both engines.
     */
+  /** Driver-side dot product folding left-to-right like
+    * graft_dot/list_sum, so probe-cell selection matches the oracle's
+    * bit-for-bit (shared by [[ivfTopK]] and [[IvfIndex]]).
+    */
+  private[ann] def ivfDot(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** The nProbe centroids closest to the query vector. 0.0-normalize
+    * the negation (Scala's total order ranks -0.0 < 0.0, SQL doesn't).
+    */
+  private[ann] def ivfProbeCells(cent: Array[(Long, Seq[Double])], qv: Seq[Double],
+                                 nProbe: Int): Seq[Long] = cent
+    .map { case (cid, cv) =>
+      val d = ivfDot(cv, qv)
+      (if (d == 0.0) 0.0 else -d, cid)
+    }
+    .sortBy(identity).take(nProbe).map(_._2).toSeq
+
+  /** Per-row cell assignment against literal centroids: lexicographic
+    * min of struct(-dot, cid), evaluated inside codegen.
+    */
+  private[ann] def ivfCellExpr(cent: Array[(Long, Seq[Double])]): Column =
+    array_min(array(cent.map { case (cid, cv) =>
+      struct((-VectorFunctions.dot(col("__v"), typedLit(cv))).as("nd"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
@@ -215,27 +246,8 @@ object Knn {
     if (qRows.isEmpty || cent.isEmpty)
       return e.select(col(idCol), lit(null).cast("double").as("score")).filter(lit(false))
     val qv = qRows.head.getSeq[Double](0)
-    // probe cells: the nProbe centroids closest to the query vector.
-    // The driver dot folds left-to-right like graft_dot/list_sum, so
-    // the probe SET matches the oracle's bit-for-bit; 0.0-normalize
-    // the negation (Scala's total order ranks -0.0 < 0.0, SQL doesn't).
-    def dotSeq(a: Seq[Double], b: Seq[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { s += a(i) * b(i); i += 1 }
-      s
-    }
-    val probeCells: Seq[Long] = cent
-      .map { case (cid, cv) =>
-        val d = dotSeq(cv, qv)
-        (if (d == 0.0) 0.0 else -d, cid)
-      }
-      .sortBy(identity).take(nProbe).map(_._2).toSeq
-    // per-row argmin: lexicographic min of struct(-dot, cid)
-    val cellExpr = array_min(array(cent.map { case (cid, cv) =>
-      struct((-VectorFunctions.dot(col("__v"), typedLit(cv))).as("nd"),
-        lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    val probeCells = ivfProbeCells(cent, qv, nProbe)
+    val cellExpr = ivfCellExpr(cent)
     val qvLit = typedLit(qv)
     e.filter(col(idCol) =!= queryId)
       .withColumn("__cell", cellExpr)

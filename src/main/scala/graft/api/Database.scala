@@ -300,6 +300,7 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
   */
 class Client(val spark: SparkSession) {
   private val dbs = scala.collection.mutable.LinkedHashMap[String, Database]()
+  private var defaultDbName: Option[String] = None
 
   def attachDatabase(dbName: String, root: String): Database = {
     val db = new Database(spark, root, dbName)
@@ -309,6 +310,17 @@ class Client(val spark: SparkSession) {
 
   def database(dbName: String): Database =
     dbs.getOrElse(dbName, throw new NoSuchElementException(s"no database '$dbName' attached"))
+
+  /** The config-declared default database (reference get_database(None)
+    * — client.py:261 resolves a missing name to the configured
+    * default). Requires a `default_database` in the loaded config and
+    * that database attached.
+    */
+  def database(): Database = {
+    val name = defaultDbName.getOrElse(
+      throw new NoSuchElementException("no default_database declared in the loaded config"))
+    database(name)
+  }
 
   def databaseNames: Seq[String] = dbs.keys.toSeq
 
@@ -381,49 +393,82 @@ class Client(val spark: SparkSession) {
       if (java.nio.file.Paths.get(clean).isAbsolute) clean
       else java.nio.file.Paths.get(baseDir, clean).toString
     }
-    val databases = cfg.get("databases").map(asMap).getOrElse(Map.empty[String, Any])
+    // ---- parse pass (IS the validation — runs regardless of autoAttach)
+    final case class CollSpec(name: String,
+        source: Option[(String, Option[String])],
+        derivations: Seq[Derivation],
+        indexers: Seq[(String, Seq[String])])
+    final case class DbSpec(name: String, root: String, colls: Seq[CollSpec])
+    val specs: Seq[DbSpec] =
+      cfg.get("databases").map(asMap).getOrElse(Map.empty[String, Any]).toSeq.map {
+        case (dbName, dbCfgAny) =>
+          val dbCfg = asMap(dbCfgAny)
+          val handle = dbCfg.get("handle").map(str).getOrElse(
+            throw new IllegalArgumentException(s"database '$dbName' has no handle"))
+          val colls = dbCfg.get("collections").map(asMap).getOrElse(Map.empty[String, Any])
+            .toSeq.map { case (collName, cAny) =>
+              val c = asMap(cAny)
+              val source = c.get("source").map { srcAny =>
+                val src = asMap(srcAny)
+                require(!src.contains("url"),
+                  s"collection '$collName': network sources are out of scope")
+                val local = src.get("local_path").map(str).getOrElse(
+                  throw new IllegalArgumentException(s"collection '$collName' source has no local_path"))
+                (resolve(local), src.get("format").map(str))
+              }
+              val derivations = c.get("derived_from").map(asSeq).getOrElse(Nil).map { dAny =>
+                val d = asMap(dAny)
+                Derivation(
+                  source = d.get("collection").map(str).getOrElse(
+                    throw new IllegalArgumentException(s"derivation of '$collName' names no collection")),
+                  where = d.get("where").map(str),
+                  mappings = d.get("mappings").map(asMap).getOrElse(Map.empty[String, Any])
+                    .map { case (t, e) => t -> str(e) }.toSeq)
+              }.toSeq
+              val indexers = c.get("indexers").map(asMap).getOrElse(Map.empty[String, Any])
+                .toSeq.map { case (_, ixCfgAny) =>
+                  val ix = asMap(ixCfgAny)
+                  val attrs = ix.get("index_attributes").map(asSeq).getOrElse(Nil).map(str)
+                  require(attrs.nonEmpty, s"indexer on '$collName' lists no index_attributes")
+                  val idAttr = ix.get("id_attribute").map(str).getOrElse(
+                    throw new IllegalArgumentException(s"indexer on '$collName' needs id_attribute"))
+                  (idAttr, attrs.toSeq)
+                }
+              CollSpec(collName, source, derivations, indexers)
+            }
+          DbSpec(dbName, resolve(handle), colls)
+      }
+    cfg.get("default_database").map(str).foreach { d =>
+      require(specs.exists(_.name == d),
+        s"default_database '$d' is not declared under databases")
+      defaultDbName = Some(d)
+    }
     if (!autoAttach) return this
-    databases.foreach { case (dbName, dbCfgAny) =>
-      val dbCfg = asMap(dbCfgAny)
-      val handle = dbCfg.get("handle").map(str).getOrElse(
-        throw new IllegalArgumentException(s"database '$dbName' has no handle"))
-      val db = attachDatabase(dbName, resolve(handle))
-      dbCfg.get("collections").foreach { collsAny =>
-        val colls = asMap(collsAny).map { case (n, v) => n -> asMap(v) }
-        // sources first: a derivation may name a sibling collection
-        // declared later in the mapping (map order is not load order)
-        colls.foreach { case (collName, c) =>
-          c.get("source").foreach { srcAny =>
-            val src = asMap(srcAny)
-            require(!src.contains("url"), s"collection '$collName': network sources are out of scope")
-            val local = src.get("local_path").map(str).getOrElse(
-              throw new IllegalArgumentException(s"collection '$collName' source has no local_path"))
-            db.declareSource(collName, resolve(local), src.get("format").map(str).orNull)
-          }
+    // ---- attach pass
+    specs.foreach { dbSpec =>
+      val db = attachDatabase(dbSpec.name, dbSpec.root)
+      // sources first: a derivation may name a sibling declared later
+      dbSpec.colls.foreach { c =>
+        c.source.foreach { case (p, fmt) => db.declareSource(c.name, p, fmt.orNull) }
+      }
+      // derivations to a fixpoint: a derived collection may derive
+      // from ANOTHER derived collection declared in any order
+      var pending = dbSpec.colls.flatMap(c => c.derivations.map(c.name -> _))
+      var progress = true
+      while (pending.nonEmpty && progress) {
+        val (ready, rest) = pending.partition { case (_, d) =>
+          Files.exists(Paths.get(db.root, d.source, "_CURRENT")) ||
+            Files.exists(Paths.get(db.root, d.source, "_SOURCE"))
         }
-        colls.foreach { case (collName, c) =>
-          c.get("derived_from").foreach { derAny =>
-            asSeq(derAny).foreach { dAny =>
-              val d = asMap(dAny)
-              val mappings = d.get("mappings").map(asMap).getOrElse(Map.empty[String, Any])
-                .map { case (t, e) => t -> str(e) }
-              db.createDerivedCollection(collName, Derivation(
-                source = d.get("collection").map(str).getOrElse(
-                  throw new IllegalArgumentException(s"derivation of '$collName' names no collection")),
-                where = d.get("where").map(str),
-                mappings = mappings.toSeq))
-            }
-          }
-          c.get("indexers").foreach { ixAny =>
-            asMap(ixAny).foreach { case (_, ixCfgAny) =>
-              val ix = asMap(ixCfgAny)
-              val attrs = ix.get("index_attributes").map(asSeq).getOrElse(Nil).map(str)
-              require(attrs.nonEmpty, s"indexer on '$collName' lists no index_attributes")
-              val idAttr = ix.get("id_attribute").map(str).getOrElse(
-                throw new IllegalArgumentException(s"indexer on '$collName' needs id_attribute"))
-              db.collection(collName).attachIndex(idAttr, attrs.toSeq)
-            }
-          }
+        progress = ready.nonEmpty
+        ready.foreach { case (collName, d) => db.createDerivedCollection(collName, d) }
+        pending = rest
+      }
+      require(pending.isEmpty,
+        s"unresolvable derivations (missing or cyclic sources): ${pending.map(_._1).distinct.mkString(", ")}")
+      dbSpec.colls.foreach { c =>
+        c.indexers.foreach { case (idAttr, attrs) =>
+          db.collection(c.name).attachIndex(idAttr, attrs)
         }
       }
     }

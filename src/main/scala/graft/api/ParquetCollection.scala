@@ -174,7 +174,9 @@ class ParquetCollection(
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith("_vindex_"))
         .map { p =>
           val cellsFile = p.resolve("_CELLS")
-          val n = if (Files.exists(cellsFile)) Files.readString(cellsFile).trim.toInt else -1
+          // a corrupt/missing _CELLS (interrupted build) must not break
+          // the listing of the remaining healthy indexes
+          val n = scala.util.Try(Files.readString(cellsFile).trim.toInt).getOrElse(-1)
           p.getFileName.toString.stripPrefix("_vindex_") -> n
         }.toSeq.sortBy(_._1)
     } finally s.close()

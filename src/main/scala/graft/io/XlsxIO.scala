@@ -180,9 +180,14 @@ object XlsxIO {
       case d: Double =>
         // integral doubles emit as JSON integers so integer columns
         // keep their type through inference — but NOT negative zero,
-        // whose sign "0" would silently drop (-0.0 == 0L is true)
+        // whose sign "0" would silently drop (-0.0 == 0L is true).
+        // NaN/Infinity emit as the bare tokens Spark's JSON reader
+        // accepts (allowNonNumericNumbers) — same contract as
+        // YamlParse.jsonify.
         val negZero = d == 0.0 && java.lang.Double.doubleToRawLongBits(d) != 0L
-        if (d == d.toLong && !negZero && math.abs(d) < 1e15) sb.append(d.toLong)
+        if (d.isNaN) sb.append("NaN")
+        else if (d.isInfinite) sb.append(if (d > 0) "Infinity" else "-Infinity")
+        else if (d == d.toLong && !negZero && math.abs(d) < 1e15) sb.append(d.toLong)
         else sb.append(d)
       case s => jsonStr(String.valueOf(s), sb)
     }

@@ -167,6 +167,11 @@ object YamlParse extends Serializable {
         }
         return out.toSeq
       }
+      // a flow collection item ("- {k: v}" / "- [a, b]") must not be
+      // key-split on a ':' INSIDE the braces — route to scalar/flow
+      // first, exactly like parseMap does for flow values
+      if (s.startsWith("{") || s.startsWith("["))
+        return scalar(folded(stripComment(s), foldCol))
       splitKey(s) match {
         case Some((k, rest)) => parseMap(col, Some((k, rest)))
         case None =>

@@ -74,8 +74,10 @@ object Evaluation {
   }
 
   /** Normalize Spark-facing values so structural comparison sees one
-    * shape: Row→Map by field name, java maps/lists→Scala, numeric
-    * leaves→Double (Python's 1 == 1.0 is true; boxed Scala's is not).
+    * shape: Row→Map by field name, java maps/lists→Scala. Numeric
+    * leaves keep their original type — [[scoreMatch]] compares them
+    * by value (Python's 1 == 1.0), but a pluggable match function
+    * must see str(12) = "12", not "12.0".
     */
   private def norm(v: Any): Any = v match {
     case null => null
@@ -95,8 +97,13 @@ object Evaluation {
     case xs: java.util.List[_] =>
       import scala.jdk.CollectionConverters._
       xs.asScala.map(norm).toList
-    case n: java.lang.Number => n.doubleValue()
     case other => other
+  }
+
+  /** Python-style cross-type numeric equality (1 == 1.0). */
+  private def numEq(t: Any, c: Any): Boolean = (t, c) match {
+    case (a: java.lang.Number, b: java.lang.Number) => a.doubleValue == b.doubleValue
+    case _ => false
   }
 
   /** Structural partial-credit score of candidate vs target (reference
@@ -104,7 +111,7 @@ object Evaluation {
     */
   def scoreMatch(target: Any, candidate: Any, matchFn: Option[MatchFn] = None): Double = {
     def go(t: Any, c: Any): Double = {
-      if (t == c) return 1.0
+      if (t == c || numEq(t, c)) return 1.0
       if (t == null || c == null) return 0.0
       (t, c) match {
         case (ts: List[_], cs: List[_]) =>

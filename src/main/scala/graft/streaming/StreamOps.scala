@@ -83,12 +83,17 @@ object StreamOps {
   def decontaminateStream(stream: DataFrame, evalDf: DataFrame, textCol: String,
                           evalTextCol: String, w: Int, fpp: Double = 0.01): DataFrame = {
     import graft.text.{Repetition, TextFunctions}
+    // persisted across the two actions (count for sizing, then the
+    // bloomFilter aggregation) — one tokenize/distinct pass, not two
     val evalGrams = evalDf
       .select(explode(Repetition.ngrams(col(evalTextCol), w)).as("gram"))
       .select(TextFunctions.portableHash60(col("gram")).as("gh"))
       .distinct()
-    val n = math.max(evalGrams.count(), 1L)
-    val bloom = graft.ops.Sketches.buildBloom(evalGrams, col("gh"), n, fpp)
+      .persist()
+    val bloom = try {
+      val n = math.max(evalGrams.count(), 1L)
+      graft.ops.Sketches.buildBloom(evalGrams, col("gh"), n, fpp)
+    } finally evalGrams.unpersist()
     val bc = stream.sparkSession.sparkContext.broadcast(bloom)
     val anyHit = udf((hs: Seq[Long]) => hs != null && hs.exists(bc.value.mightContainLong))
     val gramHashes = transform(Repetition.ngrams(col(textCol), w),

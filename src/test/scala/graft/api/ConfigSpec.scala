@@ -70,6 +70,50 @@ class ConfigSpec extends SparkSpec {
     client.databaseNames shouldBe empty
   }
 
+  test("fromConfig resolves derived-of-derived chains declared in any order") {
+    val base = Files.createTempDirectory("graft-cfg-chain")
+    Files.writeString(base.resolve("docs.jsonl"),
+      """{"doc_id": 1, "q": 0.9}
+        |{"doc_id": 2, "q": 0.2}
+        |""".stripMargin)
+    val cfg = base.resolve("chain.yaml")
+    // clean2 derives from clean1, DECLARED BEFORE clean1 — the attach
+    // pass must reach a fixpoint, not fail on map order
+    Files.writeString(cfg,
+      s"""default_database: main
+         |databases:
+         |  main:
+         |    handle: wh
+         |    collections:
+         |      clean2:
+         |        derived_from:
+         |          - {collection: clean1, mappings: {doc_id: doc_id}}
+         |      clean1:
+         |        derived_from:
+         |          - {collection: docs, where: "q > 0.5", mappings: {doc_id: doc_id, q: q}}
+         |      docs:
+         |        source: {local_path: docs.jsonl, format: jsonl}
+         |""".stripMargin)
+    val client = new Client(spark).fromConfig(cfg.toString, autoAttach = true)
+    // default_database resolves through the no-arg accessor
+    val db = client.database()
+    db.name shouldBe "main"
+    db.collection("clean2").count() shouldBe 1
+    // an unresolvable source still raises
+    val bad = base.resolve("bad-chain.yaml")
+    Files.writeString(bad,
+      """databases:
+        |  main2:
+        |    handle: wh2
+        |    collections:
+        |      orphan:
+        |        derived_from:
+        |          - {collection: never_declared, mappings: {a: a}}
+        |""".stripMargin)
+    an[IllegalArgumentException] should be thrownBy
+      new Client(spark).fromConfig(bad.toString, autoAttach = true)
+  }
+
   test("fromConfig rejects network sources and non-mapping configs") {
     val base = Files.createTempDirectory("graft-cfg2")
     val bad = base.resolve("bad.yaml")
@@ -83,6 +127,10 @@ class ConfigSpec extends SparkSpec {
         |""".stripMargin)
     an[IllegalArgumentException] should be thrownBy
       new Client(spark).fromConfig(bad.toString, autoAttach = true)
+    // the parse pass IS the validation: the same rejection fires
+    // without autoAttach (the documented validate-only mode)
+    an[IllegalArgumentException] should be thrownBy
+      new Client(spark).fromConfig(bad.toString)
     val scalarCfg = base.resolve("scalar.yaml")
     Files.writeString(scalarCfg, "just a string\n")
     an[IllegalArgumentException] should be thrownBy

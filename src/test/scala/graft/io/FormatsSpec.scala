@@ -260,6 +260,10 @@ class FormatsSpec extends SparkSpec {
     // truncated \u escape raises IAE, never StringIndexOutOfBounds
     an[IllegalArgumentException] should be thrownBy
       YamlParse.docsToJson("s: \"a\\u12\n")
+    // flow collections as LIST ITEMS must not key-split on an inner
+    // ':' — "- {k: v, m: {a: b}}" is one flow map, not a "{k" key
+    YamlParse.docToJson("- {k: v, m: {a: b}}\n- [1, 2]\n") shouldBe
+      Some("""[{"k":"v","m":{"a":"b"}},[1,2]]""")
   }
 
   test("yaml parser: reference-repo fixtures parse exactly as PyYAML does") {

@@ -47,6 +47,9 @@ class EvaluationSpec extends SparkSpec {
     }
     scoreMatch("abcd", "abc", Some(charMatch)) shouldBe 0.75
     scoreMatch(List("abcd", "efgh"), List("ac", "gh"), Some(charMatch)) shouldBe 0.5
+    // integer leaves reach the matcher as str(12)="12", not "12.0"
+    // (reference parity: score_text_overlap("12", "123") = 2/3)
+    scoreMatch(12, 123, Some(textOverlapFn)) shouldBe (2.0 / 3) +- 1e-9
   }
 
   test("findLongestOverlap and scoreTextOverlap doctests") {
