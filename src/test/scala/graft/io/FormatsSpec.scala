@@ -449,4 +449,20 @@ class FormatsSpec extends SparkSpec {
     sources.length shouldBe 2
     sources.foreach(_ should include("part"))
   }
+
+  test("gzip-compressed jsonl/csv read transparently (reference compression support)") {
+    val dir = Files.createTempDirectory("graft-gz")
+    def gz(name: String, content: String): String = {
+      val p = dir.resolve(name)
+      val out = new java.util.zip.GZIPOutputStream(java.nio.file.Files.newOutputStream(p))
+      out.write(content.getBytes("UTF-8")); out.close()
+      p.toString
+    }
+    val jl = gz("rows.jsonl.gz", "{\"id\": 1, \"v\": \"a\"}\n{\"id\": 2, \"v\": \"b\"}\n")
+    Formats.Jsonl.read(spark, jl).count() shouldBe 2
+    val cs = gz("rows.csv.gz", "id,v\n1,a\n2,b\n3,c\n")
+    val got = Formats.Csv.read(spark, cs)
+    got.count() shouldBe 3
+    got.columns.toSeq shouldBe Seq("id", "v")
+  }
 }
