@@ -56,4 +56,54 @@ object Validate {
       .select(col("row_id"), col("v.field"), col("v.code"), col("v.value"))
       .orderBy("row_id", "field", "code")
   }
+
+  /** A declared foreign-key-style reference: values of `from.fkCol`
+    * must resolve in `to.keyCol` (reference: database.py:703
+    * _validate_referential_integrity — which resolves slot ranges to
+    * collections, then `get_one`s EVERY value on the driver).
+    */
+  final case class Ref(from: String, fkCol: String, to: String, keyCol: String)
+
+  /** Referential-integrity validation across collections: one LEFT
+    * ANTI join + count per declared reference — orphan values fall out
+    * of a keyed hash join, never a per-row lookup. `tables` maps
+    * collection name → frame. Output: (collection, column,
+    * ref_collection, value, n_rows) per DISTINCT orphan value, so a
+    * hot broken key reports once with its row count (at 100 TB the
+    * violation set stays value-bounded, not row-bounded). NULL fk
+    * values are not violations (an absent reference is `Required`'s
+    * job, mirroring SQL FK semantics).
+    */
+  def referentialIntegrity(tables: Map[String, DataFrame], refs: Seq[Ref]): DataFrame = {
+    require(refs.nonEmpty, "no references declared")
+    refs.map { r =>
+      val from = tables.getOrElse(r.from,
+        throw new IllegalArgumentException(s"unknown collection '${r.from}'"))
+      val to = tables.getOrElse(r.to,
+        throw new IllegalArgumentException(s"unknown collection '${r.to}'"))
+      from.select(col(r.fkCol).cast("string").as("value"))
+        .filter(col("value").isNotNull)
+        .join(to.select(col(r.keyCol).cast("string").as("value")).distinct(),
+          Seq("value"), "left_anti")
+        .groupBy(col("value")).agg(count(lit(1)).as("n_rows"))
+        .select(lit(r.from).as("collection"), lit(r.fkCol).as("col_name"),
+          lit(r.to).as("ref_collection"), col("value"), col("n_rows"))
+    }.reduce(_.unionByName(_))
+      .orderBy("collection", "col_name", "value")
+  }
+
+  /** DuckDB twin of [[referentialIntegrity]] for one reference over a
+    * restricted target (used by the oracle, which checks real orphans
+    * by shrinking the target set deterministically).
+    */
+  def referentialIntegrityDuckSql(from: String, fkCol: String,
+                                  toSql: String, keyCol: String,
+                                  toName: String): String =
+    s"""SELECT '$from' AS collection, '$fkCol' AS col_name, '$toName' AS ref_collection,
+       |  CAST($fkCol AS VARCHAR) AS value, count(*) AS n_rows
+       |FROM $from
+       |WHERE $fkCol IS NOT NULL
+       |  AND CAST($fkCol AS VARCHAR) NOT IN (SELECT DISTINCT CAST($keyCol AS VARCHAR) FROM ($toSql))
+       |GROUP BY $fkCol
+       |ORDER BY collection, col_name, value""".stripMargin
 }

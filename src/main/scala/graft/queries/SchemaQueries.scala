@@ -20,6 +20,22 @@ object SchemaQueries extends QuerySet {
         ("source", "string", false),
         ("n_chars", "bigint", false))))),
 
+    // referential integrity as LEFT ANTI joins (the reference loops
+    // get_one per value on the driver — database.py:703). The target
+    // is deterministically restricted (c_custkey % 3 <> 0) so the
+    // check reports REAL orphans, not a vacuous empty set.
+    Q("q_ref_integrity",
+      (s, d) => Validate.referentialIntegrity(
+        Map(
+          "orders" -> Tables.df(s, d, "orders"),
+          "customer_partial" -> Tables.df(s, d, "customer")
+            .filter(col("c_custkey") % 3 =!= 0)),
+        Seq(Validate.Ref("orders", "o_custkey", "customer_partial", "c_custkey"))),
+      Some(Validate.referentialIntegrityDuckSql(
+        "orders", "o_custkey",
+        "SELECT c_custkey FROM customer WHERE c_custkey % 3 <> 0",
+        "c_custkey", "customer_partial"))),
+
     Q("q_validate",
       (s, d) => Validate.validate(Tables.df(s, d, "orders"), "o_orderkey", Seq(
         Validate.Required("o_custkey"),
