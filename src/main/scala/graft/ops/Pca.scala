@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed PCA over an embedding column — the engine analog of the
+  * reference's dimensionality reduction for embedding plots
+  * (src/linkml_store/plotting/dimensionality_reduction.py, which runs
+  * sklearn PCA on a driver-side matrix). Spark-first shape:
+  *
+  *  - ONE aggregation pass computes Σx (d doubles) and Σxxᵀ (d²
+  *    doubles) via the partial-agg array-sum kernel — only model
+  *    state crosses the wire, never the corpus. At 100 TB and d=64
+  *    that is 4 KB + 32 KB per partition, independent of row count.
+  *  - the d×d covariance eigen-decomposes ON THE DRIVER (cyclic
+  *    Jacobi — the matrix is model-sized, not data-sized; same
+  *    KMeans-centers pattern as the IVF centroids).
+  *  - projection is a codegen dot product against literal component
+  *    vectors — map-only, no shuffle.
+  *
+  * Eigenvectors are sign-normalized (largest-|component| positive) so
+  * results are deterministic across runs and partitionings.
+  */
+object Pca {
+
+  final case class PcaModel(
+      mean: Array[Double],
+      components: Array[Array[Double]], // k rows, each length d
+      explainedVariance: Array[Double], // k eigenvalues, descending
+      totalVariance: Double)
+
+  /** Cyclic Jacobi eigen-decomposition of a symmetric matrix. Returns
+    * (eigenvalues, eigenvectors as columns) unsorted.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = Double.MaxValue
+    while (sweep < 100 && off > 1e-12) {
+      off = 0.0
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          val apq = a(p)(q)
+          off += apq * apq
+          if (math.abs(apq) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    (Array.tabulate(n)(i => a(i)(i)), v)
+  }
+
+  /** Fit a k-component PCA model in one distributed pass. */
+  def fit(df: DataFrame, vecCol: String, k: Int): PcaModel = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val row = df.select(v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(
+        call_function("graft_array_sum", col("__v")).as("s1"),
+        call_function("graft_array_sum",
+          flatten(transform(col("__v"),
+            x => transform(col("__v"), y => x * y)))).as("s2"),
+        count(lit(1)).as("n"))
+      .head()
+    val s1 = row.getSeq[Double](0).toArray
+    val s2 = row.getSeq[Double](1).toArray
+    val n = row.getLong(2).toDouble
+    require(n > 1, "PCA needs at least 2 rows")
+    val d = s1.length
+    require(k >= 1 && k <= d, s"k must be in [1, $d]")
+    val mean = s1.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) => s2(i * d + j) / n - mean(i) * mean(j))
+    val (eig, vecs) = jacobiEigen(cov)
+    val order = eig.indices.sortBy(i => -eig(i)).take(k)
+    val components = order.map { ci =>
+      val comp = Array.tabulate(d)(r => vecs(r)(ci))
+      // deterministic sign: the largest-|x| coordinate points positive
+      val m = comp.indices.maxBy(i => math.abs(comp(i)))
+      if (comp(m) < 0) comp.map(-_) else comp
+    }.toArray
+    PcaModel(mean, components, order.map(eig).toArray, eig.sum)
+  }
+
+  /** Project rows onto the model's components: map-only, each pc is a
+    * codegen dot against a literal vector minus a precomputed offset.
+    */
+  def project(df: DataFrame, idCol: String, vecCol: String, model: PcaModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val pcs = model.components.zipWithIndex.map { case (comp, i) =>
+      val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      round(VectorFunctions.dot(v, typedLit(comp.toSeq)) - offset, 4).as(s"pc${i + 1}")
+    }
+    df.select(col(idCol) +: pcs.toSeq: _*)
+  }
+
+  /** Fit + project in one call (reference reduce_dimensions analog). */
+  def fitProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    project(df, idCol, vecCol, fit(df, vecCol, k))
+}

@@ -207,6 +207,16 @@ object VectorQueries extends QuerySet {
     // compute_embedding_statistics): per-label count, dimensionality,
     // norm mean/std — one scan, partial agg; the norm is the native
     // codegen dot, never an interpreted lambda.
+    // distributed PCA projection (dimensionality_reduction.py analog):
+    // eigen-decomposition is not SQL-expressible, so this rides the
+    // rows-only check; PcaSpec pins the math (orthonormality, variance
+    // ordering, claimed-vs-measured pc variances, shuffle-free plan)
+    Q("q_embed_pca",
+      (s, d) => graft.ops.Pca.fitProject(
+        Tables.df(s, d, "embeddings"), "vec_id", "embedding", k = 2)
+        .orderBy("vec_id"),
+      None),
+
     Q("q_embed_stats",
       (s, d) => Tables.df(s, d, "embeddings")
         .select(col("label"),

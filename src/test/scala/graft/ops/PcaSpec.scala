@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pc1 recovers the dominant direction of a line-shaped 2D cloud") {
+    // points near y = 2x: pc1 must align with (1,2)/√5 and carry ~all
+    // the variance
+    val pts = (1 to 200).map { i =>
+      val t = i / 10.0
+      val noise = (i % 7 - 3) * 0.01
+      (i.toLong, Seq(t + noise, 2 * t - noise))
+    }
+    val df = pts.toDF("id", "v")
+    val m = Pca.fit(df, "v", k = 2)
+    val dir = Array(1.0, 2.0).map(_ / math.sqrt(5.0))
+    val cosAlign = math.abs(m.components(0).zip(dir).map { case (a, b) => a * b }.sum)
+    cosAlign should be > 0.999
+    m.explainedVariance(0) / m.totalVariance should be > 0.999
+    // deterministic sign: largest-|coordinate| positive
+    m.components(0)(1) should be > 0.0
+  }
+
+  test("components are orthonormal and variances descend on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val m = Pca.fit(emb, "embedding", k = 4)
+    for (i <- 0 until 4; j <- i until 4) {
+      val dot = m.components(i).zip(m.components(j)).map { case (a, b) => a * b }.sum
+      if (i == j) dot shouldBe 1.0 +- 1e-9 else dot shouldBe 0.0 +- 1e-9
+    }
+    m.explainedVariance.toSeq shouldBe m.explainedVariance.sortBy(-_).toSeq
+    m.explainedVariance.sum should be <= m.totalVariance + 1e-9
+    // projections actually have the variances the model claims
+    val proj = Pca.project(emb, "vec_id", "embedding", m)
+    val vars = proj.agg(var_pop(col("pc1")), var_pop(col("pc2"))).head()
+    vars.getDouble(0) shouldBe m.explainedVariance(0) +- m.explainedVariance(0) * 0.01
+    vars.getDouble(1) shouldBe m.explainedVariance(1) +- m.explainedVariance(1) * 0.01
+    vars.getDouble(0) should be >= vars.getDouble(1)
+  }
+
+  test("fitProject output is map-only over the scan (no shuffle)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val proj = Pca.fitProject(emb, "vec_id", "embedding", k = 2)
+    proj.columns.toSeq shouldBe Seq("vec_id", "pc1", "pc2")
+    proj.count() shouldBe 500
+    val exchanges = proj.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges shouldBe empty
+  }
+}
