@@ -184,20 +184,6 @@ object Knn {
        |LIMIT $k""".stripMargin
   }
 
-  /** IVF (inverted-file) ANN: vectors are assigned to the cell of their
-    * nearest CENTROID; a query probes only the `nProbe` cells whose
-    * centroids are closest, then ranks the probed vectors exactly. The
-    * 100 TB shape: the corpus is partitioned/bucketed by cell id, so a
-    * search reads nProbe/nCells of the data instead of all of it, and
-    * assignment is one broadcast join (centroids are tiny).
-    *
-    * The coarse quantizer here picks the first `nCells` vectors by id
-    * as centroids — deterministic, so the DuckDB oracle can run the
-    * identical algorithm (a trained k-means codebook would slot into
-    * the same plan; training is an offline concern). Similarity is the
-    * dot product (the embeddings are unit-norm); ties break on cell id
-    * in both engines.
-    */
   /** Driver-side dot product folding left-to-right like
     * graft_dot/list_sum, so probe-cell selection matches the oracle's
     * bit-for-bit (shared by [[ivfTopK]] and [[IvfIndex]]).
@@ -229,6 +215,20 @@ object Knn {
         lit(cid).as("cid"))
     }: _*)).getField("cid")
 
+  /** IVF (inverted-file) ANN: vectors are assigned to the cell of their
+    * nearest CENTROID; a query probes only the `nProbe` cells whose
+    * centroids are closest, then ranks the probed vectors exactly. The
+    * 100 TB shape: the corpus is partitioned/bucketed by cell id, so a
+    * search reads nProbe/nCells of the data instead of all of it, and
+    * assignment is one broadcast join (centroids are tiny).
+    *
+    * The coarse quantizer here picks the first `nCells` vectors by id
+    * as centroids — deterministic, so the DuckDB oracle can run the
+    * identical algorithm (a trained k-means codebook would slot into
+    * the same plan; training is an offline concern). Similarity is the
+    * dot product (the embeddings are unit-norm); ties break on cell id
+    * in both engines.
+    */
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long, k: Int,
               nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))

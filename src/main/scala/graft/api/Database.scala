@@ -456,9 +456,15 @@ class Client(val spark: SparkSession) {
       var pending = dbSpec.colls.flatMap(c => c.derivations.map(c.name -> _))
       var progress = true
       while (pending.nonEmpty && progress) {
+        // a source that is ITSELF still pending is not ready even if a
+        // stale snapshot from a prior run sits on disk — materializing
+        // from it would silently bake the parent's previous definition
+        // into the child
+        val pendingNames = pending.map(_._1).toSet
         val (ready, rest) = pending.partition { case (_, d) =>
-          Files.exists(Paths.get(db.root, d.source, "_CURRENT")) ||
-            Files.exists(Paths.get(db.root, d.source, "_SOURCE"))
+          !pendingNames.contains(d.source) &&
+            (Files.exists(Paths.get(db.root, d.source, "_CURRENT")) ||
+              Files.exists(Paths.get(db.root, d.source, "_SOURCE")))
         }
         progress = ready.nonEmpty
         ready.foreach { case (collName, d) => db.createDerivedCollection(collName, d) }

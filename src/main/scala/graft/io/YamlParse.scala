@@ -122,6 +122,10 @@ object YamlParse extends Serializable {
       if (i >= lines.length || lines(i).indent < min) return null
       val l = lines(i)
       if (l.text == "-" || l.text.startsWith("- ")) parseList(l.indent)
+      // a flow document ("{k: v}" / "[{k: v}]") must not key-split on a
+      // ':' inside the braces — same guard as parseItem
+      else if (l.text.startsWith("{") || l.text.startsWith("["))
+        { i += 1; scalar(stripComment(l.text)) }
       else if (splitKey(l.text).isDefined) parseMap(l.indent, None)
       else { i += 1; scalar(stripComment(l.text)) } // top-level scalar document
     }

@@ -49,7 +49,13 @@ object Pca {
           off += apq * apq
           if (math.abs(apq) > 1e-15) {
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
-            val t = math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            // theta == 0 (equal diagonal entries) still needs a real
+            // rotation: signum(0) = 0 would make it the identity and
+            // the off-diagonal would never be annihilated — t = 1 is
+            // the standard 45-degree choice
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) / (math.abs(theta) + math.sqrt(theta * theta + 1.0))
             val c = 1.0 / math.sqrt(t * t + 1.0)
             val s = t * c
             var i = 0
@@ -96,6 +102,7 @@ object Pca {
             x => transform(col("__v"), y => x * y)))).as("s2"),
         count(lit(1)).as("n"))
       .head()
+    require(!row.isNullAt(0), "PCA needs at least 2 non-null vectors")
     val s1 = row.getSeq[Double](0).toArray
     val s2 = row.getSeq[Double](1).toArray
     val n = row.getLong(2).toDouble
@@ -120,9 +127,12 @@ object Pca {
     */
   def project(df: DataFrame, idCol: String, vecCol: String, model: PcaModel): DataFrame = {
     val v = col(vecCol).cast("array<double>")
+    // no rounding here: presentation rounding is the query layer's
+    // job (q_embed_pca rounds), and tiny-scale projections would
+    // vanish at a fixed 4dp
     val pcs = model.components.zipWithIndex.map { case (comp, i) =>
       val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
-      round(VectorFunctions.dot(v, typedLit(comp.toSeq)) - offset, 4).as(s"pc${i + 1}")
+      (VectorFunctions.dot(v, typedLit(comp.toSeq)) - offset).as(s"pc${i + 1}")
     }
     df.select(col(idCol) +: pcs.toSeq: _*)
   }

@@ -103,7 +103,8 @@ object Validate {
        |  CAST($fkCol AS VARCHAR) AS value, count(*) AS n_rows
        |FROM $from
        |WHERE $fkCol IS NOT NULL
-       |  AND CAST($fkCol AS VARCHAR) NOT IN (SELECT DISTINCT CAST($keyCol AS VARCHAR) FROM ($toSql))
+       |  AND CAST($fkCol AS VARCHAR) NOT IN (
+       |    SELECT DISTINCT CAST($keyCol AS VARCHAR) FROM ($toSql) WHERE $keyCol IS NOT NULL)
        |GROUP BY $fkCol
        |ORDER BY collection, col_name, value""".stripMargin
 }

@@ -214,6 +214,8 @@ object VectorQueries extends QuerySet {
     Q("q_embed_pca",
       (s, d) => graft.ops.Pca.fitProject(
         Tables.df(s, d, "embeddings"), "vec_id", "embedding", k = 2)
+        .select(col("vec_id"), round(col("pc1"), 4).as("pc1"),
+          round(col("pc2"), 4).as("pc2"))
         .orderBy("vec_id"),
       None),
 

@@ -264,6 +264,10 @@ class FormatsSpec extends SparkSpec {
     // ':' — "- {k: v, m: {a: b}}" is one flow map, not a "{k" key
     YamlParse.docToJson("- {k: v, m: {a: b}}\n- [1, 2]\n") shouldBe
       Some("""[{"k":"v","m":{"a":"b"}},[1,2]]""")
+    // ...and as a TOP-LEVEL flow document (safe_dump default_flow_style)
+    YamlParse.docToJson("{k: v, m: {a: b}}\n") shouldBe
+      Some("""{"k":"v","m":{"a":"b"}}""")
+    YamlParse.docToJson("[{k: v}]\n") shouldBe Some("""[{"k":"v"}]""")
   }
 
   test("yaml parser: reference-repo fixtures parse exactly as PyYAML does") {

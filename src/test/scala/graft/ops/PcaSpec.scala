@@ -24,6 +24,24 @@ class PcaSpec extends SparkSpec {
     m.components(0)(1) should be > 0.0
   }
 
+  test("jacobi handles equal-diagonal covariance (theta == 0 rotation)") {
+    // points along y = x: cov = [[v, v], [v, v]] — equal diagonal, so
+    // the rotation angle is exactly 45 degrees (theta = 0); a naive
+    // signum(0) = 0 would return the identity and eigenvalues [v, v]
+    val pts = (1 to 100).map(i => (i.toLong, Seq(i / 10.0, i / 10.0)))
+    val m = Pca.fit(pts.toDF("id", "v"), "v", k = 2)
+    m.explainedVariance(0) / m.totalVariance should be > 0.999
+    m.explainedVariance(1) should be < 1e-9
+    val dir = Array(1.0, 1.0).map(_ / math.sqrt(2.0))
+    math.abs(m.components(0).zip(dir).map { case (a, b) => a * b }.sum) should be > 0.999
+  }
+
+  test("fit raises a clear error on empty input") {
+    val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
+    val ex = intercept[IllegalArgumentException](Pca.fit(empty, "v", k = 1))
+    ex.getMessage should include("at least 2")
+  }
+
   test("components are orthonormal and variances descend on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val m = Pca.fit(emb, "embedding", k = 4)
