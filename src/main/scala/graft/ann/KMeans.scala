@@ -1,0 +1,93 @@
+package graft.ann
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over an embedding column — the trained
+  * coarse quantizer the IVF tier's doc promises ("a trained k-means
+  * codebook would slot into the same plan"). Spark shape per
+  * iteration: ONE aggregation job — assignment is a codegen argmin
+  * against literal centroids under SQUARED EUCLIDEAN distance (the
+  * same argmin-struct shape as [[Knn.ivfCellExpr]], which ranks by
+  * dot product for the unit-norm IVF tier — k-means must not favor
+  * the longer centroid, so it carries the |c|² term), re-centering
+  * rides the partial-agg
+  * array-sum kernel, and only k × d doubles ever reach the driver.
+  * No join, no shuffle beyond the aggregation exchange.
+  *
+  * Determinism: init is the first k vectors by id (the IVF pattern);
+  * ties in assignment break toward the lower centroid id inside the
+  * argmin struct. Same data + same k ⇒ same model, every run.
+  *
+  * Distance is squared Euclidean. An emptied cluster keeps its
+  * previous centroid (standard Lloyd's fallback).
+  */
+object KMeans {
+
+  final case class Model(
+      centroids: Array[(Long, Seq[Double])],
+      wcss: Double, // within-cluster sum of squares at convergence
+      iters: Int)
+
+  /** Per-row nearest-centroid id under squared Euclidean distance:
+    * argmin of |c|² − 2·v·c (|v|² is constant per row), ties to the
+    * lower centroid id.
+    */
+  private def euclidCellExpr(cent: Array[(Long, Seq[Double])]): Column =
+    array_min(array(cent.map { case (cid, cv) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(c2) - VectorFunctions.dot(col("__v"), typedLit(cv)) * 2.0).as("nd"),
+        lit(cid).as("cid"))
+    }: _*)).getField("cid")
+
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          maxIters: Int = 10, tol: Double = 1e-9): Model = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val e = df.select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+    var cent: Array[(Long, Seq[Double])] = e.orderBy(col("id").asc).limit(k)
+      .select(col("id"), col("__v")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cent.nonEmpty, "cannot fit k-means on an empty collection")
+    var iter = 0
+    var shift = Double.MaxValue
+    var wcss = Double.NaN
+    while (iter < maxIters && shift > tol) {
+      // one distributed pass: per assigned cell, Σv, n, Σ|v|²
+      val rows = e.withColumn("__cell", euclidCellExpr(cent))
+        .groupBy(col("__cell"))
+        .agg(call_function("graft_array_sum", col("__v")).as("s"),
+          count(lit(1)).as("n"),
+          sum(graft.functions.VectorFunctions.dot(col("__v"), col("__v"))).as("ss"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Double](1), r.getLong(2), r.getDouble(3))))
+        .toMap
+      val next = cent.map { case (cid, old) =>
+        rows.get(cid) match {
+          case Some((s, n, _)) => (cid, s.map(_ / n))
+          case None => (cid, old) // emptied cluster keeps its centroid
+        }
+      }
+      // wcss against the UPDATED centroids: Σ|v|² − |Σv|²/n per cluster
+      wcss = rows.map { case (_, (s, n, ss)) =>
+        ss - s.map(x => x * x).sum / n
+      }.sum
+      shift = cent.zip(next).map { case ((_, a), (_, b)) =>
+        a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+      }.max
+      cent = next
+      iter += 1
+    }
+    Model(cent, wcss, iter)
+  }
+
+  /** Cluster assignment for every row — the same codegen argmin the
+    * model was trained with; map-only.
+    */
+  def assign(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame =
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("cluster", euclidCellExpr(model.centroids))
+      .select(col(idCol), col("cluster"))
+}

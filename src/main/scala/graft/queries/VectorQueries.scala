@@ -207,6 +207,20 @@ object VectorQueries extends QuerySet {
     // compute_embedding_statistics): per-label count, dimensionality,
     // norm mean/std — one scan, partial agg; the norm is the native
     // codegen dot, never an interpreted lambda.
+    // distributed Lloyd's k-means (the trained IVF codebook): one
+    // aggregation job per iteration, Euclidean codegen argmin
+    // assignment; rows-only (the iterative model is not
+    // SQL-expressible) — KMeansSpec pins convergence, determinism,
+    // exact recovery of separated clusters, IVF codebook drop-in
+    Q("q_kmeans",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        graft.ann.KMeans.assign(e, "vec_id", "embedding",
+          graft.ann.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 3))
+          .orderBy("vec_id")
+      },
+      None),
+
     // distributed PCA projection (dimensionality_reduction.py analog):
     // eigen-decomposition is not SQL-expressible, so this rides the
     // rows-only check; PcaSpec pins the math (orthonormality, variance

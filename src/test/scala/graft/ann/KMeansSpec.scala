@@ -1,0 +1,64 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    .select(col("vec_id"), col("embedding"))
+
+  test("lloyd's converges: wcss after more iterations never increases") {
+    val one = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 1)
+    val many = KMeans.fit(emb, "vec_id", "embedding", k = 8, maxIters = 10)
+    many.wcss should be <= one.wcss + 1e-9
+    many.iters should be >= 1
+  }
+
+  test("fit is deterministic and assigns every row to an existing centroid") {
+    val m1 = KMeans.fit(emb, "vec_id", "embedding", k = 4, maxIters = 5)
+    val m2 = KMeans.fit(emb, "vec_id", "embedding", k = 4, maxIters = 5)
+    m1.centroids.map(_._1).toSeq shouldBe m2.centroids.map(_._1).toSeq
+    m1.wcss shouldBe m2.wcss
+    val assigned = KMeans.assign(emb, "vec_id", "embedding", m1)
+    assigned.count() shouldBe 500
+    val cids = m1.centroids.map(_._1).toSet
+    assigned.select("cluster").distinct().collect().map(_.getLong(0))
+      .foreach(c => cids should contain(c))
+  }
+
+  test("separated clusters are recovered exactly") {
+    // two tight blobs far apart: k=2 must split them perfectly
+    val pts = (1 to 50).map(i => (i.toLong, Seq(0.0 + i * 0.001, 0.0))) ++
+      (51 to 100).map(i => (i.toLong, Seq(100.0 + i * 0.001, 0.0)))
+    val df = pts.toDF("id", "v")
+    val m = KMeans.fit(df, "id", "v", k = 2, maxIters = 10)
+    val byCluster = KMeans.assign(df, "id", "v", m)
+      .groupBy("cluster").agg(min("id").as("lo"), max("id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    byCluster shouldBe Array((1L, 50L), (51L, 100L))
+  }
+
+  test("a trained codebook drops into the persisted IVF index and keeps parity") {
+    val m = KMeans.fit(emb, "vec_id", "embedding", k = 16, maxIters = 5)
+    val dir = java.nio.file.Files.createTempDirectory("ivf-km").toString
+    IvfIndex.build(emb, "vec_id", "embedding", m.centroids, dir)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+    val got = IvfIndex.probe(spark, dir, qv, k = 10, nProbe = 4)
+      .collect().map(_.getLong(0)).filter(_ != 0L)
+    got should not be empty
+    // trained cells are tighter than the naive first-16 quantizer:
+    // recall@10 vs brute truth must not regress
+    val truth = Knn.bruteForceTopK(emb, "vec_id", "embedding", 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val naiveDir = java.nio.file.Files.createTempDirectory("ivf-naive").toString
+    IvfIndex.build(emb, "vec_id", "embedding", nCells = 16, naiveDir)
+    val naive = IvfIndex.probe(spark, naiveDir, qv, k = 11, nProbe = 4)
+      .collect().map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+    val trained = got.toSet
+    info(f"recall@10: naive=${(truth & naive).size / 10.0}%.2f trained=${(truth & trained).size / 10.0}%.2f")
+    (truth & trained).size should be >= (truth & naive).size - 2 // no collapse
+  }
+}
