@@ -46,8 +46,10 @@ class KMeansSpec extends SparkSpec {
     IvfIndex.build(emb, "vec_id", "embedding", m.centroids, dir)
     val qv = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-    val got = IvfIndex.probe(spark, dir, qv, k = 10, nProbe = 4)
-      .collect().map(_.getLong(0)).filter(_ != 0L)
+    // k = 11 then drop the query row itself: symmetric with the naive
+    // probe below so the recall comparison is like-for-like
+    val got = IvfIndex.probe(spark, dir, qv, k = 11, nProbe = 4)
+      .collect().map(_.getLong(0)).filter(_ != 0L).take(10)
     got should not be empty
     // trained cells are tighter than the naive first-16 quantizer:
     // recall@10 vs brute truth must not regress
