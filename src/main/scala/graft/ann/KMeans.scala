@@ -34,7 +34,7 @@ object KMeans {
     * argmin of |c|² − 2·v·c (|v|² is constant per row), ties to the
     * lower centroid id.
     */
-  private def euclidCellExpr(cent: Array[(Long, Seq[Double])]): Column =
+  private[ann] def euclidCellExpr(cent: Array[(Long, Seq[Double])]): Column =
     array_min(array(cent.map { case (cid, cv) =>
       val c2 = cv.map(x => x * x).sum
       struct((lit(c2) - VectorFunctions.dot(col("__v"), typedLit(cv)) * 2.0).as("nd"),
