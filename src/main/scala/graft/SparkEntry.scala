@@ -19,7 +19,10 @@ object SparkEntry {
     EventQueries,
     PipelineQueries)
 
-  private lazy val registry: Seq[Q] = querySets.flatMap(_.all)
+  // def, not lazy val: oracle SQL may embed model state captured while
+  // the queries ran (Pca.lastFit) — Verify calls oracleSql AFTER the
+  // query loop, so the registry must be rebuilt at that point.
+  private def registry: Seq[Q] = querySets.flatMap(_.all)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -90,4 +90,48 @@ object KMeans {
     df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("cluster", euclidCellExpr(model.centroids))
       .select(col(idCol), col("cluster"))
+
+  /** DuckDB twin of `assign(df, fit(df, k, maxIters))`: the full
+    * training loop — first-k-by-id init, `iters` unrolled Lloyd's
+    * steps (argmin assignment with the same (distance, cid) tie-break,
+    * per-dimension mean re-centering, emptied-cluster fallback to the
+    * previous centroid) — then the final assignment. Everything is
+    * integer-or-argmin output, so the oracle is exact up to genuine
+    * distance ties; float summation-order skew only matters for rows
+    * equidistant to two centroids at the 1e-15 level.
+    */
+  def assignDuckSql(table: String, idCol: String, vecCol: String,
+                    k: Int, iters: Int, dim: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    def assignCte(name: String, cents: String): String =
+      s"""$name AS (
+         |  SELECT id, v, cid FROM (
+         |    SELECT e.id, e.v, c.cid,
+         |      row_number() OVER (PARTITION BY e.id ORDER BY
+         |        list_sum(list_transform($r, i -> c.cv[i] * c.cv[i]))
+         |        - 2 * list_sum(list_transform($r, i -> e.v[i] * c.cv[i])),
+         |        c.cid) AS rn
+         |    FROM e CROSS JOIN $cents c)
+         |  WHERE rn = 1)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""${assignCte(s"a$i", s"c${i - 1}")},
+         |m$i AS (
+         |  SELECT cid, list(mu ORDER BY dim) AS cv FROM (
+         |    SELECT cid, dim, avg(x) AS mu FROM (
+         |      SELECT cid, unnest(range(1, len(v) + 1)) AS dim, unnest(v) AS x
+         |      FROM a$i)
+         |    GROUP BY cid, dim)
+         |  GROUP BY cid),
+         |c$i AS (
+         |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN m$i m USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id, CAST($vecCol AS DOUBLE[]) AS v
+       |  FROM $table WHERE $vecCol IS NOT NULL),
+       |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $k),
+       |$steps,
+       |${assignCte("afinal", s"c$iters")}
+       |SELECT id AS $idCol, cid AS cluster FROM afinal ORDER BY $idCol""".stripMargin
+  }
 }

@@ -211,7 +211,7 @@ object Corpus {
   /** DuckDB twin of [[vocabStats]]. */
   def vocabStatsDuckSql(table: String, groupCol: String, textCol: String): String =
     s"""SELECT $groupCol,
-       |  sum(c) AS n_tokens,
+       |  CAST(sum(c) AS BIGINT) AS n_tokens,
        |  count(*) AS vocab_size,
        |  round(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4) AS hapax_frac,
        |  round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_share

@@ -137,7 +137,46 @@ object Pca {
     df.select(col(idCol) +: pcs.toSeq: _*)
   }
 
-  /** Fit + project in one call (reference reduce_dimensions analog). */
-  def fitProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
-    project(df, idCol, vecCol, fit(df, vecCol, k))
+  /** Fit + project in one call (reference reduce_dimensions analog).
+    * The fitted model is parked in [[lastFit]] so Verify's oracle dump
+    * (which runs AFTER the queries) can embed the components as
+    * literals for an independent DuckDB re-projection.
+    */
+  def fitProject(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val model = fit(df, vecCol, k)
+    lastFit = Some(model)
+    project(df, idCol, vecCol, model)
+  }
+
+  /** Model from the most recent [[fitProject]] in this JVM — oracle
+    * plumbing only (Verify runs every query, then dumps oracleSql;
+    * the eigen math itself is pinned by PcaSpec).
+    */
+  @volatile var lastFit: Option[PcaModel] = None
+
+  /** DuckDB re-projection of `model`: components and offsets embedded
+    * as full-precision literals (Double.toString round-trips), the
+    * per-row dot recomputed by DuckDB in the same left-to-right fold
+    * order as the codegen `graft_dot`. Verifies the distributed
+    * projection pass end-to-end; combined with PcaSpec's
+    * orthonormality/variance pins this upgrades q_embed_pca from
+    * rows-only to a hash-checked oracle.
+    */
+  def projectDuckSql(table: String, idCol: String, vecCol: String,
+                     model: PcaModel, round4: Boolean): String = {
+    val dim = model.mean.length
+    val comps = model.components.zipWithIndex.map { case (comp, j) =>
+      val lit = comp.mkString("[", ", ", "]::DOUBLE[]")
+      val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      val dot = s"list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST($vecCol[i] AS DOUBLE) * c.c${j + 1}[i])) - ($offset)"
+      (s"$lit AS c${j + 1}",
+        if (round4) s"round($dot, 4) AS pc${j + 1}" else s"$dot AS pc${j + 1}")
+    }
+    s"""WITH c AS (SELECT ${comps.map(_._1).mkString(",\n  ")})
+       |SELECT $idCol,
+       |  ${comps.map(_._2).mkString(",\n  ")}
+       |FROM $table, c
+       |ORDER BY $idCol""".stripMargin
+  }
 }

@@ -209,8 +209,10 @@ object VectorQueries extends QuerySet {
     // codegen dot, never an interpreted lambda.
     // distributed Lloyd's k-means (the trained IVF codebook): one
     // aggregation job per iteration, Euclidean codegen argmin
-    // assignment; rows-only (the iterative model is not
-    // SQL-expressible) — KMeansSpec pins convergence, determinism,
+    // assignment; the oracle replays the ENTIRE training loop —
+    // first-k-by-id init, 3 unrolled Lloyd's steps, final assignment
+    // — in DuckDB (integer output, so exact up to genuine distance
+    // ties); KMeansSpec additionally pins convergence, determinism,
     // exact recovery of separated clusters, IVF codebook drop-in
     Q("q_kmeans",
       (s, d) => {
@@ -219,19 +221,24 @@ object VectorQueries extends QuerySet {
           graft.ann.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 3))
           .orderBy("vec_id")
       },
-      None),
+      Some(graft.ann.KMeans.assignDuckSql(
+        "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = Dim))),
 
     // distributed PCA projection (dimensionality_reduction.py analog):
-    // eigen-decomposition is not SQL-expressible, so this rides the
-    // rows-only check; PcaSpec pins the math (orthonormality, variance
-    // ordering, claimed-vs-measured pc variances, shuffle-free plan)
+    // the eigen-decomposition itself is not SQL-expressible (PcaSpec
+    // pins orthonormality, variance ordering, claimed-vs-measured pc
+    // variances, shuffle-free plan), but the distributed projection
+    // pass IS — the oracle embeds the fitted components as literals
+    // (captured in Pca.lastFit while Verify ran the query) and
+    // re-projects every row in DuckDB
     Q("q_embed_pca",
       (s, d) => graft.ops.Pca.fitProject(
         Tables.df(s, d, "embeddings"), "vec_id", "embedding", k = 2)
         .select(col("vec_id"), round(col("pc1"), 4).as("pc1"),
           round(col("pc2"), 4).as("pc2"))
         .orderBy("vec_id"),
-      None),
+      graft.ops.Pca.lastFit.map(m =>
+        graft.ops.Pca.projectDuckSql("embeddings", "vec_id", "embedding", m, round4 = true))),
 
     Q("q_embed_stats",
       (s, d) => Tables.df(s, d, "embeddings")
