@@ -67,11 +67,15 @@ object Cli {
           val term = opts.getOrElse("query",
             throw new IllegalArgumentException("search needs --query"))
           val coll = new Collection("cli", df)
+          // reference search(where=..., select_cols=...): the pre-filter
+          // restricts the scored slice, the projection shapes the output
+          val where = whereOf(opts)
+          val sel = opts.get("select").map(_.split(',').toSeq).getOrElse(Nil)
           val res = opts.get("attrs") match {
             case Some(attrs) => coll.searchObjects(term, attrs.split(',').toSeq,
-              opts.get("template"), limitOf(opts, 10).toInt)
+              opts.get("template"), limitOf(opts, 10).toInt, where, sel)
             case None => coll.search(opts.getOrElse("text-col", "text"), term,
-              limitOf(opts, 10).toInt)
+              limitOf(opts, 10).toInt, where, sel)
           }
           emit(opts, out, res)
         case "schema" =>

@@ -144,11 +144,18 @@ class Collection(val name: String, val df: DataFrame) {
     * index builds as part of the plan; persist it via
     * [[graft.index.TrigramIndexer.index]] for repeated queries.
     */
-  def search(textCol: String, query: String, k: Int = 10): DataFrame = {
+  def search(textCol: String, query: String, k: Int = 10,
+             where: Filter = Filter.True, selectCols: Seq[String] = Nil): DataFrame = {
     val idCol = df.columns.head
-    graft.index.Search.searchTrigram(spark,
-      graft.index.TrigramIndexer.index(df, idCol, textCol), idCol, query, k)
+    val base = df.filter(Filter.bind(where, df.schema).toColumn)
+    val ranked = graft.index.Search.searchTrigram(spark,
+      graft.index.TrigramIndexer.index(base, idCol, textCol), idCol, query, k)
+    attachSearchCols(ranked, base, idCol, selectCols, Seq("score"))
   }
+
+  private def attachSearchCols(ranked: DataFrame, base: DataFrame, idCol: String,
+                               selectCols: Seq[String], rankCols: Seq[String]): DataFrame =
+    Collection.attachSearchCols(ranked, base, idCol, selectCols, rankCols)
 
   /** Multi-attribute search (reference index_attributes /
     * text_template — indexer.py:81-156): each object renders to text
@@ -160,23 +167,29 @@ class Collection(val name: String, val df: DataFrame) {
     * driver loop.
     */
   def searchObjects(query: String, indexAttributes: Seq[String],
-                    template: Option[String] = None, k: Int = 10): DataFrame = {
+                    template: Option[String] = None, k: Int = 10,
+                    where: Filter = Filter.True, selectCols: Seq[String] = Nil): DataFrame = {
     val idCol = df.columns.head
-    val withText = df.withColumn("__obj_text",
+    val base = df.filter(Filter.bind(where, df.schema).toColumn)
+    val withText = base.withColumn("__obj_text",
       graft.index.Indexer.objectText(indexAttributes, template))
-    graft.index.Search.searchTrigram(spark,
+    val ranked = graft.index.Search.searchTrigram(spark,
       graft.index.TrigramIndexer.index(withText, idCol, "__obj_text"),
       idCol, query, k)
+    attachSearchCols(ranked, base, idCol, selectCols, Seq("score"))
   }
 
   /** Search with MMR-diversified re-ranking of the cosine top-`fetchK`
     * (reference: mmr_diversified_search).
     */
   def searchMmr(textCol: String, query: String, k: Int = 10,
-                fetchK: Int = 50, relevanceFactor: Double = 0.7): DataFrame = {
+                fetchK: Int = 50, relevanceFactor: Double = 0.7,
+                where: Filter = Filter.True, selectCols: Seq[String] = Nil): DataFrame = {
     val idCol = df.columns.head
-    graft.index.Search.searchTrigramMmr(spark, df, idCol, textCol, query,
+    val base = df.filter(Filter.bind(where, df.schema).toColumn)
+    val ranked = graft.index.Search.searchTrigramMmr(spark, base, idCol, textCol, query,
       k, fetchK, relevanceFactor)
+    attachSearchCols(ranked, base, idCol, selectCols, Seq("score", "mmr_rank"))
   }
 
   def distinctValues(cols: Seq[String]): DataFrame =
@@ -239,4 +252,34 @@ class Collection(val name: String, val df: DataFrame) {
       .select(col("id").as(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
   }
+}
+
+object Collection {
+
+  /** Join a bounded ranked search result back to the (filtered)
+    * collection to attach `selectCols` (reference search select_cols —
+    * collection.py:531-537). The ranked side is ≤ k rows, so it
+    * broadcasts; the big side streams once. Rank columns keep their
+    * position after the projection; order restores by the last rank
+    * column (`score` desc / `mmr_rank` asc).
+    */
+  private[api] def attachSearchCols(
+      ranked: org.apache.spark.sql.DataFrame,
+      base: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      selectCols: Seq[String],
+      rankCols: Seq[String]): org.apache.spark.sql.DataFrame =
+    if (selectCols.isEmpty) ranked
+    else {
+      // a selected column that collides with a rank column (e.g. a data
+      // column literally named "score") is served by the rank side
+      val dataCols =
+        (idCol +: selectCols.filterNot(c => c == idCol || rankCols.contains(c))).distinct
+      val sortCol = rankCols.last
+      org.apache.spark.sql.functions.broadcast(ranked)
+        .join(base.select(dataCols.map(col): _*), Seq(idCol))
+        .select((dataCols ++ rankCols).map(col): _*)
+        .orderBy(if (sortCol == "mmr_rank") col(sortCol).asc
+                 else col(sortCol).desc, col(idCol).asc)
+    }
 }

@@ -262,25 +262,54 @@ class ParquetCollection(
     * when one exists, else builds inline.
     */
   def search(idCol: String, attrs: Seq[String], query: String, k: Int,
-      template: Option[String]): DataFrame = {
+      template: Option[String]): DataFrame =
+    search(idCol, attrs, query, k, template, Filter.True, Nil)
+
+  def search(idCol: String, attrs: Seq[String], query: String, k: Int,
+      template: Option[String], where: Filter, selectCols: Seq[String]): DataFrame = {
     val key = indexKey(attrs, template)
+    val base = filteredBase(where)
     val (idxDf, effDim) = materializedDim(key) match {
-      case Some(d) => (indexCollection(key).df, d)
+      case Some(d) => (restrictIndex(indexCollection(key).df, idCol, where, base), d)
       case None =>
         val d = graft.index.TrigramIndexer.DefaultDim
         (graft.index.TrigramIndexer.index(
-          df.withColumn("__obj_text", graft.index.Indexer.objectText(attrs, template)),
+          base.withColumn("__obj_text", graft.index.Indexer.objectText(attrs, template)),
           idCol, "__obj_text", d), d)
     }
-    graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, effDim)
+    val ranked = graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, effDim)
+    Collection.attachSearchCols(ranked, base, idCol, selectCols, Seq("score"))
   }
+
+  /** The collection pre-filtered by a search `where` (reference
+    * collection.py:531-537: search scores only the matching slice).
+    * The bound predicate sits directly on the parquet scan, so it
+    * reaches PushedFilters — a filtered search reads a slice, not the
+    * corpus.
+    */
+  private def filteredBase(where: Filter): DataFrame =
+    if (where == Filter.True) df
+    else df.filter(Filter.bind(where, df.schema).toColumn)
+
+  /** Restrict materialized index postings to the rows matching the
+    * search pre-filter: a LEFT SEMI join on id against the filtered
+    * base scan (ids only — column-pruned). AQE broadcasts the id set
+    * when the slice is small; unfiltered searches skip the join
+    * entirely.
+    */
+  private def restrictIndex(idx: DataFrame, idCol: String,
+      where: Filter, base: DataFrame): DataFrame =
+    if (where == Filter.True) idx
+    else idx.join(base.select(org.apache.spark.sql.functions.col(idCol)),
+      Seq(idCol), "left_semi")
 
   /** Cosine top-k search. Uses the MATERIALIZED shadow index when one
     * has been attached; otherwise builds the index inline (correct but
     * corpus-scanning — the reference similarly auto-indexes on demand).
     */
   def search(idCol: String, textCol: String, query: String, k: Int = 10,
-      dim: Int = graft.index.TrigramIndexer.DefaultDim): DataFrame = {
+      dim: Int = graft.index.TrigramIndexer.DefaultDim,
+      where: Filter = Filter.True, selectCols: Seq[String] = Nil): DataFrame = {
     val idx = indexCollection(textCol)
     val materialized = Files.exists(Paths.get(s"$root/_index_$textCol", "_CURRENT"))
     // the materialized path uses the dim the index was BUILT with — the
@@ -290,10 +319,12 @@ class ParquetCollection(
         val dimFile = Paths.get(s"$root/_index_$textCol", "_DIM")
         if (Files.exists(dimFile)) Files.readString(dimFile).trim.toInt else dim
       } else dim
+    val base = filteredBase(where)
     val idxDf =
-      if (materialized) idx.df
-      else graft.index.TrigramIndexer.index(df, idCol, textCol, effDim)
-    graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, effDim)
+      if (materialized) restrictIndex(idx.df, idCol, where, base)
+      else graft.index.TrigramIndexer.index(base, idCol, textCol, effDim)
+    val ranked = graft.index.Search.searchTrigram(spark, idxDf, idCol, query, k, effDim)
+    Collection.attachSearchCols(ranked, base, idCol, selectCols, Seq("score"))
   }
 
   /** Remove version directories older than the current one. */
