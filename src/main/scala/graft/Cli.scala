@@ -248,7 +248,8 @@ object Cli {
               val rows = load(spark, opts)
               val collName = opts.getOrElse("name", {
                 val base = path.substring(path.lastIndexOf('/') + 1)
-                base.substring(0, base.lastIndexOf('.'))
+                val dot = base.lastIndexOf('.')
+                if (dot > 0) base.substring(0, dot) else base // extension-less path → full basename
               })
               db.store(Map(collName -> rows))
               Seq(collName -> rows.count())
@@ -274,7 +275,12 @@ object Cli {
             .getOrElse(graft.index.TrigramIndexer.DefaultDim)
           opts.get("vector-col") match {
             case Some(vc) =>
-              coll.attachVectorIndex(idCol, vc, opts.get("cells").map(_.toInt).getOrElse(16))
+              // codebook trains via KMeans.fit by default (tighter
+              // cells, better recall at the same nProbe);
+              // --trained false keeps the first-k-by-id quantizer
+              coll.attachVectorIndex(idCol, vc,
+                opts.get("cells").map(_.toInt).getOrElse(16),
+                trained = opts.get("trained").forall(_.toBoolean))
               coll.listVectorIndexes.foreach { case (k, n) => out(s"indexed $k (ivf, $n cells)") }
             case None =>
               opts.get("attrs") match {
@@ -309,7 +315,11 @@ object Cli {
             topN = opts.get("max-matches").map(_.toInt).getOrElse(5),
             minSimilarity = opts.get("similarity-threshold").map(_.toDouble),
             maxDistance = opts.get("distance-threshold").map(_.toDouble),
-            excludeSelf = opts.get("target").isEmpty)
+            // reference MatchingConfig.exclude_self_matches defaults True in
+            // BOTH modes — shared-id rows in cross-collection mode would
+            // otherwise self-match at distance 0 and burn a top-N slot;
+            // `--include-self true` opts back in
+            excludeSelf = opts.get("include-self").forall(v => !v.toBoolean))
           val idCol = opts.getOrElse("id-col",
             throw new IllegalArgumentException("find-matches needs --id-col"))
           val vecCol = opts.getOrElse("vec-col", "embedding")

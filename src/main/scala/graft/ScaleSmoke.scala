@@ -30,14 +30,17 @@ object ScaleSmoke {
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val spark = LocalSession.build()
 
-    val docs = Tables.df(spark, sfDir, "documents").select("doc_id", "text")
+    val docs = Tables.df(spark, sfDir, "documents").select("doc_id", "lang", "text")
     val embs = Tables.df(spark, sfDir, "embeddings").select("vec_id", "embedding")
 
     // k salted copies: copy 0 is the original; higher copies shift ids
-    // and perturb content so cross-copy rows never pair
+    // and perturb content so cross-copy rows never pair (lang passes
+    // through unchanged — the KL group count stays constant while the
+    // vocab grows, the regime where the closed-form remainder matters)
     def docsX(k: Int): DataFrame = (0 until k).map { i =>
       if (i == 0) docs
       else docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("lang"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(t, lit(s"_$i")))).as("text"))
     }.reduce(_ unionByName _)
@@ -77,6 +80,18 @@ object ScaleSmoke {
         val e = embsX(k)
         graft.ann.Matcher.findMatchesLshTopN(e, e, "vec_id", "embedding",
           graft.ann.Matcher.MatchConfig(topN = 3, minSimilarity = Some(0.9)))
+      }),
+      "corpus_kl" -> (k =>
+        // pairwise KL over GLOBAL vocab: groups stay constant, vocab
+        // grows ~k-fold — linear iff the absent-absent remainder stays
+        // closed-form (nothing V x L^2 joined)
+        graft.ops.Corpus.klDivergence(docsX(k), "lang", "text")),
+      "kmeans" -> (k => {
+        // Lloyd's: per-iteration cost is one scan + k x d doubles to the
+        // driver, so 10x rows should be ~10x per iteration
+        val e = embsX(k)
+        graft.ann.KMeans.assign(e, "vec_id", "embedding",
+          graft.ann.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 3))
       }))
 
     var failed = false

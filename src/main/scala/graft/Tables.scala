@@ -40,18 +40,28 @@ object Tables {
     // idempotent: native graft functions (graft_dot) for any session
     graft.functions.GraftFunctions.register(spark)
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark has no native
-      // type for: read it as a long (ns) and convert to a microsecond
-      // timestamp, matching DuckDB's timestamp_ns -> timestamp cast.
-      // The session conf is also set at session build in Verify/Bench;
-      // setting it here too keeps ad-hoc sessions working.
+      // events.ts has shipped as either parquet TIMESTAMP(NANOS) or
+      // timestamp[us] across testdata generations — branch on the type
+      // Spark actually read, not on an assumed generation.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
-      // Floor division via pmod (not `div`, which truncates toward zero):
-      // DuckDB's ns->us cast floors, so pre-epoch timestamps would
-      // otherwise diverge by 1us.
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          // TIMESTAMP(NANOS) read as long ns (nanosAsLong): floor-divide
+          // to us via pmod (not `div`, which truncates toward zero) —
+          // DuckDB's ns->us cast floors, so pre-epoch timestamps would
+          // otherwise diverge by 1us.
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+        case _ =>
+          // timestamp[us] with isAdjustedToUTC=false arrives as
+          // TIMESTAMP_NTZ; the session TZ is pinned UTC, so the cast to
+          // TIMESTAMP is instant-preserving and keeps every downstream
+          // unix_micros/date_trunc/oracle comparison unchanged.
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 

@@ -108,7 +108,8 @@ object Matcher {
     * same DataFrame as src and tgt (excludeSelf defaults true).
     */
   def findMatchesTopN(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
-                      cfg: MatchConfig = MatchConfig()): DataFrame = {
+                      cfg: MatchConfig = MatchConfig(),
+                      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     val a = side(src, idCol, vecCol, "src_id", cfg)
     val b = side(tgt, idCol, vecCol, "tgt_id", cfg)
     // rename per-side helper cols to the names distCol expects
@@ -118,14 +119,20 @@ object Matcher {
         .withColumnRenamed("__ntgt_id", "__nb").withColumnRenamed("__stgt_id", "__sb")))
       .withColumn("__dist", distCol(cfg))
       .select("src_id", "tgt_id", "__dist")
-    val scored =
-      if (cfg.needsMaxDist)
-        // the reference normalizes by the FULL matrix max (before
-        // self-exclusion/thresholds) — one 1-row global agg, broadcast
-        pairs.crossJoin(broadcast(pairs.agg(max(col("__dist")).as("__maxd"))))
-      else pairs
-    finish(scored, cfg)
+    finish(withMaxDist(pairs, cfg, scope), cfg)
   }
+
+  /** For the max-normalized metrics join in the 1-row full-matrix max
+    * (the reference normalizes BEFORE self-exclusion/thresholds). Both
+    * the agg and the outer join reference `pairs` — persist it through
+    * the scope so the distance matrix is computed once, not twice.
+    */
+  private def withMaxDist(pairs: DataFrame, cfg: MatchConfig,
+                          scope: graft.api.CacheScope): DataFrame =
+    if (cfg.needsMaxDist) {
+      val p = scope.persist(pairs)
+      p.crossJoin(broadcast(p.agg(max(col("__dist")).as("__maxd"))))
+    } else pairs
 
   /** LSH tier: shared sign-bit band candidates on both sides (no data
     * broadcast, no nested loop — see [[Knn.findMatchesLsh]]); exact
@@ -135,7 +142,8 @@ object Matcher {
   def findMatchesLshTopN(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
                          cfg: MatchConfig = MatchConfig(),
                          nBits: Int = 32, bands: Int = 4,
-                         maxBucket: Int = 10000): DataFrame = {
+                         maxBucket: Int = 10000,
+                         scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     def cappedBands(df: DataFrame, id: String) =
       Knn.bandedSignBits(df, idCol, vecCol, nBits, bands)
         .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("band", "chunk")))
@@ -153,11 +161,7 @@ object Matcher {
     val pairs = cand.join(a, "src_id").join(b, "tgt_id")
       .withColumn("__dist", distCol(cfg))
       .select("src_id", "tgt_id", "__dist")
-    val scored =
-      if (cfg.needsMaxDist)
-        pairs.crossJoin(broadcast(pairs.agg(max(col("__dist")).as("__maxd"))))
-      else pairs
-    finish(scored, cfg)
+    finish(withMaxDist(pairs, cfg, scope), cfg)
   }
 
   /** Mean per-source recall@k of an approximate match result against

@@ -79,15 +79,42 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
 
   /** One-line `k<TAB>v` spec files beside the snapshots: humans can
     * read them, and values (SQL expressions, globs) may contain '='.
+    * Tabs/newlines are legal in SQL where-clauses and column names, so
+    * both sides are backslash-escaped — the record separators stay
+    * unambiguous.
     */
+  private def escSpec(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
+  private def unescSpec(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb += '\t'
+          case 'n' => sb += '\n'
+          case 'r' => sb += '\r'
+          case '\\' => sb += '\\'
+          case other => sb += '\\' += other
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
   private def writeSpec(file: Path, entries: Seq[(String, String)]): Unit =
-    Files.writeString(file, entries.map { case (k, v) => s"$k\t$v" }.mkString("", "\n", "\n"))
+    Files.writeString(file,
+      entries.map { case (k, v) => s"${escSpec(k)}\t${escSpec(v)}" }.mkString("", "\n", "\n"))
 
   private def readSpec(file: Path): Seq[(String, String)] =
     Files.readString(file).split('\n').toSeq.filter(_.nonEmpty).map { line =>
       val i = line.indexOf('\t')
       require(i > 0, s"malformed spec line in $file: '$line'")
-      line.substring(0, i) -> line.substring(i + 1)
+      unescSpec(line.substring(0, i)) -> unescSpec(line.substring(i + 1))
     }
 
   /** Declare AND materialize a collection derived from another
@@ -127,13 +154,27 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
   /** Re-run a derived collection's transform over the CURRENT source
     * snapshot and swap it in as the next version.
     */
+  /** Derivations currently materializing on this thread — guards the
+    * collection() → rematerializeDerived() → collection(source)
+    * recursion against self- or mutually-cyclic derivations created
+    * via the direct API (fromConfig validates cycles up front; the API
+    * must not StackOverflow on the same input).
+    */
+  private val materializing = new scala.collection.mutable.LinkedHashSet[String]()
+
   def rematerializeDerived(collName: String): Unit = {
     val d = derivationOf(collName).getOrElse(
       throw new IllegalArgumentException(s"'$collName' is not a derived collection"))
-    val src = collection(d.source).df
-    val filtered = d.where.map(w => src.filter(expr(w))).getOrElse(src)
-    val out = filtered.select(d.mappings.map { case (t, e) => expr(e).as(t) }: _*)
-    new ParquetCollection(spark, dirOf(collName).toString, collName).replace(out)
+    if (materializing.contains(collName))
+      throw new IllegalArgumentException(
+        s"cyclic derivation: ${(materializing.toSeq :+ collName).mkString(" -> ")}")
+    materializing += collName
+    try {
+      val src = collection(d.source).df
+      val filtered = d.where.map(w => src.filter(expr(w))).getOrElse(src)
+      val out = filtered.select(d.mappings.map { case (t, e) => expr(e).as(t) }: _*)
+      new ParquetCollection(spark, dirOf(collName).toString, collName).replace(out)
+    } finally materializing -= collName
   }
 
   /** Refresh every derived collection (dependency-free derivations:

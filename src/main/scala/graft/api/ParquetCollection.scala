@@ -159,9 +159,21 @@ class ParquetCollection(
     * ([[graft.ann.IvfIndex]]): cell assignments land partitioned by
     * cell, so [[searchVector]] probes are PARTITION-PRUNED reads of
     * nProbe cells, never a corpus scan. Call again after mutations.
+    *
+    * By default the codebook is TRAINED ([[graft.ann.KMeans.fit]],
+    * `trainIters` Lloyd's passes) — tighter cells ⇒ better recall at
+    * the same nProbe (KMeansSpec pins the comparison). `trained =
+    * false` falls back to the deterministic first-nCells-by-id coarse
+    * quantizer (exact parity with scan-time [[graft.ann.Knn.ivfTopK]]).
     */
-  def attachVectorIndex(idCol: String, vecCol: String, nCells: Int = 16): Unit =
-    graft.ann.IvfIndex.build(df, idCol, vecCol, nCells, s"$root/_vindex_$vecCol")
+  def attachVectorIndex(idCol: String, vecCol: String, nCells: Int = 16,
+                        trained: Boolean = true, trainIters: Int = 5): Unit = {
+    val dir = s"$root/_vindex_$vecCol"
+    if (trained) {
+      val m = graft.ann.KMeans.fit(df, idCol, vecCol, k = nCells, maxIters = trainIters)
+      graft.ann.IvfIndex.build(df, idCol, vecCol, m.centroids, dir)
+    } else graft.ann.IvfIndex.build(df, idCol, vecCol, nCells, dir)
+  }
 
   /** Materialized IVF vector indexes as (vecCol, nCells) pairs. */
   def listVectorIndexes: Seq[(String, Int)] = {

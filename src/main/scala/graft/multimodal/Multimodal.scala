@@ -88,7 +88,10 @@ object Multimodal {
         }.toArray
         Some(ImageStats(reader.getFormatName.toLowerCase, w, h, bands, mean, std))
       } catch {
-        case _: java.io.IOException => None
+        // ImageIO plugins throw RuntimeExceptions (IllegalArgument,
+        // ArrayIndexOutOfBounds) on malformed-but-recognized payloads,
+        // not just IOException — one dirty row must not kill the scan
+        case scala.util.control.NonFatal(_) => None
       } finally reader.dispose()
     } finally if (iis != null) iis.close()
   }
@@ -137,7 +140,7 @@ object Multimodal {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val buf = img.getRaster.getDataBuffer.asInstanceOf[DataBufferByte].getData
     val n = math.min(buf.length, if (bytes == null) 0 else bytes.length)
-    System.arraycopy(bytes, 0, buf, 0, n)
+    if (n > 0) System.arraycopy(bytes, 0, buf, 0, n) // arraycopy(null,…) NPEs even at length 0
     val bos = new ByteArrayOutputStream()
     ImageIO.write(img, "png", bos)
     bos.toByteArray

@@ -63,6 +63,23 @@ class CliSpec extends SparkSpec {
     out.tail.head should startWith("1\t") // alice/oslo matches best
   }
 
+  test("search: --where pre-filters the scored slice; --select attaches columns") {
+    // reference search(where=..., select_cols=...) — collection.py:531-537
+    val (code, out) = runCli("search", "--path", dataPath,
+      "--query", "carol", "--attrs", "name,city", "--where", "city=bergen",
+      "--select", "name", "--limit", "5")
+    code shouldBe 0
+    out.head shouldBe "id\tname\tscore"
+    // only the bergen slice is scored — oslo rows never appear
+    out.tail.map(_.split('\t').head) shouldBe Seq("3")
+    out.tail.head.split('\t')(1) shouldBe "carol"
+    // an excluding pre-filter yields an empty ranked set, not an error
+    val (code2, out2) = runCli("search", "--path", dataPath,
+      "--query", "carol", "--attrs", "name,city", "--where", "city=tromso")
+    code2 shouldBe 0
+    out2.tail shouldBe empty
+  }
+
   test("export: query result through the Formats registry") {
     val outPath = Files.createTempDirectory("graft-cli").resolve("out.jsonl").toString
     val (code, out) = runCli("export", "--path", dataPath,
@@ -336,6 +353,14 @@ class CliSpec extends SparkSpec {
     val (c2, out2) = runCli("indexes", "--collection", collDir)
     c2 shouldBe 0
     out2 shouldBe Seq("embedding: ivf (2 cells)")
+    // default codebook is KMeans-trained: with k=2 the two near-parallel
+    // vectors share a cell, so probing 1 cell around (1,0) returns both
+    val coll = new graft.api.ParquetCollection(spark, collDir, "vecs")
+    coll.searchVector("embedding", Seq(1.0, 0.0), k = 2, nProbe = 1)
+      .collect().map(_.getLong(0)).toSet shouldBe Set(1L, 2L)
+    // --trained false rebuilds on the first-k-by-id quantizer
+    runCli("index", "--collection", collDir, "--id-col", "vec_id",
+      "--vector-col", "embedding", "--cells", "2", "--trained", "false")._1 shouldBe 0
   }
 
   test("find-matches: cross-table and within-collection tiers") {
@@ -354,13 +379,25 @@ class CliSpec extends SparkSpec {
     out1.filterNot(_.startsWith("src")).foreach { l =>
       val Array(s, t, _*) = l.split(','); s should not be t
     }
-    // cross-table euclidean with the same table as an explicit target
+    // cross-table euclidean with the same table as an explicit target:
+    // exclude_self_matches defaults TRUE in cross mode too (reference
+    // MatchingConfig) — shared ids never self-match at distance 0
     val (c2, out2) = runCli("find-matches", "--path", p, "--target", p,
       "--id-col", "vec_id", "--metric", "euclidean", "--max-matches", "1",
       "--output-type", "csv")
     c2 shouldBe 0
-    // self-matches allowed in cross mode: each row matches itself at distance 0
-    out2 should contain("1,1,1.0,0.0,1")
+    out2.filterNot(_.startsWith("src")).foreach { l =>
+      val Array(s, t, _*) = l.split(','); s should not be t
+    }
+    // max-dist normalization still ranges over the FULL matrix (incl.
+    // self pairs): maxd = dist(1,3) = 1.4142, so sim(1,2) = 1 - 0.1/1 = 0.9
+    out2 should contain("1,2,0.9,0.1414,1")
+    // --include-self true restores the self-match rows
+    val (c3, out3) = runCli("find-matches", "--path", p, "--target", p,
+      "--id-col", "vec_id", "--metric", "euclidean", "--max-matches", "1",
+      "--include-self", "true", "--output-type", "csv")
+    c3 shouldBe 0
+    out3 should contain("1,1,1.0,0.0,1")
     // lsh tier runs the banded path end-to-end
     runCli("find-matches", "--path", p, "--id-col", "vec_id",
       "--tier", "lsh", "--max-matches", "1")._1 shouldBe 0

@@ -75,13 +75,29 @@ class PlanAuditSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
+  /** Collect parquet scans INCLUDING those beneath a cache boundary —
+    * a persisted intermediate (CacheScope) hides its file scan inside
+    * the InMemoryRelation's cached plan, but the pushdown still
+    * happened when the cache was built.
+    */
+  private def allFileScans(p: SparkPlan): Seq[FileSourceScanExec] =
+    p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        allFileScans(m.relation.cachedPlan)
+      // cached plans are themselves AQE-wrapped (leaf to collect) —
+      // pre-execution, executedPlan is the initial physical plan and
+      // already carries the scans
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allFileScans(a.executedPlan)
+    }.flatten
+
   test("every find-family query pushes its filter into the parquet scan") {
     val findQueries = SparkEntry.queries.keys.toSeq.sorted.filter(_.startsWith("q_find"))
     findQueries should not be empty
     val offenders = findQueries.filter { name =>
-      val pushed = plan(name).collect {
-        case s: FileSourceScanExec => s.metadata.getOrElse("PushedFilters", "[]")
-      }
+      val pushed = allFileScans(plan(name))
+        .map(_.metadata.getOrElse("PushedFilters", "[]"))
       !pushed.exists(p => p.nonEmpty && p != "[]")
     }
     offenders shouldBe empty

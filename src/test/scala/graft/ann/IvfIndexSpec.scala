@@ -17,7 +17,9 @@ class IvfIndexSpec extends SparkSpec {
     val root = java.nio.file.Files.createTempDirectory("ivf").toString
     val coll = new graft.api.ParquetCollection(spark, root, "emb")
     coll.replace(emb)
-    coll.attachVectorIndex("vec_id", "embedding", nCells = 16)
+    // untrained = the same first-k-by-id quantizer ivfTopK plans with,
+    // so parity is exact (the trained default is pinned by KMeansSpec)
+    coll.attachVectorIndex("vec_id", "embedding", nCells = 16, trained = false)
 
     val qv = emb.filter(col("vec_id") === 0L)
       .select(col("embedding").cast("array<double>"))

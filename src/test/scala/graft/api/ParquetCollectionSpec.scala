@@ -178,4 +178,40 @@ class ParquetCollectionSpec extends SparkSpec {
       .collect().map(_.getInt(0))
     r shouldBe Array(2)
   }
+
+  test("search where= scores only the matching slice; filter reaches PushedFilters") {
+    val dir = Files.createTempDirectory("graft-idx3").toString
+    val c = new ParquetCollection(spark, dir, "docs")
+    c.replace(Seq(
+      (1, "spark is fast", "keep"),
+      (2, "spark is fast", "drop"), // best text match but excluded by where
+      (3, "ducks swim in ponds", "keep")
+    ).toDF("doc_id", "text", "tag"))
+    val where = Filter.parse(Map("tag" -> "keep"))
+
+    // inline-index path: the pre-filter restricts the scored slice
+    val r = c.search("doc_id", "text", "spark is fast", k = 5, where = where)
+    r.collect().map(_.getInt(0)) should contain(1)
+    r.collect().map(_.getInt(0)) should not contain 2
+    // the bound predicate must land on the parquet scan, not above it
+    val pushed = r.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+    }
+    pushed.exists(_.contains("tag")) shouldBe true
+
+    // materialized path: postings restricted via left-semi on the slice
+    c.attachIndex("doc_id", "text")
+    val r2 = c.search("doc_id", "text", "spark is fast", k = 5, where = where)
+    r2.collect().map(_.getInt(0)) should contain(1)
+    r2.collect().map(_.getInt(0)) should not contain 2
+
+    // selectCols joins data columns back; rank column keeps its place
+    val r3 = c.search("doc_id", "text", "spark is fast", k = 5,
+      where = where, selectCols = Seq("tag"))
+    r3.columns.toSeq shouldBe Seq("doc_id", "tag", "score")
+    val top = r3.collect().head
+    top.getInt(0) shouldBe 1
+    top.getString(1) shouldBe "keep"
+  }
 }
