@@ -275,13 +275,22 @@ object Cli {
             .getOrElse(graft.index.TrigramIndexer.DefaultDim)
           opts.get("vector-col") match {
             case Some(vc) =>
-              // codebook trains via KMeans.fit by default (tighter
-              // cells, better recall at the same nProbe);
-              // --trained false keeps the first-k-by-id quantizer
-              coll.attachVectorIndex(idCol, vc,
-                opts.get("cells").map(_.toInt).getOrElse(16),
-                trained = opts.get("trained").forall(_.toBoolean))
-              coll.listVectorIndexes.foreach { case (k, n) => out(s"indexed $k (ivf, $n cells)") }
+              val cells = opts.get("cells").map(_.toInt).getOrElse(16)
+              opts.get("pq") match {
+                case Some(m) =>
+                  // memory-bound variant: cells hold m-byte PQ codes of
+                  // the residuals, not raw vectors
+                  coll.attachVectorIndexPq(idCol, vc, cells, m.toInt,
+                    opts.get("ks").map(_.toInt).getOrElse(16))
+                  out(s"indexed $vc (ivfpq, $cells cells, m=$m)")
+                case None =>
+                  // codebook trains via KMeans.fit by default (tighter
+                  // cells, better recall at the same nProbe);
+                  // --trained false keeps the first-k-by-id quantizer
+                  coll.attachVectorIndex(idCol, vc, cells,
+                    trained = opts.get("trained").forall(_.toBoolean))
+                  coll.listVectorIndexes.foreach { case (k, n) => out(s"indexed $k (ivf, $n cells)") }
+              }
             case None =>
               opts.get("attrs") match {
                 case Some(attrs) =>
@@ -486,6 +495,8 @@ object Cli {
       |         --other path --id-col pk (diff)  --patches file (apply)
       |         --collection dir (insert/index/indexes)  --output path --format fmt
       |         --db dir --location dir (import)  --name coll (store)
-      |         --target path --metric m --max-matches n --tier brute|lsh (find-matches)
+      |         --target path --metric m --max-matches n --tier brute|lsh
+      |           --include-self true (find-matches)
+      |         --vector-col v --cells n [--trained false | --pq m --ks k] (index)
       |         --output-type tsv|csv|json|jsonl|yaml|markdown|table""".stripMargin
 }

@@ -57,13 +57,17 @@ object Pq {
         lit(idx).as("cid"))
     }: _*)).getField("cid")
 
-  /** Compress every vector to its m-code array — map-only. */
-  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+  /** Compress every vector to its m-code array — map-only. `keep`
+    * passes extra columns through (e.g. an IVF cell id) so callers
+    * don't need a join to re-attach them.
+    */
+  def encode(df: DataFrame, idCol: String, vecCol: String, model: Model,
+             keep: Seq[String] = Nil): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val codes = (0 until model.m).map { b =>
       codeExpr(slice(v, b * model.dsub + 1, model.dsub), model.codebooks(b))
     }
-    df.select(col(idCol), array(codes: _*).as("codes"))
+    df.select(col(idCol) +: array(codes: _*).as("codes") +: keep.map(col): _*)
   }
 
   /** Asymmetric-distance top-k over an encoded frame: the query's

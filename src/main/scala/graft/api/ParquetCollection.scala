@@ -175,6 +175,29 @@ class ParquetCollection(
     } else graft.ann.IvfIndex.build(df, idCol, vecCol, nCells, dir)
   }
 
+  /** Materialize a persisted IVF+PQ vector index ([[graft.ann.IvfPqIndex]]):
+    * cells hold m-byte PQ codes of the residuals instead of raw
+    * vectors (~32× smaller at m=8 over 64-dim float32 — the variant
+    * for a corpus whose vectors don't fit cluster RAM). Probes are
+    * partition-pruned ADC scans with exact re-rank via [[searchVectorPq]].
+    */
+  def attachVectorIndexPq(idCol: String, vecCol: String, nCells: Int = 16,
+                          m: Int = 8, ks: Int = 16): Unit =
+    graft.ann.IvfPqIndex.build(df, idCol, vecCol, s"$root/_vpqindex_$vecCol",
+      nCells, m, ks)
+
+  /** ADC top-k against the materialized IVF+PQ index; `rerank > k`
+    * re-ranks that many ADC candidates by exact cosine against the
+    * collection's raw vectors (only the candidates' vectors are read).
+    */
+  def searchVectorPq(idCol: String, vecCol: String, queryVec: Seq[Double],
+                     k: Int, nProbe: Int = 4, rerank: Int = 0): org.apache.spark.sql.DataFrame = {
+    require(Files.exists(Paths.get(s"$root/_vpqindex_$vecCol")),
+      s"no PQ vector index on '$vecCol' — call attachVectorIndexPq first")
+    graft.ann.IvfPqIndex.probe(spark, s"$root/_vpqindex_$vecCol", queryVec, k,
+      nProbe, rerank, raw = if (rerank > k) Some((df, idCol, vecCol)) else None)
+  }
+
   /** Materialized IVF vector indexes as (vecCol, nCells) pairs. */
   def listVectorIndexes: Seq[(String, Int)] = {
     val rootPath = Paths.get(root)

@@ -361,6 +361,13 @@ class CliSpec extends SparkSpec {
     // --trained false rebuilds on the first-k-by-id quantizer
     runCli("index", "--collection", collDir, "--id-col", "vec_id",
       "--vector-col", "embedding", "--cells", "2", "--trained", "false")._1 shouldBe 0
+    // --pq m builds the memory-bound IVF+PQ variant end-to-end
+    val (c4, out4) = runCli("index", "--collection", collDir, "--id-col", "vec_id",
+      "--vector-col", "embedding", "--cells", "2", "--pq", "2", "--ks", "2")
+    c4 shouldBe 0
+    out4 shouldBe Seq("indexed embedding (ivfpq, 2 cells, m=2)")
+    coll.searchVectorPq("vec_id", "embedding", Seq(1.0, 0.0), k = 3, nProbe = 2,
+      rerank = 3).collect().length shouldBe 3
   }
 
   test("find-matches: cross-table and within-collection tiers") {
