@@ -81,7 +81,7 @@ object MinHash {
       call_function("graft_hashed_shingles", col(textCol), lit(w)).as("__hs"))
   }
 
-  private def hashedShingleDuck(table: String, idCol: String, textCol: String, w: Int): String =
+  private[dedup] def hashedShingleDuck(table: String, idCol: String, textCol: String, w: Int): String =
     s"""SELECT $idCol, ${TextFunctions.hashedShinglesFromDuckSql("th", w)} AS hs
        |  FROM (SELECT $idCol, ${TextFunctions.tokenHashesDuckSql(textCol)} AS th FROM $table) __t0""".stripMargin
 
@@ -91,6 +91,30 @@ object MinHash {
        |FROM (${hashedShingleDuck(table, idCol, textCol, w)}) t
        |WHERE len(hs) > 0""".stripMargin
   }
+
+  /** (idCol, band, bkey) — one row per document per band; band key =
+    * md5 of the ':'-joined signature slice. The LSH join key shared by
+    * [[nearDupPairs]] (self-join) and [[SignatureIndex]] (persisted
+    * corpus side of the incremental delta join).
+    */
+  private[dedup] def bandRows(df: DataFrame, idCol: String, textCol: String,
+                              k: Int, w: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val sigs = signatures(df, idCol, textCol, k, w)
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => s"mh_$i")
+      struct(lit(b).as("band"), md5(concat_ws(":", slice.map(col): _*)).as("bkey"))
+    }
+    sigs.select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+  }
+
+  /** (idCol, sh) — integer shingle sets, the exact-verify side. */
+  private[dedup] def shingleSets(df: DataFrame, idCol: String, textCol: String,
+                                 w: Int): DataFrame =
+    hashedShingleDf(df, idCol, textCol, w)
+      .select(col(idCol), col("__hs").as("sh"))
 
   /** Near-duplicate pairs (a < b) with exact Jaccard >= threshold.
     * bands*rowsPerBand must equal k of the signature step.
@@ -106,16 +130,7 @@ object MinHash {
       maxBucket: Int = DefaultMaxBucket,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val sigs = signatures(df, idCol, textCol, k, w)
-    // band key = md5 of the ':'-joined signature slice
-    val bandKeys = (0 until bands).map { b =>
-      val slice = (b * r until (b + 1) * r).map(i => s"mh_$i")
-      struct(lit(b).as("band"), md5(concat_ws(":", slice.map(col): _*)).as("bkey"))
-    }
-    val explodedRaw = sigs
-      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
-      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val explodedRaw = bandRows(df, idCol, textCol, k, w, bands)
     // skew guard: the bucket-size window shuffles on the SAME key as
     // the self-join below, so its exchange is reused — the cap is free
     val exploded = explodedRaw

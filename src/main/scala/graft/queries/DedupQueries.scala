@@ -77,6 +77,24 @@ object DedupQueries extends QuerySet {
               |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Incremental dedup: an ingest delta (every 10th doc) against the
+    // standing corpus (the rest) — the delta's band keys broadcast,
+    // the corpus side never shuffles. Same plan SignatureIndex.
+    // deltaPairs runs against the PERSISTED corpus index
+    // (SignatureIndexSpec pins persisted/inline parity + append flow).
+    Q("q_dedup_delta",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        graft.dedup.SignatureIndex.crossPairsInline(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")
+          .orderBy("new_id", "corpus_id")
+      },
+      Some(graft.dedup.SignatureIndex.crossPairsDuckSql(
+        "documents", "doc_id", "text",
+        corpusWhere = "doc_id % 10 <> 0", deltaWhere = "doc_id % 10 = 0"))),
+
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
