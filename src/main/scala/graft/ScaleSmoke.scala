@@ -81,6 +81,13 @@ object ScaleSmoke {
         graft.ann.Matcher.findMatchesLshTopN(e, e, "vec_id", "embedding",
           graft.ann.Matcher.MatchConfig(topN = 3, minSimilarity = Some(0.9)))
       }),
+      "sigindex_delta" -> (k =>
+        // fixed-size delta vs k-times corpus: the corpus side is two
+        // map-only scans, so growth should track corpus size linearly
+        graft.dedup.SignatureIndex.crossPairsInline(
+          docsX(k).filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 === 0),
+          "doc_id", "text")),
       "corpus_kl" -> (k =>
         // pairwise KL over GLOBAL vocab: groups stay constant, vocab
         // grows ~k-fold — linear iff the absent-absent remainder stays
