@@ -97,6 +97,117 @@ object TrainStream {
         (col("start_off") % seqLen).as("pos_in_seq"))
   }
 
+  /** Temperature-weighted corpus mixing: sample each source at the
+    * rate that makes the mixture follow `p_s^alpha` (normalized) at a
+    * total budget of ~`targetDocs` documents — the standard
+    * multi-corpus reweighting for pretraining (alpha < 1 upweights
+    * small/rare sources, alpha = 1 keeps natural proportions).
+    *
+    * Everything stays in the plan: source counts are a tiny groupBy,
+    * the normalizer is a 1-row broadcast crossJoin, the per-source
+    * CUTOFF (an integer, `floor(rate * 10^6)`) broadcasts back onto
+    * the corpus, and membership reuses [[Sampling]]'s portable
+    * hash-mod (`pmod(hash60(id ++ salt), 10^6) < cutoff`) — map-only
+    * over the data, deterministic across reruns and engines. No RNG,
+    * no driver loop, no corpus shuffle.
+    *
+    * The rate rounds to 9dp before the floor so the IEEE `pow`
+    * 1-ulp divergence between engines cannot flip a cutoff.
+    */
+  def mixSample(df: DataFrame, idCol: String, srcCol: String,
+                alpha: Double, targetDocs: Long, salt: String = ""): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+    val norm = counts.agg(sum("__w").as("__wsum"))
+    val cutoffs = counts.crossJoin(broadcast(norm))
+      .withColumn("__rate",
+        least(lit(1.0), lit(targetDocs.toDouble) * col("__w") / col("__wsum") / col("__n")))
+      .withColumn("__cutoff", floor(round(col("__rate"), 9) * lit(1000000L)).cast("long"))
+      .select(col(srcCol), col("__cutoff"))
+    df.join(broadcast(cutoffs), srcCol)
+      .filter(pmod(TextFunctions.portableHash60(
+          concat(col(idCol).cast("string"), lit(salt))), lit(1000000L))
+        < col("__cutoff"))
+      .select(col(idCol), col(srcCol))
+  }
+
+  /** DuckDB twin of [[mixSample]] (same `||`-not-concat and UBIGINT
+    * hash form as the Sampling twins).
+    */
+  def mixSampleDuckSql(table: String, idCol: String, srcCol: String,
+                       alpha: Double, targetDocs: Long, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    s"""WITH counts AS (
+       |  SELECT $srcCol, count(*) AS n, pow(CAST(count(*) AS DOUBLE), $alpha) AS w
+       |  FROM $table GROUP BY $srcCol),
+       |cutoffs AS (
+       |  SELECT $srcCol,
+       |    CAST(floor(round(least(1.0, $targetDocs * w / (SELECT sum(w) FROM counts) / n), 9)
+       |      * 1000000) AS BIGINT) AS cutoff
+       |  FROM counts)
+       |SELECT t.$idCol, t.$srcCol
+       |FROM $table t JOIN cutoffs c ON t.$srcCol = c.$srcCol
+       |WHERE CAST(concat('0x', substr(md5(CAST(t.$idCol AS VARCHAR) || '$s'), 1, 15)) AS UBIGINT) % 1000000 < c.cutoff""".stripMargin
+  }
+
+  /** Per-source token-budget subset: in deterministic hash order,
+    * keep each source's documents until its cumulative token count
+    * reaches `budgetPerSource` (a doc is kept iff it STARTS inside
+    * the budget — the packing convention). Output carries the token
+    * count and the exclusive running sum so downstream packing can
+    * resume from the boundary.
+    *
+    * The running sum is the same distributed prefix-sum shape as
+    * [[packSequences]], keyed per (source, hex-bucket): per-bucket
+    * windows plus a broadcast triangular join over the ≤256 bucket
+    * totals per source — no per-source single-task window, so a
+    * source with 10^9 documents costs the same shuffle as the whole
+    * corpus, never one executor.
+    */
+  def tokenBudget(df: DataFrame, idCol: String, srcCol: String, textCol: String,
+      budgetPerSource: Long, salt: String = "",
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(budgetPerSource >= 1, s"budget must be >= 1 (got $budgetPerSource)")
+    val base = scope.persist(df.select(col(idCol), col(srcCol),
+        size(TextFunctions.tokens(col(textCol))).as("n_toks"),
+        mixKey(col(idCol), salt).as("__h"))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int")))
+    val w = Window.partitionBy(col(srcCol), col("__bucket")).orderBy(col("__h"), col(idCol))
+    val inBucket = base.withColumn("__off_in_bucket",
+      coalesce(sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val btot = base.groupBy(col(srcCol), col("__bucket")).agg(sum("n_toks").as("__btot"))
+    val bucketOff = btot.as("a")
+      .join(broadcast(btot.as("b")),
+        col("a." + srcCol) === col("b." + srcCol) && col("b.__bucket") < col("a.__bucket"),
+        "left")
+      .groupBy(col("a." + srcCol).as(srcCol), col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__btot")), lit(0L)).as("__bucket_off"))
+    inBucket.join(broadcast(bucketOff), Seq(srcCol, "__bucket"))
+      .withColumn("cum_before", col("__bucket_off") + col("__off_in_bucket"))
+      .filter(col("cum_before") < budgetPerSource)
+      .select(col(idCol), col(srcCol), col("n_toks"), col("cum_before"))
+  }
+
+  /** DuckDB twin of [[tokenBudget]]: one window per source (fine at
+    * oracle scale) — identical membership and offsets by construction.
+    */
+  def tokenBudgetDuckSql(table: String, idCol: String, srcCol: String,
+      textCol: String, budgetPerSource: Long, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    s"""SELECT $idCol, $srcCol, CAST(n_toks AS INT) AS n_toks,
+       |  CAST(cum_before AS BIGINT) AS cum_before
+       |FROM (
+       |  SELECT $idCol, $srcCol, n_toks,
+       |    coalesce(sum(n_toks) OVER (
+       |      PARTITION BY $srcCol ORDER BY h, $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM (
+       |    SELECT $idCol, $srcCol, len(string_split($textCol, ' ')) AS n_toks,
+       |      md5(CAST($idCol AS VARCHAR) || '$s') AS h
+       |    FROM $table) t1) t2
+       |WHERE cum_before < $budgetPerSource""".stripMargin
+  }
+
   /** DuckDB twin of [[packSequences]]: single global window (fine at
     * oracle scale) — identical offsets by construction.
     */

@@ -34,6 +34,25 @@ object PipelineQueries extends QuerySet {
       Some(TrainStream.interleaveDuckSql("documents", "doc_id", "source", salt = "r4")
         + "\nORDER BY round, mix_key")),
 
+    // Temperature-weighted corpus mixing (alpha=0.5 upweights small
+    // sources): deterministic hash-cutoff membership, rates computed
+    // in-plan from source counts. ~200-doc budget at sf0.01.
+    Q("q_mix_temperature",
+      (s, d) => TrainStream.mixSample(Tables.df(s, d, "documents"),
+        "doc_id", "source", alpha = 0.5, targetDocs = 200, salt = "r7")
+        .orderBy("doc_id"),
+      Some(TrainStream.mixSampleDuckSql("documents", "doc_id", "source",
+        alpha = 0.5, targetDocs = 200, salt = "r7") + "\nORDER BY doc_id")),
+
+    // Per-source token-budget subset in deterministic hash order —
+    // distributed prefix-sum membership, no per-source global window.
+    Q("q_token_budget",
+      (s, d) => TrainStream.tokenBudget(Tables.df(s, d, "documents"),
+        "doc_id", "source", "text", budgetPerSource = 700, salt = "r7")
+        .orderBy("doc_id"),
+      Some(TrainStream.tokenBudgetDuckSql("documents", "doc_id", "source", "text",
+        budgetPerSource = 700, salt = "r7") + "\nORDER BY doc_id")),
+
     // Multimodal binary plumbing, oracle-checked: documents' text BYTES
     // stand in for an opaque media payload (cast to binary); frame
     // sampling and hashing run on the binary column exactly as they

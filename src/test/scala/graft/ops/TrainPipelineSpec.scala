@@ -125,6 +125,68 @@ class TrainPipelineSpec extends SparkSpec {
     out(4).getAs[Int]("passes") shouldBe 0
   }
 
+  // --- Temperature mixing ------------------------------------------
+
+  test("mixSample: alpha=1 keeps natural proportions; alpha=0 equalizes sources") {
+    // source a: 900 docs, source b: 100 docs
+    val df = ((1L to 900L).map((_, "a")) ++ (901L to 1000L).map((_, "b")))
+      .toDF("id", "src")
+    val nat = TrainStream.mixSample(df, "id", "src", alpha = 1.0, targetDocs = 500)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hash-cutoff sampling: counts track the expectation within a few %
+    nat("a").toDouble shouldBe 450.0 +- 60.0
+    nat("b").toDouble shouldBe 50.0 +- 25.0
+    val flat = TrainStream.mixSample(df, "id", "src", alpha = 0.0, targetDocs = 200)
+      .groupBy("src").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    flat("a").toDouble shouldBe 100.0 +- 30.0
+    flat("b").toDouble shouldBe 100.0 +- 30.0
+  }
+
+  test("mixSample is deterministic per salt and disjoint-ish across salts") {
+    val df = (1L to 500L).map((_, "a")).toDF("id", "src")
+    val s1 = TrainStream.mixSample(df, "id", "src", 1.0, 100, salt = "x")
+      .collect().map(_.getLong(0)).toSet
+    val s2 = TrainStream.mixSample(df, "id", "src", 1.0, 100, salt = "x")
+      .collect().map(_.getLong(0)).toSet
+    s1 shouldBe s2
+    val other = TrainStream.mixSample(df, "id", "src", 1.0, 100, salt = "y")
+      .collect().map(_.getLong(0)).toSet
+    other should not be s1 // an independent draw
+    // a 100%-budget request keeps everything (rate caps at 1)
+    TrainStream.mixSample(df, "id", "src", 1.0, 10000).count() shouldBe 500L
+  }
+
+  // --- Token budget -------------------------------------------------
+
+  test("tokenBudget keeps exactly the hash-order prefix of each source") {
+    val df = ((1L to 50L).map(i => (i, "a", ("t " * 10).trim)) ++
+      (51L to 60L).map(i => (i, "b", "t t t")))
+      .toDF("id", "src", "text")
+    val out = TrainStream.tokenBudget(df, "id", "src", "text", budgetPerSource = 100)
+      .collect()
+    // every kept doc STARTS inside the budget
+    out.foreach { r => r.getAs[Long]("cum_before") should be < 100L }
+    // source a: 10-token docs -> exactly 10 kept (offsets 0,10,...,90)
+    out.count(_.getString(1) == "a") shouldBe 10
+    // source b: 3-token docs, all 10 fit (30 tokens total)
+    out.count(_.getString(1) == "b") shouldBe 10
+    // offsets are a consistent prefix: sorted cum_before steps by n_toks
+    val aOffsets = out.filter(_.getString(1) == "a").map(_.getAs[Long]("cum_before")).sorted
+    aOffsets shouldBe (0 until 10).map(_ * 10L).toArray
+  }
+
+  test("tokenBudget plan: no partition-less window, no cartesian") {
+    val df = (0L until 20L).map(i => (i, if (i % 2 == 0) "a" else "b", "x y z"))
+      .toDF("id", "src", "text")
+    val plan = TrainStream.tokenBudget(df, "id", "src", "text", 10)
+      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    plan.collect { case c: CartesianProductExec => c } shouldBe empty
+    plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w } shouldBe empty
+    graft.api.CacheScope.global.release(blocking = true)
+  }
+
   test("packSequences plan: no partition-less window, no cartesian") {
     val df = (0L until 20L).map(i => (i, "a b")).toDF("id", "text")
     val plan = TrainStream.packSequences(df, "id", "text")
