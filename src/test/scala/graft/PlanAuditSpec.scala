@@ -63,9 +63,10 @@ class PlanAuditSpec extends SparkSpec {
     "q_find_matches_topn", // same brute tier (Matcher), dim-sized target
     "q_find_matches_eucl", // brute tier + 1-row max-dist crossJoin
     "q_find_matches_l1",   // brute tier + 1-row max-dist crossJoin
-    "q_corpus_kl"          // group-totals frame (L rows; the op's own
+    "q_corpus_kl",         // group-totals frame (L rows; the op's own
                            // output is L² so L is small by contract)
                            // + 1-row vocab-size crossJoins
+    "q_mix_temperature"    // 1-row weight-normalizer crossJoin
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
@@ -196,8 +197,13 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_corpus_kl: per-group token totals — L rows, the same L
     //    whose square is the op's OUTPUT cardinality; only the
     //    crossJoin sides stay hinted (a cartesian would be worse)
+    //  - q_mix_temperature: per-source cutoffs grouped by the SOURCE
+    //    domain — a training mix's source list (dozens by contract,
+    //    the same label-domain argument as q_nb_classify), bytes/row
+    //  - q_token_budget: bucket offsets grouped by (source × 256
+    //    hex buckets) — the same source domain times a literal bound
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
-      "q_nb_classify", "q_corpus_kl")
+      "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
