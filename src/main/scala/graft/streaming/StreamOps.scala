@@ -101,6 +101,44 @@ object StreamOps {
     stream.filter(!anyHit(gramHashes))
   }
 
+  /** Streaming ingest with incremental near-dup rejection against the
+    * persisted [[graft.dedup.SignatureIndex]] — the daily-ingest loop
+    * as a stream. Per micro-batch (foreachBatch — the index is a file
+    * artifact, so the batch API drives it):
+    *  1. near-dups of the batch vs the STANDING CORPUS drop out
+    *     ([[graft.dedup.SignatureIndex.deltaPairs]]: batch side
+    *     broadcasts, corpus index never shuffles);
+    *  2. batch-INTERNAL near-dup clusters prune to one representative
+    *     ([[graft.api.Collection.dedupe]] — pairs → components →
+    *     anti-join, all batch-sized);
+    *  3. survivors' signatures APPEND to the index, then flow to
+    *     `sink`.
+    * All cross-batch state lives in the on-disk index — a restart
+    * resumes exactly where the index left off, no state store to
+    * recover. Exactly-once caveat: append and sink are two writes; if
+    * the job dies between them a re-processed batch self-excludes on
+    * ids (deltaPairs filters corpus_id = new_id) but text-identical
+    * re-sends under NEW ids would be rejected as dups — the safe
+    * failure mode for a dedup pipeline.
+    */
+  def dedupeIngestStream(stream: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, threshold: Double = 0.5)
+                        (sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val scope = new graft.api.CacheScope()
+      try {
+        val b = scope.persist(batch)
+        val dupIds = graft.dedup.SignatureIndex
+          .deltaPairs(b.sparkSession, indexDir, b, idCol, textCol, threshold, scope = scope)
+          .select(col("new_id").as(idCol)).distinct()
+        val fresh = b.join(dupIds, Seq(idCol), "left_anti")
+        val survivors = scope.persist(
+          new graft.api.Collection("batch", fresh).dedupe(idCol, textCol, threshold, scope))
+        graft.dedup.SignatureIndex.append(survivors, idCol, textCol, indexDir)
+        sink(survivors)
+      } finally scope.release(blocking = true)
+    }.start()
+
   /** A closed gap-session (streaming twin of [[graft.ops.Sessionize]]):
     * event-time micros of the first/last event, event count, value sum.
     */

@@ -53,6 +53,39 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupeIngestStream: corpus dups reject, survivors append, cross-batch dups reject") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // long distinct texts so shingles exist and non-dups stay below threshold
+    def text(seed: String) = (1 to 20).map(i => s"$seed$i").mkString(" ")
+    val corpus = Seq((1L, text("alpha")), (2L, text("beta"))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ingest-idx").toString
+    graft.dedup.SignatureIndex.build(corpus, "doc_id", "text", dir)
+
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer[Long]()
+    val q = StreamOps.dedupeIngestStream(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text", dir) { survivors =>
+      seen ++= survivors.select("doc_id").collect().map(_.getLong(0))
+    }
+    try {
+      // batch 1: 10 = corpus dup (rejected); 11 = fresh (survives);
+      // 12/13 = batch-internal dups (one representative survives)
+      input.addData((10L, text("alpha")), (11L, text("gamma")),
+        (12L, text("delta")), (13L, text("delta")))
+      q.processAllAvailable()
+      seen.sorted shouldBe Seq(11L, 12L)
+      // batch 2: 20 dups batch-1 survivor 11 (the index MOVED — reject);
+      // 21 is fresh
+      input.addData((20L, text("gamma")), (21L, text("epsilon")))
+      q.processAllAvailable()
+      seen.sorted shouldBe Seq(11L, 12L, 21L)
+    } finally q.stop()
+    // the appended index now rejects everything already ingested
+    val replay = Seq((99L, text("epsilon"))).toDF("doc_id", "text")
+    graft.dedup.SignatureIndex.deltaPairs(spark, dir, replay, "doc_id", "text")
+      .count() should be >= 1L
+  }
+
   test("nearDedupeStream drops simhash-identical docs within the watermark") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
