@@ -62,6 +62,22 @@ object Cli {
             .pivot(need("columns"))
             .agg(sum(col(need("values"))))
             .orderBy(need("index")))
+        case "search" if opts.contains("vector") =>
+          // vector mode: ANN against a materialized index on a
+          // collection (--vector "0.1,0.2,..."); searches the IVF+PQ
+          // index when one exists, else the raw-vector IVF index
+          val coll = collOf(spark, opts)
+          val qv = opts("vector").split(',').toSeq.map(_.trim.toDouble)
+          val vc = opts.getOrElse("vector-col", "embedding")
+          val k = limitOf(opts, 10).toInt
+          val nProbe = opts.get("probes").map(_.toInt).getOrElse(4)
+          val res =
+            if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+                s"${opts("collection")}/_vpqindex_$vc")))
+              coll.searchVectorPq(opts.getOrElse("id-col", "id"), vc, qv, k,
+                nProbe, rerank = opts.get("rerank").map(_.toInt).getOrElse(4 * k))
+            else coll.searchVector(vc, qv, k, nProbe)
+          emit(opts, out, res)
         case "search" =>
           val df = load(spark, opts)
           val term = opts.getOrElse("query",
@@ -498,5 +514,6 @@ object Cli {
       |         --target path --metric m --max-matches n --tier brute|lsh
       |           --include-self true (find-matches)
       |         --vector-col v --cells n [--trained false | --pq m --ks k] (index)
+      |         --vector "0.1,..." [--probes n --rerank r] (search, ANN via index)
       |         --output-type tsv|csv|json|jsonl|yaml|markdown|table""".stripMargin
 }

@@ -368,6 +368,12 @@ class CliSpec extends SparkSpec {
     out4 shouldBe Seq("indexed embedding (ivfpq, 2 cells, m=2)")
     coll.searchVectorPq("vec_id", "embedding", Seq(1.0, 0.0), k = 3, nProbe = 2,
       rerank = 3).collect().length shouldBe 3
+    // CLI vector search drives the PQ index (it exists now) with re-rank
+    val (c5, out5) = runCli("search", "--collection", collDir, "--id-col", "vec_id",
+      "--vector", "1.0,0.0", "--probes", "2", "--limit", "2", "--output-type", "csv")
+    c5 shouldBe 0
+    out5.head shouldBe "id,score"
+    out5.tail.head should startWith("1,") // exact re-rank puts (1,0) first
   }
 
   test("find-matches: cross-table and within-collection tiers") {
