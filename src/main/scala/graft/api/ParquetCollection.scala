@@ -126,6 +126,23 @@ class ParquetCollection(
   def exportFile(path: String, format: String = null): Unit =
     graft.io.Formats.write(df, path, format)
 
+  /** Stamp which snapshot version an index was built from — the
+    * staleness fence: a mutation bumps the version, and readers
+    * compare ([[indexFresh]]) instead of silently serving postings
+    * of a dead snapshot.
+    */
+  private def stampSrcVersion(dir: String): Unit =
+    Files.writeString(Paths.get(dir, "_SRC_VERSION"), currentVersion.toString)
+
+  /** True iff the index at `dir` was built from the CURRENT snapshot.
+    * Missing/corrupt stamps read as stale (fail toward correctness).
+    */
+  private def indexFresh(dir: String): Boolean = {
+    val f = Paths.get(dir, "_SRC_VERSION")
+    Files.exists(f) &&
+      scala.util.Try(Files.readString(f).trim.toInt).toOption.contains(currentVersion)
+  }
+
   /** The shadow index collection for `textCol` (reference
     * attach_indexer/index_objects keep the index as a SHADOW collection
     * beside the data — collection.py:531-607, 810-905).
@@ -148,6 +165,7 @@ class ParquetCollection(
     // buckets, so search() reads THIS dim rather than trusting its
     // caller's parameter
     Files.writeString(Paths.get(s"$root/_index_$textCol", "_DIM"), dim.toString)
+    stampSrcVersion(s"$root/_index_$textCol")
   }
 
   /** Refresh the materialized index (reference index_objects). */
@@ -173,6 +191,7 @@ class ParquetCollection(
       val m = graft.ann.KMeans.fit(df, idCol, vecCol, k = nCells, maxIters = trainIters)
       graft.ann.IvfIndex.build(df, idCol, vecCol, m.centroids, dir)
     } else graft.ann.IvfIndex.build(df, idCol, vecCol, nCells, dir)
+    stampSrcVersion(dir)
   }
 
   /** Materialize a persisted IVF+PQ vector index ([[graft.ann.IvfPqIndex]]):
@@ -182,9 +201,11 @@ class ParquetCollection(
     * partition-pruned ADC scans with exact re-rank via [[searchVectorPq]].
     */
   def attachVectorIndexPq(idCol: String, vecCol: String, nCells: Int = 16,
-                          m: Int = 8, ks: Int = 16): Unit =
+                          m: Int = 8, ks: Int = 16): Unit = {
     graft.ann.IvfPqIndex.build(df, idCol, vecCol, s"$root/_vpqindex_$vecCol",
       nCells, m, ks)
+    stampSrcVersion(s"$root/_vpqindex_$vecCol")
+  }
 
   /** ADC top-k against the materialized IVF+PQ index; `rerank > k`
     * re-ranks that many ADC candidates by exact cosine against the
@@ -194,6 +215,9 @@ class ParquetCollection(
                      k: Int, nProbe: Int = 4, rerank: Int = 0): org.apache.spark.sql.DataFrame = {
     require(Files.exists(Paths.get(s"$root/_vpqindex_$vecCol")),
       s"no PQ vector index on '$vecCol' — call attachVectorIndexPq first")
+    require(indexFresh(s"$root/_vpqindex_$vecCol"),
+      s"PQ vector index on '$vecCol' is STALE (the collection mutated since " +
+        "the build) — call attachVectorIndexPq again")
     graft.ann.IvfPqIndex.probe(spark, s"$root/_vpqindex_$vecCol", queryVec, k,
       nProbe, rerank, raw = if (rerank > k) Some((df, idCol, vecCol)) else None)
   }
@@ -224,6 +248,9 @@ class ParquetCollection(
       nProbe: Int = 4): org.apache.spark.sql.DataFrame = {
     require(Files.exists(Paths.get(s"$root/_vindex_$vecCol")),
       s"no vector index on '$vecCol' — call attachVectorIndex first")
+    require(indexFresh(s"$root/_vindex_$vecCol"),
+      s"vector index on '$vecCol' is STALE (the collection mutated since " +
+        "the build) — call attachVectorIndex again")
     graft.ann.IvfIndex.probe(spark, s"$root/_vindex_$vecCol", queryVec, k, nProbe)
   }
 
@@ -241,7 +268,12 @@ class ParquetCollection(
     * for `key` (search must use THAT dim, not the caller's).
     */
   private def materializedDim(key: String): Option[Int] =
-    if (!Files.exists(Paths.get(s"$root/_index_$key", "_CURRENT"))) None
+    // a stale index (collection mutated since the build) reads as
+    // not-materialized: search falls back to the inline index over
+    // the CURRENT snapshot — correct results at scan cost, never
+    // postings of a dead version
+    if (!Files.exists(Paths.get(s"$root/_index_$key", "_CURRENT")) ||
+        !indexFresh(s"$root/_index_$key")) None
     else {
       val dimFile = Paths.get(s"$root/_index_$key", "_DIM")
       Some(if (Files.exists(dimFile)) Files.readString(dimFile).trim.toInt
@@ -263,6 +295,7 @@ class ParquetCollection(
     indexCollection(key).replace(
       graft.index.TrigramIndexer.index(withText, idCol, "__obj_text", dim))
     Files.writeString(Paths.get(s"$root/_index_$key", "_DIM"), dim.toString)
+    stampSrcVersion(s"$root/_index_$key")
   }
 
   def attachIndex(idCol: String, attrs: Seq[String]): Unit =
@@ -346,7 +379,10 @@ class ParquetCollection(
       dim: Int = graft.index.TrigramIndexer.DefaultDim,
       where: Filter = Filter.True, selectCols: Seq[String] = Nil): DataFrame = {
     val idx = indexCollection(textCol)
-    val materialized = Files.exists(Paths.get(s"$root/_index_$textCol", "_CURRENT"))
+    // stale ⇒ inline fallback over the current snapshot (see
+    // materializedDim)
+    val materialized = Files.exists(Paths.get(s"$root/_index_$textCol", "_CURRENT")) &&
+      indexFresh(s"$root/_index_$textCol")
     // the materialized path uses the dim the index was BUILT with — the
     // caller's dim only drives the inline fallback
     val effDim =

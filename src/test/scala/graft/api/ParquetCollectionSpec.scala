@@ -155,11 +155,13 @@ class ParquetCollectionSpec extends SparkSpec {
       .collect().map(_.getInt(0)).sorted
     r2 shouldBe Array(1, 3, 4)
 
-    // stale-index semantics: search reads the MATERIALIZED snapshot, so
-    // without reindex a new row is invisible (the documented tradeoff)
+    // stale-index semantics: the mutation bumps the snapshot version,
+    // so the materialized postings are IGNORED and the inline fallback
+    // over the current snapshot serves — the new row is visible even
+    // before reindex (correctness over scan cost)
     c.insert(Seq((5, "spark is fast")).toDF("doc_id", "text"))
     c.search("doc_id", "text", "spark is fast", k = 5)
-      .collect().map(_.getInt(0)).sorted shouldBe Array(1, 3, 4)
+      .collect().map(_.getInt(0)).sorted shouldBe Array(1, 3, 4, 5)
   }
 
   test("a materialized no-template index never serves a templated search") {
@@ -177,6 +179,38 @@ class ParquetCollectionSpec extends SparkSpec {
     val r = c.search("doc_id", Seq("title", "body"), "zebra", 2, Some("{title}"))
       .collect().map(_.getInt(0))
     r shouldBe Array(2)
+  }
+
+  test("a mutation makes indexes stale: text search falls back fresh, vector search fails loud") {
+    val dir = Files.createTempDirectory("graft-stale").toString
+    val c = new ParquetCollection(spark, dir, "docs")
+    c.replace(Seq((1L, "spark streams fast", Array(1.0f, 0.0f)),
+      (2L, "ducks swim in ponds", Array(0.0f, 1.0f)))
+      .toDF("doc_id", "text", "embedding"))
+    c.attachIndex("doc_id", "text")
+    c.attachVectorIndex("doc_id", "embedding", nCells = 2)
+    // sanity: both serve
+    c.search("doc_id", "text", "spark streams", k = 2).collect() should not be empty
+    c.searchVector("embedding", Seq(1.0, 0.0), k = 1).collect() should not be empty
+
+    c.insert(Seq((3L, "spark streams quack", Array(0.9f, 0.1f)))
+      .toDF("doc_id", "text", "embedding"))
+    // text search: the stale postings are NOT consulted — the inline
+    // fallback over the current snapshot finds the NEW doc
+    val ids = c.search("doc_id", "text", "spark streams", k = 3)
+      .collect().map(_.getLong(0)).toSet
+    ids should contain(3L)
+    // vector search: wrong results are refused, not served
+    val e1 = the[IllegalArgumentException] thrownBy
+      c.searchVector("embedding", Seq(1.0, 0.0), k = 1)
+    e1.getMessage should include("STALE")
+    // re-attach restores both materialized paths
+    c.attachIndex("doc_id", "text")
+    c.attachVectorIndex("doc_id", "embedding", nCells = 2)
+    c.search("doc_id", "text", "spark streams", k = 3)
+      .collect().map(_.getLong(0)).toSet should contain(3L)
+    c.searchVector("embedding", Seq(1.0, 0.0), k = 3)
+      .collect().map(_.getLong(0)) should contain(3L)
   }
 
   test("search where= scores only the matching slice; filter reaches PushedFilters") {
