@@ -132,10 +132,17 @@ object IvfPqIndex {
     val cand = scanned.orderBy(col("adc").asc, col("id").asc).limit(nCand)
     raw match {
       case Some((df, idCol, vecCol)) if rerank > k =>
+        // collect the ≤rerank winning ids (driver-bounded, like the
+        // centroid frame) and push them INTO the raw scan as an In
+        // predicate — parquet row-group stats skip everything else, so
+        // the exact re-rank reads ~rerank rows, not the corpus (a
+        // broadcast join would scan every raw vector to probe the hash
+        // table)
+        val candIds = cand.select(col("id")).collect().map(_.getLong(0))
         val qvLit = typedLit(queryVec)
-        broadcast(cand.select(col("id")))
-          .join(df.select(col(idCol).cast("long").as("id"),
-            col(vecCol).cast("array<double>").as("__v")), "id")
+        df.select(col(idCol).cast("long").as("id"),
+            col(vecCol).cast("array<double>").as("__v"))
+          .filter(col("id").isin(candIds: _*))
           .select(col("id"),
             round(VectorFunctions.cosine(col("__v"), qvLit), 4).as("score"))
           .orderBy(col("score").desc, col("id").asc)

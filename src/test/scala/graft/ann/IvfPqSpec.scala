@@ -78,6 +78,25 @@ class IvfPqSpec extends SparkSpec {
       .size should be <= 3
   }
 
+  test("re-rank pushes the candidate ids into the raw-vector scan") {
+    val root = java.nio.file.Files.createTempDirectory("ivfpq6").toString
+    val coll = new graft.api.ParquetCollection(spark, root, "emb")
+    coll.replace(emb)
+    coll.attachVectorIndexPq("vec_id", "embedding", nCells = 8, m = 8, ks = 16)
+    val r = coll.searchVectorPq("vec_id", "embedding", qv(0), k = 5,
+      nProbe = 4, rerank = 20)
+    // the exact re-rank reads ~rerank rows via an In predicate on the
+    // raw scan (row-group skipping), not a corpus-wide join
+    val pushed = r.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec
+        if s.relation.location.rootPaths.exists(_.toString.contains("v_0")) =>
+        s.metadata.getOrElse("PushedFilters", "[]")
+    }
+    pushed should not be empty
+    pushed.exists(_.contains("In(vec_id")) shouldBe true
+    r.collect().length shouldBe 5
+  }
+
   test("code storage is an order of magnitude smaller than raw vectors") {
     val root = java.nio.file.Files.createTempDirectory("ivfpq4").toString
     IvfPqIndex.build(emb, "vec_id", "embedding", root, nCells = 8, m = 8, ks = 16)
