@@ -70,6 +70,53 @@ object Pq {
     df.select(col(idCol) +: array(codes: _*).as("codes") +: keep.map(col): _*)
   }
 
+  /** DuckDB twin of `search(encode(df, fit(df, maxIters = 0)), qv(queryId))`
+    * — the INIT codebook (first-ks-by-id subvectors, zero Lloyd's
+    * steps), so the whole encode + asymmetric-distance pipeline is
+    * closed-form SQL: palette = ranked init slices, code = the same
+    * `c2 − 2·dot` argmin with the lower-idx tie-break as [[Pq.encode]],
+    * ADC = per-block squared distance of the query residual to the
+    * CODED palette entry. Training itself is oracle-proven separately
+    * by the unrolled-Lloyd's `q_kmeans` twin ([[KMeans.assignDuckSql]]);
+    * this one proves the quantize/search arithmetic. Keep m = 2: the
+    * final per-row sum has two float terms, and two-term addition is
+    * commutative bitwise, so the aggregation order cannot skew it.
+    */
+  def searchDuckSql(table: String, idCol: String, vecCol: String,
+                    m: Int, ks: Int, queryId: Long, k: Int, dim: Int): String = {
+    require(dim % m == 0, s"dim $dim must divide into m=$m blocks")
+    val dsub = dim / m
+    val rs = s"range(1, ${dsub + 1})"
+    def sub(vec: String, b: String) = s"list_slice($vec, $b * $dsub + 1, ($b + 1) * $dsub)"
+    s"""WITH e AS (
+       |  SELECT CAST($idCol AS BIGINT) AS id, CAST($vecCol AS DOUBLE[]) AS v
+       |  FROM $table WHERE $vecCol IS NOT NULL),
+       |init AS (SELECT id, v FROM e ORDER BY id LIMIT $ks),
+       |blocks AS (SELECT unnest(range($m)) AS b),
+       |pal AS (
+       |  SELECT b, row_number() OVER (PARTITION BY b ORDER BY id) - 1 AS idx,
+       |    ${sub("v", "b")} AS pvec
+       |  FROM init CROSS JOIN blocks),
+       |codes AS (
+       |  SELECT id, b, idx FROM (
+       |    SELECT e.id, p.b, p.idx,
+       |      row_number() OVER (PARTITION BY e.id, p.b ORDER BY
+       |        list_sum(list_transform($rs, i -> p.pvec[i] * p.pvec[i]))
+       |        - 2 * list_sum(list_transform($rs, i -> ${sub("e.v", "p.b")}[i] * p.pvec[i])),
+       |        p.idx) AS rn
+       |    FROM e CROSS JOIN pal p) t
+       |  WHERE rn = 1),
+       |q AS (SELECT v AS qv FROM e WHERE id = $queryId),
+       |contrib AS (
+       |  SELECT c.id,
+       |    list_sum(list_transform($rs, i ->
+       |      (p.pvec[i] - ${sub("q.qv", "c.b")}[i]) * (p.pvec[i] - ${sub("q.qv", "c.b")}[i]))) AS d
+       |  FROM codes c JOIN pal p ON c.b = p.b AND c.idx = p.idx CROSS JOIN q)
+       |SELECT id AS $idCol, adc FROM (
+       |  SELECT id, round(sum(d), 4) AS adc FROM contrib GROUP BY id) t
+       |ORDER BY adc ASC, $idCol ASC LIMIT $k""".stripMargin
+  }
+
   /** Asymmetric-distance top-k over an encoded frame: the query's
     * exact per-block distance tables ship as literals; each row costs
     * m array lookups. Returns (id, adc) ascending (squared distance).

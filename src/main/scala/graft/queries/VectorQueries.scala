@@ -67,6 +67,24 @@ object VectorQueries extends QuerySet {
       Some(Knn.ivfTopKDuckSql("embeddings", "vec_id", "embedding",
         queryId = 0L, k = 10, dim = Dim))),
 
+    // PQ encode + asymmetric-distance search, oracle-checked on the
+    // INIT codebook (zero Lloyd's steps — training is q_kmeans's
+    // oracle; this one proves the quantize/lookup arithmetic).
+    // m=2 keeps the oracle's 2-term ADC sum order-independent.
+    Q("q_ann_pq",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        val model = graft.ann.Pq.fit(e, "vec_id", "embedding",
+          m = 2, ks = 8, maxIters = 0)
+        val qv = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        graft.ann.Pq.search(
+          graft.ann.Pq.encode(e, "vec_id", "embedding", model),
+          "vec_id", model, qv, k = 10)
+      },
+      Some(graft.ann.Pq.searchDuckSql("embeddings", "vec_id", "embedding",
+        m = 2, ks = 8, queryId = 0L, k = 10, dim = Dim))),
+
     // MMR-diversified search: the greedy re-rank runs driver-side over
     // the bounded top-fetchK; the oracle replays the identical greedy
     // argmax as a DuckDB recursive CTE (exact integer dots -> the float
