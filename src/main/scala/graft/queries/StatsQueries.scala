@@ -65,6 +65,31 @@ object StatsQueries extends QuerySet {
              |GROUP BY o_orderstatus
              |ORDER BY o_orderstatus""".stripMargin)),
 
+    // Rule-based inference as a registered query: ordered rules where
+    // a later precondition reads an EARLIER rule's assignment (the
+    // reference engine's sequential-mutate semantics), plus a computed
+    // assignment. The oracle replays the chain as sequential CTEs.
+    Q("q_rule_infer",
+      (s, d) => graft.ops.Rules.applyRules(Tables.df(s, d, "documents"), Seq(
+        graft.ops.Rules.Rule(graft.query.Filter.eq("lang", "en"),
+          Map("tier" -> lit("base"),
+            "score" -> length(col("text")).cast("long"))),
+        graft.ops.Rules.Rule(graft.query.Filter.gt("score", 500L),
+          Map("tier" -> lit("long")))))
+        .select("doc_id", "lang", "tier", "score")
+        .orderBy("doc_id"),
+      Some("""WITH r1 AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN lang = 'en' THEN 'base' END AS tier,
+             |    CASE WHEN lang = 'en' THEN CAST(length(text) AS BIGINT) END AS score
+             |  FROM documents),
+             |r2 AS (
+             |  SELECT doc_id, lang,
+             |    CASE WHEN score > 500 THEN 'long' ELSE tier END AS tier,
+             |    score
+             |  FROM r1)
+             |SELECT doc_id, lang, tier, score FROM r2 ORDER BY doc_id""".stripMargin)),
+
     // Pairwise mutual information between categorical columns — the
     // Spark-first analog of the reference's stats_utils predictive
     // power (sklearn trees -> exact information-theoretic association).
