@@ -94,23 +94,29 @@ object SignatureIndex {
                          k: Int, w: Int, bands: Int, threshold: Double,
                          maxBucket: Int,
                          scope: graft.api.CacheScope): DataFrame = {
-    // skew guard on the CORPUS side (the delta is bounded by the batch):
-    // a degenerate bucket of thousands of identical corpus docs must
-    // not go quadratic against a delta doc landing in it. Window rides
-    // the band/bkey exchange like the self-join variant; the oracle
-    // applies the identical cap.
-    val cappedCorpus = corpusBands
-      .withColumn("__bsz", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
-      .filter(col("__bsz") <= maxBucket)
-      .drop("__bsz")
     // both the band join and the verify reference the delta's derived
     // frames — persist them through the scope, broadcast explicitly
     // (delta << corpus is the contract of this operator)
     val deltaBands = scope.persist(
       MinHash.bandRows(delta, idCol, textCol, k, w, bands))
     val deltaSh = scope.persist(MinHash.shingleSets(delta, idCol, textCol, w))
-    val cand = cappedCorpus
+    // skew guard on the CORPUS side (a degenerate bucket of thousands
+    // of identical corpus docs must not go quadratic against a delta
+    // doc landing in it) WITHOUT a corpus shuffle: bucket sizes are
+    // counted only for the DELTA's band keys — a map-only broadcast
+    // semi-join, then a partial aggregate whose map-side combine
+    // bounds the exchange to ≤ |delta keys| rows per partition. A
+    // bucket's size is unchanged by the key restriction (every row of
+    // a matching bucket matches), so the cap equals the oracle's
+    // full-corpus QUALIFY.
+    val deltaKeys = deltaBands.select(col("band"), col("bkey")).distinct()
+    val okKeys = corpusBands
+      .join(broadcast(deltaKeys), Seq("band", "bkey"), "left_semi")
+      .groupBy(col("band"), col("bkey")).agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= maxBucket)
+      .select(col("band"), col("bkey"))
+    val cand = corpusBands
+      .join(broadcast(okKeys), Seq("band", "bkey"), "left_semi")
       .join(broadcast(deltaBands.select(col("band"), col("bkey"),
         col(idCol).as("new_id"))), Seq("band", "bkey"))
       .select(col(idCol).as("corpus_id"), col("new_id"))

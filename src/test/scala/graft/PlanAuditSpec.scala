@@ -202,8 +202,12 @@ class PlanAuditSpec extends SparkSpec {
     //    the same label-domain argument as q_nb_classify), bytes/row
     //  - q_token_budget: bucket offsets grouped by (source × 256
     //    hex buckets) — the same source domain times a literal bound
+    //  - q_dedup_delta: capped-bucket keys grouped by (band, bkey)
+    //    AFTER a semi-join restriction to the DELTA's band keys —
+    //    delta-bounded by the operator's contract (the ingest batch)
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
-      "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget")
+      "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
+      "q_dedup_delta")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

@@ -50,24 +50,42 @@ class SignatureIndexSpec extends SparkSpec {
     hits.filter(col("jaccard") === 1.0).count() should be >= 1L
   }
 
-  test("the corpus side of the delta join never shuffles") {
+  test("corpus index rows pass a delta-bounded broadcast filter before any shuffle") {
     val dir = buildIndex()
-    val plan = SignatureIndex.deltaPairs(spark, dir, delta, "doc_id", "text")
-      .queryExecution.executedPlan
-    // every shuffle in the plan must sit on delta-derived or
-    // candidate-sized frames; the corpus bands/shingles scans feed
-    // broadcast hash joins directly. We assert the structural form:
-    // no ShuffleExchange whose subtree scans the index directories.
+    // exchanges exist only after EnsureRequirements (executedPlan) —
+    // sparkPlan has none and an assertion there is vacuous. With AQE
+    // the tree sits behind an AdaptiveSparkPlanExec leaf, so flatten
+    // through it (and through cached subplans) explicitly.
+    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(flatten)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          flatten(a.executedPlan)
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          flatten(m.relation.cachedPlan)
+        case _ => Nil
+      })
+    val all = flatten(SignatureIndex.deltaPairs(spark, dir, delta, "doc_id", "text")
+      .queryExecution.executedPlan)
     def scansIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      p.collect {
-        case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.relation.location.rootPaths.exists(r =>
-            r.toString.contains("sigidx")) => s
-      }.nonEmpty
-    val offending = plan.collect {
+      flatten(p).exists {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.rootPaths.exists(_.toString.contains("sigidx"))
+        case _ => false
+      }
+    def hasBroadcastBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      flatten(p).exists {
+        case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
+        case _ => false
+      }
+    // raw corpus rows must never be shuffle input: any exchange whose
+    // subtree reaches an index scan must ALSO contain a broadcast join
+    // beneath it (i.e. the rows were already cut to delta-bounded
+    // volume — band-key semi-join or candidate join — before moving)
+    val exchanges = all.collect {
       case e: ShuffleExchangeExec if scansIndex(e.child) => e
     }
-    offending shouldBe empty
+    exchanges should not be empty // the assertion must not be vacuous
+    exchanges.filterNot(e => hasBroadcastBelow(e.child)) shouldBe empty
   }
 
   test("meta round-trips and a mismatched delta cannot silently mis-hash") {
