@@ -22,4 +22,19 @@ object SparkTestSession {
 
 trait SparkSpec extends AnyFunSuite with Matchers {
   lazy val spark: SparkSession = SparkTestSession.spark
+
+  /** Every node of a physical plan, descending through the boundaries
+    * `TreeNode.collect` treats as leaves: the AQE wrapper (present
+    * whenever the plan has exchanges — a naive collect over
+    * `executedPlan` silently sees NOTHING inside and any assertion on
+    * it passes vacuously) and cached subplans.
+    */
+  protected def flattenPlan(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    (p +: p.children.flatMap(flattenPlan)) ++ (p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        flattenPlan(a.executedPlan)
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        flattenPlan(m.relation.cachedPlan)
+      case _ => Nil
+    })
 }

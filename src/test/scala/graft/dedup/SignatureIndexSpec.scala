@@ -53,27 +53,18 @@ class SignatureIndexSpec extends SparkSpec {
   test("corpus index rows pass a delta-bounded broadcast filter before any shuffle") {
     val dir = buildIndex()
     // exchanges exist only after EnsureRequirements (executedPlan) —
-    // sparkPlan has none and an assertion there is vacuous. With AQE
-    // the tree sits behind an AdaptiveSparkPlanExec leaf, so flatten
-    // through it (and through cached subplans) explicitly.
-    def flatten(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
-      (p +: p.children.flatMap(flatten)) ++ (p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          flatten(a.executedPlan)
-        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
-          flatten(m.relation.cachedPlan)
-        case _ => Nil
-      })
-    val all = flatten(SignatureIndex.deltaPairs(spark, dir, delta, "doc_id", "text")
+    // sparkPlan has none and an assertion there is vacuous; flattenPlan
+    // descends through the AQE wrapper and cached subplans.
+    val all = flattenPlan(SignatureIndex.deltaPairs(spark, dir, delta, "doc_id", "text")
       .queryExecution.executedPlan)
     def scansIndex(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      flatten(p).exists {
+      flattenPlan(p).exists {
         case s: org.apache.spark.sql.execution.FileSourceScanExec =>
           s.relation.location.rootPaths.exists(_.toString.contains("sigidx"))
         case _ => false
       }
     def hasBroadcastBelow(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      flatten(p).exists {
+      flattenPlan(p).exists {
         case _: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => true
         case _ => false
       }

@@ -64,7 +64,10 @@ class PcaSpec extends SparkSpec {
     val proj = Pca.fitProject(emb, "vec_id", "embedding", k = 2)
     proj.columns.toSeq shouldBe Seq("vec_id", "pc1", "pc2")
     proj.count() shouldBe 500
-    val exchanges = proj.queryExecution.executedPlan.collect {
+    // flattenPlan: a bare collect over executedPlan goes vacuous the
+    // moment an AQE wrapper appears (it would hide a regression, not
+    // catch it)
+    val exchanges = flattenPlan(proj.queryExecution.executedPlan).collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     exchanges shouldBe empty
