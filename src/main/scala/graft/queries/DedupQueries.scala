@@ -95,6 +95,16 @@ object DedupQueries extends QuerySet {
         "documents", "doc_id", "text",
         corpusWhere = "doc_id % 10 <> 0", deltaWhere = "doc_id % 10 = 0"))),
 
+    // Substring-granular dedup: maximal spans covered by 8-token
+    // shingles that occur in more than one document (boilerplate /
+    // quoted-passage detection document-level dedup misses).
+    Q("q_dup_spans",
+      (s, d) => graft.dedup.SpanDedup.duplicatedSpans(
+        Tables.df(s, d, "documents"), "doc_id", "text", minLen = 8)
+        .orderBy("doc_id", "span_start"),
+      Some(graft.dedup.SpanDedup.duplicatedSpansDuckSql(
+        "documents", "doc_id", "text", minLen = 8))),
+
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),

@@ -191,11 +191,37 @@ object TextFunctions {
     s"list_transform(string_split($textSql, ' '), tok -> " +
       s"CAST(concat('0x', substr(md5(tok), 1, 8)) AS BIGINT) % $ShingleMod)"
 
-  /** DuckDB twin of [[hashedShinglesFromSql]] over a list column. */
+  /** DuckDB twin of [[hashedShinglesFromSql]] over a list column.
+    * NOTE: DuckDB's `list_distinct` does NOT preserve first-occurrence
+    * order (Spark's `array_distinct` does) — every consumer of this
+    * fragment treats hs as a SET (signatures, membership, jaccard);
+    * positional consumers must use [[positionalShinglesDuckSql]].
+    */
   def hashedShinglesFromDuckSql(thCol: String, w: Int = 3): String = {
     val poly = (0 until w).map(j => s"$thCol[i + $j]")
       .foldLeft(s"CAST(0 AS BIGINT)")((acc, h) => s"(($acc * $ShinglePrime + $h) % $ShingleMod)")
     s"CASE WHEN len($thCol) < $w THEN CAST([] AS BIGINT[]) ELSE " +
       s"list_distinct(list_transform(range(1, len($thCol) - ${w - 2}), i -> $poly)) END"
+  }
+
+  /** UNDEDUPED per-position w-shingle hashes: element i (0-based)
+    * hashes tokens i..i+w-1, so array positions ARE token offsets —
+    * the form positional span operators need (the deduped variants
+    * above reorder under repetition and across engines).
+    */
+  def positionalShinglesSql(textCol: String, w: Int = 3): String = {
+    val poly = (0 until w).map(j => s"element_at(th, i + ${j + 1})")
+      .foldLeft("cast(0 as bigint)")((acc, h) => s"(($acc * $ShinglePrime + $h) % $ShingleMod)")
+    s"aggregate(array(0), ${tokenHashesSql(textCol)}, (acc, x) -> acc, th -> " +
+      s"IF(size(th) < $w, array(), " +
+      s"transform(sequence(0, size(th) - $w), i -> $poly)))"
+  }
+
+  /** DuckDB twin of [[positionalShinglesSql]] over a list column. */
+  def positionalShinglesDuckSql(thCol: String, w: Int = 3): String = {
+    val poly = (0 until w).map(j => s"$thCol[i + $j]")
+      .foldLeft(s"CAST(0 AS BIGINT)")((acc, h) => s"(($acc * $ShinglePrime + $h) % $ShingleMod)")
+    s"CASE WHEN len($thCol) < $w THEN CAST([] AS BIGINT[]) ELSE " +
+      s"list_transform(range(1, len($thCol) - ${w - 2}), i -> $poly) END"
   }
 }
