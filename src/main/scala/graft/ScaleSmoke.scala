@@ -88,6 +88,11 @@ object ScaleSmoke {
           docsX(k).filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text")),
+      "dup_spans" -> (k =>
+        // positional grams + distinct-doc agg + keyed semi-join: all
+        // corpus-linear; the salted copies share no shingles so the
+        // duplicated-gram density stays constant
+        graft.dedup.SpanDedup.duplicatedSpans(docsX(k), "doc_id", "text")),
       "corpus_kl" -> (k =>
         // pairwise KL over GLOBAL vocab: groups stay constant, vocab
         // grows ~k-fold — linear iff the absent-absent remainder stays
