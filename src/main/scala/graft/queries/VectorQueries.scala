@@ -31,6 +31,23 @@ object VectorQueries extends QuerySet {
         "doc_id", Query, k = 10),
       Some(Search.searchTrigramDuckSql("documents", "doc_id", "text", Query, k = 10))),
 
+    // search(where=, select_cols=) — reference collection.py:531-537:
+    // the pre-filter restricts the SCORED slice (an excluded doc can
+    // never rank), the projection joins data columns back onto the
+    // bounded ranked set.
+    Q("q_search_where",
+      (s, d) => new graft.api.Collection("documents",
+        Tables.df(s, d, "documents"))
+        .search("text", Query, k = 10,
+          where = graft.query.Filter.eq("lang", "en"), selectCols = Seq("lang")),
+      Some(s"""WITH ranked AS (
+              |${Search.searchTrigramDuckSql(
+                 "(SELECT * FROM documents WHERE lang = 'en') f",
+                 "doc_id", "text", Query, k = 10)})
+              |SELECT ranked.doc_id, d.lang, score
+              |FROM ranked JOIN documents d USING (doc_id)
+              |ORDER BY score DESC, doc_id ASC""".stripMargin)),
+
     // Multi-attribute search (reference index_attributes): the object
     // renders to "source: …; text: …" before trigram hashing — the
     // common "index name+description" case, one fused projection.

@@ -177,9 +177,16 @@ class PlanAuditSpec extends SparkSpec {
       // global (grouping-less) aggregate emits one row no matter what
       // it aggregates over, so only a grouped aggregate AT THE TOP is
       // an unbounded broadcast
+      // a LIMIT above the aggregate bounds the hinted side regardless
+      // of grouping (the search top-k pattern); collectFirst is
+      // preorder, so the Limit wins when it sits above
       def grouped(p: LogicalPlan) = p.collectFirst {
-        case a: Aggregate => a
-      }.exists(_.groupingExpressions.nonEmpty)
+        case l: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => Left(l)
+        case a: Aggregate => Right(a)
+      }.exists {
+        case Right(a) => a.groupingExpressions.nonEmpty
+        case Left(_) => false
+      }
       val leftHinted = j.hint.leftHint.exists(_.strategy.isDefined) && grouped(j.left)
       val rightHinted = j.hint.rightHint.exists(_.strategy.isDefined) && grouped(j.right)
       leftHinted || rightHinted
