@@ -58,6 +58,17 @@ object ScaleSmoke {
               .cast("float")).as("embedding"))
     }.reduce(_ unionByName _)
 
+    // letters-only salt for the [a-z]+-tokenizing trainers (BPE / LR):
+    // the "_i" salt above would be filtered out of their word stream
+    // and the copies would vanish from the measured path
+    def docsXLetters(k: Int): DataFrame = (0 until k).map { i =>
+      if (i == 0) docs
+      else docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        col("lang"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(t, lit("q" * i)))).as("text"))
+    }.reduce(_ unionByName _)
+
     def time(f: => DataFrame): Double = {
       val t0 = System.nanoTime()
       f.queryExecution.toRdd.foreach(_ => ())
@@ -104,7 +115,23 @@ object ScaleSmoke {
         val e = embsX(k)
         graft.ann.KMeans.assign(e, "vec_id", "embedding",
           graft.ann.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 3))
-      }))
+      }),
+      "decontam_embed" -> (k =>
+        // fixed eval set vs k-times train corpus: eval bands broadcast,
+        // train side is map-side bands + one keyed verify join
+        graft.ann.Knn.decontaminateEmbed(embsX(k),
+          embs.filter(col("vec_id") % 10 === 0), "vec_id", "embedding",
+          threshold = 0.95)),
+      "bpe_train" -> (k => {
+        // corpus compresses to its word table first; 10 merge rounds of
+        // vocabulary-sized work after one corpus-sized groupBy
+        val m = graft.text.BpeTrain.fit(docsXLetters(k), "text", nMerges = 10)
+        graft.text.BpeTrain.encode(docsXLetters(k), "text", m).select("doc_id", "tokens")
+      }),
+      "lr_classify" -> (k =>
+        // 3 GD steps = 3 partial-avg scans + 1 scoring scan, all map-only
+        graft.ops.LogReg.classify(docsXLetters(k), "doc_id", "text",
+          label = col("lang") === "en")))
 
     var failed = false
     val results = finders.map { case (name, f) =>

@@ -448,6 +448,91 @@ object Knn {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Semantic train/eval decontamination: flag every train row whose
+    * embedding is within cosine `threshold` of ANY eval embedding — the
+    * embedding-space analog of the n-gram `Corpus.decontaminate`
+    * (catches paraphrased benchmark leakage that exact n-gram overlap
+    * misses). Candidates come from the same sign-bit banding as
+    * [[nearDupPairs]], but CROSS-side: the eval set's band keys and
+    * vectors broadcast (benchmark suites are thousands of rows, not
+    * corpora), so the 100 TB train side computes its bands map-side and
+    * never shuffles — candidate verification joins the bounded candidate
+    * id set back under AQE. Returns one row per train row:
+    * (idCol, contaminated) — callers drop `contaminated` rows.
+    */
+  def decontaminateEmbed(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 32,
+      bands: Int = 4): DataFrame = {
+    val tb = bandedSignBits(train, idCol, vecCol, nBits, bands)
+      .select(col("band"), col("chunk"), col(idCol).as("__train_id"))
+    val eb = bandedSignBits(eval, idCol, vecCol, nBits, bands)
+      .select(col("band"), col("chunk"), col(idCol).as("__eval_id"))
+    val cand = tb.join(broadcast(eb), Seq("band", "chunk"))
+      .select("__train_id", "__eval_id").distinct()
+    val tv = train.select(col(idCol).as("__train_id"),
+        col(vecCol).cast("array<double>").as("__tv"))
+      .withColumn("__tn", VectorFunctions.norm(col("__tv")))
+    val ev = eval.select(col(idCol).as("__eval_id"),
+        col(vecCol).cast("array<double>").as("__ev"))
+      .withColumn("__en", VectorFunctions.norm(col("__ev")))
+    val hit = cand
+      .join(tv, "__train_id")
+      .join(broadcast(ev), "__eval_id")
+      .filter(round(VectorFunctions.dot(col("__tv"), col("__ev")) /
+        (col("__tn") * col("__en")), 4) >= threshold)
+      .select(col("__train_id")).distinct()
+      .withColumn("__c", lit(true))
+    train.select(col(idCol))
+      .join(hit, col(idCol) === col("__train_id"), "left")
+      .select(col(idCol), coalesce(col("__c"), lit(false)).as("contaminated"))
+  }
+
+  /** DuckDB twin of [[decontaminateEmbed]]; train/eval sides are the
+    * base table restricted by `trainWhere` / `evalWhere`.
+    */
+  def decontaminateEmbedDuckSql(
+      table: String,
+      idCol: String,
+      vecCol: String,
+      trainWhere: String,
+      evalWhere: String,
+      threshold: Double,
+      dim: Int,
+      nBits: Int = 32,
+      bands: Int = 4): String = {
+    val width = nBits / bands
+    val mask = (1L << width) - 1
+    def bandSelects(src: String) = (0 until bands).map { b =>
+      s"SELECT $idCol, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM $src"
+    }.mkString("\nUNION ALL\n")
+    def dot(x: String, y: String) =
+      s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
+    s"""WITH tr AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v,
+       |              sqrt(${dot("v", "v")}) AS nrm FROM $table WHERE $trainWhere),
+       |ev AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v,
+       |              sqrt(${dot("v", "v")}) AS nrm FROM $table WHERE $evalWhere),
+       |tsig AS (SELECT $idCol, ${signBitsDuck("v", nBits)} AS sig FROM tr),
+       |esig AS (SELECT $idCol, ${signBitsDuck("v", nBits)} AS sig FROM ev),
+       |tbk AS (${bandSelects("tsig")}),
+       |ebk AS (${bandSelects("esig")}),
+       |cand AS (
+       |  SELECT DISTINCT t.$idCol AS train_id, e.$idCol AS eval_id
+       |  FROM tbk t JOIN ebk e ON t.band = e.band AND t.chunk = e.chunk),
+       |hit AS (
+       |  SELECT DISTINCT train_id
+       |  FROM cand JOIN tr ON cand.train_id = tr.$idCol
+       |            JOIN ev ON cand.eval_id = ev.$idCol
+       |  WHERE round(${dot("tr.v", "ev.v")} / (tr.nrm * ev.nrm), 4) >= $threshold)
+       |SELECT tr.$idCol, (hit.train_id IS NOT NULL) AS contaminated
+       |FROM tr LEFT JOIN hit ON tr.$idCol = hit.train_id
+       |ORDER BY tr.$idCol""".stripMargin
+  }
+
   /** k-NN classification of the probe rows (matching `probePred`): each
     * probe takes the majority label of its k nearest train neighbors
     * (train = everything NOT matching `probePred`) by cosine; vote ties

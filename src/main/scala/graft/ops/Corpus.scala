@@ -320,4 +320,181 @@ object Corpus {
        |JOIN totals tb ON tb.g = m.lb
        |CROSS JOIN v
        |ORDER BY lang_a, lang_b""".stripMargin
+
+  /** Per-source top-quantile quality gate (the FineWeb-style "keep the
+    * best q of every dump" filter — RELATIVE to each source, where an
+    * absolute threshold would empty low-resource sources): rank each
+    * source's documents by quality score (rounded to 4dp BEFORE
+    * ranking so both engines rank identical values; ties break on the
+    * doc id) and keep the top floor(q * n_source). The window
+    * partitions on the source — bounded by the training-mix contract
+    * (dozens of sources, the q_mix_temperature argument) — and the
+    * per-source count rides the same exchange. At extreme per-source
+    * cardinality the sub-linear tier is an approx-quantile cutoff
+    * (Sketches.approxQuantiles broadcast) in place of the exact rank.
+    */
+  def qualityTopQ(df: DataFrame, idCol: String, srcCol: String,
+                  textCol: String, q: Double): DataFrame = {
+    val score = TextFunctions.stopwordRatio(split(col(textCol), " "))
+    val scored = df.select(col(idCol), col(srcCol), round(score, 4).as("score"))
+    val bySrc = Window.partitionBy(col(srcCol))
+    val rn = row_number().over(bySrc.orderBy(col("score").desc, col(idCol).asc))
+    val n = count(lit(1)).over(bySrc)
+    scored
+      .withColumn("__rn", rn).withColumn("__n", n)
+      .filter(col("__rn") <= floor(col("__n") * q))
+      .select(col(idCol), col(srcCol), col("score"))
+  }
+
+  /** DuckDB twin of [[qualityTopQ]]. */
+  def qualityTopQDuckSql(table: String, idCol: String, srcCol: String,
+                         textCol: String, q: Double): String =
+    s"""SELECT $idCol, $srcCol, score FROM (
+       |  SELECT $idCol, $srcCol,
+       |    round(${TextFunctions.stopwordRatioDuck(s"string_split($textCol, ' ')")}, 4) AS score
+       |  FROM $table) t
+       |QUALIFY row_number() OVER (PARTITION BY $srcCol ORDER BY score DESC, $idCol ASC)
+       |  <= floor(count(*) OVER (PARTITION BY $srcCol) * $q)
+       |ORDER BY $idCol""".stripMargin
+
+  /** DSIR-style importance weights for domain-targeted data selection
+    * (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw-corpus document by the
+    * log-likelihood ratio of a hashed-unigram LM fit on the TARGET
+    * slice vs one fit on the RAW corpus — the standing technique for
+    * "give me more documents that look like this domain". Tokens hash
+    * into `nBuckets` buckets (the paper's hashed feature trick: model
+    * size is a LITERAL bound, independent of vocabulary), both bucket
+    * LMs are Laplace-smoothed, and a document's weight is the sum of
+    * its occurrences' per-bucket log ratios.
+    *
+    * Scale shape: one explode + two-sided conditional count per bucket
+    * (partial agg), a 1-row totals frame, then the nBuckets-row model
+    * broadcasts back onto the token stream — per-doc weights fall out
+    * of one keyed groupBy on the doc id (max-cardinality key). Nothing
+    * vocabulary- or corpus-sized ever reaches the driver.
+    *
+    * Returns (idCol, log_w) for every raw (non-target) document.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column, nBuckets: Int = 1024): DataFrame = {
+    val isT = coalesce(targetPred, lit(false))
+    val buckets = df.select(col(idCol), isT.as("__t"),
+      explode(expr(
+        s"transform(${TextFunctions.tokenHashesSql(textCol)}, h -> h % $nBuckets)")).as("b"))
+    val counts = buckets.groupBy("b").agg(
+      sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+      sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+    val tot = counts.agg(sum("ct").as("nt"), sum("cr").as("nr"))
+    val model = counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + nBuckets)) -
+         log((col("cr") + 1).cast("double") / (col("nr") + nBuckets))).as("lw"))
+    buckets.filter(!col("__t"))
+      .join(broadcast(model), "b")
+      .groupBy(idCol).agg(round(sum("lw"), 4).as("log_w"))
+  }
+
+  /** DuckDB twin of [[importanceWeights]]. */
+  def importanceWeightsDuckSql(table: String, idCol: String, textCol: String,
+                               targetPredSql: String, nBuckets: Int = 1024): String =
+    s"""WITH bk AS (
+       |  SELECT $idCol, coalesce($targetPredSql, false) AS t,
+       |         unnest(list_transform(${TextFunctions.tokenHashesDuckSql(textCol)},
+       |                h -> h % $nBuckets)) AS b
+       |  FROM $table),
+       |counts AS (
+       |  SELECT b,
+       |    CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+       |    CAST(sum(CASE WHEN t THEN 0 ELSE 1 END) AS BIGINT) AS cr
+       |  FROM bk GROUP BY b),
+       |tot AS (
+       |  SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+       |  FROM counts),
+       |model AS (
+       |  SELECT b,
+       |    ln((ct + 1) / CAST(nt + $nBuckets AS DOUBLE)) -
+       |    ln((cr + 1) / CAST(nr + $nBuckets AS DOUBLE)) AS lw
+       |  FROM counts, tot)
+       |SELECT $idCol, round(sum(lw), 4) AS log_w
+       |FROM bk JOIN model USING (b)
+       |WHERE NOT t
+       |GROUP BY $idCol
+       |ORDER BY $idCol""".stripMargin
+
+  /** Zipf power-law fit of the token rank-frequency curve: least-squares
+    * slope/intercept/r² of ln(freq) on ln(rank), plus vocab size and
+    * total token count — the corpus-health diagnostic that catches
+    * template spam (slope flattens) and boilerplate floods (head mass
+    * inflates). The corpus collapses to its vocabulary-sized frequency
+    * table in one partial-agg pass; the global frequency rank is a
+    * distributed prefix-sum (range-partition on (freq DESC, token) +
+    * per-partition row_number + broadcast partition offsets — the
+    * Describe/pack_sequences idiom, NO partition-less window); the
+    * regression moments are one final aggregation, 1 row out.
+    */
+  def zipfFit(df: DataFrame, textCol: String): DataFrame = {
+    val tf = df.select(explode(split(col(textCol), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").agg(count(lit(1)).as("f"))
+      .repartitionByRange(col("f").desc, col("tok").asc)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    try {
+      val cnts = tf.groupBy("__pid").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      val offsets = cnts.map(_._2).scanLeft(0L)(_ + _).init
+      val offMap = map(cnts.map(_._1).zip(offsets).flatMap {
+        case (pid, off) => Seq(lit(pid), lit(off))
+      }.toSeq: _*)
+      val w = Window.partitionBy("__pid").orderBy(col("f").desc, col("tok").asc)
+      val ranked = tf.withColumn("r",
+        row_number().over(w).cast("long") + element_at(offMap, col("__pid")))
+      val lnr = log(col("r").cast("double"))
+      val lnf = log(col("f").cast("double"))
+      // degenerate corpora (single token -> var(ln r)=0; uniform
+      // frequencies -> var(ln f)=0) yield NULL, not a divide error
+      val agg = ranked.agg(
+          covar_pop(lnf, lnr).as("cxy"), var_pop(lnr).as("vx"),
+          var_pop(lnf).as("vy"), avg(lnr).as("mx"), avg(lnf).as("my"),
+          count(lit(1)).as("vocab"), sum("f").as("n_tokens"))
+        .select(
+          round(when(col("vx") =!= 0, col("cxy") / col("vx")), 4).as("alpha"),
+          round(when(col("vx") =!= 0,
+            col("my") - col("cxy") / col("vx") * col("mx")), 4).as("intercept"),
+          round(when(col("vx") * col("vy") =!= 0,
+            col("cxy") * col("cxy") / (col("vx") * col("vy"))), 4).as("r2"),
+          col("vocab"), col("n_tokens"))
+      // materialize the 1-row result before unpersisting: the broadcast
+      // offsets are only valid against THIS materialization of the
+      // range partitioning — a post-unpersist recompute could re-sample
+      // different partition boundaries
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+    } finally tf.unpersist()
+  }
+
+  /** DuckDB twin of [[zipfFit]] (the oracle may rank with a plain
+    * global window — it is the single-node referee, not the plan).
+    */
+  def zipfFitDuckSql(table: String, textCol: String): String =
+    s"""WITH tf AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split($textCol, ' ')) AS tok FROM $table) t
+       |  WHERE length(tok) > 0
+       |  GROUP BY tok),
+       |ranked AS (
+       |  SELECT f, CAST(row_number() OVER (ORDER BY f DESC, tok ASC) AS BIGINT) AS r
+       |  FROM tf)
+       |SELECT
+       |  round(CASE WHEN var_pop(ln(r)) <> 0
+       |    THEN covar_pop(ln(f), ln(r)) / var_pop(ln(r)) END, 4) AS alpha,
+       |  round(CASE WHEN var_pop(ln(r)) <> 0
+       |    THEN avg(ln(f)) - covar_pop(ln(f), ln(r)) / var_pop(ln(r)) * avg(ln(r)) END, 4) AS intercept,
+       |  round(CASE WHEN var_pop(ln(r)) * var_pop(ln(f)) <> 0
+       |    THEN covar_pop(ln(f), ln(r)) * covar_pop(ln(f), ln(r)) /
+       |         (var_pop(ln(r)) * var_pop(ln(f))) END, 4) AS r2,
+       |  CAST(count(*) AS BIGINT) AS vocab,
+       |  CAST(sum(f) AS BIGINT) AS n_tokens
+       |FROM ranked""".stripMargin
 }

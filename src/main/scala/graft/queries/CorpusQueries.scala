@@ -39,6 +39,73 @@ object CorpusQueries extends QuerySet {
     // over the global vocabulary, absent-absent mass in closed form
     Q("q_corpus_kl",
       (s, d) => Corpus.klDivergence(Tables.df(s, d, "documents"), "lang", "text"),
-      Some(Corpus.klDivergenceDuckSql("documents", "lang", "text")))
+      Some(Corpus.klDivergenceDuckSql("documents", "lang", "text"))),
+
+    // DSIR importance weights: hashed-unigram LM log-ratio of the
+    // target slice (lang='en') vs the raw corpus, per raw doc — the
+    // "find me more like this domain" selection score; the 1024-bucket
+    // model is the only broadcast
+    Q("q_dsir_weights",
+      (s, d) => Corpus.importanceWeights(Tables.df(s, d, "documents"),
+        "doc_id", "text", targetPred = col("lang") === "en")
+        .orderBy("doc_id"),
+      Some(Corpus.importanceWeightsDuckSql("documents", "doc_id", "text",
+        targetPredSql = "lang = 'en'"))),
+
+    // Zipf rank-frequency fit: ln(freq)-on-ln(rank) least squares over
+    // the vocab table; rank via the range-partition prefix-sum idiom
+    // (no partition-less window), 1 row out
+    Q("q_zipf_fit",
+      (s, d) => Corpus.zipfFit(Tables.df(s, d, "documents"), "text"),
+      Some(Corpus.zipfFitDuckSql("documents", "text"))),
+
+    // distributed BPE training: the corpus compresses to its word-freq
+    // table, then one partial-agg pair count per merge with only the
+    // winning pair to the driver (the Lloyd's-iteration state pattern);
+    // the oracle unrolls the identical loop — same tie-break, same
+    // greedy left-to-right replace semantics — in DuckDB
+    Q("q_bpe_train",
+      (s, d) => graft.text.BpeTrain.fitDF(
+        s, Tables.df(s, d, "documents"), "text", nMerges = 10),
+      Some(graft.text.BpeTrain.fitDuckSql("documents", "text", nMerges = 10))),
+
+    // per-source top-quantile quality gate: keep the best 30% of each
+    // source by (4dp-pre-rounded) score — relative gating that cannot
+    // empty a low-resource source; source-partitioned window only
+    Q("q_quality_topq",
+      (s, d) => Corpus.qualityTopQ(Tables.df(s, d, "documents"),
+        "doc_id", "source", "text", q = 0.3)
+        .orderBy("doc_id"),
+      Some(Corpus.qualityTopQDuckSql("documents", "doc_id", "source", "text", q = 0.3))),
+
+    // tokenizer fertility per language from the just-trained merges:
+    // tokens/word + chars/token per group — the over-fragmentation
+    // check; oracle re-encodes with the same literal merges
+    Q("q_bpe_stats",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val merges = graft.text.BpeTrain.fit(docs, "text", nMerges = 10)
+        graft.text.BpeTrain.lastFit = merges
+        graft.text.BpeTrain.fertilityStats(docs, "lang", "text", merges)
+          .orderBy("lang")
+      },
+      Some(graft.text.BpeTrain.fertilityStatsDuckSql(
+        "documents", "doc_id", "lang", "text", graft.text.BpeTrain.lastFit))),
+
+    // map-only encode with the merges just trained: the merge table
+    // compiles into a chained replace per word — no joins, no state,
+    // the 100 TB tokenization pass. Oracle inlines the same merges as
+    // literals (built after the query runs — the Pca.lastFit pattern).
+    Q("q_bpe_encode",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val merges = graft.text.BpeTrain.fit(docs, "text", nMerges = 10)
+        graft.text.BpeTrain.lastFit = merges
+        graft.text.BpeTrain.encode(docs, "text", merges)
+          .select("doc_id", "tokens")
+          .orderBy("doc_id")
+      },
+      Some(graft.text.BpeTrain.encodeDuckSql(
+        "documents", "doc_id", "text", graft.text.BpeTrain.lastFit)))
   )
 }

@@ -156,6 +156,16 @@ object TextQueries extends QuerySet {
         "doc_id", "text", "lang",
         probePred = col("doc_id") % 10 === 0),
       Some(graft.ops.NaiveBayes.classifyDuckSql("documents",
-        "doc_id", "text", "lang", probePredSql = "doc_id % 10 = 0")))
+        "doc_id", "text", "lang", probePredSql = "doc_id % 10 = 0"))),
+
+    // Logistic-regression quality classifier trained IN-PLAN: each GD
+    // step is one partial-avg aggregation (4 doubles to the driver),
+    // scoring is a map-only literal-weight projection — the trainable
+    // tier of the quality surface. Oracle unrolls the identical loop.
+    Q("q_lr_classify",
+      (s, d) => graft.ops.LogReg.classify(Tables.df(s, d, "documents"),
+        "doc_id", "text", label = col("lang") === "en"),
+      Some(graft.ops.LogReg.classifyDuckSql("documents",
+        "doc_id", "text", labelSql = "lang = 'en'")))
   )
 }

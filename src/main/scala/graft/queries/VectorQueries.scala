@@ -203,6 +203,22 @@ object VectorQueries extends QuerySet {
         "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",
         "vec_id", "embedding", threshold = 0.95, dim = Dim))),
 
+    // Semantic decontamination: the eval slice (every 10th vector) has
+    // leaked into the train corpus verbatim, so its rows must come back
+    // contaminated=true; paraphrase-level leakage rides the same
+    // cosine>=0.95 banding. Eval bands+vectors broadcast; the train
+    // corpus never shuffles.
+    Q("q_decontaminate_embed",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings").select("vec_id", "embedding")
+        Knn.decontaminateEmbed(e, e.filter(col("vec_id") % 10 === 0),
+          "vec_id", "embedding", threshold = 0.95)
+          .orderBy("vec_id")
+      },
+      Some(Knn.decontaminateEmbedDuckSql("embeddings", "vec_id", "embedding",
+        trainWhere = "true", evalWhere = "vec_id % 10 = 0",
+        threshold = 0.95, dim = Dim))),
+
     // Per-label embedding centroid via the native element-wise
     // array-sum aggregate: partial aggregation reduces each partition
     // to ONE dim-length buffer per label before the (only) shuffle —

@@ -80,6 +80,57 @@ object StreamOps {
     * pass. Batch input runs the identical filter (parity
     * spec-checked against the batch decontaminator).
     */
+  /** Streaming SEMANTIC decontamination: drop every stream row whose
+    * embedding is within cosine `threshold` of any eval embedding —
+    * the stream tier of [[graft.ann.Knn.decontaminateEmbed]], catching
+    * paraphrased benchmark leakage the n-gram Bloom filter above
+    * misses. The eval matrix (bounded by the eval-suite contract, like
+    * the Bloom's gram set) collects once, broadcasts once, and the
+    * stream filter is pure map-side — STATELESS: no watermark, no
+    * state store, restart-safe. The per-row check is a udf (like the
+    * Bloom `mightContain` — no public Catalyst expression can wrap a
+    * broadcast vector matrix); cosine rounds to 4dp exactly as the
+    * batch operator does, so parity is bit-for-bit.
+    */
+  def decontaminateEmbedStream(stream: DataFrame, evalDf: DataFrame,
+                               vecCol: String, evalVecCol: String,
+                               threshold: Double): DataFrame = {
+    val evalVecs: Array[Array[Double]] = evalDf
+      .select(col(evalVecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .collect().map(_.getSeq[Double](0).toArray)
+    val evalNorms = evalVecs.map(v => math.sqrt(v.map(x => x * x).sum))
+    val bc = stream.sparkSession.sparkContext.broadcast((evalVecs, evalNorms))
+    val contaminated = udf { (v: Seq[Double]) =>
+      if (v == null) false
+      else {
+        val arr = v.toArray
+        val n = math.sqrt(arr.map(x => x * x).sum)
+        val (evs, ens) = bc.value
+        var i = 0
+        var hit = false
+        while (i < evs.length && !hit) {
+          val ev = evs(i)
+          val en = ens(i)
+          if (n > 0 && en > 0) {
+            var d = 0.0
+            var j = 0
+            val len = math.min(arr.length, ev.length)
+            while (j < len) { d += arr(j) * ev(j); j += 1 }
+            // Spark round() semantics (BigDecimal.valueOf, HALF_UP) so
+            // the batch operator's 4dp-rounded compare is replicated
+            val c = BigDecimal.decimal(d / (n * en))
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (c >= threshold) hit = true
+          }
+          i += 1
+        }
+        hit
+      }
+    }
+    stream.filter(!contaminated(col(vecCol).cast("array<double>")))
+  }
+
   def decontaminateStream(stream: DataFrame, evalDf: DataFrame, textCol: String,
                           evalTextCol: String, w: Int, fpp: Double = 0.01): DataFrame = {
     import graft.text.{Repetition, TextFunctions}

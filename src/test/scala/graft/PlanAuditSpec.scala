@@ -66,7 +66,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_corpus_kl",         // group-totals frame (L rows; the op's own
                            // output is L² so L is small by contract)
                            // + 1-row vocab-size crossJoins
-    "q_mix_temperature"    // 1-row weight-normalizer crossJoin
+    "q_mix_temperature",   // 1-row weight-normalizer crossJoin
+    "q_dsir_weights"       // 1-row corpus-totals crossJoin (the LM
+                           // normalizers nt/nr)
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
@@ -212,9 +214,12 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_dedup_delta: capped-bucket keys grouped by (band, bkey)
     //    AFTER a semi-join restriction to the DELTA's band keys —
     //    delta-bounded by the operator's contract (the ingest batch)
+    //  - q_dsir_weights: the hashed-LM model grouped by the BUCKET
+    //    domain — ≤ nBuckets (1024) rows, a literal bound like the
+    //    pack_sequences hex buckets
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
-      "q_dedup_delta")
+      "q_dedup_delta", "q_dsir_weights")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

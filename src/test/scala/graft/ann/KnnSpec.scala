@@ -147,4 +147,18 @@ class KnnSpec extends SparkSpec {
       .as[(Long, Int, Int, Boolean)].collect()
     r shouldBe Array((10L, 0, 0, true))
   }
+
+  test("decontaminateEmbed flags exact and near leaks, spares the rest") {
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // exact copy of eval 100
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),  // near-paraphrase of eval 100
+      (3L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),   // clean
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f))   // anti-correlated: clean
+    ).toDF("vec_id", "embedding")
+    val eval = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Knn.decontaminateEmbed(train, eval, "vec_id", "embedding",
+      threshold = 0.95, nBits = 4, bands = 2)
+      .as[(Long, Boolean)].collect().sorted
+    r shouldBe Array((1L, true), (2L, true), (3L, false), (4L, false))
+  }
 }

@@ -88,4 +88,86 @@ class CorpusSpec extends SparkSpec {
     // at 1% fpp on this tiny gram universe, spurious extras stay rare
     (bloomed.keySet -- exact.keySet).size should be <= 3
   }
+
+  test("importanceWeights ranks target-like raw docs above off-domain ones") {
+    import spark.implicits._
+    // target speaks {aa,bb}; raw doc 10 mimics it, raw doc 11 doesn't
+    val df = Seq(
+      (1L, "aa bb aa bb aa", "t"),
+      (2L, "bb aa bb aa", "t"),
+      (10L, "aa bb aa", "r"),
+      (11L, "zz qq zz qq", "r")
+    ).toDF("doc_id", "text", "split")
+    val w = Corpus.importanceWeights(df, "doc_id", "text",
+      targetPred = col("split") === "t", nBuckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    w.keySet shouldBe Set(10L, 11L)
+    w(10L) should be > w(11L)
+    w(10L) should be > 0.0 // in-domain tokens are likelier under target
+    w(11L) should be < 0.0 // unseen-in-target tokens are penalized
+  }
+
+  test("importanceWeights covers every raw doc exactly once") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Corpus.importanceWeights(docs, "doc_id", "text",
+      targetPred = col("lang") === "en")
+    val rawCount = docs.filter(col("lang") =!= "en").count()
+    w.count() shouldBe rawCount
+    w.select("doc_id").distinct().count() shouldBe rawCount
+  }
+
+  test("qualityTopQ keeps floor(q*n) per source, best scores first") {
+    import spark.implicits._
+    // src a: 4 docs with distinct stopword ratios; src b: 2 docs
+    val df = Seq(
+      (1L, "a", "the and of is"),       // ratio 1.0
+      (2L, "a", "the and xx yy"),       // ratio 0.5
+      (3L, "a", "the xx yy zz"),        // ratio 0.25
+      (4L, "a", "xx yy zz ww"),         // ratio 0.0
+      (10L, "b", "the of aa bb"),       // ratio 0.5
+      (11L, "b", "aa bb cc dd")         // ratio 0.0
+    ).toDF("doc_id", "source", "text")
+    val kept = Corpus.qualityTopQ(df, "doc_id", "source", "text", q = 0.5)
+      .select("doc_id").as[Long].collect().sorted
+    // floor(4*0.5)=2 from a (the two best), floor(2*0.5)=1 from b
+    kept shouldBe Array(1L, 2L, 10L)
+  }
+
+  test("qualityTopQ ties break on doc id, keeps every source populated") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val kept = Corpus.qualityTopQ(docs, "doc_id", "source", "text", q = 0.4)
+    val perSrc = kept.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (src, n) =>
+      perSrc.getOrElse(src, 0L) shouldBe math.floor(n * 0.4).toLong
+    }
+    // deterministic across runs (tie-break is total)
+    kept.collect().map(_.getLong(0)).sorted shouldBe
+      Corpus.qualityTopQ(docs, "doc_id", "source", "text", q = 0.4)
+        .collect().map(_.getLong(0)).sorted
+  }
+
+  test("zipfFit recovers the slope of an exact power-law corpus") {
+    import spark.implicits._
+    // token t_r appears round(64 / r) times -> ln f = ln 64 - 1 * ln r
+    val words = (1 to 16).flatMap { r =>
+      Seq.fill(math.round(64.0 / r).toInt)(f"t$r%02d")
+    }
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val fit = Corpus.zipfFit(df, "text").collect()(0)
+    fit.getAs[Double]("alpha") shouldBe -1.0 +- 0.05
+    fit.getAs[Double]("r2") should be > 0.99
+    fit.getAs[Long]("vocab") shouldBe 16L
+    fit.getAs[Long]("n_tokens") shouldBe words.size.toLong
+  }
+
+  test("zipfFit rank is exact: a uniform corpus has slope 0") {
+    import spark.implicits._
+    val df = Seq(((1 to 10).map(i => s"w$i w$i w$i").mkString(" "))).toDF("text")
+    val fit = Corpus.zipfFit(df, "text").collect()(0)
+    fit.getAs[Double]("alpha") shouldBe 0.0
+    fit.getAs[Long]("vocab") shouldBe 10L
+  }
 }

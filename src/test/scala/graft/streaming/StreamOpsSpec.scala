@@ -290,4 +290,37 @@ class StreamOpsSpec extends SparkSpec {
       dropped shouldBe contaminated
     } finally q.stop()
   }
+
+  test("decontaminateEmbedStream drops semantic leaks, stateless, batch-parity") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evalDf = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val rows = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),   // exact leak -> drop
+      (2L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),  // near-paraphrase -> drop
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),   // orthogonal -> keep
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f)))  // anti-correlated -> keep
+    val input = MemoryStream[(Long, Seq[Float])]
+    val filtered = StreamOps.decontaminateEmbedStream(
+      input.toDF().toDF("vec_id", "embedding"), evalDf, "embedding", "embedding",
+      threshold = 0.95)
+    val q = filtered.writeStream.format("memory")
+      .queryName("decontam_embed_out").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      q.processAllAvailable()
+      val kept = spark.table("decontam_embed_out")
+        .select("vec_id").as[Long].collect().sorted
+      kept shouldBe Array(3L, 4L)
+
+      // batch parity: the stream's drops are exactly the rows the batch
+      // operator flags contaminated (these vectors share bands with the
+      // eval row whenever they are true leaks, so LSH recall is exact)
+      val batchFlags = graft.ann.Knn.decontaminateEmbed(
+        rows.toDF("vec_id", "embedding"), evalDf, "vec_id", "embedding",
+        threshold = 0.95)
+        .as[(Long, Boolean)].collect().toMap
+      rows.map(_._1).filterNot(kept.contains).sorted shouldBe
+        batchFlags.filter(_._2).keys.toSeq.sorted
+    } finally q.stop()
+  }
 }
