@@ -131,7 +131,17 @@ object ScaleSmoke {
       "lr_classify" -> (k =>
         // 3 GD steps = 3 partial-avg scans + 1 scoring scan, all map-only
         graft.ops.LogReg.classify(docsXLetters(k), "doc_id", "text",
-          label = col("lang") === "en")))
+          label = col("lang") === "en")),
+      "dsir" -> (k =>
+        // bucket-model build (2 scans) + model broadcast back over the
+        // token stream — all partial-agg, corpus-linear
+        graft.ops.Corpus.importanceWeights(docsX(k), "doc_id", "text",
+          targetPred = col("lang") === "en")))
+    // (no semdedup finder: its pair join is by contract quadratic in
+    // CLUSTER size — the scale dial is k ∝ n (constant cluster size,
+    // fit on a subsample), so a fixed-k 10x run measures the documented
+    // regime, not a regression; the within-bucket pair shape itself is
+    // smoked by embed_neardup)
 
     var failed = false
     val results = finders.map { case (name, f) =>

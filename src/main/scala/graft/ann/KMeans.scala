@@ -34,12 +34,15 @@ object KMeans {
     * argmin of |c|² − 2·v·c (|v|² is constant per row), ties to the
     * lower centroid id.
     */
-  private[ann] def euclidCellExpr(cent: Array[(Long, Seq[Double])]): Column =
+  private def bestCellStruct(cent: Array[(Long, Seq[Double])]): Column =
     array_min(array(cent.map { case (cid, cv) =>
       val c2 = cv.map(x => x * x).sum
       struct((lit(c2) - VectorFunctions.dot(col("__v"), typedLit(cv)) * 2.0).as("nd"),
         lit(cid).as("cid"))
-    }: _*)).getField("cid")
+    }: _*))
+
+  private[ann] def euclidCellExpr(cent: Array[(Long, Seq[Double])]): Column =
+    bestCellStruct(cent).getField("cid")
 
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           maxIters: Int = 10, tol: Double = 1e-9): Model = {
@@ -101,12 +104,26 @@ object KMeans {
     * equidistant to two centroids at the 1e-15 level.
     */
   def assignDuckSql(table: String, idCol: String, vecCol: String,
-                    k: Int, iters: Int, dim: Int): String = {
+                    k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${trainLoopCtes(table, idCol, vecCol, k, iters, dim)}
+       |SELECT id AS $idCol, cid AS cluster FROM afinal ORDER BY $idCol""".stripMargin
+
+  /** The shared training-loop CTE body ending in `afinal(id, v, cid,
+    * d2)` — composable by SemDedup/outlier oracles that need the final
+    * assignment plus vectors and true squared distances. `e` exposes
+    * (id, v); `c$iters` the final centroids.
+    */
+  private[ann] def trainLoopCtes(table: String, idCol: String, vecCol: String,
+                                 k: Int, iters: Int, dim: Int): String = {
     val r = s"range(1, ${dim + 1})"
     def assignCte(name: String, cents: String): String =
       s"""$name AS (
-         |  SELECT id, v, cid FROM (
+         |  SELECT id, v, cid,
+         |    list_sum(list_transform($r, i -> v[i] * v[i])) + nd AS d2
+         |  FROM (
          |    SELECT e.id, e.v, c.cid,
+         |      list_sum(list_transform($r, i -> c.cv[i] * c.cv[i]))
+         |        - 2 * list_sum(list_transform($r, i -> e.v[i] * c.cv[i])) AS nd,
          |      row_number() OVER (PARTITION BY e.id ORDER BY
          |        list_sum(list_transform($r, i -> c.cv[i] * c.cv[i]))
          |        - 2 * list_sum(list_transform($r, i -> e.v[i] * c.cv[i])),
@@ -126,12 +143,27 @@ object KMeans {
          |  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
          |  FROM c${i - 1} p LEFT JOIN m$i m USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT CAST($idCol AS BIGINT) AS id, CAST($vecCol AS DOUBLE[]) AS v
        |  FROM $table WHERE $vecCol IS NOT NULL),
        |c0 AS (SELECT id AS cid, v AS cv FROM e ORDER BY id LIMIT $k),
        |$steps,
-       |${assignCte("afinal", s"c$iters")}
-       |SELECT id AS $idCol, cid AS cluster FROM afinal ORDER BY $idCol""".stripMargin
+       |${assignCte("afinal", s"c$iters")}""".stripMargin
+  }
+
+  /** Per-row (cluster, distance-to-assigned-centroid) — [[assign]] plus
+    * the winning Euclidean distance, still a map-only codegen argmin.
+    * The tiny FP negative from |v|²+(|c|²−2v·c) on exact-centroid rows
+    * clamps to 0 before the sqrt.
+    */
+  def assignWithDist(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val best = bestCellStruct(model.centroids)
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__best", best)
+      .select(col(idCol), col("__best.cid").as("cluster"),
+        round(sqrt(greatest(
+          VectorFunctions.dot(col("__v"), col("__v")) + col("__best.nd"),
+          lit(0.0))), 4).as("dist"))
   }
 }

@@ -203,6 +203,33 @@ object VectorQueries extends QuerySet {
         "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",
         "vec_id", "embedding", threshold = 0.95, dim = Dim))),
 
+    // SemDeDup: cluster the embedding space (distributed Lloyd's),
+    // prune near-duplicates WITHIN clusters only — every 5th vector has
+    // an exact shifted copy the within-cluster pass must drop; the
+    // oracle replays training + assignment + the direct-witness rule
+    Q("q_semdedup",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings").select("vec_id", "embedding")
+        val shifted = e.filter(col("vec_id") % 5 === 0)
+          .withColumn("vec_id", col("vec_id") + lit(10000L))
+        graft.ann.SemDedup.semDedup(e.unionByName(shifted), "vec_id", "embedding",
+          k = 8, iters = 3, threshold = 0.95)
+          .orderBy("vec_id")
+      },
+      Some(graft.ann.SemDedup.semDedupDuckSql(
+        "(SELECT vec_id, embedding FROM embeddings UNION ALL " +
+          "SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 5 = 0) u",
+        "vec_id", "embedding", k = 8, iters = 3, threshold = 0.95, dim = Dim))),
+
+    // prototypicality outliers: top-10% distance-to-centroid per
+    // cluster (4dp-pre-rounded rank, ties to the lower id)
+    Q("q_embed_outliers",
+      (s, d) => graft.ann.SemDedup.outliers(Tables.df(s, d, "embeddings"),
+        "vec_id", "embedding", k = 8, iters = 3, q = 0.1)
+        .orderBy("vec_id"),
+      Some(graft.ann.SemDedup.outliersDuckSql("embeddings", "vec_id", "embedding",
+        k = 8, iters = 3, q = 0.1, dim = Dim))),
+
     // Semantic decontamination: the eval slice (every 10th vector) has
     // leaked into the train corpus verbatim, so its rows must come back
     // contaminated=true; paraphrase-level leakage rides the same
