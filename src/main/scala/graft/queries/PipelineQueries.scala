@@ -113,6 +113,27 @@ object PipelineQueries extends QuerySet {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // C4-style LINE-level cleaning: the corpus has no newlines, so the
+    // query first manufactures lines deterministically (every 10-token
+    // group gets terminal punctuation + a '|' break; the tail fragment
+    // stays unpunctuated and must be dropped by the terminal-punct
+    // rule). Both engines run the identical lineify regex in their own
+    // replacement dialect ($1 vs \1), then the same keep-lambda.
+    Q("q_c4_clean",
+      (s, d) => {
+        val lined = Tables.df(s, d, "documents").withColumn("text",
+          regexp_replace(col("text"), "(([^ ]+ ){9}[^ ]+) ", "$1.|"))
+        graft.text.Clean.c4Clean(lined, "doc_id", "text", sep = "|")
+          .orderBy("doc_id")
+      },
+      Some("""WITH lined AS (
+             |  SELECT doc_id,
+             |    regexp_replace(text, '(([^ ]+ ){9}[^ ]+) ', '\1.|', 'g') AS text
+             |  FROM documents)
+             |""".stripMargin
+        + graft.text.Clean.c4CleanDuckSql("lined", "doc_id", "text", sep = "|")
+        + "\nORDER BY doc_id")),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")

@@ -338,6 +338,26 @@ object VectorQueries extends QuerySet {
               |           i -> CAST(embedding[i] AS DOUBLE) * embedding[i]))) AS nrm
               |  FROM embeddings)
               |GROUP BY label
-              |ORDER BY label""".stripMargin))
+              |ORDER BY label""".stripMargin)),
+
+    // BM25 lexical ranked retrieval: per-doc term frequencies computed
+    // in the scan (no explode), corpus stats one 1-row broadcast agg,
+    // fixed-order score arithmetic, TakeOrderedAndProject top-k — one
+    // corpus pass at any scale.
+    Q("q_search_bm25",
+      (s, d) => graft.index.Bm25.search(Tables.df(s, d, "documents"),
+        "doc_id", "text", Query, k = 15),
+      Some(graft.index.Bm25.searchDuckSql("documents", "doc_id", "text",
+        Query, k = 15))),
+
+    // Feature-hashing embeddings: text corpus -> dense hashed
+    // bag-of-words vectors (the no-model bootstrap into the vector
+    // operators); map-only codegen, exact integer counts + 4dp norm.
+    Q("q_hash_embed",
+      (s, d) => graft.text.HashEmbed.embed(Tables.df(s, d, "documents"),
+        "doc_id", "text", dim = 16)
+        .orderBy("doc_id"),
+      Some(graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)
+        + "\nORDER BY doc_id"))
   )
 }

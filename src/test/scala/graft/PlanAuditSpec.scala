@@ -67,8 +67,10 @@ class PlanAuditSpec extends SparkSpec {
                            // output is L² so L is small by contract)
                            // + 1-row vocab-size crossJoins
     "q_mix_temperature",   // 1-row weight-normalizer crossJoin
-    "q_dsir_weights"       // 1-row corpus-totals crossJoin (the LM
+    "q_dsir_weights",      // 1-row corpus-totals crossJoin (the LM
                            // normalizers nt/nr)
+    "q_search_bm25"        // 1-row corpus-stats crossJoin (N, Σdl,
+                           // per-query-term df — fixed arity)
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {

@@ -33,6 +33,11 @@ trait SparkSpec extends AnyFunSuite with Matchers {
     (p +: p.children.flatMap(flattenPlan)) ++ (p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         flattenPlan(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        // post-execution AQE materializes stages as leaf wrappers —
+        // without this case a flatten over an executed plan sees
+        // nothing inside any stage
+        flattenPlan(q.plan)
       case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         flattenPlan(m.relation.cachedPlan)
       case _ => Nil

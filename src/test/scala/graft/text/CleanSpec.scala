@@ -1,0 +1,56 @@
+package graft.text
+
+import graft.SparkSpec
+
+class CleanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean(rows: (Long, String)*) =
+    Clean.c4Clean(rows.toSeq.toDF("id", "text"), "id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSeq
+
+  test("keeps only terminally-punctuated lines with enough words") {
+    val doc =
+      "this line has plenty of words and ends well.\n" + // keep
+        "too short.\n" + // 2 words < 5
+        "this one has enough words but no terminal punct\n" + // no punct
+        "is this a long enough question to survive the gate?" // keep
+    clean((1L, doc)) shouldBe Seq((1L, 4, 2,
+      "this line has plenty of words and ends well.\n" +
+        "is this a long enough question to survive the gate?"))
+  }
+
+  test("banned substrings drop a line regardless of shape") {
+    val doc =
+      "enable JavaScript to view the full content here.\n" +
+        "Lorem ipsum dolor sit amet consectetur adipiscing elit.\n" +
+        "object literals look like { key: value } pairs today.\n" +
+        "a perfectly ordinary sentence with enough words stays."
+    val out = clean((1L, doc))
+    out.head._3 shouldBe 1
+    out.head._4 shouldBe "a perfectly ordinary sentence with enough words stays."
+  }
+
+  test("quote and bang terminals count; empty doc yields one empty dropped line") {
+    val doc = "he said it was truly \"the best sale of the year!\"\n" +
+      "what an absolutely remarkable and wonderful day this is!"
+    clean((1L, doc)).head._3 shouldBe 2
+    val empty = clean((2L, ""))
+    empty.head shouldBe ((2L, 1, 0, ""))
+  }
+
+  test("custom separator splits literally, not as regex") {
+    val out = Clean.c4Clean(
+      Seq((1L, "five good words are kept here.|tail fragment")).toDF("id", "text"),
+      "id", "text", sep = "|")
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getString(3))).head
+    out shouldBe ((2, 1, "five good words are kept here."))
+  }
+
+  test("plan is map-only: no exchange anywhere") {
+    val plan = Clean.c4Clean(Seq((1L, "x")).toDF("id", "text"), "id", "text")
+      .queryExecution.executedPlan.toString
+    (plan should not).include("Exchange")
+  }
+}
