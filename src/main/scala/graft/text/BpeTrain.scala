@@ -50,17 +50,31 @@ object BpeTrain {
     * table (vocabulary-sized) stays cached and is rewritten map-side.
     */
   def fit(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    var seg = wordFreqs(df, textCol)
-      .select(initialSeg(col("w")).as("seg"), col("f"))
+    // ONE cached materialization (the corpus-compressing groupBy);
+    // every iteration re-derives the current segmentation by folding
+    // the merges-so-far as chained map-side `replace`s over it. That
+    // makes an iteration exactly ONE job (the pair-count collect) —
+    // the earlier persist/count/unpersist-per-iteration variant spent
+    // 2/3 of its wall time on cache-churn jobs, not on counting. The
+    // fold does O(rank) replaces per row, so total work is
+    // O(nMerges²) over the VOCABULARY-sized table — at real tokenizer
+    // scale (30k merges) re-materialize the fold every few hundred
+    // rounds (same checkpoint cadence the class doc describes).
+    val base = wordFreqs(df, textCol)
+      .select(initialSeg(col("w")).as("seg0"), col("f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    seg.count() // materialize before the loop so each iteration reuses it
+    base.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     try {
       for (rank <- 1 to nMerges) {
-        val toks = split(regexp_replace(col("seg"), "^\\||\\|$", ""), "\\|\\|")
+        val segCol = merges.foldLeft(col("seg0")) { (s, m) =>
+          call_function("replace",
+            s, lit(s"|${m.lhs}||${m.rhs}|"), lit(s"|${m.lhs + m.rhs}|"))
+        }
+        val toks = split(regexp_replace(segCol, "^\\||\\|$", ""), "\\|\\|")
         // adjacent pairs: zip tokens with their right neighbor; the
         // zip pads the last position with null, which the filter drops
-        val best = seg
+        val best = base
           .select(col("f"),
             explode(arrays_zip(toks.as("l"),
               slice(toks, lit(2), greatest(size(toks) - 1, lit(0))).as("r"))).as("p"))
@@ -73,16 +87,9 @@ object BpeTrain {
         if (best.isEmpty) return merges.toSeq
         val Row(l: String, r: String, c: Long) = best(0)
         merges += Merge(rank, l, r, c)
-        val next = seg
-          .withColumn("seg", call_function("replace",
-            col("seg"), lit(s"|$l||$r|"), lit(s"|${l + r}|")))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        seg.unpersist()
-        seg = next
       }
       merges.toSeq
-    } finally seg.unpersist()
+    } finally base.unpersist()
   }
 
   /** [[fit]] as a DataFrame of (merge_rank, lhs, rhs, merged,
