@@ -90,6 +90,9 @@ object Cli {
           val res = opts.get("attrs") match {
             case Some(attrs) => coll.searchObjects(term, attrs.split(',').toSeq,
               opts.get("template"), limitOf(opts, 10).toInt, where, sel)
+            case None if opts.get("mode").contains("bm25") =>
+              coll.searchBm25(opts.getOrElse("text-col", "text"), term,
+                limitOf(opts, 10).toInt, where, sel)
             case None => coll.search(opts.getOrElse("text-col", "text"), term,
               limitOf(opts, 10).toInt, where, sel)
           }
@@ -515,5 +518,6 @@ object Cli {
       |           --include-self true (find-matches)
       |         --vector-col v --cells n [--trained false | --pq m --ks k] (index)
       |         --vector "0.1,..." [--probes n --rerank r] (search, ANN via index)
+      |         --mode bm25 (search: BM25 lexical ranking instead of trigram cosine)
       |         --output-type tsv|csv|json|jsonl|yaml|markdown|table""".stripMargin
 }

@@ -153,6 +153,20 @@ class Collection(val name: String, val df: DataFrame) {
     attachSearchCols(ranked, base, idCol, selectCols, Seq("score"))
   }
 
+  /** BM25 lexical ranked search ([[graft.index.Bm25]]) — the tf-idf
+    * weighted alternative to the trigram-cosine [[search]]; same
+    * where=/select_cols= composition (the pre-filter restricts the
+    * scored slice AND the corpus statistics, as a per-slice BM25
+    * should).
+    */
+  def searchBm25(textCol: String, query: String, k: Int = 10,
+                 where: Filter = Filter.True, selectCols: Seq[String] = Nil): DataFrame = {
+    val idCol = df.columns.head
+    val base = df.filter(Filter.bind(where, df.schema).toColumn)
+    val ranked = graft.index.Bm25.search(base, idCol, textCol, query, k)
+    attachSearchCols(ranked, base, idCol, selectCols, Seq("score"))
+  }
+
   private def attachSearchCols(ranked: DataFrame, base: DataFrame, idCol: String,
                                selectCols: Seq[String], rankCols: Seq[String]): DataFrame =
     Collection.attachSearchCols(ranked, base, idCol, selectCols, rankCols)

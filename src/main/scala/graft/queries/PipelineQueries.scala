@@ -134,6 +134,32 @@ object PipelineQueries extends QuerySet {
         + graft.text.Clean.c4CleanDuckSql("lined", "doc_id", "text", sep = "|")
         + "\nORDER BY doc_id")),
 
+    // Cross-document boilerplate removal: every doc gets a footer line
+    // (boilerplate at any SF), even docs get a second banner line
+    // (crosses the 30-doc threshold only where the corpus is big
+    // enough — the threshold semantics, exercised); each doc's own
+    // text stays a unique line that must survive.
+    Q("q_boilerplate",
+      (s, d) => {
+        val withFooters = Tables.df(s, d, "documents").withColumn("text",
+          concat(col("text"), lit("|all rights reserved footer."),
+            when(col("doc_id") % 2 === 0,
+              lit("|cookie consent banner text here.")).otherwise(lit(""))))
+        graft.text.Clean.dropBoilerplate(withFooters, "doc_id", "text",
+          sep = "|", minDocs = 30)
+          .orderBy("doc_id")
+      },
+      Some("""WITH documents2 AS (
+             |  SELECT doc_id,
+             |    text || '|all rights reserved footer.' ||
+             |    CASE WHEN doc_id % 2 = 0
+             |      THEN '|cookie consent banner text here.' ELSE '' END AS text
+             |  FROM documents),
+             |""".stripMargin
+        + graft.text.Clean.dropBoilerplateDuckSql("documents2", "doc_id", "text",
+            sep = "|", minDocs = 30).stripPrefix("WITH ")
+        + "\nORDER BY doc_id")),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")

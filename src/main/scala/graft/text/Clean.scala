@@ -43,6 +43,75 @@ object Clean {
       array_join(kept, sep).as("clean_text"))
   }
 
+  /** Cross-document boilerplate removal (the RefinedWeb/C4 step that
+    * [[c4Clean]]'s within-document rules cannot express): a line that
+    * occurs in more than `minDocs` DISTINCT documents is boilerplate
+    * (nav bars, footers, cookie banners) and is dropped from every
+    * document.
+    *
+    * Scale shape: the line-frequency pass is one explode (per-document
+    * DISTINCT lines, so a footer repeated inside one page counts once)
+    * + one keyed partial-agg count — corpus-linear. The boilerplate
+    * SET is bounded by contract (lines crossing a high document
+    * threshold are few — `maxBoilerplate` enforces it loudly), so it
+    * collects to the driver and ships back as a 60-bit-hash literal
+    * array in a map-only filter — the eval-set-broadcast shape of
+    * decontamination, never a corpus-to-corpus join. Returns
+    * (idCol, n_lines, n_kept, clean_text).
+    */
+  def dropBoilerplate(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Long = 100,
+      maxBoilerplate: Int = 100000): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val lines = split(col(textCol), sepRe)
+    val common = df
+      .select(explode(array_distinct(transform(lines,
+        l => TextFunctions.portableHash60(l)))).as("__h"))
+      .groupBy("__h").agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > minDocs)
+      .select("__h")
+      .collect().map(_.getLong(0))
+    require(common.length <= maxBoilerplate,
+      s"boilerplate set ${common.length} exceeds $maxBoilerplate — threshold too low for this corpus")
+    val commonArr = typedLit(common.toSeq)
+    val kept = filter(lines,
+      l => !array_contains(commonArr, TextFunctions.portableHash60(l)))
+    df.select(col(idCol),
+      size(lines).as("n_lines"),
+      size(kept).as("n_kept"),
+      array_join(kept, sep).as("clean_text"))
+  }
+
+  /** DuckDB twin of [[dropBoilerplate]] — same per-document-distinct
+    * count and threshold, re-assembly via an explode + anti-join +
+    * positional re-group (value-equivalent to the broadcast filter).
+    */
+  def dropBoilerplateDuckSql(table: String, idCol: String, textCol: String,
+      sep: String = "\n", minDocs: Long = 100): String = {
+    def esc(s: String) = s.replace("'", "''")
+    val s = esc(sep)
+    s"""WITH lined AS (
+       |  SELECT $idCol, string_split($textCol, '$s') AS lines FROM $table),
+       |common AS (
+       |  SELECT l AS line FROM (
+       |    SELECT $idCol, unnest(list_distinct(lines)) AS l FROM lined) t
+       |  GROUP BY l HAVING count(*) > $minDocs),
+       |pos AS (
+       |  SELECT $idCol, lines[i] AS line, i FROM lined,
+       |       unnest(range(1, len(lines) + 1)) AS u(i)),
+       |kept AS (
+       |  SELECT p.$idCol, p.line, p.i FROM pos p
+       |  WHERE p.line NOT IN (SELECT line FROM common))
+       |SELECT l.$idCol,
+       |  CAST(len(l.lines) AS INT) AS n_lines,
+       |  CAST(coalesce(k.nk, 0) AS INT) AS n_kept,
+       |  coalesce(k.txt, '') AS clean_text
+       |FROM lined l LEFT JOIN (
+       |  SELECT $idCol, count(*) AS nk,
+       |         string_agg(line, '$s' ORDER BY i) AS txt
+       |  FROM kept GROUP BY $idCol) k USING ($idCol)""".stripMargin
+  }
+
   /** DuckDB twin of [[c4Clean]] (literal-separator split, same lambda). */
   def c4CleanDuckSql(table: String, idCol: String, textCol: String,
       sep: String = "\n", minWords: Int = 5,

@@ -80,6 +80,28 @@ class CliSpec extends SparkSpec {
     out2.tail shouldBe empty
   }
 
+  test("search: --mode bm25 ranks lexically and composes with --where") {
+    val docs = Files.createTempDirectory("graft-cli").resolve("docs.parquet").toString
+    Seq(
+      (1L, "spark spark spark", "oslo"),
+      (2L, "spark elsewhere entirely", "oslo"),
+      (3L, "spark spark spark", "bergen"),
+      (4L, "nothing relevant", "oslo")
+    ).toDF("id", "text", "city").write.parquet(docs)
+    val (code, out) = runCli("search", "--path", docs, "--mode", "bm25",
+      "--query", "spark", "--limit", "3")
+    code shouldBe 0
+    out.head shouldBe "id\tscore"
+    out.tail.map(_.split('\t').head).toSet shouldBe Set("1", "2", "3")
+    // highest tf ranks first (ids 1 and 3 tie, id tiebreak)
+    out.tail.head.split('\t').head shouldBe "1"
+    // where= restricts both the candidates AND the corpus stats slice
+    val (code2, out2) = runCli("search", "--path", docs, "--mode", "bm25",
+      "--query", "spark", "--where", "city=bergen", "--limit", "3")
+    code2 shouldBe 0
+    out2.tail.map(_.split('\t').head) shouldBe Seq("3")
+  }
+
   test("export: query result through the Formats registry") {
     val outPath = Files.createTempDirectory("graft-cli").resolve("out.jsonl").toString
     val (code, out) = runCli("export", "--path", dataPath,

@@ -48,6 +48,37 @@ class CleanSpec extends SparkSpec {
     out shouldBe ((2, 1, "five good words are kept here."))
   }
 
+  test("boilerplate: lines above the distinct-doc threshold drop everywhere") {
+    val docs = (1L to 10L).map { i =>
+      (i, s"unique content line of document number $i\nshared footer line")
+    }
+    val out = Clean.dropBoilerplate(docs.toDF("id", "text"), "id", "text",
+      minDocs = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    out.foreach { case (i, nl, nk, txt) =>
+      nl shouldBe 2
+      nk shouldBe 1
+      txt shouldBe s"unique content line of document number $i"
+    }
+  }
+
+  test("boilerplate: within-document repeats count once toward the threshold") {
+    // the repeated line appears in only 2 DISTINCT docs (threshold 2 not
+    // crossed), even though it occurs 6 times in total
+    val docs = Seq(
+      (1L, "dup\ndup\ndup"), (2L, "dup\ndup\ndup"), (3L, "other"))
+    val out = Clean.dropBoilerplate(docs.toDF("id", "text"), "id", "text",
+      minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    out shouldBe Map(1L -> 3, 2L -> 3, 3L -> 1) // nothing dropped
+  }
+
+  test("boilerplate: maxBoilerplate guards a degenerate threshold loudly") {
+    val docs = (1L to 5L).map(i => (i, "same\nsame2")).toDF("id", "text")
+    an[IllegalArgumentException] should be thrownBy
+      Clean.dropBoilerplate(docs, "id", "text", minDocs = 1, maxBoilerplate = 1)
+  }
+
   test("plan is map-only: no exchange anywhere") {
     val plan = Clean.c4Clean(Seq((1L, "x")).toDF("id", "text"), "id", "text")
       .queryExecution.executedPlan.toString
