@@ -160,6 +160,23 @@ object PipelineQueries extends QuerySet {
             sep = "|", minDocs = 30).stripPrefix("WITH ")
         + "\nORDER BY doc_id")),
 
+    // The composed corpus-build pass: quality gate -> exact dedup
+    // (keep-first) -> decontaminate vs the doc_id%10 eval slice ->
+    // per-source token budget, end-to-end as ONE plan; the oracle
+    // replays all four stages as a CTE chain over each operator's own
+    // formulation — the proof the operators COMPOSE, not just pass in
+    // isolation.
+    Q("q_pipeline_e2e",
+      (s, d) => graft.ops.CorpusBuild.trainingSubset(
+        Tables.df(s, d, "documents"), "doc_id", "source", "text",
+        evalPred = col("doc_id") % 10 === 0, w = 4,
+        budgetPerSource = 700, salt = "e2e")
+        .orderBy("doc_id"),
+      Some(graft.ops.CorpusBuild.trainingSubsetDuckSql(
+        "documents", "doc_id", "source", "text",
+        evalPredSql = "doc_id % 10 = 0", w = 4,
+        budgetPerSource = 700, salt = "e2e") + "\nORDER BY doc_id")),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")

@@ -26,6 +26,35 @@ object QualityFilter {
       maxPunctRatio: Double = 0.25,
       maxDigitRatio: Double = 0.3)
 
+  /** The gate as ONE boolean Column (for pipelines that filter rather
+    * than audit) — same native-stats rules as [[flags]]'s `passes`.
+    */
+  def passes(text: org.apache.spark.sql.Column,
+      t: Thresholds = Thresholds()): org.apache.spark.sql.Column = {
+    val qs = TextFunctions.qualityStats(text)
+    (qs.nTokens >= t.minToks) && (qs.nTokens <= t.maxToks) &&
+      (qs.meanTokLen >= t.minMeanTokLen) && (qs.meanTokLen <= t.maxMeanTokLen) &&
+      (qs.stopRatio >= t.minStopRatio) &&
+      (qs.punctRatio <= t.maxPunctRatio) && (qs.digitRatio <= t.maxDigitRatio)
+  }
+
+  /** DuckDB twin of [[passes]] as a WHERE-clause fragment; expects a
+    * scope providing `$textCol` and `toks` (= string_split on space).
+    */
+  def passesDuckPred(textCol: String, t: Thresholds = Thresholds()): String = {
+    val meanLen = s"CASE WHEN len(toks) = 0 THEN 0 ELSE " +
+      s"list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) END"
+    val punct = s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
+      s"length(regexp_replace($textCol, '[a-z0-9 ]', '', 'g')) / CAST(length($textCol) AS DOUBLE) END"
+    val digit = s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
+      s"(length($textCol) - length(regexp_replace($textCol, '[0-9]', '', 'g'))) / CAST(length($textCol) AS DOUBLE) END"
+    s"""len(toks) BETWEEN ${t.minToks} AND ${t.maxToks}
+       |    AND ($meanLen) BETWEEN ${t.minMeanTokLen} AND ${t.maxMeanTokLen}
+       |    AND ${TextFunctions.stopwordRatioDuck("toks")} >= ${t.minStopRatio}
+       |    AND ($punct) <= ${t.maxPunctRatio}
+       |    AND ($digit) <= ${t.maxDigitRatio}""".stripMargin
+  }
+
   /** (idCol, n_toks, len_ok, tok_len_ok, stop_ok, punct_ok, digit_ok,
     * passes) — flags as 0/1 ints.
     */
