@@ -108,6 +108,8 @@ object GraftFunctions {
       .registerFunction(ContainedCount.info._1, ContainedCount.info._2, ContainedCount.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(ManhattanDistance.info._1, ManhattanDistance.info._2, ManhattanDistance.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(HashEmbedCounts.info._1, HashEmbedCounts.info._2, HashEmbedCounts.info._3)
   }
 }
 
@@ -129,5 +131,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ArraySumAgg.info)
     ext.injectFunction(ContainedCount.info)
     ext.injectFunction(ManhattanDistance.info)
+    ext.injectFunction(HashEmbedCounts.info)
   }
 }

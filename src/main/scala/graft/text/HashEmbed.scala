@@ -29,6 +29,24 @@ object HashEmbed {
     */
   def embed(df: DataFrame, idCol: String, textCol: String, dim: Int = 16): DataFrame = {
     require(dim >= 1, s"dim must be >= 1 (got $dim)")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // one native pass: O(tokens + dim) per row in codegen
+    // ([[graft.functions.HashEmbedCounts]]), bit-identical to the
+    // lambda form [[embedLambda]] (spec-asserted), which stays as the
+    // oracle's formulation twin
+    val toks = split(lower(col(textCol)), " ")
+    val vec = call_function("graft_hash_embed", col(textCol), lit(dim))
+    df.select(col(idCol), vec.as("vec"), size(toks).as("n_toks"))
+      .select(col(idCol), col("vec"), col("n_toks"),
+        round(sqrt(aggregate(col("vec"), lit(0L),
+          (acc, v) => acc + v.cast("long") * v.cast("long")).cast("double")), 4).as("norm"))
+  }
+
+  /** The higher-order-function formulation of [[embed]]'s vector —
+    * O(tokens x dim) interpreted, kept as the bit-equality twin of the
+    * native expression (and the shape the DuckDB oracle mirrors).
+    */
+  def embedLambda(df: DataFrame, idCol: String, textCol: String, dim: Int): DataFrame = {
     val toks = split(lower(col(textCol)), " ")
     val bucketed = transform(toks, t =>
       pmod(TextFunctions.portableHash60(t), lit(dim.toLong)))

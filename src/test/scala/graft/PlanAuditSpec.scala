@@ -219,9 +219,12 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_dsir_weights: the hashed-LM model grouped by the BUCKET
     //    domain — ≤ nBuckets (1024) rows, a literal bound like the
     //    pack_sequences hex buckets
+    //  - q_pipeline_e2e: composes q_decontaminate's eval-gram
+    //    broadcast and q_token_budget's (source × 256)-bucket offsets
+    //    — the same two bounded frames already justified above
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
-      "q_dedup_delta", "q_dsir_weights")
+      "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

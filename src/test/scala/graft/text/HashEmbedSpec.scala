@@ -42,6 +42,17 @@ class HashEmbedSpec extends SparkSpec {
     dense shouldBe 6
   }
 
+  test("native expression is bit-identical to the lambda formulation") {
+    val docs = (Seq((1L, ""), (2L, "a"), (3L, "  double  spaces  ")) ++
+      (4L to 40L).map(i => (i, s"word$i the spark table join row ${i % 7}")))
+      .toDF("id", "text")
+    val native = HashEmbed.embed(docs, "id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2), r.getDouble(3)))
+    val lambda = HashEmbed.embedLambda(docs, "id", "text", dim = 8)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getInt(2), r.getDouble(3)))
+    native.sortBy(_._1) shouldBe lambda.sortBy(_._1)
+  }
+
   test("dense path is map-only (no exchange); lowercasing folds case") {
     val df = Seq((1L, "Spark SPARK")).toDF("id", "text")
     val plan = HashEmbed.embed(df, "id", "text", 8).queryExecution.executedPlan.toString
