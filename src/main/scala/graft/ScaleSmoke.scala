@@ -136,7 +136,41 @@ object ScaleSmoke {
         // bucket-model build (2 scans) + model broadcast back over the
         // token stream — all partial-agg, corpus-linear
         graft.ops.Corpus.importanceWeights(docsX(k), "doc_id", "text",
-          targetPred = col("lang") === "en")))
+          targetPred = col("lang") === "en")),
+      "boilerplate" -> (k => {
+        // line-frequency pass + bounded-set broadcast filter: the
+        // footer is boilerplate at every k, the threshold scales with
+        // the corpus so the common set stays constant-sized
+        val footered = docsX(k).withColumn("text",
+          concat(col("text"), lit("|shared footer line here.")))
+        graft.text.Clean.dropBoilerplate(footered, "doc_id", "text",
+          sep = "|", minDocs = 100L * k)
+      }),
+      "corpus_build" -> (k => {
+        // stopword-PRESERVING per-copy salt: the generic "_i" salt
+        // would zero every copy's stopword ratio and the quality gate
+        // would drop stages 2-4 back to 1x data; salting only
+        // non-stopwords keeps the gate pass-rate constant while (a)
+        // copies stay fingerprint-distinct (no cross-copy dedup) and
+        // (b) each copy's grams only contaminate against its own
+        // eval slice (constant contamination density)
+        def salted(i: Int) =
+          if (i == 0) docs
+          else docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("lang"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => when(t.isin(graft.text.TextFunctions.stopwords: _*), t)
+                .otherwise(concat(t, lit(s"_$i"))))).as("text"))
+        val corpus = (0 until k).map(salted).reduce(_ unionByName _)
+        // the composed 4-stage pass: gate (map) + fingerprint dedup
+        // (keyed agg) + decontam (eval broadcast, eval scales with the
+        // corpus here) + budget (bucketed prefix sum) — every stage
+        // corpus-linear; the budget scales with k so membership work
+        // doesn't vanish
+        graft.ops.CorpusBuild.trainingSubset(corpus, "doc_id", "lang", "text",
+          evalPred = col("doc_id") % 10 === 0, w = 4,
+          budgetPerSource = 700L * k, salt = "ss")
+      }))
     // (no semdedup finder: its pair join is by contract quadratic in
     // CLUSTER size — the scale dial is k ∝ n (constant cluster size,
     // fit on a subsample), so a fixed-k 10x run measures the documented
