@@ -17,6 +17,89 @@ import org.apache.spark.util.sketch.BloomFilter
   */
 object Sketches {
 
+  /** DETERMINISTIC Count-Min sketch over a token stream (Cormode &
+    * Muthukrishnan 2005), plus the estimate-vs-exact audit for the
+    * corpus's heavy hitters — the sketch tier made oracle-checkable:
+    * unlike `freqItems`/HLL (engine-internal randomness), every hash
+    * here is the engine's portable md5-60bit + the multiply-shift
+    * permutations ([[graft.dedup.MinHash.permConsts]]), so DuckDB
+    * replays the identical table and the identical estimates.
+    *
+    * Scale shape: the sketch is ONE keyed partial aggregation into a
+    * (depth x width)-bounded table (model state, bytes); estimating
+    * joins the bounded probe set against it broadcast. The exact
+    * counts for the audited top-k ride the same corpus scan the exact
+    * top-ngrams operator uses. CMS guarantees est >= exact — the
+    * audit emits both so the overestimate is visible.
+    *
+    * Returns (token, exact_n, cms_est) for the exact top-`k` tokens
+    * (ties toward the lexicographically smaller token).
+    */
+  def cmsTopK(df: DataFrame, textCol: String, k: Int = 20,
+      depth: Int = 4, width: Int = 1024,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(depth >= 1 && width >= 1, s"bad CMS shape ($depth x $width)")
+    // 32-BIT base hash (first 8 md5 hex chars): the 29-bit multiply
+    // constants then keep a*h + b < 2^62 — the same overflow-free
+    // envelope MinHash documents — so the identical arithmetic runs
+    // in DuckDB. Persisted: the sketch build and the exact top-k are
+    // two aggregations over the same narrow (tok) frame.
+    val toks = scope.persist(
+      df.select(explode(graft.text.TextFunctions.tokens(lower(col(textCol)))).as("tok")))
+    def bucket(d: Int): Column = {
+      val h = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+      val (a, b) = graft.dedup.MinHash.permConsts(d)
+      pmod(lit(a) * h + lit(b), lit(graft.dedup.MinHash.Mersenne61.toLong)) % width
+    }
+    def withBuckets(in: DataFrame): DataFrame = in.select(
+      (in.columns.map(col) :+
+        explode(array((0 until depth).map(d =>
+          struct(lit(d).as("d"), bucket(d).as("bucket"))): _*)).as("db")): _*)
+      .withColumn("d", col("db.d")).withColumn("bucket", col("db.bucket"))
+      .drop("db")
+    val cms = withBuckets(toks).groupBy("d", "bucket").agg(count(lit(1)).as("c"))
+    val topk = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("tok").asc).limit(k)
+    withBuckets(topk)
+      .join(broadcast(cms), Seq("d", "bucket"))
+      .groupBy(col("tok").as("token"), col("exact_n"))
+      .agg(min(col("c")).as("cms_est"))
+      .orderBy(col("exact_n").desc, col("token").asc)
+  }
+
+  /** DuckDB twin of [[cmsTopK]]. */
+  def cmsTopKDuckSql(table: String, textCol: String, k: Int = 20,
+      depth: Int = 4, width: Int = 1024): String = {
+    val m = graft.dedup.MinHash.Mersenne61
+    val perms = (0 until depth).map { d =>
+      val (a, b) = graft.dedup.MinHash.permConsts(d)
+      s"($d, $a, $b)"
+    }.mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(lower($textCol), ' ')) AS tok FROM $table),
+       |h AS (
+       |  SELECT tok,
+       |    CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv
+       |  FROM toks),
+       |perms(d, a, b) AS (VALUES $perms),
+       |rows_ AS (
+       |  SELECT tok, d, CAST(((a * hv + b) % $m) % $width AS BIGINT) AS bucket
+       |  FROM h, perms),
+       |cms AS (
+       |  SELECT d, bucket, count(*) AS c FROM rows_ GROUP BY d, bucket),
+       |topk AS (
+       |  SELECT tok, count(*) AS exact_n FROM toks GROUP BY tok
+       |  ORDER BY exact_n DESC, tok ASC LIMIT $k),
+       |probes AS (
+       |  SELECT t.tok, t.exact_n, r.d, r.bucket
+       |  FROM topk t JOIN (SELECT DISTINCT tok, d, bucket FROM rows_) r
+       |    ON t.tok = r.tok)
+       |SELECT p.tok AS token, p.exact_n, min(c.c) AS cms_est
+       |FROM probes p JOIN cms c ON p.d = c.d AND p.bucket = c.bucket
+       |GROUP BY p.tok, p.exact_n
+       |ORDER BY exact_n DESC, token ASC""".stripMargin
+  }
+
   /** Approximate distinct count per column in ONE aggregation
     * (HLL++, `rsd` relative error) — the scale path for
     * `Collection.distinctValues` cardinality checks.

@@ -21,6 +21,14 @@ object CorpusQueries extends QuerySet {
       (s, d) => Corpus.tfIdf(Tables.df(s, d, "documents"), "doc_id", "text", topK = 3),
       Some(Corpus.tfIdfDuckSql("documents", "doc_id", "text", topK = 3))),
 
+    // Deterministic Count-Min heavy-hitter audit: est >= exact by the
+    // CMS guarantee, and every hash is engine-portable, so the oracle
+    // replays the sketch TABLE itself, not just the answer
+    Q("q_cms_topk",
+      (s, d) => graft.ops.Sketches.cmsTopK(
+        Tables.df(s, d, "documents"), "text", k = 20),
+      Some(graft.ops.Sketches.cmsTopKDuckSql("documents", "text", k = 20))),
+
     // eval set = source 'src0'; w=4 grams (the reference-style 8-13
     // gram windows need longer docs than the synthetic corpus carries)
     Q("q_decontaminate",

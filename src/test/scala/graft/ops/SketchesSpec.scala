@@ -36,6 +36,33 @@ class SketchesSpec extends SparkSpec {
     items should contain("hot")
   }
 
+  test("cmsTopK: estimates dominate exact counts; exact at generous width") {
+    import spark.implicits._
+    val docs = Seq(
+      "hot hot hot hot warm warm cold",
+      "hot hot warm tepid",
+      "hot cold").toDF("text")
+    val out = Sketches.cmsTopK(docs, "text", k = 3, depth = 4, width = 4096)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.api.CacheScope.global.release()
+    // exact top-3 by count, ties lexicographic
+    out.map(t => (t._1, t._2)).toSeq shouldBe Seq(("hot", 7L), ("warm", 3L), ("cold", 2L))
+    // CMS guarantee: est >= exact; at width 4096 over 5 tokens, exact
+    out.foreach { case (_, exact, est) => est shouldBe exact }
+  }
+
+  test("cmsTopK: narrow width over-estimates but never under-estimates") {
+    import spark.implicits._
+    val docs = (1 to 50).map(i => s"tok$i common common").toDF("text")
+    val out = Sketches.cmsTopK(docs, "text", k = 5, depth = 2, width = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    graft.api.CacheScope.global.release()
+    out.foreach { case (_, exact, est) => est should be >= exact }
+    // 150 tokens into 2x4 cells: collisions are certain somewhere
+    out.head._1 shouldBe "common"
+    out.head._2 shouldBe 100L
+  }
+
   test("bloom filter: never a false negative; fpp in range") {
     val members = spark.range(0, 5000).toDF("v")
     val bloom = Sketches.buildBloom(members, col("v"), 5000, fpp = 0.01)
