@@ -208,6 +208,53 @@ object TrainStream {
        |WHERE cum_before < $budgetPerSource""".stripMargin
   }
 
+  /** Deterministic MLM example generation (BERT-style token masking):
+    * position `i` of document `d` is masked iff
+    * `hash60(d|i|salt) mod 1000 < rate‰` — no RNG, so examples are
+    * reproducible across reruns, engines, and epochs (vary `salt` per
+    * epoch for fresh masks). Emits the masked input and the ordered
+    * mask targets per document.
+    *
+    * Map-only: two fixed-depth higher-order transforms per row inside
+    * codegen — the augmentation tier of the pipeline costs one scan
+    * at any corpus size.
+    */
+  def mlmMask(df: DataFrame, idCol: String, textCol: String,
+      ratePerMille: Int = 150, salt: String = ""): DataFrame = {
+    require(ratePerMille >= 0 && ratePerMille <= 1000, s"bad rate $ratePerMille")
+    val toks = TextFunctions.tokens(col(textCol))
+    val idx = sequence(lit(1), size(toks))
+    def maskedAt(i: org.apache.spark.sql.Column) = pmod(TextFunctions.portableHash60(
+      concat_ws("|", col(idCol).cast("string"), i.cast("string"), lit(salt))),
+      lit(1000L)) < ratePerMille
+    val maskedToks = transform(idx, i =>
+      when(maskedAt(i), lit("[MASK]")).otherwise(element_at(toks, i)))
+    val targets = filter(transform(idx, i =>
+      when(maskedAt(i), element_at(toks, i))), t => t.isNotNull)
+    df.select(col(idCol),
+      size(toks).as("n_toks"),
+      size(targets).as("n_masked"),
+      array_join(maskedToks, " ").as("masked_text"),
+      array_join(targets, " ").as("target_text"))
+  }
+
+  /** DuckDB twin of [[mlmMask]]. */
+  def mlmMaskDuckSql(table: String, idCol: String, textCol: String,
+      ratePerMille: Int = 150, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    val mask = s"CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR) || '|' || " +
+      s"CAST(i AS VARCHAR) || '|' || '$s'), 1, 15)) AS UBIGINT) % 1000 < $ratePerMille"
+    s"""SELECT $idCol,
+       |  CAST(len(toks) AS INT) AS n_toks,
+       |  CAST(len(list_filter(list_transform(range(1, len(toks) + 1),
+       |    i -> CASE WHEN $mask THEN toks[i] END), t -> t IS NOT NULL)) AS INT) AS n_masked,
+       |  array_to_string(list_transform(range(1, len(toks) + 1),
+       |    i -> CASE WHEN $mask THEN '[MASK]' ELSE toks[i] END), ' ') AS masked_text,
+       |  coalesce(array_to_string(list_filter(list_transform(range(1, len(toks) + 1),
+       |    i -> CASE WHEN $mask THEN toks[i] END), t -> t IS NOT NULL), ' '), '') AS target_text
+       |FROM (SELECT $idCol, string_split($textCol, ' ') AS toks FROM $table) t""".stripMargin
+  }
+
   /** DuckDB twin of [[packSequences]]: single global window (fine at
     * oracle scale) — identical offsets by construction.
     */

@@ -177,6 +177,16 @@ object PipelineQueries extends QuerySet {
         evalPredSql = "doc_id % 10 = 0", w = 4,
         budgetPerSource = 700, salt = "e2e") + "\nORDER BY doc_id")),
 
+    // Deterministic MLM masking (BERT-style augmentation): 15% of
+    // positions by per-(doc,pos,salt) hash — reproducible examples,
+    // fresh masks per epoch via the salt
+    Q("q_mlm_mask",
+      (s, d) => TrainStream.mlmMask(Tables.df(s, d, "documents"),
+        "doc_id", "text", ratePerMille = 150, salt = "r7")
+        .orderBy("doc_id"),
+      Some(TrainStream.mlmMaskDuckSql("documents", "doc_id", "text",
+        ratePerMille = 150, salt = "r7") + "\nORDER BY doc_id")),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")

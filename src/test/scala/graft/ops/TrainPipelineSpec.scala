@@ -197,4 +197,44 @@ class TrainPipelineSpec extends SparkSpec {
     // every Window must partition (the distributed prefix-sum contract)
     plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w } shouldBe empty
   }
+
+  // --- MLM masking -------------------------------------------------
+
+  test("mlmMask: deterministic, target order preserved, token counts consistent") {
+    val df = Seq((1L, "a b c d e f g h i j")).toDF("id", "text")
+    val r1 = TrainStream.mlmMask(df, "id", "text", ratePerMille = 500, salt = "s").collect().head
+    val r2 = TrainStream.mlmMask(df, "id", "text", ratePerMille = 500, salt = "s").collect().head
+    r1 shouldBe r2 // no RNG anywhere
+    val masked = r1.getString(3).split(" ")
+    val targets = r1.getString(4).split(" ").filter(_.nonEmpty)
+    masked.length shouldBe 10
+    r1.getInt(2) shouldBe targets.length
+    // reconstruct: substituting targets back at [MASK] positions
+    // yields the original text (order preserved)
+    val it = targets.iterator
+    masked.map(t => if (t == "[MASK]") it.next() else t).mkString(" ") shouldBe
+      "a b c d e f g h i j"
+  }
+
+  test("mlmMask: rate 0 masks nothing, rate 1000 masks everything; salt varies masks") {
+    val df = Seq((7L, "x y z w v")).toDF("id", "text")
+    val none = TrainStream.mlmMask(df, "id", "text", ratePerMille = 0).collect().head
+    none.getInt(2) shouldBe 0
+    none.getString(3) shouldBe "x y z w v"
+    none.getString(4) shouldBe ""
+    val all = TrainStream.mlmMask(df, "id", "text", ratePerMille = 1000).collect().head
+    all.getInt(2) shouldBe 5
+    all.getString(4) shouldBe "x y z w v"
+    // 24 tokens => identical masks across salts has odds ~2^-24
+    val long = Seq((9L, (1 to 24).map(i => s"t$i").mkString(" "))).toDF("id", "text")
+    val a = TrainStream.mlmMask(long, "id", "text", 500, salt = "ep1").collect().head.getString(3)
+    val b = TrainStream.mlmMask(long, "id", "text", 500, salt = "ep2").collect().head.getString(3)
+    a should not be b // fresh masks per epoch
+  }
+
+  test("mlmMask is map-only: no exchange") {
+    val plan = TrainStream.mlmMask(Seq((1L, "a b")).toDF("id", "text"), "id", "text")
+      .queryExecution.sparkPlan.toString
+    (plan should not).include("Exchange")
+  }
 }
