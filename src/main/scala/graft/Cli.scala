@@ -88,6 +88,9 @@ object Cli {
           val where = whereOf(opts)
           val sel = opts.get("select").map(_.split(',').toSeq).getOrElse(Nil)
           val res = opts.get("attrs") match {
+            case Some(_) if opts.get("mode").contains("bm25") =>
+              throw new IllegalArgumentException(
+                "--mode bm25 ranks one text column; it does not compose with --attrs")
             case Some(attrs) => coll.searchObjects(term, attrs.split(',').toSeq,
               opts.get("template"), limitOf(opts, 10).toInt, where, sel)
             case None if opts.get("mode").contains("bm25") =>

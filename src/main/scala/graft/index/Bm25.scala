@@ -36,14 +36,19 @@ object Bm25 {
     * semantics, as [[Search.searchTrigram]]).
     */
   def search(df: DataFrame, idCol: String, textCol: String, query: String,
-      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "query has no terms")
     val toks = split(lower(col(textCol)), " ")
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       size(filter(toks, x => x === lit(t))).as(s"__tf$i")
     }
-    val base = df.select(col(idCol) +: size(toks).as("__dl") +: tfCols: _*)
+    // persisted: the stats aggregate and the scoring pass are two
+    // actions over the same NARROW (id, dl, tf...) frame — without the
+    // cache the corpus would be scanned and tokenized twice
+    val base = scope.persist(
+      df.select(col(idCol) +: size(toks).as("__dl") +: tfCols: _*))
     val dfAggs = terms.indices.map(i =>
       sum((col(s"__tf$i") > 0).cast("int")).as(s"__df$i"))
     val stats = base.agg(count(lit(1)).as("__n"),

@@ -55,7 +55,9 @@ object CorpusBuild {
   }
 
   /** DuckDB twin of [[trainingSubset]] — the same four stages as a CTE
-    * chain over each operator's own oracle formulation.
+    * chain over each operator's own oracle formulation. `evalPredSql`
+    * may reference `idCol`/`srcCol`/`textCol` (the columns every CTE
+    * stage carries); the Spark twin accepts any column of `df`.
     */
   def trainingSubsetDuckSql(table: String, idCol: String, srcCol: String,
       textCol: String, evalPredSql: String, w: Int, budgetPerSource: Long,
@@ -90,9 +92,9 @@ object CorpusBuild {
        |  SELECT f.$idCol, f.$srcCol, f.$textCol
        |  FROM fps f JOIN firsts fi ON f.fp = fi.fp AND f.$idCol = fi.first_id),
        |u AS (
-       |  SELECT $idCol, $textCol FROM dedup
+       |  SELECT $idCol, $srcCol, $textCol FROM dedup
        |  UNION ALL
-       |  SELECT $idCol, $textCol FROM $table WHERE coalesce($evalPredSql, false)),
+       |  SELECT $idCol, $srcCol, $textCol FROM $table WHERE coalesce($evalPredSql, false)),
        |$decontam,
        |clean AS (
        |  SELECT * FROM dedup

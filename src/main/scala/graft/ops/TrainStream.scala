@@ -227,10 +227,14 @@ object TrainStream {
     def maskedAt(i: org.apache.spark.sql.Column) = pmod(TextFunctions.portableHash60(
       concat_ws("|", col(idCol).cast("string"), i.cast("string"), lit(salt))),
       lit(1000L)) < ratePerMille
-    val maskedToks = transform(idx, i =>
-      when(maskedAt(i), lit("[MASK]")).otherwise(element_at(toks, i)))
-    val targets = filter(transform(idx, i =>
-      when(maskedAt(i), element_at(toks, i))), t => t.isNotNull)
+    // one md5 per position: the boolean mask is computed ONCE and both
+    // outputs derive from it via zip_with (HOF lambdas are interpreted,
+    // so cross-lambda subexpressions would NOT be eliminated)
+    val flags = transform(idx, i => maskedAt(i))
+    val maskedToks = zip_with(toks, flags, (t, m) =>
+      when(m, lit("[MASK]")).otherwise(t))
+    val targets = filter(zip_with(toks, flags, (t, m) => when(m, t)),
+      t => t.isNotNull)
     df.select(col(idCol),
       size(toks).as("n_toks"),
       size(targets).as("n_masked"),

@@ -49,28 +49,38 @@ object BpeTrain {
   /** Train `nMerges` merges. One aggregation job per merge; the word
     * table (vocabulary-sized) stays cached and is rewritten map-side.
     */
+  /** Rebuild the fold cadence: under this many un-materialized merges
+    * the per-iteration plan stays shallow; at the boundary the current
+    * segmentation re-materializes into a fresh cached table so plan
+    * depth and analysis cost stay BOUNDED at any nMerges (30k-merge
+    * tokenizers never grow a 30k-deep expression tree).
+    */
+  val CheckpointEvery = 128
+
   def fit(df: DataFrame, textCol: String, nMerges: Int): Seq[Merge] = {
-    // ONE cached materialization (the corpus-compressing groupBy);
-    // every iteration re-derives the current segmentation by folding
-    // the merges-so-far as chained map-side `replace`s over it. That
-    // makes an iteration exactly ONE job (the pair-count collect) —
-    // the earlier persist/count/unpersist-per-iteration variant spent
-    // 2/3 of its wall time on cache-churn jobs, not on counting. The
-    // fold does O(rank) replaces per row, so total work is
-    // O(nMerges²) over the VOCABULARY-sized table — at real tokenizer
-    // scale (30k merges) re-materialize the fold every few hundred
-    // rounds (same checkpoint cadence the class doc describes).
-    val base = wordFreqs(df, textCol)
+    // ONE cached materialization per CheckpointEvery merges (the
+    // corpus-compressing groupBy happens once, up front); within a
+    // checkpoint window each iteration re-derives the current
+    // segmentation by folding the merges-since-checkpoint as chained
+    // map-side `replace`s. That makes an iteration exactly ONE job
+    // (the pair-count collect) — the earlier persist/count/unpersist-
+    // per-iteration variant spent 2/3 of its wall time on cache-churn
+    // jobs, not on counting. The fold does O(rank mod CheckpointEvery)
+    // replaces per row, so plan depth is bounded and total extra work
+    // is O(CheckpointEvery) per merge over the VOCABULARY-sized table.
+    var base = wordFreqs(df, textCol)
       .select(initialSeg(col("w")).as("seg0"), col("f"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     base.count()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    // merges applied since `base` was last materialized
+    var pending = List.empty[Merge]
+    def segCol = pending.reverse.foldLeft(col("seg0")) { (s, m) =>
+      call_function("replace",
+        s, lit(s"|${m.lhs}||${m.rhs}|"), lit(s"|${m.lhs + m.rhs}|"))
+    }
     try {
       for (rank <- 1 to nMerges) {
-        val segCol = merges.foldLeft(col("seg0")) { (s, m) =>
-          call_function("replace",
-            s, lit(s"|${m.lhs}||${m.rhs}|"), lit(s"|${m.lhs + m.rhs}|"))
-        }
         val toks = split(regexp_replace(segCol, "^\\||\\|$", ""), "\\|\\|")
         // adjacent pairs: zip tokens with their right neighbor; the
         // zip pads the last position with null, which the filter drops
@@ -87,6 +97,15 @@ object BpeTrain {
         if (best.isEmpty) return merges.toSeq
         val Row(l: String, r: String, c: Long) = best(0)
         merges += Merge(rank, l, r, c)
+        pending ::= Merge(rank, l, r, c)
+        if (pending.length >= CheckpointEvery) {
+          val next = base.select(segCol.as("seg0"), col("f"))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          base.unpersist()
+          base = next
+          pending = Nil
+        }
       }
       merges.toSeq
     } finally base.unpersist()

@@ -84,24 +84,29 @@ object Clean {
 
   /** DuckDB twin of [[dropBoilerplate]] — same per-document-distinct
     * count and threshold, re-assembly via an explode + anti-join +
-    * positional re-group (value-equivalent to the broadcast filter).
+    * positional re-group. The membership test runs on the SAME 60-bit
+    * line hash the Spark side filters on (every hashed operator keeps
+    * both engines on the hash, so equality is by construction, not up
+    * to hash collisions).
     */
   def dropBoilerplateDuckSql(table: String, idCol: String, textCol: String,
       sep: String = "\n", minDocs: Long = 100): String = {
     def esc(s: String) = s.replace("'", "''")
     val s = esc(sep)
+    val h = "CAST(concat('0x', substr(md5(line), 1, 15)) AS UBIGINT)"
     s"""WITH lined AS (
        |  SELECT $idCol, string_split($textCol, '$s') AS lines FROM $table),
        |common AS (
-       |  SELECT l AS line FROM (
-       |    SELECT $idCol, unnest(list_distinct(lines)) AS l FROM lined) t
-       |  GROUP BY l HAVING count(*) > $minDocs),
+       |  SELECT lh FROM (
+       |    SELECT $idCol, unnest(list_distinct(list_transform(lines,
+       |      line -> $h))) AS lh FROM lined) t
+       |  GROUP BY lh HAVING count(*) > $minDocs),
        |pos AS (
        |  SELECT $idCol, lines[i] AS line, i FROM lined,
        |       unnest(range(1, len(lines) + 1)) AS u(i)),
        |kept AS (
        |  SELECT p.$idCol, p.line, p.i FROM pos p
-       |  WHERE p.line NOT IN (SELECT line FROM common))
+       |  WHERE $h NOT IN (SELECT lh FROM common))
        |SELECT l.$idCol,
        |  CAST(len(l.lines) AS INT) AS n_lines,
        |  CAST(coalesce(k.nk, 0) AS INT) AS n_kept,

@@ -33,10 +33,12 @@ object HashEmbed {
     // one native pass: O(tokens + dim) per row in codegen
     // ([[graft.functions.HashEmbedCounts]]), bit-identical to the
     // lambda form [[embedLambda]] (spec-asserted), which stays as the
-    // oracle's formulation twin
-    val toks = split(lower(col(textCol)), " ")
+    // oracle's formulation twin; the token COUNT is spaces+1
+    // arithmetic ([[TextFunctions.wsTokenCount]]) — no token array is
+    // ever materialized on this path
     val vec = call_function("graft_hash_embed", col(textCol), lit(dim))
-    df.select(col(idCol), vec.as("vec"), size(toks).as("n_toks"))
+    df.select(col(idCol), vec.as("vec"),
+        TextFunctions.wsTokenCount(col(textCol)).cast("int").as("n_toks"))
       .select(col(idCol), col("vec"), col("n_toks"),
         round(sqrt(aggregate(col("vec"), lit(0L),
           (acc, v) => acc + v.cast("long") * v.cast("long")).cast("double")), 4).as("norm"))

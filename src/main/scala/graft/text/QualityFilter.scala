@@ -38,22 +38,27 @@ object QualityFilter {
       (qs.punctRatio <= t.maxPunctRatio) && (qs.digitRatio <= t.maxDigitRatio)
   }
 
+  // shared Duck SQL ratio fragments (single source for the flag-form
+  // and predicate-form oracles — a threshold/regex tweak lands in both)
+  private def meanLenDuck: String =
+    "CASE WHEN len(toks) = 0 THEN 0 ELSE " +
+      "list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) END"
+  private def punctDuck(textCol: String): String =
+    s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
+      s"length(regexp_replace($textCol, '[a-z0-9 ]', '', 'g')) / CAST(length($textCol) AS DOUBLE) END"
+  private def digitDuck(textCol: String): String =
+    s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
+      s"(length($textCol) - length(regexp_replace($textCol, '[0-9]', '', 'g'))) / CAST(length($textCol) AS DOUBLE) END"
+
   /** DuckDB twin of [[passes]] as a WHERE-clause fragment; expects a
     * scope providing `$textCol` and `toks` (= string_split on space).
     */
-  def passesDuckPred(textCol: String, t: Thresholds = Thresholds()): String = {
-    val meanLen = s"CASE WHEN len(toks) = 0 THEN 0 ELSE " +
-      s"list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) END"
-    val punct = s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
-      s"length(regexp_replace($textCol, '[a-z0-9 ]', '', 'g')) / CAST(length($textCol) AS DOUBLE) END"
-    val digit = s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
-      s"(length($textCol) - length(regexp_replace($textCol, '[0-9]', '', 'g'))) / CAST(length($textCol) AS DOUBLE) END"
+  def passesDuckPred(textCol: String, t: Thresholds = Thresholds()): String =
     s"""len(toks) BETWEEN ${t.minToks} AND ${t.maxToks}
-       |    AND ($meanLen) BETWEEN ${t.minMeanTokLen} AND ${t.maxMeanTokLen}
+       |    AND (${meanLenDuck}) BETWEEN ${t.minMeanTokLen} AND ${t.maxMeanTokLen}
        |    AND ${TextFunctions.stopwordRatioDuck("toks")} >= ${t.minStopRatio}
-       |    AND ($punct) <= ${t.maxPunctRatio}
-       |    AND ($digit) <= ${t.maxDigitRatio}""".stripMargin
-  }
+       |    AND (${punctDuck(textCol)}) <= ${t.maxPunctRatio}
+       |    AND (${digitDuck(textCol)}) <= ${t.maxDigitRatio}""".stripMargin
 
   /** (idCol, n_toks, len_ok, tok_len_ok, stop_ok, punct_ok, digit_ok,
     * passes) — flags as 0/1 ints.
@@ -80,26 +85,15 @@ object QualityFilter {
       (lenOk && tokLenOk && stopOk && punctOk && digitOk).cast("int").as("passes"))
   }
 
-  /** DuckDB twin of [[flags]]. */
+  /** DuckDB twin of [[flags]] (passes == [[passesDuckPred]] verbatim). */
   def flagsDuckSql(table: String, idCol: String, textCol: String,
-      t: Thresholds = Thresholds()): String = {
-    val meanLen = s"CASE WHEN len(toks) = 0 THEN 0 ELSE " +
-      s"list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) END"
-    val punct = s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
-      s"length(regexp_replace($textCol, '[a-z0-9 ]', '', 'g')) / CAST(length($textCol) AS DOUBLE) END"
-    val digit = s"CASE WHEN length($textCol) = 0 THEN 0 ELSE " +
-      s"(length($textCol) - length(regexp_replace($textCol, '[0-9]', '', 'g'))) / CAST(length($textCol) AS DOUBLE) END"
+      t: Thresholds = Thresholds()): String =
     s"""SELECT $idCol, CAST(len(toks) AS INT) AS n_toks,
        |  CAST(len(toks) BETWEEN ${t.minToks} AND ${t.maxToks} AS INT) AS len_ok,
-       |  CAST(($meanLen) BETWEEN ${t.minMeanTokLen} AND ${t.maxMeanTokLen} AS INT) AS tok_len_ok,
+       |  CAST((${meanLenDuck}) BETWEEN ${t.minMeanTokLen} AND ${t.maxMeanTokLen} AS INT) AS tok_len_ok,
        |  CAST(${TextFunctions.stopwordRatioDuck("toks")} >= ${t.minStopRatio} AS INT) AS stop_ok,
-       |  CAST(($punct) <= ${t.maxPunctRatio} AS INT) AS punct_ok,
-       |  CAST(($digit) <= ${t.maxDigitRatio} AS INT) AS digit_ok,
-       |  CAST(len(toks) BETWEEN ${t.minToks} AND ${t.maxToks}
-       |    AND ($meanLen) BETWEEN ${t.minMeanTokLen} AND ${t.maxMeanTokLen}
-       |    AND ${TextFunctions.stopwordRatioDuck("toks")} >= ${t.minStopRatio}
-       |    AND ($punct) <= ${t.maxPunctRatio}
-       |    AND ($digit) <= ${t.maxDigitRatio} AS INT) AS passes
+       |  CAST((${punctDuck(textCol)}) <= ${t.maxPunctRatio} AS INT) AS punct_ok,
+       |  CAST((${digitDuck(textCol)}) <= ${t.maxDigitRatio} AS INT) AS digit_ok,
+       |  CAST(${passesDuckPred(textCol, t)} AS INT) AS passes
        |FROM (SELECT $idCol, $textCol, string_split($textCol, ' ') AS toks FROM $table) t""".stripMargin
-  }
 }

@@ -100,6 +100,11 @@ class CliSpec extends SparkSpec {
       "--query", "spark", "--where", "city=bergen", "--limit", "3")
     code2 shouldBe 0
     out2.tail.map(_.split('\t').head) shouldBe Seq("3")
+    // --mode bm25 with --attrs is an ERROR, not a silent cosine search
+    val (code3, out3) = runCli("search", "--path", docs, "--mode", "bm25",
+      "--attrs", "text,city", "--query", "spark")
+    code3 shouldBe 2
+    out3.head should include("does not compose with --attrs")
   }
 
   test("export: query result through the Formats registry") {
