@@ -228,6 +228,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("stateless cleaning/augmentation (c4Clean, mlmMask, hash-embed) stream with batch parity") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val docs = Seq(
+      (1L, "this line has plenty of words and ends well.|tail fragment"),
+      (2L, "too short.|is this a long enough question to survive the gate?"))
+
+    def pipeline(df: org.apache.spark.sql.DataFrame) = {
+      val cleaned = graft.text.Clean.c4Clean(df, "doc_id", "text", sep = "|")
+      val masked = graft.ops.TrainStream.mlmMask(df, "doc_id", "text", 500, salt = "st")
+      val embedded = graft.text.HashEmbed.embed(df, "doc_id", "text", dim = 8)
+      (cleaned, masked, embedded)
+    }
+    val (c, m, e) = pipeline(input.toDF().toDF("doc_id", "text"))
+    val qs = Seq(
+      c.writeStream.format("memory").queryName("c4_out").outputMode("append").start(),
+      m.writeStream.format("memory").queryName("mlm_out").outputMode("append").start(),
+      e.writeStream.format("memory").queryName("he_out").outputMode("append").start())
+    try {
+      input.addData(docs: _*)
+      qs.foreach(_.processAllAvailable())
+      val (bc, bm, be) = pipeline(docs.toDF("doc_id", "text"))
+      spark.table("c4_out").collect().toSet shouldBe bc.collect().toSet
+      spark.table("mlm_out").collect().toSet shouldBe bm.collect().toSet
+      spark.table("he_out").collect().map(_.toSeq).toSet shouldBe
+        be.collect().map(_.toSeq).toSet
+      spark.table("c4_out").count() shouldBe 2
+    } finally qs.foreach(_.stop())
+  }
+
   test("native codegen kernels (repetition stats) run unchanged on a stream") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
