@@ -350,6 +350,26 @@ object VectorQueries extends QuerySet {
       Some(graft.index.Bm25.searchDuckSql("documents", "doc_id", "text",
         Query, k = 15))),
 
+    // The no-model bootstrap path END TO END: raw text -> feature-hash
+    // vectors -> distributed Lloyd's -> topic assignment, with the
+    // oracle replaying hash-embed + the full unrolled training loop.
+    // This is the composition the hash-embed row promises (text corpus
+    // into the vector operators without an external encoder).
+    Q("q_topic_cluster",
+      (s, d) => {
+        val emb = graft.text.HashEmbed.embed(
+          Tables.df(s, d, "documents"), "doc_id", "text", dim = 16)
+          .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
+        graft.ann.KMeans.assign(emb, "doc_id", "vec",
+          graft.ann.KMeans.fit(emb, "doc_id", "vec", k = 6, maxIters = 2))
+          .orderBy("doc_id")
+      },
+      Some("WITH hv AS (SELECT doc_id, vec FROM ("
+        + graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)
+        + ") t0),\n"
+        + graft.ann.KMeans.assignDuckSql("hv", "doc_id", "vec",
+            k = 6, iters = 2, dim = 16).stripPrefix("WITH "))),
+
     // Feature-hashing embeddings: text corpus -> dense hashed
     // bag-of-words vectors (the no-model bootstrap into the vector
     // operators); map-only codegen, exact integer counts + 4dp norm.
