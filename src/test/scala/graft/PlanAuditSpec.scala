@@ -222,9 +222,11 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_pipeline_e2e: composes q_decontaminate's eval-gram
     //    broadcast and q_token_budget's (source × 256)-bucket offsets
     //    — the same two bounded frames already justified above
+    //  - q_cms_topk: the Count-Min table grouped by (depth × width)
+    //    — a LITERAL bound (4 × 1024 cells), the sketch's whole point
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
-      "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e")
+      "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
