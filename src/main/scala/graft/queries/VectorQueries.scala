@@ -370,6 +370,95 @@ object VectorQueries extends QuerySet {
         + graft.ann.KMeans.assignDuckSql("hv", "doc_id", "vec",
             k = 6, iters = 2, dim = 16).stripPrefix("WITH "))),
 
+    // Topic labeling: top-5 tokens per discovered cluster — the human-
+    // readable face of q_topic_cluster. (cluster, token) counts are a
+    // keyed partial agg; the rank window partitions on the bounded
+    // cluster key (k=6); output is model-state-sized (k x 5 rows).
+    Q("q_cluster_terms",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val emb = graft.text.HashEmbed.embed(docs, "doc_id", "text", dim = 16)
+          .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
+        val asg = graft.ann.KMeans.assign(emb, "doc_id", "vec",
+          graft.ann.KMeans.fit(emb, "doc_id", "vec", k = 6, maxIters = 2))
+        asg.join(docs.select("doc_id", "text"), "doc_id")
+          .select(col("cluster"),
+            explode(graft.text.TextFunctions.tokens(lower(col("text")))).as("tok"))
+          .groupBy("cluster", "tok").agg(count(lit(1)).as("c"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+              .orderBy(col("c").desc, col("tok").asc)))
+          .filter(col("rnk") <= 5)
+          .select(col("cluster"), col("tok"), col("c"), col("rnk"))
+          .orderBy("cluster", "rnk")
+      },
+      Some("WITH hv AS (SELECT doc_id, vec FROM ("
+        + graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)
+        + ") t0),\n"
+        + graft.ann.KMeans.assignDuckSql("hv", "doc_id", "vec",
+            k = 6, iters = 2, dim = 16)
+          .stripPrefix("WITH ")
+          .replace("SELECT id AS doc_id, cid AS cluster FROM afinal ORDER BY doc_id",
+            """SELECT cluster, tok, c, CAST(rnk AS INT) AS rnk FROM (
+              |  SELECT cluster, tok, c, row_number() OVER (
+              |    PARTITION BY cluster ORDER BY c DESC, tok ASC) AS rnk
+              |  FROM (
+              |    SELECT a.cid AS cluster, t.tok, count(*) AS c
+              |    FROM afinal a JOIN (
+              |      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+              |      FROM documents) t ON a.id = t.doc_id
+              |    GROUP BY a.cid, t.tok) cnt) rk
+              |WHERE rnk <= 5
+              |ORDER BY cluster, rnk""".stripMargin))),
+
+    // Hard-negative mining for retrieval training: for each probe doc
+    // (bounded set), the top-3 most-similar docs from a DIFFERENT
+    // source — the classic contrastive-pairs builder. Probes broadcast
+    // (the knn_classify shape); the corpus streams once; integer dots
+    // over 4dp norms keep both engines bit-equal.
+    Q("q_hard_negatives",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val emb = graft.text.HashEmbed.embed(docs, "doc_id", "text", dim = 16)
+          .join(docs.select("doc_id", "source"), "doc_id")
+          .filter(col("norm") > 0)
+          .select(col("doc_id"), col("source"),
+            col("vec").cast("array<double>").as("v"), col("norm"))
+        val probes = emb.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id").as("probe_id"), col("source").as("psrc"),
+            col("v").as("pv"), col("norm").as("pn"))
+        emb.join(broadcast(probes),
+            col("source") =!= col("psrc"))
+          .withColumn("sim", round(
+            call_function("graft_dot", col("pv"), col("v")) / (col("pn") * col("norm")), 4))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
+              .orderBy(col("sim").desc, col("doc_id").asc)))
+          .filter(col("rnk") <= 3)
+          .select(col("probe_id"), col("doc_id").as("neg_id"), col("sim"),
+            col("rnk"))
+          .orderBy("probe_id", "rnk")
+      },
+      Some(s"""WITH emb AS (
+             |  SELECT e.doc_id, d.source, e.vec, e.norm
+             |  FROM (${graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)}) e
+             |  JOIN documents d USING (doc_id)
+             |  WHERE e.norm > 0),
+             |probes AS (
+             |  SELECT doc_id AS probe_id, source AS psrc, vec AS pv, norm AS pn
+             |  FROM emb WHERE doc_id % 50 = 0),
+             |scored AS (
+             |  SELECT p.probe_id, e.doc_id AS neg_id,
+             |    round(list_sum(list_transform(range(1, 17),
+             |      i -> CAST(p.pv[i] AS DOUBLE) * e.vec[i])) / (p.pn * e.norm), 4) AS sim
+             |  FROM probes p JOIN emb e ON e.source <> p.psrc)
+             |SELECT probe_id, neg_id, sim, CAST(rnk AS INT) AS rnk FROM (
+             |  SELECT probe_id, neg_id, sim, row_number() OVER (
+             |    PARTITION BY probe_id ORDER BY sim DESC, neg_id ASC) AS rnk
+             |  FROM scored) r
+             |WHERE rnk <= 3
+             |ORDER BY probe_id, rnk""".stripMargin)),
+
     // Feature-hashing embeddings: text corpus -> dense hashed
     // bag-of-words vectors (the no-model bootstrap into the vector
     // operators); map-only codegen, exact integer counts + 4dp norm.

@@ -69,8 +69,11 @@ class PlanAuditSpec extends SparkSpec {
     "q_mix_temperature",   // 1-row weight-normalizer crossJoin
     "q_dsir_weights",      // 1-row corpus-totals crossJoin (the LM
                            // normalizers nt/nr)
-    "q_search_bm25"        // 1-row corpus-stats crossJoin (N, Σdl,
+    "q_search_bm25",       // 1-row corpus-stats crossJoin (N, Σdl,
                            // per-query-term df — fixed arity)
+    "q_hard_negatives"     // bounded probe set broadcast (the
+                           // knn_classify shape) under a non-equi
+                           // cross-source condition
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
