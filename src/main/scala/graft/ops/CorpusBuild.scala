@@ -41,9 +41,14 @@ object CorpusBuild {
     // the firsts side when it is small)
     val withFp = gated.withColumn("__fp", TextFunctions.tokenSetFingerprint(col(textCol)))
     val firsts = withFp.groupBy("__fp").agg(min(col(idCol)).as("__first"))
-    val deduped = withFp.join(firsts, "__fp")
+    // persisted: the decontamination branch (gram explode) and the
+    // survivor anti-join both consume `deduped` — without the cache
+    // the gate + fingerprint shuffle runs twice over the corpus. The
+    // cache holds the GATED, DEDUPED subset (a strict shrink of the
+    // input), spillable MEMORY_AND_DISK via CacheScope.
+    val deduped = scope.persist(withFp.join(firsts, "__fp")
       .filter(col(idCol) === col("__first"))
-      .drop("__fp", "__first")
+      .drop("__fp", "__first"))
     // decontaminate the deduped survivors against the ORIGINAL eval
     // slice (benchmarks are not quality-gated or deduped)
     val contaminated = Corpus.decontaminate(
