@@ -208,6 +208,65 @@ object TrainStream {
        |WHERE cum_before < $budgetPerSource""".stripMargin
   }
 
+  /** Length-bucketed batch assignment: documents are grouped into
+    * power-of-two token-length buckets (floor(log2 n) via BINARY-STRING
+    * length — integer-exact, no FP log at bucket boundaries) and each
+    * bucket is cut into contiguous deterministic-hash-order batches of
+    * `batchSize` — the standard padding-efficiency batching for
+    * training (same-length docs together ⇒ minimal pad waste).
+    *
+    * The within-bucket sequence number is the [[packSequences]]
+    * distributed prefix idiom keyed per (len_bucket, hex-bucket):
+    * per-bucket row_numbers plus a ≤256-row triangular broadcast
+    * offset join — a bucket with 10^9 documents costs the same
+    * shuffle as the corpus, never one executor.
+    */
+  def lengthBatches(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int, salt: String = "",
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1 (got $batchSize)")
+    val base = scope.persist(df.select(col(idCol),
+        TextFunctions.wsTokenCount(col(textCol)).cast("int").as("n_toks"),
+        mixKey(col(idCol), salt).as("__h"))
+      .withColumn("len_bucket", (length(bin(col("n_toks"))) - 1).cast("int"))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int")))
+    val w = Window.partitionBy(col("len_bucket"), col("__bucket"))
+      .orderBy(col("__h"), col(idCol))
+    val inBucket = base.withColumn("__rn", row_number().over(w))
+    val btot = base.groupBy("len_bucket", "__bucket").agg(count(lit(1)).as("__btot"))
+    val bucketOff = btot.as("a")
+      .join(broadcast(btot.as("b")),
+        col("a.len_bucket") === col("b.len_bucket") &&
+          col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.len_bucket").as("len_bucket"), col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__btot")), lit(0L)).as("__off"))
+    inBucket.join(broadcast(bucketOff), Seq("len_bucket", "__bucket"))
+      .withColumn("seq_in_bucket", col("__off") + col("__rn") - 1)
+      .select(col(idCol), col("n_toks"), col("len_bucket"), col("seq_in_bucket"),
+        expr(s"seq_in_bucket div $batchSize").as("batch_id"))
+  }
+
+  /** DuckDB twin of [[lengthBatches]]: one window per len_bucket (fine
+    * at oracle scale) — identical bucket, order, and batch cuts.
+    */
+  def lengthBatchesDuckSql(table: String, idCol: String, textCol: String,
+      batchSize: Int, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    s"""SELECT $idCol, CAST(n_toks AS INT) AS n_toks,
+       |  CAST(len_bucket AS INT) AS len_bucket,
+       |  CAST(seq_in_bucket AS BIGINT) AS seq_in_bucket,
+       |  CAST(seq_in_bucket // $batchSize AS BIGINT) AS batch_id
+       |FROM (
+       |  SELECT $idCol, n_toks, len_bucket,
+       |    row_number() OVER (PARTITION BY len_bucket ORDER BY h, $idCol) - 1
+       |      AS seq_in_bucket
+       |  FROM (
+       |    SELECT $idCol, len(string_split($textCol, ' ')) AS n_toks,
+       |      length(printf('%b', len(string_split($textCol, ' ')))) - 1 AS len_bucket,
+       |      md5(CAST($idCol AS VARCHAR) || '$s') AS h
+       |    FROM $table) t1) t2""".stripMargin
+  }
+
   /** Deterministic MLM example generation (BERT-style token masking):
     * position `i` of document `d` is masked iff
     * `hash60(d|i|salt) mod 1000 < rate‰` — no RNG, so examples are

@@ -187,6 +187,16 @@ object PipelineQueries extends QuerySet {
       Some(TrainStream.mlmMaskDuckSql("documents", "doc_id", "text",
         ratePerMille = 150, salt = "r7") + "\nORDER BY doc_id")),
 
+    // Length-bucketed batching: power-of-two token-length buckets cut
+    // into deterministic hash-order batches — padding-efficiency
+    // batching with the distributed per-(len,hex)-bucket prefix idiom
+    Q("q_length_batches",
+      (s, d) => TrainStream.lengthBatches(Tables.df(s, d, "documents"),
+        "doc_id", "text", batchSize = 32, salt = "r7")
+        .orderBy("doc_id"),
+      Some(TrainStream.lengthBatchesDuckSql("documents", "doc_id", "text",
+        batchSize = 32, salt = "r7") + "\nORDER BY doc_id")),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")

@@ -198,6 +198,41 @@ class TrainPipelineSpec extends SparkSpec {
     plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w } shouldBe empty
   }
 
+  // --- Length-bucketed batching -----------------------------------
+
+  test("lengthBatches: integer-exact power-of-two buckets, contiguous batches") {
+    // token counts 1,2,3,4,7,8,9: buckets 0,1,1,2,2,3,3 — the 4 and 8
+    // boundaries are exactly where an FP log2 would misbucket
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, (1 to 7).map(_ => "w").mkString(" ")),
+      (6L, (1 to 8).map(_ => "w").mkString(" ")),
+      (7L, (1 to 9).map(_ => "w").mkString(" "))).toDF("id", "text")
+    val out = TrainStream.lengthBatches(docs, "id", "text", batchSize = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(3), r.getLong(4)))
+    graft.api.CacheScope.global.release()
+    out.map(t => t._1 -> t._2).toMap shouldBe
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2, 6L -> 3, 7L -> 3)
+    // within each bucket: sequence numbers are 0..n-1 (dense) and the
+    // batch id is seq div batchSize
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      rows.map(_._3).sorted shouldBe rows.indices.map(_.toLong)
+      rows.foreach { case (_, _, seq, batch) => batch shouldBe seq / 2 }
+    }
+  }
+
+  test("lengthBatches is deterministic and salt-sensitive") {
+    val docs = (1L to 40L).map(i => (i, (1 to 16).map(_ => "w").mkString(" ")))
+      .toDF("id", "text")
+    def order(salt: String) = {
+      val r = TrainStream.lengthBatches(docs, "id", "text", 8, salt)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      graft.api.CacheScope.global.release(); r
+    }
+    order("x") shouldBe order("x")
+    order("x") should not be order("y")
+  }
+
   // --- MLM masking -------------------------------------------------
 
   test("mlmMask: deterministic, target order preserved, token counts consistent") {
