@@ -227,9 +227,13 @@ class PlanAuditSpec extends SparkSpec {
     //    — the same two bounded frames already justified above
     //  - q_cms_topk: the Count-Min table grouped by (depth × width)
     //    — a LITERAL bound (4 × 1024 cells), the sketch's whole point
+    //  - q_length_batches: bucket counts grouped by (log2-length ×
+    //    256 hex buckets) — ~64 length buckets times a literal bound,
+    //    the q_token_budget shape
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
-      "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk")
+      "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk",
+      "q_length_batches")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
