@@ -137,6 +137,22 @@ object ScaleSmoke {
         // token stream — all partial-agg, corpus-linear
         graft.ops.Corpus.importanceWeights(docsX(k), "doc_id", "text",
           targetPred = col("lang") === "en")),
+      "hard_negatives" -> (k => {
+        // fixed 24-probe broadcast vs k-times corpus: the probe side
+        // is constant-sized by construction (hash-order limit), so
+        // cost is one corpus scan — the % 50 fraction-sampling shape
+        // this finder exists to keep out went O(n²/50)
+        val d = Tables.df(spark, sfDir, "documents")
+          .select("doc_id", "source", "text")
+        val corpus = (0 until k).map { i =>
+          if (i == 0) d
+          else d.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+            col("source"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(t, lit(s"_$i")))).as("text"))
+        }.reduce(_ unionByName _)
+        graft.ops.HardNegatives.mine(corpus, "doc_id", "source", "text")
+      }),
       "boilerplate" -> (k => {
         // line-frequency pass + bounded-set broadcast filter: the
         // footer is boilerplate at every k, the threshold scales with

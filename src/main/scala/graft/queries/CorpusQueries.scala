@@ -74,7 +74,7 @@ object CorpusQueries extends QuerySet {
     // greedy left-to-right replace semantics — in DuckDB
     Q("q_bpe_train",
       (s, d) => graft.text.BpeTrain.fitDF(
-        s, Tables.df(s, d, "documents"), "text", nMerges = 10),
+        s, Tables.df(s, d, "documents"), "text", nMerges = 10, corpusKey = d),
       Some(graft.text.BpeTrain.fitDuckSql("documents", "text", nMerges = 10))),
 
     // per-source top-quantile quality gate: keep the best 30% of each
@@ -92,8 +92,7 @@ object CorpusQueries extends QuerySet {
     Q("q_bpe_stats",
       (s, d) => {
         val docs = Tables.df(s, d, "documents")
-        val merges = graft.text.BpeTrain.fit(docs, "text", nMerges = 10)
-        graft.text.BpeTrain.lastFit = merges
+        val merges = graft.text.BpeTrain.fitCached(docs, "text", nMerges = 10, corpusKey = d)
         graft.text.BpeTrain.fertilityStats(docs, "lang", "text", merges)
           .orderBy("lang")
       },
@@ -104,16 +103,21 @@ object CorpusQueries extends QuerySet {
     // compiles into a chained replace per word — no joins, no state,
     // the 100 TB tokenization pass. Oracle inlines the same merges as
     // literals (built after the query runs — the Pca.lastFit pattern).
+    // The token array serializes to a space-joined string for the
+    // driver comparator (arrays crash its pandas sort — the
+    // q_mlm_mask pattern); library callers use BpeTrain.encode's
+    // array form directly.
     Q("q_bpe_encode",
       (s, d) => {
         val docs = Tables.df(s, d, "documents")
-        val merges = graft.text.BpeTrain.fit(docs, "text", nMerges = 10)
-        graft.text.BpeTrain.lastFit = merges
+        val merges = graft.text.BpeTrain.fitCached(docs, "text", nMerges = 10, corpusKey = d)
         graft.text.BpeTrain.encode(docs, "text", merges)
-          .select("doc_id", "tokens")
+          .select(col("doc_id"), array_join(col("tokens"), " ").as("tokens"))
           .orderBy("doc_id")
       },
-      Some(graft.text.BpeTrain.encodeDuckSql(
-        "documents", "doc_id", "text", graft.text.BpeTrain.lastFit)))
+      Some("SELECT doc_id, array_to_string(tokens, ' ') AS tokens FROM ("
+        + graft.text.BpeTrain.encodeDuckSql(
+            "documents", "doc_id", "text", graft.text.BpeTrain.lastFit)
+        + ") enc ORDER BY doc_id"))
   )
 }

@@ -411,62 +411,36 @@ object VectorQueries extends QuerySet {
               |WHERE rnk <= 5
               |ORDER BY cluster, rnk""".stripMargin))),
 
-    // Hard-negative mining for retrieval training: for each probe doc
-    // (bounded set), the top-3 most-similar docs from a DIFFERENT
-    // source — the classic contrastive-pairs builder. Probes broadcast
-    // (the knn_classify shape); the corpus streams once; integer dots
-    // over 4dp norms keep both engines bit-equal.
+    // Hard-negative mining for retrieval training: top-3 cross-source
+    // negatives per probe over a FIXED-SIZE deterministic probe set
+    // (hash-ordered limit — the broadcast side is 24 rows at ANY
+    // corpus size; see ops/HardNegatives.scala for the scale story).
     Q("q_hard_negatives",
-      (s, d) => {
-        val docs = Tables.df(s, d, "documents")
-        val emb = graft.text.HashEmbed.embed(docs, "doc_id", "text", dim = 16)
-          .join(docs.select("doc_id", "source"), "doc_id")
-          .filter(col("norm") > 0)
-          .select(col("doc_id"), col("source"),
-            col("vec").cast("array<double>").as("v"), col("norm"))
-        val probes = emb.filter(col("doc_id") % 50 === 0)
-          .select(col("doc_id").as("probe_id"), col("source").as("psrc"),
-            col("v").as("pv"), col("norm").as("pn"))
-        emb.join(broadcast(probes),
-            col("source") =!= col("psrc"))
-          .withColumn("sim", round(
-            call_function("graft_dot", col("pv"), col("v")) / (col("pn") * col("norm")), 4))
-          .withColumn("rnk", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("probe_id")
-              .orderBy(col("sim").desc, col("doc_id").asc)))
-          .filter(col("rnk") <= 3)
-          .select(col("probe_id"), col("doc_id").as("neg_id"), col("sim"),
-            col("rnk"))
-          .orderBy("probe_id", "rnk")
-      },
-      Some(s"""WITH emb AS (
-             |  SELECT e.doc_id, d.source, e.vec, e.norm
-             |  FROM (${graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)}) e
-             |  JOIN documents d USING (doc_id)
-             |  WHERE e.norm > 0),
-             |probes AS (
-             |  SELECT doc_id AS probe_id, source AS psrc, vec AS pv, norm AS pn
-             |  FROM emb WHERE doc_id % 50 = 0),
-             |scored AS (
-             |  SELECT p.probe_id, e.doc_id AS neg_id,
-             |    round(list_sum(list_transform(range(1, 17),
-             |      i -> CAST(p.pv[i] AS DOUBLE) * e.vec[i])) / (p.pn * e.norm), 4) AS sim
-             |  FROM probes p JOIN emb e ON e.source <> p.psrc)
-             |SELECT probe_id, neg_id, sim, CAST(rnk AS INT) AS rnk FROM (
-             |  SELECT probe_id, neg_id, sim, row_number() OVER (
-             |    PARTITION BY probe_id ORDER BY sim DESC, neg_id ASC) AS rnk
-             |  FROM scored) r
-             |WHERE rnk <= 3
-             |ORDER BY probe_id, rnk""".stripMargin)),
+      (s, d) => graft.ops.HardNegatives.mine(Tables.df(s, d, "documents"),
+        "doc_id", "source", "text", dim = 16, nProbes = 24, topK = 3)
+        .orderBy("probe_id", "rnk"),
+      Some(graft.ops.HardNegatives.mineDuckSql("documents", "doc_id",
+        "source", "text", dim = 16, nProbes = 24, topK = 3))),
 
     // Feature-hashing embeddings: text corpus -> dense hashed
     // bag-of-words vectors (the no-model bootstrap into the vector
     // operators); map-only codegen, exact integer counts + 4dp norm.
+    // The registered query unrolls the dim-16 vector into per-dim
+    // scalar columns v_0..v_15 (the q_minhash_sig mh_0..mh_7 pattern)
+    // because the driver comparator cannot sort array-typed frames;
+    // library callers use HashEmbed.embed's array form directly.
     Q("q_hash_embed",
-      (s, d) => graft.text.HashEmbed.embed(Tables.df(s, d, "documents"),
-        "doc_id", "text", dim = 16)
-        .orderBy("doc_id"),
-      Some(graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)
-        + "\nORDER BY doc_id"))
+      (s, d) => {
+        val e = graft.text.HashEmbed.embed(Tables.df(s, d, "documents"),
+          "doc_id", "text", dim = 16)
+        val dims = (0 until 16).map(i => col("vec")(i).as(s"v_$i"))
+        e.select(col("doc_id") +: dims :+ col("n_toks") :+ col("norm"): _*)
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, "
+        + (0 until 16).map(i => s"vec[${i + 1}] AS v_$i").mkString(", ")
+        + ", n_toks, norm FROM ("
+        + graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)
+        + ") hv ORDER BY doc_id"))
   )
 }

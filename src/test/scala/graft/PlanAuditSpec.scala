@@ -27,6 +27,28 @@ class PlanAuditSpec extends SparkSpec {
     finally graft.api.CacheScope.global.release()
   }
 
+  test("no registered query emits array/struct/map output columns") {
+    // the driver's oracle comparator sorts result frames in pandas,
+    // which cannot sort nested cells (unhashable numpy.ndarray) —
+    // round-7's q_bpe_encode and q_hash_embed escaped local green
+    // exactly this way and went red at the driver. Registered queries
+    // must serialize nested outputs (array_join / per-dim scalar
+    // columns); the library APIs keep their typed array forms.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val nested =
+        try df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[StructType]
+            || f.dataType.isInstanceOf[MapType] => f.name
+        }
+        finally graft.api.CacheScope.global.release()
+      if (nested.isEmpty) None else Some(s"$name: ${nested.mkString(",")}")
+    }
+    offenders shouldBe empty
+  }
+
   test("no registered query plans a cartesian product") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       plan(name).collect { case c: CartesianProductExec => c }.nonEmpty
@@ -71,8 +93,10 @@ class PlanAuditSpec extends SparkSpec {
                            // normalizers nt/nr)
     "q_search_bm25",       // 1-row corpus-stats crossJoin (N, Σdl,
                            // per-query-term df — fixed arity)
-    "q_hard_negatives"     // bounded probe set broadcast (the
-                           // knn_classify shape) under a non-equi
+    "q_hard_negatives"     // FIXED-SIZE probe broadcast (hash-order
+                           // limit nProbes=24 — constant at any corpus
+                           // size; HardNegativesSpec asserts the
+                           // GlobalLimit) under a non-equi
                            // cross-source condition
   )
 

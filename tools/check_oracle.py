@@ -43,6 +43,16 @@ def norm_cell(v):
     return v
 
 
+def nested_cols(df: pd.DataFrame):
+    import numpy as np
+    out = []
+    for c in df.columns:
+        col = df[c].dropna()
+        if len(col) and isinstance(col.iloc[0], (list, tuple, dict, np.ndarray)):
+            out.append(c)
+    return out
+
+
 def norm_df(df: pd.DataFrame):
     cols = sorted(df.columns)
     rows = []
@@ -73,6 +83,18 @@ def main(sf_dir, out_dir):
             duck_df = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # The DRIVER comparator sorts frames with pandas sort_values,
+        # which dies on array/struct cells (unhashable numpy.ndarray) —
+        # round-7's q_bpe_encode/q_hash_embed escaped local green that
+        # way. Fail loudly on any nested cell so local green predicts
+        # driver green: registered queries must serialize arrays
+        # (array_join / per-dim scalar columns).
+        nested = nested_cols(spark_df) + nested_cols(duck_df)
+        if nested:
+            print(f"FAIL {name}: array/struct output columns {sorted(set(nested))} "
+                  "(driver comparator cannot sort these - serialize them)")
             n_fail += 1
             continue
         sc, sr = norm_df(spark_df)
