@@ -108,6 +108,17 @@ object KMeans {
     s"""WITH ${trainLoopCtes(table, idCol, vecCol, k, iters, dim)}
        |SELECT id AS $idCol, cid AS cluster FROM afinal ORDER BY $idCol""".stripMargin
 
+  /** The training-loop CTE body (no WITH keyword, no final SELECT),
+    * ending in `afinal(id, v, cid, d2)` — the COMPOSABLE form for
+    * oracles that consume the assignment mid-query (q_cluster_terms
+    * joins afinal against the token stream). Exposing this fragment
+    * replaces the earlier string-surgery on [[assignDuckSql]]'s final
+    * SELECT, which silently no-op'd if that SELECT's text drifted.
+    */
+  def assignCtesDuckSql(table: String, idCol: String, vecCol: String,
+                        k: Int, iters: Int, dim: Int): String =
+    trainLoopCtes(table, idCol, vecCol, k, iters, dim)
+
   /** The shared training-loop CTE body ending in `afinal(id, v, cid,
     * d2)` — composable by SemDedup/outlier oracles that need the final
     * assignment plus vectors and true squared distances. `e` exposes

@@ -110,6 +110,8 @@ object GraftFunctions {
       .registerFunction(ManhattanDistance.info._1, ManhattanDistance.info._2, ManhattanDistance.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(HashEmbedCounts.info._1, HashEmbedCounts.info._2, HashEmbedCounts.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(SortedLongContains.info._1, SortedLongContains.info._2, SortedLongContains.info._3)
   }
 }
 
@@ -132,5 +134,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ContainedCount.info)
     ext.injectFunction(ManhattanDistance.info)
     ext.injectFunction(HashEmbedCounts.info)
+    ext.injectFunction(SortedLongContains.info)
   }
 }

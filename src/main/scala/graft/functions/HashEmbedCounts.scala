@@ -25,9 +25,17 @@ case class HashEmbedCounts(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
+    if (left.dataType == StringType && right.dataType == IntegerType && right.foldable) {
+      // reject non-positive dim at ANALYSIS time (mirrors
+      // HashEmbed.embed's require): a dim <= 0 literal would otherwise
+      // pass analysis and die inside codegen with a bare
+      // NegativeArraySizeException
+      val dim = right.eval(null)
+      if (dim == null || dim.asInstanceOf[Int] >= 1)
+        TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"graft_hash_embed dim must be >= 1, got $dim")
+    } else TypeCheckResult.TypeCheckFailure(
       s"graft_hash_embed requires (string, int literal), got ${left.dataType}, ${right.dataType}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)

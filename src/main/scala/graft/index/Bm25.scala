@@ -37,7 +37,7 @@ object Bm25 {
     */
   def search(df: DataFrame, idCol: String, textCol: String, query: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+      scope: graft.api.CacheScope = null): DataFrame = {
     val terms = queryTerms(query)
     require(terms.nonEmpty, "query has no terms")
     val toks = split(lower(col(textCol)), " ")
@@ -46,14 +46,29 @@ object Bm25 {
     }
     // persisted: the stats aggregate and the scoring pass are two
     // actions over the same NARROW (id, dl, tf...) frame — without the
-    // cache the corpus would be scanned and tokenized twice
-    val base = scope.persist(
+    // cache the corpus would be scanned and tokenized twice. With no
+    // caller-owned scope the cache is SHORT-LIVED: the top-k (≤ k
+    // rows) materializes here and the frame unpersists immediately —
+    // a long-lived session issuing many searches must not accumulate
+    // one pinned corpus projection per query (the pre-round-8 leak:
+    // every searchBm25 persisted into CacheScope.global and nothing
+    // released it until the next Bench/Verify sweep).
+    val localScope = if (scope == null) new graft.api.CacheScope else scope
+    val base = localScope.persist(
       df.select(col(idCol) +: size(toks).as("__dl") +: tfCols: _*))
     val dfAggs = terms.indices.map(i =>
       sum((col(s"__tf$i") > 0).cast("int")).as(s"__df$i"))
     val stats = base.agg(count(lit(1)).as("__n"),
       sum("__dl").as("__sumdl") +: dfAggs: _*)
-    scoreAndTake(base, stats, idCol, terms.size, k, k1, b)
+    val out = scoreAndTake(base, stats, idCol, terms.size, k, k1, b)
+    if (scope != null) out
+    else {
+      // eager: k rows to the driver, cache released before returning
+      val rows = out.collect()
+      localScope.release()
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    }
   }
 
   private def scoreAndTake(base: DataFrame, stats: DataFrame, idCol: String,

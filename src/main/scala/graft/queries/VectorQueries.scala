@@ -392,24 +392,27 @@ object VectorQueries extends QuerySet {
           .select(col("cluster"), col("tok"), col("c"), col("rnk"))
           .orderBy("cluster", "rnk")
       },
+      // composes KMeans' CTE fragment (assignCtesDuckSql, ends in
+      // afinal) with a bespoke final SELECT — no string surgery on the
+      // composed assignDuckSql (whose final-SELECT text drifting would
+      // have silently no-op'd the old .replace)
       Some("WITH hv AS (SELECT doc_id, vec FROM ("
         + graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)
         + ") t0),\n"
-        + graft.ann.KMeans.assignDuckSql("hv", "doc_id", "vec",
+        + graft.ann.KMeans.assignCtesDuckSql("hv", "doc_id", "vec",
             k = 6, iters = 2, dim = 16)
-          .stripPrefix("WITH ")
-          .replace("SELECT id AS doc_id, cid AS cluster FROM afinal ORDER BY doc_id",
-            """SELECT cluster, tok, c, CAST(rnk AS INT) AS rnk FROM (
-              |  SELECT cluster, tok, c, row_number() OVER (
-              |    PARTITION BY cluster ORDER BY c DESC, tok ASC) AS rnk
-              |  FROM (
-              |    SELECT a.cid AS cluster, t.tok, count(*) AS c
-              |    FROM afinal a JOIN (
-              |      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-              |      FROM documents) t ON a.id = t.doc_id
-              |    GROUP BY a.cid, t.tok) cnt) rk
-              |WHERE rnk <= 5
-              |ORDER BY cluster, rnk""".stripMargin))),
+        + "\n"
+        + """SELECT cluster, tok, c, CAST(rnk AS INT) AS rnk FROM (
+          |  SELECT cluster, tok, c, row_number() OVER (
+          |    PARTITION BY cluster ORDER BY c DESC, tok ASC) AS rnk
+          |  FROM (
+          |    SELECT a.cid AS cluster, t.tok, count(*) AS c
+          |    FROM afinal a JOIN (
+          |      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+          |      FROM documents) t ON a.id = t.doc_id
+          |    GROUP BY a.cid, t.tok) cnt) rk
+          |WHERE rnk <= 5
+          |ORDER BY cluster, rnk""".stripMargin)),
 
     // Hard-negative mining for retrieval training: top-3 cross-source
     // negatives per probe over a FIXED-SIZE deterministic probe set

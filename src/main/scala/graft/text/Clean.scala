@@ -64,6 +64,7 @@ object Clean {
       maxBoilerplate: Int = 100000): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = split(col(textCol), sepRe)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val common = df
       .select(explode(array_distinct(transform(lines,
         l => TextFunctions.portableHash60(l)))).as("__h"))
@@ -73,9 +74,14 @@ object Clean {
       .collect().map(_.getLong(0))
     require(common.length <= maxBoilerplate,
       s"boilerplate set ${common.length} exceeds $maxBoilerplate — threshold too low for this corpus")
-    val commonArr = typedLit(common.toSeq)
+    // membership is a binary search over the sorted hash set
+    // ([[graft.functions.SortedLongContains]]): O(lines x log|set|)
+    // per scan — at the 100k cap that is ~17 comparisons per line
+    // where the previous `array_contains` literal scan cost O(100k)
+    val commonArr = typedLit(common.sorted.toSeq)
     val kept = filter(lines,
-      l => !array_contains(commonArr, TextFunctions.portableHash60(l)))
+      l => !call_function("graft_sorted_contains",
+        TextFunctions.portableHash60(l), commonArr))
     df.select(col(idCol),
       size(lines).as("n_lines"),
       size(kept).as("n_kept"),

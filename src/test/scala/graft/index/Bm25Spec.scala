@@ -51,8 +51,14 @@ class Bm25Spec extends SparkSpec {
     // query away at optimization time, hiding the plan under test)
     val dir = java.nio.file.Files.createTempDirectory("bm25").toString
     docs.write.mode("overwrite").parquet(dir)
-    val df = Bm25.search(spark.read.parquet(dir), "doc_id", "text", "spark fast", k = 5)
-    df.collect()
+    // caller-owned scope keeps the LAZY plan observable (the no-scope
+    // path materializes the top-k eagerly and returns a LocalRelation
+    // so its short-lived cache can release before returning)
+    val scope = new graft.api.CacheScope
+    val df = Bm25.search(spark.read.parquet(dir), "doc_id", "text",
+      "spark fast", k = 5, scope = scope)
+    try df.collect()
+    finally {}
     val nodes = flattenPlan(df.queryExecution.executedPlan).map(_.nodeName)
     nodes should contain("TakeOrderedAndProject")
     nodes should contain("BroadcastNestedLoopJoin")
@@ -62,5 +68,13 @@ class Bm25Spec extends SparkSpec {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
     shuffles.map(_.outputPartitioning.numPartitions) shouldBe Seq(1)
+    scope.release()
+  }
+
+  test("no-scope search leaves nothing cached behind (no session cache leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Bm25.search(docs, "doc_id", "text", "spark", k = 3).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    (after -- before) shouldBe empty
   }
 }

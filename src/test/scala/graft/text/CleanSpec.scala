@@ -1,6 +1,7 @@
 package graft.text
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class CleanSpec extends SparkSpec {
   import spark.implicits._
@@ -77,6 +78,25 @@ class CleanSpec extends SparkSpec {
     val docs = (1L to 5L).map(i => (i, "same\nsame2")).toDF("id", "text")
     an[IllegalArgumentException] should be thrownBy
       Clean.dropBoilerplate(docs, "id", "text", minDocs = 1, maxBoilerplate = 1)
+  }
+
+  test("sorted binary-search membership equals the array_contains twin") {
+    // graft_sorted_contains is dropBoilerplate's membership kernel —
+    // O(log n) per line vs array_contains's O(n) literal scan; this
+    // pins bit-equality on a set spanning negatives, zero, dupes, and
+    // Long extremes, plus null-input semantics
+    graft.functions.GraftFunctions.register(spark)
+    val set = Seq(-9001L, 0L, 3L, 3L, 42L, Long.MaxValue, Long.MinValue).sorted
+    val lit = typedLit(set)
+    val probes = (Seq(-9001L, -9000L, 0L, 1L, 3L, 41L, 42L, 43L,
+      Long.MaxValue, Long.MinValue) ++ (0L to 200L)).map(java.lang.Long.valueOf)
+    val df = probes.map(v => Tuple1(v: java.lang.Long)).toDF("v")
+      .union(Seq(Tuple1(null: java.lang.Long)).toDF("v"))
+    val rows = df.select(
+      call_function("graft_sorted_contains", col("v"), lit).as("fast"),
+      array_contains(lit, col("v")).as("ref")).collect()
+    rows.foreach { r => r.isNullAt(0) shouldBe r.isNullAt(1)
+      if (!r.isNullAt(0)) r.getBoolean(0) shouldBe r.getBoolean(1) }
   }
 
   test("plan is map-only: no exchange anywhere") {

@@ -53,6 +53,16 @@ class HashEmbedSpec extends SparkSpec {
     native.sortBy(_._1) shouldBe lambda.sortBy(_._1)
   }
 
+  test("SQL callers get an ANALYSIS error for dim <= 0, not a codegen crash") {
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, "a b c")).toDF("id", "text")
+    df.createOrReplaceTempView("hes_docs")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_hash_embed(text, 0) FROM hes_docs").collect()
+    }
+    e.getMessage should include("dim must be >= 1")
+  }
+
   test("dense path is map-only (no exchange); lowercasing folds case") {
     val df = Seq((1L, "Spark SPARK")).toDF("id", "text")
     val plan = HashEmbed.embed(df, "id", "text", 8).queryExecution.executedPlan.toString
