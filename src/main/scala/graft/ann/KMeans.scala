@@ -177,4 +177,74 @@ object KMeans {
           VectorFunctions.dot(col("__v"), col("__v")) + col("__best.nd"),
           lit(0.0))), 4).as("dist"))
   }
+
+  /** Per-cluster mean CENTROID-APPROXIMATED silhouette — the standard
+    * "is k right / are clusters separated" diagnostic, at scale:
+    * a(i) = distance to the assigned centroid, b(i) = distance to the
+    * nearest OTHER centroid, s = (b−a)/max(a,b). (The textbook
+    * silhouette's pairwise-to-all-members form is O(n²) and never runs
+    * at corpus scale; the centroid approximation is the accepted
+    * streaming form and needs only the k literal centroids.)
+    *
+    * Scale shape: map-only codegen — the k (distance, cid) structs
+    * sort per row (`sort_array`, same (nd, cid) tie-break as the
+    * training argmin), one grouped partial agg on the bounded cluster
+    * key. Per-row s pre-rounds to integer 1e-4 units so the mean is
+    * an exact integer sum in BOTH engines (no float-summation-order
+    * divergence). Returns (cluster, n, mean_sil), k rows.
+    */
+  def silhouette(df: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    require(model.centroids.length >= 2, "silhouette needs k >= 2")
+    val sortedCells = sort_array(array(model.centroids.map { case (cid, cv) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(c2) - VectorFunctions.dot(col("__v"), typedLit(cv)) * 2.0).as("nd"),
+        lit(cid).as("cid"))
+    }: _*))
+    df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__vv", VectorFunctions.dot(col("__v"), col("__v")))
+      .withColumn("__srt", sortedCells)
+      .withColumn("__a", sqrt(greatest(col("__vv") + col("__srt").getItem(0).getField("nd"), lit(0.0))))
+      .withColumn("__b", sqrt(greatest(col("__vv") + col("__srt").getItem(1).getField("nd"), lit(0.0))))
+      .withColumn("__s4", round(
+        when(greatest(col("__a"), col("__b")) > 0,
+          (col("__b") - col("__a")) / greatest(col("__a"), col("__b")))
+          .otherwise(lit(0.0)) * 10000).cast("long"))
+      .groupBy(col("__srt").getItem(0).getField("cid").as("cluster"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("__s4").cast("double") / (count(lit(1)) * 10000), 4).as("mean_sil"))
+  }
+
+  /** DuckDB twin of `silhouette(df, fit(df, k, iters))`: the unrolled
+    * training loop (shared [[trainLoopCtes]]) + nearest/second-nearest
+    * centroid ranking + the same integer-unit mean.
+    */
+  def silhouetteDuckSql(table: String, idCol: String, vecCol: String,
+                        k: Int, iters: Int, dim: Int): String = {
+    val r = s"range(1, ${dim + 1})"
+    s"""WITH ${trainLoopCtes(table, idCol, vecCol, k, iters, dim)},
+       |vv AS (
+       |  SELECT id, list_sum(list_transform($r, i -> v[i] * v[i])) AS vv FROM e),
+       |rank2 AS (
+       |  SELECT id, cid, nd,
+       |    row_number() OVER (PARTITION BY id ORDER BY nd, cid) AS rn
+       |  FROM (
+       |    SELECT e.id, c.cid,
+       |      list_sum(list_transform($r, i -> c.cv[i] * c.cv[i]))
+       |        - 2 * list_sum(list_transform($r, i -> e.v[i] * c.cv[i])) AS nd
+       |    FROM e CROSS JOIN c$iters c) t),
+       |sil AS (
+       |  SELECT r1.id, r1.cid AS cluster,
+       |    sqrt(greatest(vv.vv + r1.nd, 0)) AS a,
+       |    sqrt(greatest(vv.vv + r2.nd, 0)) AS b
+       |  FROM rank2 r1
+       |  JOIN rank2 r2 ON r1.id = r2.id AND r2.rn = 2
+       |  JOIN vv ON vv.id = r1.id
+       |  WHERE r1.rn = 1)
+       |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+       |  round(CAST(sum(CAST(round((CASE WHEN greatest(a, b) > 0
+       |      THEN (b - a) / greatest(a, b) ELSE 0 END) * 10000) AS BIGINT)) AS DOUBLE)
+       |    / (count(*) * 10000), 4) AS mean_sil
+       |FROM sil GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
 }

@@ -267,6 +267,65 @@ object TrainStream {
        |    FROM $table) t1) t2""".stripMargin
   }
 
+  /** Token-balanced output shard assignment — the "write the training
+    * corpus as N shards of ~`shardTokens` tokens each" operator every
+    * distributed trainer needs (shards feed data-loader workers, so
+    * unequal shards straggle the epoch). Documents are laid out in
+    * deterministic hash order and cut at running-token-count
+    * boundaries: shard = cum_tokens_before DIV shardTokens — every
+    * shard holds a contiguous hash-order run of documents within one
+    * token budget of the target (one oversized doc can overhang, the
+    * standard greedy bound).
+    *
+    * Scale shape: the global running sum is the [[packSequences]]
+    * distributed prefix idiom — per-(hex-bucket) partial sums plus a
+    * 256-row broadcast triangular offset join; NO partition-less
+    * window, no sort of the corpus. A downstream writer partitions by
+    * `shard` and writes each directory in one task. Rerun-identical
+    * (md5 order), engine-identical (integer arithmetic only).
+    */
+  def shardAssign(df: DataFrame, idCol: String, textCol: String,
+      shardTokens: Long, salt: String = "",
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(shardTokens >= 1, s"shardTokens must be >= 1 (got $shardTokens)")
+    val base = scope.persist(df.select(col(idCol),
+        TextFunctions.wsTokenCount(col(textCol)).cast("int").as("n_toks"),
+        mixKey(col(idCol), salt).as("__h"))
+      .withColumn("__bucket", conv(substring(col("__h"), 1, 2), 16, 10).cast("int")))
+    val w = Window.partitionBy(col("__bucket")).orderBy(col("__h"), col(idCol))
+    val inBucket = base.withColumn("__off_in_bucket",
+      coalesce(sum("n_toks").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val btot = base.groupBy(col("__bucket")).agg(sum("n_toks").cast("long").as("__btot"))
+    val bucketOff = btot.as("a")
+      .join(broadcast(btot.as("b")), col("b.__bucket") < col("a.__bucket"), "left")
+      .groupBy(col("a.__bucket").as("__bucket"))
+      .agg(coalesce(sum(col("b.__btot")), lit(0L)).as("__bucket_off"))
+    inBucket.join(broadcast(bucketOff), Seq("__bucket"))
+      .withColumn("cum_before", col("__bucket_off") + col("__off_in_bucket"))
+      .select(col(idCol), col("n_toks"), col("cum_before"),
+        expr(s"CAST(cum_before div ${shardTokens}L AS INT)").as("shard"))
+  }
+
+  /** DuckDB twin of [[shardAssign]]: one global window (fine at oracle
+    * scale) — identical order, offsets, and shard cuts.
+    */
+  def shardAssignDuckSql(table: String, idCol: String, textCol: String,
+      shardTokens: Long, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    s"""SELECT $idCol, CAST(n_toks AS INT) AS n_toks,
+       |  CAST(cum_before AS BIGINT) AS cum_before,
+       |  CAST(cum_before // $shardTokens AS INT) AS shard
+       |FROM (
+       |  SELECT $idCol, n_toks,
+       |    coalesce(sum(n_toks) OVER (
+       |      ORDER BY h, $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM (
+       |    SELECT $idCol, len(string_split($textCol, ' ')) AS n_toks,
+       |      md5(CAST($idCol AS VARCHAR) || '$s') AS h
+       |    FROM $table) t1) t2""".stripMargin
+  }
+
   /** Deterministic MLM example generation (BERT-style token masking):
     * position `i` of document `d` is masked iff
     * `hash60(d|i|salt) mod 1000 < rate‰` — no RNG, so examples are

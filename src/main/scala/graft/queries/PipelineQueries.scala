@@ -202,6 +202,17 @@ object PipelineQueries extends QuerySet {
         "doc_id", "text", seqLen = 256, salt = "r4")
         .orderBy("start_off"),
       Some(TrainStream.packSequencesDuckSql("documents", "doc_id", "text",
-        seqLen = 256, salt = "r4") + "\nORDER BY start_off"))
+        seqLen = 256, salt = "r4") + "\nORDER BY start_off")),
+
+    // Token-balanced shard assignment: the "write the corpus as ~equal
+    // token shards" operator — hash-order layout cut at running-token
+    // boundaries via the distributed hex-bucket prefix idiom (no
+    // corpus sort, no partition-less window)
+    Q("q_shard_assign",
+      (s, d) => TrainStream.shardAssign(Tables.df(s, d, "documents"),
+        "doc_id", "text", shardTokens = 4000L, salt = "r8")
+        .orderBy("doc_id"),
+      Some(TrainStream.shardAssignDuckSql("documents", "doc_id", "text",
+        shardTokens = 4000L, salt = "r8") + "\nORDER BY doc_id"))
   )
 }

@@ -302,6 +302,21 @@ object VectorQueries extends QuerySet {
       Some(graft.ann.KMeans.assignDuckSql(
         "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = Dim))),
 
+    // Per-cluster mean centroid-approximated silhouette — the "is k
+    // right" diagnostic over the trained model: map-only k-struct
+    // sort per row + one bounded-key partial agg; per-row scores
+    // pre-round to integer 1e-4 units so the mean is an exact integer
+    // sum in both engines; oracle replays the full training loop
+    Q("q_silhouette",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        graft.ann.KMeans.silhouette(e, "vec_id", "embedding",
+          graft.ann.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 3))
+          .orderBy("cluster")
+      },
+      Some(graft.ann.KMeans.silhouetteDuckSql(
+        "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = Dim))),
+
     // distributed PCA projection (dimensionality_reduction.py analog):
     // the eigen-decomposition itself is not SQL-expressible (PcaSpec
     // pins orthonormality, variance ordering, claimed-vs-measured pc

@@ -137,9 +137,15 @@ object BpeTrain {
   def fitDF(spark: SparkSession, df: DataFrame, textCol: String, nMerges: Int,
             corpusKey: String = null): DataFrame = {
     import spark.implicits._
-    val merges =
-      if (corpusKey != null) fitCached(df, textCol, nMerges, corpusKey)
-      else fit(df, textCol, nMerges)
+    // fitDF ALWAYS trains (it is the training operator — its bench
+    // entry must measure the fit, not a cache hit); with a corpusKey
+    // it refreshes the memo so the encode/fertility queries reuse
+    // this fit instead of re-training
+    val merges = fit(df, textCol, nMerges)
+    if (corpusKey != null) synchronized {
+      fitCacheKey = (corpusKey, textCol, nMerges)
+      fitCacheVal = merges
+    }
     lastFit = merges
     merges
       .map(m => (m.rank, m.lhs, m.rhs, m.lhs + m.rhs, m.count))

@@ -63,4 +63,28 @@ class KMeansSpec extends SparkSpec {
     info(f"recall@10: naive=${(truth & naive).size / 10.0}%.2f trained=${(truth & trained).size / 10.0}%.2f")
     (truth & trained).size should be >= (truth & naive).size - 2 // no collapse
   }
+
+  test("silhouette: separated blobs score near 1, one-blob split scores near 0") {
+    // two tight blobs far apart: centroid-silhouette must be ~1
+    val far = ((1 to 40).map(i => (i.toLong, Seq(i * 0.001, 0.0))) ++
+      (41 to 80).map(i => (i.toLong, Seq(100.0 + i * 0.001, 0.0)))).toDF("id", "v")
+    val mFar = KMeans.fit(far, "id", "v", k = 2, maxIters = 10)
+    val sFar = KMeans.silhouette(far, "id", "v", mFar)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    sFar.length shouldBe 2
+    sFar.map(_._2).sum shouldBe 80
+    sFar.foreach { case (_, _, s) => s should be > 0.9 }
+    // one uniform line split in two: boundary points sit between the
+    // centroids, so the mean silhouette is far from 1
+    val line = (1 to 80).map(i => (i.toLong, Seq(i * 1.0, 0.0))).toDF("id", "v")
+    val mLine = KMeans.fit(line, "id", "v", k = 2, maxIters = 10)
+    val sLine = KMeans.silhouette(line, "id", "v", mLine)
+      .collect().map(_.getDouble(2))
+    all(sLine) should be < 0.75
+    // map-only up to the final bounded-key aggregate: no window, no join
+    val plan = KMeans.silhouette(far, "id", "v", mFar).queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    plan.collect { case c: CartesianProductExec => c } shouldBe empty
+    plan.collect { case b: BroadcastNestedLoopJoinExec => b } shouldBe empty
+  }
 }

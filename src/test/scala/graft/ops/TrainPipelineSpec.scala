@@ -198,6 +198,47 @@ class TrainPipelineSpec extends SparkSpec {
     plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w } shouldBe empty
   }
 
+  // --- Token-balanced shard assignment ------------------------------
+
+  test("shardAssign: every shard is a contiguous hash-order run within one doc of the budget") {
+    val docs = (1L to 60L).map(i => (i, ("t " * 10).trim)).toDF("id", "text")
+    val out = TrainStream.shardAssign(docs, "id", "text", shardTokens = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    graft.api.CacheScope.global.release()
+    out.length shouldBe 60
+    // 600 tokens / 100-token shards -> shards 0..5, 10 docs each
+    val byShard = out.groupBy(_._4)
+    byShard.keySet shouldBe (0 to 5).toSet
+    byShard.values.foreach(_.length shouldBe 10)
+    // shard = cum_before div budget, offsets consistent with doc sizes
+    out.foreach { case (_, nt, cum, shard) =>
+      nt shouldBe 10
+      shard shouldBe (cum / 100).toInt
+    }
+    // hash-order contiguity: sorting by cum_before gives non-decreasing shard ids
+    out.sortBy(_._3).map(_._4).sliding(2).foreach {
+      case Array(a, b) => a should be <= b
+      case _ =>
+    }
+  }
+
+  test("shardAssign plan: no partition-less window, no cartesian; deterministic") {
+    val docs = (0L until 30L).map(i => (i, "x y z")).toDF("id", "text")
+    val plan = TrainStream.shardAssign(docs, "id", "text", 10)
+      .queryExecution.sparkPlan
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    plan.collect { case c: CartesianProductExec => c } shouldBe empty
+    plan.collect { case w: WindowExec if w.partitionSpec.isEmpty => w } shouldBe empty
+    graft.api.CacheScope.global.release(blocking = true)
+    def run() = {
+      val r = TrainStream.shardAssign(docs, "id", "text", 10)
+        .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+      graft.api.CacheScope.global.release(); r
+    }
+    run() shouldBe run()
+  }
+
   // --- Length-bucketed batching -----------------------------------
 
   test("lengthBatches: integer-exact power-of-two buckets, contiguous batches") {
