@@ -93,11 +93,14 @@ class PlanAuditSpec extends SparkSpec {
                            // normalizers nt/nr)
     "q_search_bm25",       // 1-row corpus-stats crossJoin (N, Σdl,
                            // per-query-term df — fixed arity)
-    "q_hard_negatives"     // FIXED-SIZE probe broadcast (hash-order
+    "q_hard_negatives",    // FIXED-SIZE probe broadcast (hash-order
                            // limit nProbes=24 — constant at any corpus
                            // size; HardNegativesSpec asserts the
                            // GlobalLimit) under a non-equi
                            // cross-source condition
+    "q_shard_assign"       // 256x256 hex-bucket triangular offset join
+                           // (literal-bounded, the q_pack_sequences
+                           // idiom)
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
@@ -254,10 +257,12 @@ class PlanAuditSpec extends SparkSpec {
     //  - q_length_batches: bucket counts grouped by (log2-length ×
     //    256 hex buckets) — ~64 length buckets times a literal bound,
     //    the q_token_budget shape
+    //  - q_shard_assign: bucket token-totals grouped by the 256-value
+    //    hex bucket — the q_pack_sequences shape exactly
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
       "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk",
-      "q_length_batches")
+      "q_length_batches", "q_shard_assign")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
