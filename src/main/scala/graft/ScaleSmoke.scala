@@ -99,6 +99,11 @@ object ScaleSmoke {
           docsX(k).filter(col("doc_id") % 10 =!= 0),
           docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text")),
+      "winnow_pairs" -> (k =>
+        // map-only window-min sketches + bucket-bounded pair join: the
+        // salted copies share no fingerprints, so bucket sizes (and
+        // pair counts) stay constant while the corpus grows k-fold
+        graft.dedup.Winnow.sharedFingerprintPairs(docsX(k), "doc_id", "text")),
       "dup_spans" -> (k =>
         // positional grams + distinct-doc agg + keyed semi-join: all
         // corpus-linear; the salted copies share no shingles so the

@@ -105,6 +105,26 @@ object DedupQueries extends QuerySet {
       Some(graft.dedup.SpanDedup.duplicatedSpansDuckSql(
         "documents", "doc_id", "text", minLen = 8))),
 
+    // Winnowing (MOSS) fingerprints: window-min sampling of the
+    // positional shingle stream — map-only per-doc sketches with the
+    // guarantee that any shared passage >= w+window-1 tokens shares a
+    // fingerprint. Digest form (count + md5 of the sorted list): the
+    // driver comparator rejects array outputs.
+    Q("q_winnow",
+      (s, d) => graft.dedup.Winnow.fingerprints(
+        Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(graft.dedup.Winnow.fingerprintsDuckSql("documents", "doc_id", "text"))),
+
+    // shared-passage candidate pairs from the winnowed sketches:
+    // pairs form only inside per-fingerprint buckets (skew-capped)
+    Q("q_winnow_pairs",
+      (s, d) => graft.dedup.Winnow.sharedFingerprintPairs(
+        Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      Some(graft.dedup.Winnow.sharedFingerprintPairsDuckSql(
+        "documents", "doc_id", "text"))),
+
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
