@@ -91,6 +91,16 @@ object TextQueries extends QuerySet {
       Some(graft.text.UnigramLm.crossEntropyDuckSql("documents", "doc_id", "text")
         + "\nORDER BY doc_id")),
 
+    // Hashed-bigram interpolated LM cross-entropy — the next rung on
+    // the CCNet perplexity ladder: hashing bounds the model to B^2
+    // keys by construction (the DSIR trick), scoring is one keyed
+    // join of the bigram stream against the composed model table.
+    Q("q_bigram_xent",
+      (s, d) => graft.text.BigramLm.crossEntropy(
+        Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(graft.text.BigramLm.crossEntropyDuckSql("documents", "doc_id", "text"))),
+
     // Gopher-style repetition gates — the whole operator is MAP-ONLY
     // (per-row HOF expressions, zero shuffle); the oracle recomputes the
     // stats via unnest + GROUP BY, a deliberately different formulation.
