@@ -102,6 +102,24 @@ object VectorQueries extends QuerySet {
       Some(graft.ann.Pq.searchDuckSql("embeddings", "vec_id", "embedding",
         m = 2, ks = 8, queryId = 0L, k = 10, dim = Dim))),
 
+    // int8 scalar quantization — the 4x-compression ANN tier between
+    // exact floats and PQ's 32x: per-dim global [min,max] bounds (2d
+    // doubles of driver state), map-only encode, INTEGER L2 distance
+    // search (bit-identical ordering in any engine). Oracle replays
+    // fit + quantize + distance end to end.
+    Q("q_ann_sq",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        val model = graft.ann.Sq.fit(e, "embedding")
+        val qv = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        graft.ann.Sq.search(
+          graft.ann.Sq.encode(e, "vec_id", "embedding", model),
+          "vec_id", model, qv, k = 10)
+      },
+      Some(graft.ann.Sq.searchDuckSql("embeddings", "vec_id", "embedding",
+        queryId = 0L, k = 10, dim = Dim))),
+
     // MMR-diversified search: the greedy re-rank runs driver-side over
     // the bounded top-fetchK; the oracle replays the identical greedy
     // argmax as a DuckDB recursive CTE (exact integer dots -> the float
