@@ -77,4 +77,38 @@ object Sampling {
        |WHERE ${hashModDuckSql(keyCol, salt)}
        |  < (CASE $cases ELSE -1 END)""".stripMargin
   }
+
+  // ------------------------------------------------- train/val/test split
+
+  /** Deterministic train/val/test split assignment from the SAME
+    * membership hash: a row's split is a pure function of its key and
+    * the salt, so reruns, engines, and downstream jobs all agree, and
+    * adding rows never reassigns existing ones (the property random
+    * splits lose). The hash is uniform within any stratum, so the
+    * split is stratified by construction over every attribute.
+    * `valPm`/`testPm` are per-mille integer shares (exact literals in
+    * both engines); train takes the remainder. Map-only — the
+    * assignment composes with pushdown like any projection.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      valPm: Int = 100, testPm: Int = 100, salt: String = ""): DataFrame = {
+    require(valPm >= 0 && testPm >= 0 && valPm + testPm <= 1000,
+      s"val + test per-mille must fit in [0, 1000]: $valPm + $testPm")
+    val m = hashMod(col(keyCol), salt) % 1000L
+    df.withColumn("split",
+      when(m < valPm, lit("val"))
+        .when(m < valPm + testPm, lit("test"))
+        .otherwise(lit("train")))
+  }
+
+  /** DuckDB twin of [[splitAssign]] (appends `split` to `table`'s
+    * columns via SELECT *).
+    */
+  def splitAssignDuckSql(table: String, keyCol: String,
+      valPm: Int = 100, testPm: Int = 100, salt: String = ""): String =
+    s"""SELECT *, CASE
+       |  WHEN ${hashModDuckSql(keyCol, salt)} % 1000 < $valPm THEN 'val'
+       |  WHEN ${hashModDuckSql(keyCol, salt)} % 1000 < ${valPm + testPm} THEN 'test'
+       |  ELSE 'train' END AS split
+       |FROM $table""".stripMargin
 }

@@ -85,6 +85,37 @@ object PipelineQueries extends QuerySet {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Per-frame rows from the video/audio frame sampler: every 2nd
+    // 64-byte frame of the payload, each hashed — the shape a frame
+    // feature-extraction stage consumes (posexplode of the map-only
+    // frameSample expression; frame_idx is the SAMPLED index, byte
+    // offset = idx*128). Same charset normalization as
+    // q_multimodal_meta so DuckDB's VARCHAR slices see identical bytes.
+    Q("q_frame_sample",
+      (s, d) => {
+        val ascii = regexp_replace(col("text"), "[^ -~]", "?")
+        val frames = graft.multimodal.Multimodal.frameSample(
+          ascii.cast("binary"), frameSize = 64, everyN = 2)
+        Tables.df(s, d, "documents")
+          .select(col("doc_id"), posexplode(frames).as(Seq("frame_idx", "frame")))
+          .select(col("doc_id"), col("frame_idx"),
+            md5(col("frame")).as("frame_md5"),
+            length(col("frame")).cast("int").as("frame_len"))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS a
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, a,
+             |    unnest(range(0, (CAST(ceil(length(a) / 64.0) AS BIGINT) - 1) // 2 + 1)) AS s
+             |  FROM base WHERE length(a) > 0)
+             |SELECT doc_id, CAST(s AS INT) AS frame_idx,
+             |  md5(substring(a, CAST(s * 128 + 1 AS INT), 64)) AS frame_md5,
+             |  CAST(length(substring(a, CAST(s * 128 + 1 AS INT), 64)) AS INT) AS frame_len
+             |FROM fr
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // REAL image decode, oracle-checked end-to-end: each doc's first 64
     // normalized-ASCII bytes become an 8x8 grayscale PNG (per-partition
     // javax.imageio encode), then decodeImageMeta reads the PNG back and

@@ -81,6 +81,20 @@ object TextQueries extends QuerySet {
                   Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0), salt = "r3")}) t
               |ORDER BY doc_id""".stripMargin)),
 
+    // Deterministic train/val/test split: assignment is a pure
+    // function of (key, salt) — reruns/engines agree, new rows never
+    // reassign old ones, and the hash is uniform within any stratum
+    // so the split is stratified by construction. Map-only.
+    Q("q_split_assign",
+      (s, d) => graft.ops.Sampling.splitAssign(
+        Tables.df(s, d, "documents"), "doc_id", valPm = 100, testPm = 100, salt = "r8")
+        .select("doc_id", "source", "split")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, source, split FROM (
+              |${graft.ops.Sampling.splitAssignDuckSql("documents", "doc_id",
+                  valPm = 100, testPm = 100, salt = "r8")}) t
+              |ORDER BY doc_id""".stripMargin)),
+
     // Unigram-LM cross-entropy (KenLM/CCNet-style quality signal): the
     // corpus trains its own unigram distribution, each doc is scored
     // -mean(ln p(tok)) under it.

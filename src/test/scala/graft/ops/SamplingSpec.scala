@@ -47,4 +47,27 @@ class SamplingSpec extends SparkSpec {
     val dropped = Sampling.stratified(rows, "id", "lang", Map("en" -> 0.5)).collect()
     dropped.map(_.getString(1)).toSet shouldBe Set("en")
   }
+
+  test("splitAssign is exhaustive, near the target shares, and stable under growth") {
+    val out = Sampling.splitAssign(rows, "id", valPm = 100, testPm = 200, salt = "s")
+      .select("id", "split").as[(Long, String)].collect()
+    out should have length 2000
+    val shares = out.groupBy(_._2).view.mapValues(_.length).toMap
+    shares.keySet shouldBe Set("train", "val", "test")
+    shares("val").toDouble shouldBe (200.0 +- 60.0)
+    shares("test").toDouble shouldBe (400.0 +- 90.0)
+    shares("train").toDouble shouldBe (1400.0 +- 120.0)
+    // adding rows never reassigns existing ones
+    val grown = Sampling.splitAssign(
+      rows.unionByName(Seq((9999L, "xx")).toDF("id", "lang")),
+      "id", valPm = 100, testPm = 200, salt = "s")
+      .select("id", "split").as[(Long, String)].collect()
+    grown.filter(_._1 != 9999L).sortBy(_._1).toSeq shouldBe out.sortBy(_._1).toSeq
+    // a different salt draws an independent assignment
+    val other = Sampling.splitAssign(rows, "id", valPm = 100, testPm = 200, salt = "t")
+      .select("id", "split").as[(Long, String)].collect()
+    other.sortBy(_._1).toSeq should not be out.sortBy(_._1).toSeq
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitAssign(rows, "id", valPm = 600, testPm = 500)
+  }
 }
