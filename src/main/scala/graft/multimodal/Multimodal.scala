@@ -225,6 +225,32 @@ object Multimodal {
         (_, i) => i % everyN === 0))
   }
 
+  /** Per-frame RMS energy over an 8-bit-sample payload (the audio
+    * analog of [[frameSample]] — energy/VAD-style gating without a
+    * codec): payload chars are the samples (the container has no audio
+    * libs, so the "decode" is the deterministic identity over
+    * normalized-ASCII bytes; the Spark-side plumbing — framing, exact
+    * integer sum-of-squares, one map-only expression per row — is the
+    * real part). Frame f covers samples [f·frameSize, min((f+1)·
+    * frameSize, n)); rms = sqrt(Σ s², integer-exact in any engine,
+    * divided once) rounded to 4dp.
+    */
+  def audioEnergy(payload: org.apache.spark.sql.Column, frameSize: Int): org.apache.spark.sql.Column = {
+    val len = length(payload)
+    val nFrames = ceil(len.cast("double") / frameSize).cast("int")
+    when(len === 0, array().cast("array<double>")).otherwise(
+      transform(sequence(lit(0), nFrames - 1), f => {
+        val start = f * frameSize + 1
+        val end = least(((f + 1) * frameSize), len)
+        val n = (end - start + 1).cast("double")
+        val sumSq = aggregate(sequence(start, end), lit(0L), (acc, i) => {
+          val v = ascii(payload.substr(i, lit(1))).cast("long")
+          acc + v * v
+        })
+        round(sqrt(sumSq.cast("double") / n), 4)
+      }))
+  }
+
   /** Metadata-only "resize": records the new dimensions. A pixel
     * resize would re-encode through [[encodeGrayPng]]-style raster
     * work; the passthrough keeps the metadata surface separate from

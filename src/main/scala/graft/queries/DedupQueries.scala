@@ -62,6 +62,28 @@ object DedupQueries extends QuerySet {
         MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
         "id_a", "id_b") + "\nORDER BY id")),
 
+    // Duplicate-cluster SIZE DISTRIBUTION — the dedup health report
+    // run before pruning: a fat tail of huge clusters means template
+    // spam / boilerplate floods (and predicts the skew caps firing),
+    // near-all-2 clusters mean genuine near-dups. Two bounded-key
+    // aggregations over the component labels; output is
+    // distinct-cluster-sizes rows.
+    Q("q_dup_histogram",
+      (s, d) => Cluster.connectedComponents(
+        MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
+        "id_a", "id_b")
+        .groupBy("cluster").agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy("cluster_size"),
+      Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
+                 MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+                 "id_a", "id_b")}),
+              |sizes AS (SELECT cluster, count(*) AS sz FROM cc GROUP BY cluster)
+              |SELECT sz AS cluster_size, count(*) AS n_clusters
+              |FROM sizes GROUP BY sz
+              |ORDER BY cluster_size""".stripMargin)),
+
     // survivors after end-to-end dedupe (pairs -> components -> drop
     // non-representatives): the oracle replays the same walk and
     // anti-joins the dropped ids

@@ -116,6 +116,36 @@ object PipelineQueries extends QuerySet {
              |FROM fr
              |ORDER BY doc_id, frame_idx""".stripMargin)),
 
+    // Per-frame RMS energy (audio-style feature extraction over the
+    // same stand-in payloads): integer-exact sum of squared samples
+    // per 64-byte frame, one map-only expression per row — the
+    // energy/VAD gating shape. DuckDB recomputes the identical frames
+    // from the normalized-ASCII bytes.
+    Q("q_audio_energy",
+      (s, d) => {
+        val ascii0 = regexp_replace(col("text"), "[^ -~]", "?")
+        Tables.df(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.multimodal.Multimodal.audioEnergy(ascii0, frameSize = 64))
+              .as(Seq("frame_idx", "rms")))
+          .orderBy("doc_id", "frame_idx")
+      },
+      Some("""WITH base AS (
+             |  SELECT doc_id, regexp_replace(text, '[^ -~]', '?', 'g') AS a
+             |  FROM documents),
+             |fr AS (
+             |  SELECT doc_id, a,
+             |    unnest(range(0, CAST(ceil(length(a) / 64.0) AS BIGINT))) AS f
+             |  FROM base WHERE length(a) > 0)
+             |SELECT doc_id, CAST(f AS INT) AS frame_idx,
+             |  round(sqrt(CAST(list_sum(list_transform(
+             |      range(CAST(f * 64 + 1 AS BIGINT), CAST(least((f + 1) * 64, length(a)) + 1 AS BIGINT)),
+             |      i -> CAST(unicode(substring(a, CAST(i AS INT), 1)) AS BIGINT) *
+             |           unicode(substring(a, CAST(i AS INT), 1)))) AS DOUBLE) /
+             |    (least((f + 1) * 64, length(a)) - f * 64)), 4) AS rms
+             |FROM fr
+             |ORDER BY doc_id, frame_idx""".stripMargin)),
+
     // REAL image decode, oracle-checked end-to-end: each doc's first 64
     // normalized-ASCII bytes become an 8x8 grayscale PNG (per-partition
     // javax.imageio encode), then decodeImageMeta reads the PNG back and

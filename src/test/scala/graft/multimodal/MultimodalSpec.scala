@@ -120,4 +120,31 @@ class MultimodalSpec extends SparkSpec {
     val exp = "abcdefgh".getBytes.map(_.toDouble).sum / 8.0
     out(0).getAs[Seq[Double]]("chan_mean").head shouldBe exp +- 1e-9
   }
+
+  test("audioEnergy: per-frame RMS matches hand computation, tail frame included") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val df = Seq((1L, "abcde"), (2L, "")).toDF("id", "payload")
+    val out = df.select(col("id"),
+      posexplode(Multimodal.audioEnergy(col("payload"), frameSize = 2))
+        .as(Seq("f", "rms")))
+      .orderBy("id", "f").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    def rms(s: String): Double = {
+      val ss = s.getBytes.map(b => b.toLong * b).sum
+      BigDecimal(math.sqrt(ss.toDouble / s.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // frames: "ab", "cd", tail "e"; empty payload -> no frames
+    out.toSeq shouldBe Seq(
+      (1L, 0, rms("ab")), (1L, 1, rms("cd")), (1L, 2, rms("e")))
+  }
+
+  test("audioEnergy plans map-only (no exchange)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "hello world payload")).toDF("id", "payload")
+    val plan = df.select(Multimodal.audioEnergy(col("payload"), 4).as("e"))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    flattenPlan(plan).collect { case e: ShuffleExchangeLike => e } shouldBe empty
+  }
 }
