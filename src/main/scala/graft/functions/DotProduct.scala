@@ -112,6 +112,8 @@ object GraftFunctions {
       .registerFunction(HashEmbedCounts.info._1, HashEmbedCounts.info._2, HashEmbedCounts.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(SortedLongContains.info._1, SortedLongContains.info._2, SortedLongContains.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(BpeApply.info._1, BpeApply.info._2, BpeApply.info._3)
   }
 }
 
@@ -135,5 +137,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(ManhattanDistance.info)
     ext.injectFunction(HashEmbedCounts.info)
     ext.injectFunction(SortedLongContains.info)
+    ext.injectFunction(BpeApply.info)
   }
 }

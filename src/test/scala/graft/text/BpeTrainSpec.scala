@@ -50,6 +50,26 @@ class BpeTrainSpec extends SparkSpec {
     r.count() shouldBe 0L
   }
 
+  test("native encode is bit-identical to the chained-replace lambda twin") {
+    // real corpus + adversarial rows: repeated pairs, cascading
+    // merges, non-letter words, mixed whitespace, empty text
+    val tricky = Seq(
+      (9001L, "aaa aaaa ab ab abc"),
+      (9002L, "ABC MiXeD caSe"),
+      (9003L, "num3ric and-hyphen under_score"),
+      (9004L, "  leading  double  spaces\tand\ttabs "),
+      (9005L, "")).toDF("doc_id", "text")
+    val docs = Tables("documents").select("doc_id", "text")
+      .unionByName(tricky)
+    val merges = BpeTrain.fit(Tables("documents"), "text", nMerges = 10)
+    val native = BpeTrain.encode(docs, "text", merges)
+      .select(col("doc_id"), array_join(col("tokens"), " ").as("t"))
+    val lambda = BpeTrain.encodeLambda(docs, "text", merges)
+      .select(col("doc_id"), array_join(col("tokens"), " ").as("t"))
+    native.exceptAll(lambda).count() shouldBe 0L
+    lambda.exceptAll(native).count() shouldBe 0L
+  }
+
   test("fertilityStats: fully-merged words reach fertility 1") {
     import org.apache.spark.sql.functions.col
     // one word 'ab' everywhere; merge (a,b) makes every word ONE token
