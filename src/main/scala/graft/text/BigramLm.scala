@@ -58,10 +58,13 @@ object BigramLm {
     val stream = scope.persist(
       df.select(col(idCol), explode(expr(bigramsSql(textCol, nBuckets))).as("bg"))
         .select(col(idCol), col("bg.p").as("p"), col("bg.c").as("c")))
-    val bi = stream.groupBy("p", "c").agg(count(lit(1)).as("cb"))
-    val ctx = stream.groupBy("p").agg(count(lit(1)).as("cp"))
-    val uni = stream.groupBy(col("c").as("b")).agg(count(lit(1)).as("cu"))
-    val tot = stream.agg(count(lit(1)).as("n"))
+    val bi = scope.persist(stream.groupBy("p", "c").agg(count(lit(1)).as("cb")))
+    // context/unigram/total counts are additive over the bigram table,
+    // so they roll up from bi (<= B^2 rows) instead of re-aggregating
+    // the corpus-sized stream — one corpus aggregation total, not three
+    val ctx = bi.groupBy("p").agg(sum("cb").as("cp"))
+    val uni = bi.groupBy(col("c").as("b")).agg(sum("cb").as("cu"))
+    val tot = bi.agg(sum("cb").as("n"))
     // composed model: one row per OBSERVED bigram (<= B^2 by the hash
     // bound) carrying the full interpolated ln-probability
     val lam = lambdaPm / 1000.0
