@@ -114,6 +114,8 @@ object GraftFunctions {
       .registerFunction(SortedLongContains.info._1, SortedLongContains.info._2, SortedLongContains.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(BpeApply.info._1, BpeApply.info._2, BpeApply.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(AudioRms.info._1, AudioRms.info._2, AudioRms.info._3)
   }
 }
 
@@ -138,5 +140,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(HashEmbedCounts.info)
     ext.injectFunction(SortedLongContains.info)
     ext.injectFunction(BpeApply.info)
+    ext.injectFunction(AudioRms.info)
   }
 }

@@ -235,7 +235,16 @@ object Multimodal {
     * frameSize, n)); rms = sqrt(Σ s², integer-exact in any engine,
     * divided once) rounded to 4dp.
     */
-  def audioEnergy(payload: org.apache.spark.sql.Column, frameSize: Int): org.apache.spark.sql.Column = {
+  def audioEnergy(payload: org.apache.spark.sql.Column, frameSize: Int): org.apache.spark.sql.Column =
+    call_function("graft_audio_rms", payload, lit(frameSize))
+
+  /** The `transform`/`aggregate` formulation twin of [[audioEnergy]]
+    * (the shape the DuckDB oracle mirrors; the native kernel is
+    * spec-asserted bit-identical on BMP payloads). Per sample it
+    * evaluates an interpreted substr+ascii tree — quadratic per frame
+    * on UTF8String — so the hot path uses the one-pass kernel.
+    */
+  private[graft] def audioEnergyLambda(payload: org.apache.spark.sql.Column, frameSize: Int): org.apache.spark.sql.Column = {
     val len = length(payload)
     val nFrames = ceil(len.cast("double") / frameSize).cast("int")
     when(len === 0, array().cast("array<double>")).otherwise(

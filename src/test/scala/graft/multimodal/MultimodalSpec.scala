@@ -139,6 +139,26 @@ class MultimodalSpec extends SparkSpec {
       (1L, 0, rms("ab")), (1L, 1, rms("cd")), (1L, 2, rms("e")))
   }
 
+  test("native audioEnergy is bit-identical to the lambda formulation twin") {
+    import org.apache.spark.sql.functions.{array_join, col, transform => tfm}
+    val payloads = Seq(
+      (1L, "hello world this is a longer payload with many frames of text"),
+      (2L, "x"),
+      (3L, "ab"),
+      (4L, ""),
+      (5L, "héllo€BMP unicode payload"), // 2- and 3-byte chars
+      (6L, (0 until 300).map(i => ('a' + i % 26).toChar).mkString))
+      .toDF("id", "payload")
+    def ser(c: org.apache.spark.sql.Column) =
+      array_join(tfm(c, x => x.cast("string")), " ")
+    val native = payloads.select(col("id"),
+      ser(Multimodal.audioEnergy(col("payload"), 7)).as("e"))
+    val lambda = payloads.select(col("id"),
+      ser(Multimodal.audioEnergyLambda(col("payload"), 7)).as("e"))
+    native.exceptAll(lambda).count() shouldBe 0L
+    lambda.exceptAll(native).count() shouldBe 0L
+  }
+
   test("audioEnergy plans map-only (no exchange)") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "hello world payload")).toDF("id", "payload")
