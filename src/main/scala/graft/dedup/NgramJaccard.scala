@@ -162,6 +162,76 @@ object NgramJaccard {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Overlap-coefficient (Szymkiewicz–Simpson / containment) pairs:
+    * `inter / min(|A|, |B|) >= threshold` over DISTINCT shingle sets —
+    * the asymmetric near-dup measure Jaccard under-scores: a short
+    * document quoted wholesale inside a long one has tiny Jaccard
+    * (the union is the long doc) but overlap 1.0. The standard gate
+    * for "doc B embeds doc A" (quotes, mirrored abstracts, chunked
+    * re-posts).
+    *
+    * Same inverted-index shape and occurrence cap as [[jaccardPairs]]
+    * (set semantics: df = distinct docs per shingle); pairs only form
+    * on shared shingles, the cap window reuses the join's exchange.
+    */
+  def overlapPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val raw = df.select(col(idCol),
+      explode(array_distinct(
+        call_function("graft_hashed_shingles", col(textCol), lit(w)))).as("s"))
+    val sh = scope.persist(raw
+      .withColumn("__df", count(lit(1)).over(Window.partitionBy("s")))
+      .filter(col("__df") <= maxDf)
+      .drop("__df"))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col(idCol).as("id_a"), col("s"))
+      .join(sh.select(col(idCol).as("id_b"), col("s")), Seq("s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("sz").as("sz_b")), "id_b")
+      .withColumn("overlap", round(col("inter").cast("double") /
+        least(col("sz_a"), col("sz_b")).cast("double"), 4))
+      .filter(col("overlap") >= threshold)
+      .select(col("id_a"), col("id_b"), col("overlap"))
+  }
+
+  /** DuckDB twin of [[overlapPairs]]. */
+  def overlapPairsDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      w: Int = 3,
+      threshold: Double = 0.8,
+      maxDf: Int = DefaultMaxDf): String =
+    s"""WITH sh0 AS (
+       |  SELECT $idCol, unnest(list_distinct(${TextFunctions.hashedShinglesFromDuckSql("th", w)})) AS s
+       |  FROM (SELECT $idCol, ${TextFunctions.tokenHashesDuckSql(textCol)} AS th FROM $table) t0),
+       |sh AS MATERIALIZED (
+       |  SELECT $idCol, s FROM sh0
+       |  QUALIFY count(*) OVER (PARTITION BY s) <= $maxDf),
+       |sizes AS (SELECT $idCol, count(*) AS sz FROM sh GROUP BY $idCol),
+       |inter AS (
+       |  SELECT a.$idCol AS id_a, b.$idCol AS id_b, count(*) AS inter
+       |  FROM sh a JOIN sh b ON a.s = b.s AND a.$idCol < b.$idCol
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, ovl AS overlap FROM (
+       |  SELECT id_a, id_b,
+       |    round(inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS ovl
+       |  FROM inter JOIN sizes sa ON inter.id_a = sa.$idCol
+       |             JOIN sizes sb ON inter.id_b = sb.$idCol) t
+       |WHERE ovl >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** DuckDB twin of [[jaccardPairsExact]]. */
   def jaccardPairsExactDuckSql(
       table: String,

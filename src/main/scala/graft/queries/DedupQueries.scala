@@ -152,6 +152,16 @@ object DedupQueries extends QuerySet {
         .orderBy("id_a", "id_b"),
       Some(NgramJaccard.jaccardPairsDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5))),
 
+    // Overlap-coefficient (containment) pairs: inter/min(|A|,|B|) —
+    // catches a short doc quoted wholesale inside a long one, which
+    // Jaccard under-scores (the union is the long doc).
+    Q("q_overlap_pairs",
+      (s, d) => NgramJaccard.overlapPairs(Tables.df(s, d, "documents"),
+        "doc_id", "text", w = 3, threshold = 0.8)
+        .orderBy("id_a", "id_b"),
+      Some(NgramJaccard.overlapPairsDuckSql("documents", "doc_id", "text",
+        w = 3, threshold = 0.8))),
+
     // EXACT set-Jaccard pairs via PPJoin-style prefix filtering — no
     // frequency cap, completeness from the prefix theorem; hot shingles
     // sort to the end of the global (df, hash) order and never enter a

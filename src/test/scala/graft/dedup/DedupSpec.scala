@@ -141,6 +141,22 @@ class DedupSpec extends SparkSpec {
     near should be < 1.0
   }
 
+  test("overlap pairs flag a short doc embedded in a long one that jaccard misses") {
+    val short0 = "alpha beta gamma delta epsilon zeta"
+    val long0 = s"$short0 " + (1 to 40).map(i => s"filler$i").mkString(" ")
+    val corpus = Seq(
+      (1, short0), (2, long0), (3, "totally different content here entirely")
+    ).toDF("doc_id", "text")
+    val ovl = NgramJaccard.overlapPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSeq
+    // every shingle of doc 1 appears in doc 2 -> overlap 1.0
+    ovl shouldBe Seq((1, 2, 1.0))
+    // jaccard at the same cutoff sees nothing (union is the long doc)
+    NgramJaccard.jaccardPairs(corpus, "doc_id", "text", threshold = 0.8)
+      .count() shouldBe 0L
+    graft.api.CacheScope.global.release(blocking = true)
+  }
+
   test("ppjoin prefix filtering is EXACT: equals brute-force all-pairs set jaccard") {
     // a corpus with a deliberately hot shingle ("the the the" appears
     // everywhere) — the DF-capped variant would drop it; PPJoin must
