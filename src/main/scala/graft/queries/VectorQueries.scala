@@ -383,6 +383,19 @@ object VectorQueries extends QuerySet {
       Some(graft.index.Bm25.searchDuckSql("documents", "doc_id", "text",
         Query, k = 15))),
 
+    // Retrieval-quality eval, the lexical twin of the ANN recallAtK:
+    // self-retrieval MRR@10 — each probe doc's first 4 tokens query
+    // the corpus, rank of the probe itself in the BM25 top-k; the
+    // oracle replays every probe's full search with the captured
+    // query literals (the Pca.lastFit pattern).
+    Q("q_search_mrr",
+      (s, d) => graft.index.SearchEval.bm25SelfMrr(
+        Tables.df(s, d, "documents"), "doc_id", "text",
+        probeIds = Seq(3L, 17L, 42L, 101L, 250L))
+        .orderBy("probe_id"),
+      Some(graft.index.SearchEval.bm25SelfMrrDuckSql(
+        "documents", "doc_id", "text", graft.index.SearchEval.lastProbes))),
+
     // The no-model bootstrap path END TO END: raw text -> feature-hash
     // vectors -> distributed Lloyd's -> topic assignment, with the
     // oracle replaying hash-embed + the full unrolled training loop.

@@ -91,6 +91,9 @@ class PlanAuditSpec extends SparkSpec {
     "q_mix_temperature",   // 1-row weight-normalizer crossJoin
     "q_dsir_weights",      // 1-row corpus-totals crossJoin (the LM
                            // normalizers nt/nr)
+    "q_bigram_xent",       // 1-row total-bigrams crossJoin (the LM
+                           // normalizer n, rolled up from the bounded
+                           // bi table)
     "q_search_bm25",       // 1-row corpus-stats crossJoin (N, Σdl,
                            // per-query-term df — fixed arity)
     "q_hard_negatives",    // FIXED-SIZE probe broadcast (hash-order
