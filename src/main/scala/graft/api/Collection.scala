@@ -266,6 +266,29 @@ class Collection(val name: String, val df: DataFrame) {
       .select(col("id").as(idCol))
     df.join(dropped, Seq(idCol), "left_anti")
   }
+
+  /** Deterministic train/val/test split column (`split`) — pure
+    * function of (idCol, salt); see [[graft.ops.Sampling.splitAssign]].
+    */
+  def splitAssign(idCol: String, valPm: Int = 100, testPm: Int = 100,
+      salt: String = ""): DataFrame =
+    graft.ops.Sampling.splitAssign(df, idCol, valPm, testPm, salt)
+
+  /** Token-balanced shard assignment (`shard`, `cum_before`) — hash
+    * order cut at running-token boundaries; see
+    * [[graft.ops.TrainStream.shardAssign]].
+    */
+  def shardAssign(idCol: String, textCol: String, shardTokens: Long,
+      salt: String = ""): DataFrame =
+    graft.ops.TrainStream.shardAssign(df, idCol, textCol, shardTokens, salt)
+
+  /** Self-retrieval MRR@k of the BM25 surface over this collection —
+    * the retrieval-quality gauge; see
+    * [[graft.index.SearchEval.bm25SelfMrr]].
+    */
+  def searchQuality(idCol: String, textCol: String, probeIds: Seq[Long],
+      nTerms: Int = 4, k: Int = 10): DataFrame =
+    graft.index.SearchEval.bm25SelfMrr(df, idCol, textCol, probeIds, nTerms, k)
 }
 
 object Collection {

@@ -100,4 +100,25 @@ class CollectionSpec extends SparkSpec {
     scope.release()
     kept shouldBe Array(1L, 4L, 5L) // 2 and 3 fold into cluster min 1
   }
+
+  test("splitAssign / shardAssign / searchQuality compose on the collection") {
+    import spark.implicits._
+    val docs = (1L to 40L).map(i =>
+      (i, s"document number token$i " + (1 to 6).map(j => s"w${i}x$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val c = new Collection("docs", docs)
+    val split = c.splitAssign("doc_id", valPm = 250, testPm = 250, salt = "s")
+    split.count() shouldBe 40L
+    split.select("split").distinct().count() should be >= 2L
+    val shards = c.shardAssign("doc_id", "text", shardTokens = 50L)
+    shards.select("shard").distinct().count() should be >= 2L
+    shards.agg(org.apache.spark.sql.functions.sum("n_toks")).head().getLong(0) shouldBe
+      docs.select(org.apache.spark.sql.functions.sum(
+        graft.text.TextFunctions.wsTokenCount($"text").cast("long"))).head().getLong(0)
+    // each doc's opening tokens are distinctive -> self-retrieval at 1
+    val mrr = c.searchQuality("doc_id", "text", probeIds = Seq(5L, 20L), nTerms = 4)
+      .select("rr").as[Double].collect()
+    mrr.toSeq shouldBe Seq(1.0, 1.0)
+    graft.api.CacheScope.global.release(blocking = true)
+  }
 }
