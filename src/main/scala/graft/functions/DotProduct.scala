@@ -116,6 +116,8 @@ object GraftFunctions {
       .registerFunction(BpeApply.info._1, BpeApply.info._2, BpeApply.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(AudioRms.info._1, AudioRms.info._2, AudioRms.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(DeflateLen.info._1, DeflateLen.info._2, DeflateLen.info._3)
   }
 }
 
@@ -141,5 +143,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SortedLongContains.info)
     ext.injectFunction(BpeApply.info)
     ext.injectFunction(AudioRms.info)
+    ext.injectFunction(DeflateLen.info)
   }
 }

@@ -121,6 +121,20 @@ object TextFunctions {
         .otherwise(el(4).cast("double") / el(1).cast("double")))
   }
 
+  /** DEFLATE compression ratio (compressed bytes / raw UTF-8 bytes,
+    * 4dp; 0.0 for empty text) — the Gopher-family catch-all
+    * repetition proxy: template spam and boilerplate floods collapse
+    * toward 0 while natural prose sits ~0.4-0.7. One native call per
+    * row ([[graft.functions.DeflateLen]], thread-cached Deflater) —
+    * map-only at any corpus size. SPEC-covered library surface (no
+    * DuckDB zlib, so no oracle-registered query — the Sketches
+    * precedent).
+    */
+  def compressionRatio(text: Column): Column =
+    when(length(text) === 0, lit(0.0)).otherwise(
+      round(call_function("graft_deflate_len", text).cast("double") /
+        octet_length(text).cast("double"), 4))
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * token set. Detects bag-of-words duplicates regardless of word order.
     */
