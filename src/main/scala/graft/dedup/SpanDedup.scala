@@ -61,6 +61,69 @@ object SpanDedup {
         (col("span_end") - col("span_start") + 1).as("n_span_toks"))
   }
 
+  /** The ExactSubstr DELETION pass built on [[duplicatedSpans]]:
+    * rewrite each document dropping the tokens inside its duplicated
+    * spans (boilerplate, licenses, quoted passages) and keep the rest
+    * — substring-granular dedup that saves the document instead of
+    * dropping it. Documents without spans pass through byte-identical
+    * (the rewrite path normalizes nothing).
+    *
+    * Shape: the span table (only docs WITH duplication appear — tiny
+    * next to the corpus) aggregates to one range-list per doc and
+    * joins back keyed on the id; the rewrite is one map-side
+    * higher-order filter per row (token index covered by any range →
+    * dropped). Span lists are per-doc-bounded, so the membership test
+    * is O(tokens · spans_per_doc).
+    */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            minLen: Int = 8,
+                            scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val spans = duplicatedSpans(df, idCol, textCol, minLen, scope)
+    val ranges = spans.groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
+    val toks = split(col(textCol), " ")
+    val kept = filter(toks, (_, i) =>
+      !exists(col("__spans"), sp =>
+        i >= sp.getField("span_start") && i <= sp.getField("span_end")))
+    df.join(ranges, Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("__spans").isNull, col(textCol))
+          .otherwise(array_join(kept, " ")).as("clean_text"),
+        when(col("__spans").isNull, size(toks))
+          .otherwise(size(kept)).cast("int").as("n_kept"),
+        when(col("__spans").isNull, lit(0))
+          .otherwise(size(toks) - size(kept)).cast("int").as("n_dropped"))
+  }
+
+  /** DuckDB twin of [[removeDuplicatedSpans]]. */
+  def removeDuplicatedSpansDuckSql(table: String, idCol: String, textCol: String,
+                                   minLen: Int = 8): String =
+    s"""WITH spans AS (${duplicatedSpansDuckSql(table, idCol, textCol, minLen)}),
+       |ranges AS (
+       |  SELECT $idCol, list({'s': span_start, 'e': span_end}) AS sp
+       |  FROM spans GROUP BY $idCol),
+       |joined AS (
+       |  SELECT d.$idCol, d.$textCol AS t, r.sp,
+       |    string_split(d.$textCol, ' ') AS toks
+       |  FROM $table d LEFT JOIN ranges r USING ($idCol))
+       |SELECT $idCol,
+       |  CASE WHEN sp IS NULL THEN t
+       |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+       |    -- array_join([]) is '' (a fully-covered doc empties out)
+       |    ELSE coalesce(array_to_string(list_filter(
+       |      list_transform(range(1, len(toks) + 1),
+       |        i -> CASE WHEN len(list_filter(sp, x -> i - 1 >= x['s'] AND i - 1 <= x['e'])) > 0
+       |               THEN NULL ELSE toks[i] END),
+       |      tk -> tk IS NOT NULL), ' '), '') END AS clean_text,
+       |  CAST(CASE WHEN sp IS NULL THEN len(toks)
+       |    ELSE len(toks) - len(list_filter(range(1, len(toks) + 1),
+       |      i -> len(list_filter(sp, x -> i - 1 >= x['s'] AND i - 1 <= x['e'])) > 0)) END AS INT) AS n_kept,
+       |  CAST(CASE WHEN sp IS NULL THEN 0
+       |    ELSE len(list_filter(range(1, len(toks) + 1),
+       |      i -> len(list_filter(sp, x -> i - 1 >= x['s'] AND i - 1 <= x['e'])) > 0)) END AS INT) AS n_dropped
+       |FROM joined
+       |ORDER BY $idCol""".stripMargin
+
   /** DuckDB twin of [[duplicatedSpans]] (parallel unnest aligns the
     * position range with the shingle hashes, like the Spark
     * posexplode).

@@ -147,6 +147,16 @@ object DedupQueries extends QuerySet {
       Some(graft.dedup.Winnow.sharedFingerprintPairsDuckSql(
         "documents", "doc_id", "text"))),
 
+    // The ExactSubstr DELETION pass: rewrite docs dropping duplicated
+    // spans, keep the rest — substring-granular dedup that saves the
+    // document instead of dropping it.
+    Q("q_despan",
+      (s, d) => graft.dedup.SpanDedup.removeDuplicatedSpans(
+        Tables.df(s, d, "documents"), "doc_id", "text", minLen = 8)
+        .orderBy("doc_id"),
+      Some(graft.dedup.SpanDedup.removeDuplicatedSpansDuckSql(
+        "documents", "doc_id", "text", minLen = 8))),
+
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),

@@ -55,6 +55,24 @@ class SpanDedupSpec extends SparkSpec {
     graft.api.CacheScope.global.release(blocking = true)
   }
 
+  test("removeDuplicatedSpans cuts exactly the flagged tokens; span-free docs pass byte-identical") {
+    val passage = toks("shared", 12)
+    val clean = "untouched  doc with  double spaces kept verbatim plus unique words"
+    val df = Seq(
+      (1L, s"${toks("a", 5)} $passage ${toks("b", 4)}"),
+      (2L, s"$passage ${toks("c", 7)}"),
+      (3L, clean)
+    ).toDF("doc_id", "text")
+    val out = SpanDedup.removeDuplicatedSpans(df, "doc_id", "text", minLen = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    out(0) shouldBe ((1L, s"${toks("a", 5)} ${toks("b", 4)}", 9, 12))
+    out(1) shouldBe ((2L, toks("c", 7), 7, 12))
+    // no spans -> byte-identical pass-through (double spaces intact)
+    out(2) shouldBe ((3L, clean, clean.split(" ", -1).length, 0))
+    graft.api.CacheScope.global.release(blocking = true)
+  }
+
   test("plan: per-document window only, no cartesian") {
     val df = Seq((1L, toks("t", 20)), (2L, toks("t", 20))).toDF("doc_id", "text")
     val plan = SpanDedup.duplicatedSpans(df, "doc_id", "text")
