@@ -3,6 +3,7 @@ package graft.streaming
 import graft.SparkSpec
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 
 class StreamOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -351,6 +352,43 @@ class StreamOpsSpec extends SparkSpec {
         .as[(Long, Boolean)].collect().toMap
       rows.map(_._1).filterNot(kept.contains).sorted shouldBe
         batchFlags.filter(_._2).keys.toSeq.sorted
+    } finally q.stop()
+  }
+
+  test("split assignment and the compression gate stream stateless with batch parity") {
+    // splitAssign is a pure (key, salt) projection and compressionRatio
+    // a per-row native kernel — both run unchanged on readStream, so an
+    // INGEST pipeline can route train/val/test and gate spam in-flight
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.functions.GraftFunctions.register(spark)
+    val input = MemoryStream[(Long, String)]
+    val docs = (1L to 30L).map { i =>
+      val body = if (i % 5 == 0) (1 to 40).map(_ => "spam spam").mkString(" ")
+        else s"document $i " + (1 to 12).map(j => s"tok${i}x$j").mkString(" ")
+      (i, body)
+    }
+    val piped = graft.ops.Sampling.splitAssign(
+      input.toDF().toDF("doc_id", "text"), "doc_id", valPm = 200, testPm = 200, salt = "st")
+      .withColumn("cr", graft.text.TextFunctions.compressionRatio(col("text")))
+      .filter(col("cr") >= 0.2)
+    val q = piped.writeStream.format("memory").queryName("split_out")
+      .outputMode("append").start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("split_out")
+        .select("doc_id", "split", "cr")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val batch = graft.ops.Sampling.splitAssign(
+        docs.toDF("doc_id", "text"), "doc_id", valPm = 200, testPm = 200, salt = "st")
+        .withColumn("cr", graft.text.TextFunctions.compressionRatio(col("text")))
+        .filter(col("cr") >= 0.2)
+        .select("doc_id", "split", "cr")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      stream shouldBe batch
+      // the spam rows (every 5th) were gated out in-flight
+      stream.map(_._1).intersect((5L to 30L by 5).toSet) shouldBe empty
+      stream.size shouldBe 24
     } finally q.stop()
   }
 }
