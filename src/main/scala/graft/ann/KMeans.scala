@@ -245,6 +245,48 @@ object KMeans {
         round(sum("__s4").cast("double") / (count(lit(1)) * 10000), 4).as("mean_sil"))
   }
 
+  /** Per-cell load-balance report for a trained coarse quantizer — the
+    * index-health diagnostic run before committing an IVF layout: a fat
+    * cell means probe latency spikes (every query probing it scans that
+    * cell's whole posting list) and a starved cell wastes a partition.
+    * Emits (cluster, n, frac, load) where load = n·k/N — 1.0 is perfect
+    * balance, and max(load) bounds the worst probe's cost relative to
+    * the balanced ideal.
+    *
+    * Scale shape: one map-only codegen argmin pass + one bounded-key
+    * (k-value) partial aggregate; the k-row cell table persists so the
+    * 1-row total derives from it, not from a second corpus scan.
+    */
+  def cellBalance(df: DataFrame, idCol: String, vecCol: String, model: Model,
+                  scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val k = model.centroids.length
+    val cells = scope.persist(
+      assign(df, idCol, vecCol, model)
+        .groupBy("cluster").agg(count(lit(1)).as("n")))
+    val tot = cells.agg(sum("n").as("nn"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cluster"), col("n"),
+        round(col("n") / col("nn").cast("double"), 4).as("frac"),
+        round((col("n") * k) / col("nn").cast("double"), 4).as("load"))
+      .orderBy("cluster")
+  }
+
+  /** DuckDB twin of `cellBalance(df, fit(df, k, iters))` — the unrolled
+    * training loop + the same two-level aggregate.
+    */
+  def cellBalanceDuckSql(table: String, idCol: String, vecCol: String,
+                         k: Int, iters: Int, dim: Int): String =
+    s"""WITH ${trainLoopCtes(table, idCol, vecCol, k, iters, dim)},
+       |cells AS (
+       |  SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n
+       |  FROM afinal GROUP BY cid),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells)
+       |SELECT cluster, n,
+       |  round(n / CAST(nn AS DOUBLE), 4) AS frac,
+       |  round((n * $k) / CAST(nn AS DOUBLE), 4) AS load
+       |FROM cells CROSS JOIN tot
+       |ORDER BY cluster""".stripMargin
+
   /** DuckDB twin of `silhouette(df, fit(df, k, iters))`: the unrolled
     * training loop (shared [[trainLoopCtes]]) + nearest/second-nearest
     * centroid ranking + the same integer-unit mean.

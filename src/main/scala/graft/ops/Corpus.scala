@@ -129,6 +129,147 @@ object Corpus {
       .orderBy(col("n_shared").desc, col(idCol).asc)
   }
 
+  /** Graded train/eval contamination score — [[decontaminate]]'s binary
+    * "shares any gram" flag upgraded to the FRACTION of each train
+    * document's distinct w-grams that appear in the eval set, the
+    * thresholdable signal pipelines actually gate on (drop > 80%
+    * overlap, down-weight 20-80%, keep the long doc that quotes one
+    * benchmark question). Same scale shape as [[decontaminate]] — the
+    * eval gram set is bounded (an eval suite, not a corpus) and
+    * broadcasts; the train side is one distinct + one left join +
+    * one keyed groupBy, grams travel as 60-bit hashes. Returns every
+    * train doc with >= 1 gram (docs shorter than w tokens have no
+    * gram set to score).
+    */
+  def contaminationFrac(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      evalPred: Column,
+      w: Int): DataFrame = {
+    def grams(side: DataFrame): DataFrame = side
+      .select(col(idCol), explode(Repetition.ngrams(col(textCol), w)).as("gram"))
+      .select(col(idCol), TextFunctions.portableHash60(col("gram")).as("gh"))
+    val isEval = coalesce(evalPred, lit(false))
+    val evalGrams = grams(df.filter(isEval)).select("gh").distinct()
+      .withColumn("__hit", lit(1))
+    val trainGrams = grams(df.filter(!isEval)).distinct()
+    trainGrams
+      .join(broadcast(evalGrams), Seq("gh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
+      .select(col(idCol), col("n_grams"), col("n_shared"),
+        round(col("n_shared") / col("n_grams").cast("double"), 4).as("frac"))
+      .orderBy(idCol)
+  }
+
+  /** DuckDB twin of [[contaminationFrac]]. */
+  def contaminationFracDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      evalPredSql: String,
+      w: Int): String =
+    s"""WITH g0 AS (
+       |  SELECT $idCol, ($evalPredSql) AS is_eval,
+       |         unnest(${Repetition.ngramsDuck(textCol, w)}) AS gram
+       |  FROM $table),
+       |g AS (
+       |  SELECT $idCol, coalesce(is_eval, false) AS is_eval,
+       |         CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+       |  FROM g0),
+       |ev AS (SELECT DISTINCT gh, 1 AS hit FROM g WHERE is_eval),
+       |tr AS (SELECT DISTINCT $idCol, gh FROM g WHERE NOT is_eval),
+       |agg AS (
+       |  SELECT $idCol, CAST(count(*) AS BIGINT) AS n_grams,
+       |         CAST(sum(coalesce(hit, 0)) AS BIGINT) AS n_shared
+       |  FROM tr LEFT JOIN ev USING (gh)
+       |  GROUP BY $idCol)
+       |SELECT $idCol, n_grams, n_shared,
+       |  round(n_shared / CAST(n_grams AS DOUBLE), 4) AS frac
+       |FROM agg
+       |ORDER BY $idCol""".stripMargin
+
+  /** Top-k adjacent-token collocations by pointwise mutual information —
+    * the corpus-level "which word pairs stick together" diagnostic
+    * (tokenizer/vocab design, multi-word-expression mining, template
+    * detection: boilerplate phrases spike PMI). pmi(x,y) =
+    * ln( p(x,y) / (p(x)p(y)) ) with p(x,y) over the adjacent-bigram
+    * stream and p(x) over the token stream; pairs below `minCount`
+    * are noise (a 1-occurrence pair of two hapaxes maximizes raw PMI)
+    * and drop before scoring.
+    *
+    * Scale shape: two explode → keyed partial-agg passes (unigram and
+    * bigram tables, both vocabulary-bounded), the unigram table joins
+    * back KEYED (unhinted — a 100 TB vocab is past broadcast range,
+    * AQE still broadcasts a small one), the two totals are 1-row
+    * broadcasts, and the top-k is TakeOrdered — no global sort. PMI
+    * pre-rounds to 4dp before ranking so both engines rank identical
+    * values; ties break on (x, y).
+    */
+  def pmiCollocations(
+      df: DataFrame,
+      textCol: String,
+      minCount: Int,
+      k: Int,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    // persisted: the unigram table feeds both the totals row and the
+    // two keyed joins; the bigram table feeds its totals row and the
+    // filtered scoring side
+    val uni = scope.persist(df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c")))
+    val nTok = uni.agg(sum("c").as("n"))
+    val pairs = scope.persist(df
+      .select(explode(Repetition.ngrams(col(textCol), 2)).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cxy")))
+    val nPair = pairs.agg(sum("cxy").as("np"))
+    val split2 = split(col("gram"), " ")
+    val scoredInput = pairs.filter(col("cxy") >= minCount)
+      .select(element_at(split2, 1).as("x"), element_at(split2, 2).as("y"),
+        col("cxy"))
+    scoredInput
+      .join(uni.select(col("tok").as("x"), col("c").as("cx")), "x")
+      .join(uni.select(col("tok").as("y"), col("c").as("cy")), "y")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(nPair))
+      .select(col("x"), col("y"), col("cxy"),
+        round(log((col("cxy").cast("double") / col("np")) /
+          ((col("cx").cast("double") / col("n")) *
+           (col("cy").cast("double") / col("n")))), 4).as("pmi"))
+      .orderBy(col("pmi").desc, col("x").asc, col("y").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[pmiCollocations]] — identical arithmetic order
+    * (cxy/np ÷ (cx/n · cy/n), each operand cast to DOUBLE first).
+    */
+  def pmiCollocationsDuckSql(table: String, textCol: String,
+                             minCount: Int, k: Int): String =
+    s"""WITH uni AS (
+       |  SELECT tok, CAST(count(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(string_split($textCol, ' ')) AS tok FROM $table)
+       |  GROUP BY tok),
+       |ntok AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+       |pairs AS (
+       |  SELECT gram, CAST(count(*) AS BIGINT) AS cxy
+       |  FROM (SELECT unnest(${Repetition.ngramsDuck(textCol, 2)}) AS gram FROM $table)
+       |  GROUP BY gram),
+       |npair AS (SELECT CAST(sum(cxy) AS BIGINT) AS np FROM pairs),
+       |f AS (
+       |  SELECT string_split(gram, ' ')[1] AS x, string_split(gram, ' ')[2] AS y, cxy
+       |  FROM pairs WHERE cxy >= $minCount)
+       |SELECT f.x, f.y, f.cxy,
+       |  round(ln((CAST(f.cxy AS DOUBLE) / np) /
+       |    ((CAST(ux.c AS DOUBLE) / n) * (CAST(uy.c AS DOUBLE) / n))), 4) AS pmi
+       |FROM f
+       |JOIN uni ux ON ux.tok = f.x
+       |JOIN uni uy ON uy.tok = f.y
+       |CROSS JOIN ntok CROSS JOIN npair
+       |ORDER BY pmi DESC, x ASC, y ASC
+       |LIMIT $k""".stripMargin
+
   /** Scale variant of [[decontaminate]]: the eval-side gram set rides
     * a Bloom filter instead of a broadcast join — bounded bits
     * regardless of eval size (1e8 grams at 1% fpp ≈ 114 MB), and the

@@ -148,6 +148,78 @@ object Pca {
     project(df, idCol, vecCol, model)
   }
 
+  // Model-sharing memo (the KMeans.fitCached pattern): the canonical
+  // trainer query always fits and REFRESHES the memo (its bench entry
+  // measures training); dependent queries reuse the fit instead of
+  // re-running the Σx/Σxxᵀ pass. Keyed by corpus dir so sf0.01 verify
+  // and sf0.1 bench sweeps never cross-contaminate.
+  private val memo = scala.collection.concurrent.TrieMap.empty[String, PcaModel]
+
+  /** Fit and refresh the memo under `corpusKey` — the trainer's path. */
+  def fitRefresh(df: DataFrame, vecCol: String, k: Int, corpusKey: String): PcaModel = {
+    val m = fit(df, vecCol, k)
+    memo.put(s"$corpusKey:k$k", m)
+    lastFit = Some(m)
+    m
+  }
+
+  /** Memoized fit: reuse the trainer's model when present (fit is
+    * deterministic on the same corpus, so run order cannot change the
+    * result — only whether the Σx/Σxxᵀ pass reruns).
+    */
+  def fitCached(df: DataFrame, vecCol: String, k: Int, corpusKey: String): PcaModel = {
+    val m = memo.getOrElseUpdate(s"$corpusKey:k$k", fit(df, vecCol, k))
+    lastFit = Some(m)
+    m
+  }
+
+  /** PCA-whitened projection: each component score divides by the
+    * component's standard deviation sqrt(λ), so the output coordinates
+    * have unit population variance and zero correlation — the
+    * normalization embedding pipelines apply before cosine/Euclidean
+    * retrieval so one dominant direction can't swamp the metric
+    * (and the standard pre-step for ZCA). Map-only like [[project]]:
+    * the 1/sqrt(λ) scale folds into a per-component literal computed
+    * on the driver, so BOTH engines multiply by the identical double.
+    * Near-zero eigenvalues clamp at 1e-12 before the sqrt (a dead
+    * direction must not explode to ±inf).
+    */
+  def projectWhitened(df: DataFrame, idCol: String, vecCol: String,
+                      model: PcaModel): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val ws = model.components.zipWithIndex.map { case (comp, i) =>
+      val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      val scale = 1.0 / math.sqrt(math.max(model.explainedVariance(i), 1e-12))
+      ((VectorFunctions.dot(v, typedLit(comp.toSeq)) - offset) * scale)
+        .as(s"w${i + 1}")
+    }
+    df.select(col(idCol) +: ws.toSeq: _*)
+  }
+
+  /** DuckDB twin of [[projectWhitened]] — components, offsets AND the
+    * driver-computed 1/sqrt(λ) scales embedded as full-precision
+    * literals, so the per-row arithmetic ((dot − offset) · scale) is
+    * identical in both engines.
+    */
+  def projectWhitenedDuckSql(table: String, idCol: String, vecCol: String,
+                             model: PcaModel, round4: Boolean): String = {
+    val dim = model.mean.length
+    val comps = model.components.zipWithIndex.map { case (comp, j) =>
+      val lit = comp.mkString("[", ", ", "]::DOUBLE[]")
+      val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
+      val scale = 1.0 / math.sqrt(math.max(model.explainedVariance(j), 1e-12))
+      val w = s"(list_sum(list_transform(range(1, ${dim + 1}), " +
+        s"i -> CAST($vecCol[i] AS DOUBLE) * c.c${j + 1}[i])) - ($offset)) * ($scale)"
+      (s"$lit AS c${j + 1}",
+        if (round4) s"round($w, 4) AS w${j + 1}" else s"$w AS w${j + 1}")
+    }
+    s"""WITH c AS (SELECT ${comps.map(_._1).mkString(",\n  ")})
+       |SELECT $idCol,
+       |  ${comps.map(_._2).mkString(",\n  ")}
+       |FROM $table, c
+       |ORDER BY $idCol""".stripMargin
+  }
+
   /** Model from the most recent [[fitProject]] in this JVM — oracle
     * plumbing only (Verify runs every query, then dumps oracleSql;
     * the eigen math itself is pinned by PcaSpec).

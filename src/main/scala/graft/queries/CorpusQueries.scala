@@ -38,6 +38,25 @@ object CorpusQueries extends QuerySet {
       Some(Corpus.decontaminateDuckSql(
         "documents", "doc_id", "text", "source = 'src0'", w = 4))),
 
+    // graded contamination: the FRACTION of each train doc's distinct
+    // 4-grams that appear in the eval set — the thresholdable signal
+    // (drop >80%, down-weight 20-80%) where q_decontaminate is binary
+    Q("q_contam_frac",
+      (s, d) => Corpus.contaminationFrac(
+        Tables.df(s, d, "documents"), "doc_id", "text",
+        evalPred = col("source") === "src0", w = 4),
+      Some(Corpus.contaminationFracDuckSql(
+        "documents", "doc_id", "text", "source = 'src0'", w = 4))),
+
+    // top-k adjacent-token collocations by PMI (4dp-pre-rounded before
+    // ranking): multi-word-expression mining / template detection;
+    // unigram table joins back KEYED (vocab-scale at 100 TB), totals
+    // are 1-row broadcasts, top-k is TakeOrdered
+    Q("q_pmi",
+      (s, d) => Corpus.pmiCollocations(
+        Tables.df(s, d, "documents"), "text", minCount = 5, k = 25),
+      Some(Corpus.pmiCollocationsDuckSql("documents", "text", minCount = 5, k = 25))),
+
     // corpus health dashboard: per-language token/vocab/hapax/top-share
     Q("q_vocab_stats",
       (s, d) => Corpus.vocabStats(Tables.df(s, d, "documents"), "lang", "text"),

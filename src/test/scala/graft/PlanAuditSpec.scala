@@ -101,9 +101,13 @@ class PlanAuditSpec extends SparkSpec {
                            // size; HardNegativesSpec asserts the
                            // GlobalLimit) under a non-equi
                            // cross-source condition
-    "q_shard_assign"       // 256x256 hex-bucket triangular offset join
+    "q_shard_assign",      // 256x256 hex-bucket triangular offset join
                            // (literal-bounded, the q_pack_sequences
                            // idiom)
+    "q_pmi",               // two 1-row totals crossJoins (token and
+                           // bigram counts — the LM normalizers)
+    "q_ivf_balance"        // 1-row total crossJoin derived from the
+                           // persisted k-row cell table
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
@@ -262,10 +266,12 @@ class PlanAuditSpec extends SparkSpec {
     //    the q_token_budget shape
     //  - q_shard_assign: bucket token-totals grouped by the 256-value
     //    hex bucket — the q_pack_sequences shape exactly
+    //  - q_contam_frac: the same eval-suite-bounded distinct-gram
+    //    broadcast as q_decontaminate (graded variant of the same op)
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
       "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk",
-      "q_length_batches", "q_shard_assign")
+      "q_length_batches", "q_shard_assign", "q_contam_frac")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

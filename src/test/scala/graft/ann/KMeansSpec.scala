@@ -64,6 +64,22 @@ class KMeansSpec extends SparkSpec {
     (truth & trained).size should be >= (truth & naive).size - 2 // no collapse
   }
 
+  test("cellBalance: counts sum to N, fracs to 1, mean load is 1") {
+    val pts = (1 to 50).map(i => (i.toLong, Seq(0.0 + i * 0.001, 0.0))) ++
+      (51 to 75).map(i => (i.toLong, Seq(100.0 + i * 0.001, 0.0)))
+    val df = pts.toDF("id", "v")
+    val m = KMeans.fit(df, "id", "v", k = 2, maxIters = 10)
+    val rows = KMeans.cellBalance(df, "id", "v", m)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    graft.api.CacheScope.global.release()
+    rows.map(_._2).sum shouldBe 75L
+    rows.map(_._3).sum shouldBe 1.0 +- 1e-3
+    // 2 cells of 50/25: loads 50*2/75 and 25*2/75
+    rows.map(_._4).sorted shouldBe Seq(
+      math.rint(25.0 * 2 / 75 * 10000) / 10000,
+      math.rint(50.0 * 2 / 75 * 10000) / 10000)
+  }
+
   test("silhouette: separated blobs score near 1, one-blob split scores near 0") {
     // two tight blobs far apart: centroid-silhouette must be ~1
     val far = ((1 to 40).map(i => (i.toLong, Seq(i * 0.001, 0.0))) ++

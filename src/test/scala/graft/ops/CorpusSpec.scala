@@ -68,6 +68,40 @@ class CorpusSpec extends SparkSpec {
     got.map { case (k, v) => k -> v.toInt } shouldBe expected
   }
 
+  test("contaminationFrac grades overlap per train doc, covers gram-bearing docs") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps", "eval"),
+      (2L, "the quick brown fox sleeps", "train"), // 2 grams, 1 shared -> 0.5
+      (3L, "a completely different doc here", "train"), // 2 grams, 0 shared
+      (4L, "the quick brown fox jumps", "train"), // exact copy: 2/2 shared
+      (5L, "too short", "train") // < w tokens: no gram set, absent
+    ).toDF("doc_id", "text", "split")
+    val got = Corpus.contaminationFrac(df, "doc_id", "text",
+      evalPred = col("split") === "eval", w = 4)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, g, s, f) => id -> ((g, s, f)) }.toMap
+    got.keySet shouldBe Set(2L, 3L, 4L)
+    got(2L) shouldBe ((2L, 1L, 0.5))
+    got(3L) shouldBe ((2L, 0L, 0.0))
+    got(4L) shouldBe ((2L, 2L, 1.0))
+  }
+
+  test("pmiCollocations: a glued pair outranks independent fillers") {
+    // "new york" always co-occurs (8 of 8 bigram chances for 'new');
+    // 'the'/'a' pair with everything — PMI must rank the glued pair
+    // first, and drop sub-minCount pairs entirely
+    val docs = Seq.fill(8)("the new york a") ++ Seq.fill(8)("the a rare pair")
+    val got = Corpus.pmiCollocations(docs.toDF("text"), "text", minCount = 3, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    got.head._1 shouldBe "new"
+    got.head._2 shouldBe "york"
+    // hand check: c(new york)=8, np=48, c(new)=c(york)=8, n=64
+    val expect = math.log((8.0 / 48) / ((8.0 / 64) * (8.0 / 64)))
+    got.head._4 shouldBe math.rint(expect * 10000) / 10000 +- 1e-9
+    // every returned pair meets the count floor
+    got.foreach(_._3 should be >= 3L)
+  }
+
   test("decontaminateBloom: superset of exact, counts upper-bound, no false negatives") {
     val rng = new scala.util.Random(11)
     val vocab = Vector("a", "b", "c", "d", "e")

@@ -36,6 +36,50 @@ class PcaSpec extends SparkSpec {
     math.abs(m.components(0).zip(dir).map { case (a, b) => a * b }.sum) should be > 0.999
   }
 
+  test("whitened projection has unit population variance per component") {
+    // an anisotropic cloud (x-spread 10x the y-spread, rotated by the
+    // y=2x mix): after whitening each coordinate must have population
+    // variance 1 and the coordinates must be uncorrelated
+    val pts = (1 to 400).map { i =>
+      val a = (i % 20 - 9.5) * 1.0   // large-variance direction
+      val b = (i / 20 % 20 - 9.5) * 0.1 // small-variance direction
+      (i.toLong, Seq(a + b, 2 * a - b))
+    }
+    val df = pts.toDF("id", "v")
+    val m = Pca.fit(df, "v", k = 2)
+    val w = Pca.projectWhitened(df, "id", "v", m)
+      .agg(var_pop(col("w1")).as("v1"), var_pop(col("w2")).as("v2"),
+        covar_pop(col("w1"), col("w2")).as("cv"))
+      .head()
+    w.getDouble(0) shouldBe 1.0 +- 1e-6
+    w.getDouble(1) shouldBe 1.0 +- 1e-6
+    w.getDouble(2) shouldBe 0.0 +- 1e-6
+  }
+
+  test("whitening a zero-variance direction clamps instead of exploding") {
+    // y is constant: λ2 = 0 — the whitened w2 must stay finite (the
+    // 1e-12 clamp), not blow up to ±inf
+    val pts = (1 to 50).map(i => (i.toLong, Seq(i / 5.0, 3.0)))
+    val df = pts.toDF("id", "v")
+    val m = Pca.fit(df, "v", k = 2)
+    val mx = Pca.projectWhitened(df, "id", "v", m)
+      .agg(max(abs(col("w2")))).head().getDouble(0)
+    mx.isNaN shouldBe false
+    mx.isInfinite shouldBe false
+  }
+
+  test("fitCached reuses the trainer's model; fitRefresh replaces it") {
+    val pts = (1 to 60).map(i => (i.toLong, Seq(i / 3.0, (i % 7).toDouble)))
+    val df = pts.toDF("id", "v")
+    val key = s"pcaspec-memo-${System.nanoTime()}"
+    val m1 = Pca.fitRefresh(df, "v", k = 2, corpusKey = key)
+    val m2 = Pca.fitCached(df, "v", k = 2, corpusKey = key)
+    (m2 eq m1) shouldBe true
+    val m3 = Pca.fitRefresh(df, "v", k = 2, corpusKey = key)
+    (m3 eq m1) shouldBe false
+    (Pca.fitCached(df, "v", k = 2, corpusKey = key) eq m3) shouldBe true
+  }
+
   test("fit raises a clear error on empty input") {
     val empty = Seq.empty[(Long, Seq[Double])].toDF("id", "v")
     val ex = intercept[IllegalArgumentException](Pca.fit(empty, "v", k = 1))
