@@ -166,6 +166,109 @@ object MinHash {
     verified
   }
 
+  /** Signature-calibration report over the LSH candidate pairs:
+    * estimated Jaccard (fraction of equal signature components — the
+    * unbiased MinHash estimator) next to the exact shingle-set Jaccard,
+    * for every candidate the banding surfaces (no threshold filter —
+    * calibration needs the misses too). This is the tuning loop for
+    * (k, bands): a fat |est−exact| tail at the chosen threshold means
+    * the band/row split is mis-set for the corpus's similarity profile.
+    *
+    * Scale shape: identical to [[nearDupPairs]] (bucket-bounded
+    * candidates, skew cap, keyed signature/shingle joins) — the only
+    * extra work is the k equality checks per candidate.
+    */
+  def estVsExactPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    // persisted: the candidate self-join reads band rows twice, and the
+    // signature/shingle frames each join back twice (a/b sides)
+    val sigs = scope.persist(signatures(df, idCol, textCol, k, w))
+    val r = k / bands
+    val bandKeys = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => s"mh_$i")
+      struct(lit(b).as("band"), md5(concat_ws(":", slice.map(col): _*)).as("bkey"))
+    }
+    val exploded = sigs
+      .select(col(idCol), explode(array(bandKeys: _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("__bsz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")))
+      .filter(col("__bsz") <= maxBucket)
+      .drop("__bsz")
+    val a = exploded.select(col("band"), col("bkey"), col(idCol).as("id_a"))
+    val b = exploded.select(col("band"), col("bkey"), col(idCol).as("id_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    val sigA = sigs.select(col(idCol).as("id_a") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+    val sigB = sigs.select(col(idCol).as("id_b") +:
+      (0 until k).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+    val eqCnt = (0 until k).map(i =>
+      when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val sh = scope.persist(hashedShingleDf(df, idCol, textCol, w)
+      .select(col(idCol), col("__hs").as("sh")))
+    candidates
+      .join(sigA, "id_a").join(sigB, "id_b")
+      .withColumn("est_j", round(eqCnt / lit(k.toDouble), 4))
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", call_function("graft_contained_count",
+        col("sh_a"), col("sh_b")).cast("double"))
+      .withColumn("exact_j", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 4))
+      .select(col("id_a"), col("id_b"), col("est_j"), col("exact_j"))
+  }
+
+  /** DuckDB twin of [[estVsExactPairs]]. */
+  def estVsExactPairsDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      w: Int = 3,
+      bands: Int = 4,
+      maxBucket: Int = DefaultMaxBucket): String = {
+    val r = k / bands
+    val bandSelects = (0 until bands).map { b =>
+      val slice = (b * r until (b + 1) * r).map(i => s"CAST(mh_$i AS VARCHAR)").mkString(", ")
+      s"SELECT $idCol, $b AS band, md5(concat_ws(':', $slice)) AS bkey FROM sig"
+    }.mkString("\nUNION ALL\n")
+    val eqCnt = (0 until k).map(i =>
+      s"(CASE WHEN sa.mh_$i = sb.mh_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sig AS MATERIALIZED (${signaturesDuckSql(table, idCol, textCol, k, w)}),
+       |bk AS (
+       |  SELECT * FROM ($bandSelects) raw
+       |  QUALIFY count(*) OVER (PARTITION BY band, bkey) <= $maxBucket),
+       |cand AS (
+       |  SELECT DISTINCT a.$idCol AS id_a, b.$idCol AS id_b
+       |  FROM bk a JOIN bk b ON a.band = b.band AND a.bkey = b.bkey
+       |  WHERE a.$idCol < b.$idCol),
+       |sh AS MATERIALIZED (
+       |  SELECT $idCol, hs AS sh
+       |  FROM (${hashedShingleDuck(table, idCol, textCol, w)}) __hs0)
+       |SELECT cand.id_a, cand.id_b,
+       |  round(($eqCnt) / ${k.toDouble}, 4) AS est_j,
+       |  round(len(list_filter(ha.sh, x -> list_contains(hb.sh, x))) /
+       |    CAST(len(ha.sh) + len(hb.sh) - len(list_filter(ha.sh, x -> list_contains(hb.sh, x))) AS DOUBLE), 4) AS exact_j
+       |FROM cand
+       |JOIN sig sa ON cand.id_a = sa.$idCol
+       |JOIN sig sb ON cand.id_b = sb.$idCol
+       |JOIN sh ha ON cand.id_a = ha.$idCol
+       |JOIN sh hb ON cand.id_b = hb.$idCol
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def nearDupPairsDuckSql(
       table: String,
       idCol: String,

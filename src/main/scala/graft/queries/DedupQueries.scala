@@ -182,6 +182,45 @@ object DedupQueries extends QuerySet {
       Some(graft.dedup.SpanDedup.removeDuplicatedSpansDuckSql(
         "documents", "doc_id", "text", minLen = 8))),
 
+    // MinHash calibration: estimated Jaccard (equal-component fraction)
+    // vs exact shingle-set Jaccard on every LSH candidate pair — the
+    // (k, bands) tuning loop; no threshold filter, calibration needs
+    // the misses too. Same bucket-bounded plan as q_dedup_minhash.
+    Q("q_minhash_calib",
+      (s, d) => MinHash.estVsExactPairs(
+        Tables.df(s, d, "documents"), "doc_id", "text")
+        .orderBy("id_a", "id_b"),
+      Some(MinHash.estVsExactPairsDuckSql("documents", "doc_id", "text"))),
+
+    // Cross-source duplicate-leakage matrix: near-dup pairs rolled up
+    // by unordered source pair — "which sources copy from each other",
+    // the dedup health report that catches a mirrored dump before it
+    // double-counts in the mix. Pairs are LSH-bounded; the doc→source
+    // joins are keyed; the output key is bounded by the source domain
+    // squared (dozens of sources by the training-mix contract).
+    Q("q_dup_sources",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val src = docs.select(col("doc_id"), col("source"))
+        MinHash.nearDupPairs(docs, "doc_id", "text")
+          .join(src.select(col("doc_id").as("id_a"), col("source").as("src_a")), "id_a")
+          .join(src.select(col("doc_id").as("id_b"), col("source").as("src_b")), "id_b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some(s"""WITH p AS (${MinHash.nearDupPairsDuckSql("documents", "doc_id", "text")})
+              |SELECT least(da.source, db.source) AS source_a,
+              |       greatest(da.source, db.source) AS source_b,
+              |       CAST(count(*) AS BIGINT) AS n_pairs
+              |FROM p
+              |JOIN documents da ON p.id_a = da.doc_id
+              |JOIN documents db ON p.id_b = db.doc_id
+              |GROUP BY source_a, source_b
+              |ORDER BY source_a, source_b""".stripMargin)),
+
     Q("q_ngram_jaccard",
       (s, d) => NgramJaccard.jaccardPairs(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),

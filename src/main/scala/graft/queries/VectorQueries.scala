@@ -339,6 +339,47 @@ object VectorQueries extends QuerySet {
       Some(graft.ann.KMeans.silhouetteDuckSql(
         "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = Dim))),
 
+    // Cluster-vs-label agreement (purity): per trained cluster, the
+    // majority ground-truth label's share — the "did unsupervised
+    // clustering recover the known structure" eval over the labeled
+    // embeddings. One map-only argmin pass, one keyed self-join on the
+    // id, two bounded-key aggregations + a rank window on the cluster
+    // key; oracle replays the full training loop then the same ranking.
+    Q("q_cluster_purity",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        val m = graft.ann.KMeans.fitCached(e, "vec_id", "embedding", k = 8,
+          maxIters = 3, corpusKey = s"$d:embeddings")
+        val cl = graft.ann.KMeans.assign(e, "vec_id", "embedding", m)
+          .join(e.select(col("vec_id"), col("label")), "vec_id")
+          .groupBy("cluster", "label").agg(count(lit(1)).as("cnt"))
+        val byCluster = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+        cl.withColumn("n", sum("cnt").over(byCluster))
+          .withColumn("__rn", row_number().over(
+            byCluster.orderBy(col("cnt").desc, col("label").asc)))
+          .filter(col("__rn") === 1)
+          .select(col("cluster"), col("n"),
+            col("label").as("top_label"), col("cnt").as("top_n"),
+            round(col("cnt") / col("n").cast("double"), 4).as("purity"))
+          .orderBy("cluster")
+      },
+      Some(s"""WITH ${graft.ann.KMeans.assignCtesDuckSql(
+                 "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = Dim)},
+              |cl AS (
+              |  SELECT a.cid AS cluster, t.label, CAST(count(*) AS BIGINT) AS cnt
+              |  FROM afinal a JOIN embeddings t ON t.vec_id = a.id
+              |  GROUP BY a.cid, t.label)
+              |SELECT cluster, n, top_label, top_n,
+              |  round(top_n / CAST(n AS DOUBLE), 4) AS purity
+              |FROM (
+              |  SELECT cluster, label AS top_label, cnt AS top_n,
+              |    CAST(sum(cnt) OVER (PARTITION BY cluster) AS BIGINT) AS n,
+              |    row_number() OVER (PARTITION BY cluster
+              |      ORDER BY cnt DESC, label ASC) AS rn
+              |  FROM cl) t
+              |WHERE rn = 1
+              |ORDER BY cluster""".stripMargin)),
+
     // IVF cell load-balance report over the same trained coarse
     // quantizer: (cluster, n, frac, load) with load = n·k/N — max(load)
     // bounds the worst probe's cost vs the balanced ideal. One map-only

@@ -32,6 +32,25 @@ class DedupSpec extends SparkSpec {
     pairs.exists(p => p._1 == 3 || p._2 == 3) shouldBe false
   }
 
+  test("estVsExactPairs: exact duplicate calibrates to est=exact=1, candidates cover verified pairs") {
+    val cal = MinHash.estVsExactPairs(docs, "doc_id", "text")
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getDouble(2), r.getDouble(3)))).toMap
+    graft.api.CacheScope.global.release()
+    // identical docs: every signature component equal, exact jaccard 1
+    cal((1, 4)) shouldBe ((1.0, 1.0))
+    // every estimate is a multiple of 1/k in [0, 1]
+    cal.values.foreach { case (est, exact) =>
+      est should (be >= 0.0 and be <= 1.0)
+      (est * 8 % 1.0) shouldBe 0.0 +- 1e-9
+      exact should (be >= 0.0 and be <= 1.0)
+    }
+    // calibration is a SUPERSET of the thresholded pair finder
+    val verified = MinHash.nearDupPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    graft.api.CacheScope.global.release()
+    verified.foreach(p => cal.keySet should contain(p))
+  }
+
   test("native hashed shingles are bit-identical to the SQL lambda form") {
     val tricky = Seq(
       (1, "spark runs fast on big data clusters every day"),
