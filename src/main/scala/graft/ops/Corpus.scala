@@ -563,6 +563,47 @@ object Corpus {
        |GROUP BY $idCol
        |ORDER BY $idCol""".stripMargin
 
+  /** DSIR importance RESAMPLING — the selection half of Xie et al.
+    * 2023 that [[importanceWeights]]'s scoring half feeds: draw `n`
+    * documents WITHOUT replacement with probability ∝ exp(log_w) via
+    * the Gumbel-top-k trick — score = log_w + Gumbel(u), Gumbel(u) =
+    * -ln(-ln(u)), take the top n. The Gumbel noise comes from the
+    * shared deterministic membership hash ([[Sampling.unitHash]]), so
+    * reruns and engines draw the IDENTICAL sample (the property the
+    * paper's np.random resampling loses), and changing the salt draws
+    * an independent one.
+    *
+    * Scale shape: weights are one keyed groupBy over the hashed-LM
+    * broadcast (the importanceWeights plan), the Gumbel perturbation
+    * is map-only arithmetic, and top-n is TakeOrderedAndProject — no
+    * global sort. (At selection sizes past top-k range — "resample 5%
+    * of 100 TB" — the same score compares against an approx-quantile
+    * cutoff broadcast instead: one extra pass, still no sort; the
+    * q_quality_topq scale note.) Scores pre-round to 4dp before
+    * ranking; ties break on the id.
+    */
+  def importanceSample(df: DataFrame, idCol: String, textCol: String,
+                       targetPred: Column, n: Int,
+                       nBuckets: Int = 1024, salt: String = ""): DataFrame = {
+    val gumbel = -log(-log(Sampling.unitHash(col(idCol), salt)))
+    importanceWeights(df, idCol, textCol, targetPred, nBuckets)
+      .withColumn("score", round(col("log_w") + gumbel, 4))
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(n)
+  }
+
+  /** DuckDB twin of [[importanceSample]]. */
+  def importanceSampleDuckSql(table: String, idCol: String, textCol: String,
+                              targetPredSql: String, n: Int,
+                              nBuckets: Int = 1024, salt: String = ""): String =
+    s"""WITH iw AS (
+       |${importanceWeightsDuckSql(table, idCol, textCol, targetPredSql, nBuckets)})
+       |SELECT $idCol, log_w,
+       |  round(log_w + (-ln(-ln(${Sampling.unitHashDuckSql(idCol, salt)}))), 4) AS score
+       |FROM iw
+       |ORDER BY score DESC, $idCol ASC
+       |LIMIT $n""".stripMargin
+
   /** Zipf power-law fit of the token rank-frequency curve: least-squares
     * slope/intercept/r² of ln(freq) on ln(rank), plus vocab size and
     * total token count — the corpus-health diagnostic that catches

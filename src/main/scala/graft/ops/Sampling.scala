@@ -37,6 +37,18 @@ object Sampling {
     s"CAST(concat('0x', substr(md5(CAST($keySql AS VARCHAR) || '$s'), 1, 15)) AS UBIGINT) % $Scale"
   }
 
+  /** Deterministic uniform draw in (0, 1) from the SAME membership
+    * hash — the randomness source for hash-seeded samplers (Gumbel
+    * top-k importance resampling). The +0.5 offset keeps the unit
+    * strictly inside (0, 1) so -ln(-ln(u)) never hits ±inf.
+    */
+  def unitHash(key: Column, salt: String = ""): Column =
+    (hashMod(key, salt).cast("double") + lit(0.5)) / lit(Scale.toDouble)
+
+  /** DuckDB twin of [[unitHash]] — identical arithmetic order. */
+  def unitHashDuckSql(keySql: String, salt: String = ""): String =
+    s"((${hashModDuckSql(keySql, salt)}) + 0.5) / $Scale.0"
+
   /** Keep-predicate for a fraction in [0, 1]. */
   def keep(key: Column, fraction: Double, salt: String = ""): Column =
     hashMod(key, salt) < lit((fraction * Scale).toLong)

@@ -79,6 +79,17 @@ object CorpusQueries extends QuerySet {
       Some(Corpus.importanceWeightsDuckSql("documents", "doc_id", "text",
         targetPredSql = "lang = 'en'"))),
 
+    // DSIR importance RESAMPLING (the selection half): Gumbel-top-k
+    // draw of 50 docs with probability ∝ exp(log_w), Gumbel noise from
+    // the deterministic membership hash — reruns and engines draw the
+    // identical sample; map-only perturbation + TakeOrdered
+    Q("q_dsir_sample",
+      (s, d) => Corpus.importanceSample(Tables.df(s, d, "documents"),
+        "doc_id", "text", targetPred = col("lang") === "en",
+        n = 50, salt = "dsir"),
+      Some(Corpus.importanceSampleDuckSql("documents", "doc_id", "text",
+        targetPredSql = "lang = 'en'", n = 50, salt = "dsir"))),
+
     // Zipf rank-frequency fit: ln(freq)-on-ln(rank) least squares over
     // the vocab table; rank via the range-partition prefix-sum idiom
     // (no partition-less window), 1 row out

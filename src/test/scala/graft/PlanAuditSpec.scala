@@ -91,6 +91,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_mix_temperature",   // 1-row weight-normalizer crossJoin
     "q_dsir_weights",      // 1-row corpus-totals crossJoin (the LM
                            // normalizers nt/nr)
+    "q_dsir_sample",       // composes q_dsir_weights' 1-row totals
+                           // crossJoin (the Gumbel step is map-only)
     "q_bigram_xent",       // 1-row total-bigrams crossJoin (the LM
                            // normalizer n, rolled up from the bounded
                            // bi table)
@@ -271,7 +273,8 @@ class PlanAuditSpec extends SparkSpec {
     val allowed = Set("q_decontaminate", "q_mutual_info", "q_pack_sequences",
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
       "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk",
-      "q_length_batches", "q_shard_assign", "q_contam_frac")
+      "q_length_batches", "q_shard_assign", "q_contam_frac",
+      "q_dsir_sample") // composes q_dsir_weights' bucket-bounded model broadcast
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

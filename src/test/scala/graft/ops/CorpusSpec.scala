@@ -123,6 +123,26 @@ class CorpusSpec extends SparkSpec {
     (bloomed.keySet -- exact.keySet).size should be <= 3
   }
 
+  test("importanceSample: deterministic, size-bounded, weight-biased") {
+    // target speaks {aa bb}; half the raw docs mimic it, half don't —
+    // a Gumbel-top-k draw of 10 must strongly favor the mimics
+    val df = ((0L until 5L).map(i => (i, "aa bb aa bb aa bb", "t")) ++
+      (100L until 120L).map(i => (i, "aa bb aa bb aa bb", "r")) ++
+      (200L until 220L).map(i => (i, "zz yy xx ww vv uu", "r"))).toDF("doc_id", "text", "split")
+    def draw(salt: String) = Corpus.importanceSample(df, "doc_id", "text",
+      targetPred = col("split") === "t", n = 10, salt = salt)
+      .collect().map(_.getLong(0)).toSeq
+    val s1 = draw("a")
+    s1 shouldBe draw("a") // rerun-identical
+    s1.size shouldBe 10
+    // scores descend with doc-id tie-break, so membership is top-n exact;
+    // across 3 independent salts the mimics dominate the draw
+    val picks = Seq("a", "b", "c").flatMap(draw)
+    picks.count(_ < 200L) should be > (picks.size * 2 / 3)
+    // a different salt draws a different sample (Gumbel actually moves)
+    draw("b") should not be s1
+  }
+
   test("importanceWeights ranks target-like raw docs above off-domain ones") {
     import spark.implicits._
     // target speaks {aa,bb}; raw doc 10 mimics it, raw doc 11 doesn't
