@@ -220,6 +220,84 @@ object Pca {
        |ORDER BY $idCol""".stripMargin
   }
 
+  /** Participation-ratio effective dimensionality of the embedding
+    * cloud — the EMBEDDING-COLLAPSE diagnostic (a contrastive encoder
+    * whose representations collapse onto a few directions shows
+    * eff_dim ≪ d long before retrieval quality visibly degrades):
+    * PR = (Σλ)² / Σλ² over the covariance eigenvalues. No
+    * eigen-decomposition needed — Σλ = trace(C) and Σλ² = ‖C‖²_F for a
+    * symmetric C, both direct sums over covariance entries, so the
+    * WHOLE statistic is one aggregation pass (the PCA Σx/Σxxᵀ kernel)
+    * plus 1-row arithmetic: fully declarative, oracle-replayable, no
+    * driver math. Returns 1 row (n, dim, trace, eff_dim).
+    */
+  def effectiveDim(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val v = col(vecCol).cast("array<double>")
+    val agg = df.select(v.as("__v"))
+      .filter(col("__v").isNotNull)
+      .agg(
+        call_function("graft_array_sum", col("__v")).as("s1"),
+        call_function("graft_array_sum",
+          flatten(transform(col("__v"),
+            x => transform(col("__v"), y => x * y)))).as("s2"),
+        count(lit(1)).as("n"))
+    val d = dim
+    // cov entry c(i,j) = s2[i·d+j]/n − (s1[i]/n)(s1[j]/n); 1-row HOF
+    // folds (cost-irrelevant here), arithmetic shape mirrored in the
+    // DuckDB twin (sum-then-divide, explicit products — no pow)
+    val trace = expr(
+      s"""aggregate(sequence(0, $d - 1), cast(0.0 as double), (acc, i) ->
+         |  acc + (element_at(s2, i * $d + i + 1) / cast(n as double)
+         |    - (element_at(s1, i + 1) / cast(n as double))
+         |      * (element_at(s1, i + 1) / cast(n as double))))""".stripMargin)
+    val fro2 = expr(
+      s"""aggregate(sequence(0, $d * $d - 1), cast(0.0 as double), (acc, k) ->
+         |  acc + (element_at(s2, k + 1) / cast(n as double)
+         |      - (element_at(s1, cast(k / $d as int) + 1) / cast(n as double))
+         |        * (element_at(s1, k % $d + 1) / cast(n as double)))
+         |    * (element_at(s2, k + 1) / cast(n as double)
+         |      - (element_at(s1, cast(k / $d as int) + 1) / cast(n as double))
+         |        * (element_at(s1, k % $d + 1) / cast(n as double))))""".stripMargin)
+    // a fully-collapsed cloud (every vector identical) has fro2 = 0:
+    // eff_dim is NULL, not a division error / inf
+    agg.select(
+      col("n"), lit(d).as("dim"),
+      round(trace, 4).as("trace"),
+      round(when(fro2 =!= 0, trace * trace / fro2), 4).as("eff_dim"))
+  }
+
+  /** DuckDB twin of [[effectiveDim]] — the covariance grid built by
+    * row-explosion (the oracle is the single-node referee, not the
+    * plan), same sum-then-divide arithmetic per entry.
+    */
+  def effectiveDimDuckSql(table: String, vecCol: String, dim: Int): String =
+    s"""WITH g AS (
+       |  SELECT i.i AS i, j.j AS j,
+       |    sum(CAST($vecCol[i.i] AS DOUBLE) * $vecCol[j.j]) AS sxy,
+       |    count(*) AS n
+       |  FROM $table, range(1, ${dim + 1}) i(i), range(1, ${dim + 1}) j(j)
+       |  WHERE $vecCol IS NOT NULL
+       |  GROUP BY i.i, j.j),
+       |mu AS (
+       |  SELECT i.i AS i, sum(CAST($vecCol[i.i] AS DOUBLE)) AS sx, count(*) AS n
+       |  FROM $table, range(1, ${dim + 1}) i(i)
+       |  WHERE $vecCol IS NOT NULL
+       |  GROUP BY i.i),
+       |cov AS (
+       |  SELECT g.i, g.j,
+       |    g.sxy / g.n - (mi.sx / mi.n) * (mj.sx / mj.n) AS c
+       |  FROM g JOIN mu mi ON mi.i = g.i JOIN mu mj ON mj.i = g.j),
+       |s AS (
+       |  SELECT
+       |    sum(CASE WHEN i = j THEN c ELSE 0 END) AS trace,
+       |    sum(c * c) AS fro2
+       |  FROM cov)
+       |SELECT (SELECT CAST(max(n) AS BIGINT) FROM mu) AS n, $dim AS dim,
+       |  round(trace, 4) AS trace,
+       |  round(CASE WHEN fro2 <> 0 THEN trace * trace / fro2 END, 4) AS eff_dim
+       |FROM s""".stripMargin
+
   /** Model from the most recent [[fitProject]] in this JVM — oracle
     * plumbing only (Verify runs every query, then dumps oracleSql;
     * the eigen math itself is pinned by PcaSpec).

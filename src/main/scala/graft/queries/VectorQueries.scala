@@ -437,6 +437,16 @@ object VectorQueries extends QuerySet {
         graft.ops.Pca.projectWhitenedDuckSql(
           "embeddings", "vec_id", "embedding", m, round4 = true))),
 
+    // Participation-ratio effective dimensionality — the embedding-
+    // collapse diagnostic: PR = trace(C)²/‖C‖²_F = (Σλ)²/Σλ², no eigen
+    // needed, ONE aggregation pass (the PCA Σx/Σxxᵀ kernel) + 1-row
+    // arithmetic; a collapsed encoder shows eff_dim ≪ dim long before
+    // retrieval quality visibly degrades
+    Q("q_embed_effdim",
+      (s, d) => graft.ops.Pca.effectiveDim(
+        Tables.df(s, d, "embeddings"), "embedding", dim = Dim),
+      Some(graft.ops.Pca.effectiveDimDuckSql("embeddings", "embedding", dim = Dim))),
+
     Q("q_embed_stats",
       (s, d) => Tables.df(s, d, "embeddings")
         .select(col("label"),

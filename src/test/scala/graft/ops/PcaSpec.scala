@@ -68,6 +68,22 @@ class PcaSpec extends SparkSpec {
     mx.isInfinite shouldBe false
   }
 
+  test("effectiveDim: rank-1 cloud ~1, isotropic cloud ~d, constant cloud NULL") {
+    // rank-1: every point on the y=2x line
+    val line = (1 to 200).map(i => (i.toLong, Seq(i / 10.0, 2 * i / 10.0))).toDF("id", "v")
+    val r1 = Pca.effectiveDim(line, "v", dim = 2).head()
+    r1.getDouble(3) shouldBe 1.0 +- 0.01
+    // isotropic: two independent equal-variance coordinates
+    val iso = (0 until 400).map { i =>
+      (i.toLong, Seq((i % 20 - 9.5) * 1.0, (i / 20 - 9.5) * 1.0))
+    }.toDF("id", "v")
+    val r2 = Pca.effectiveDim(iso, "v", dim = 2).head()
+    r2.getDouble(3) shouldBe 2.0 +- 0.01
+    // fully collapsed: identical vectors -> fro2 = 0 -> NULL, no error
+    val const = (1 to 20).map(i => (i.toLong, Seq(1.0, 2.0))).toDF("id", "v")
+    Pca.effectiveDim(const, "v", dim = 2).head().isNullAt(3) shouldBe true
+  }
+
   test("fitCached reuses the trainer's model; fitRefresh replaces it") {
     val pts = (1 to 60).map(i => (i.toLong, Seq(i / 3.0, (i % 7).toDouble)))
     val df = pts.toDF("id", "v")
