@@ -289,6 +289,41 @@ class Collection(val name: String, val df: DataFrame) {
   def searchQuality(idCol: String, textCol: String, probeIds: Seq[Long],
       nTerms: Int = 4, k: Int = 10): DataFrame =
     graft.index.SearchEval.bm25SelfMrr(df, idCol, textCol, probeIds, nTerms, k)
+
+  /** Graded train/eval contamination fraction per doc — see
+    * [[graft.ops.Corpus.contaminationFrac]].
+    */
+  def contaminationFrac(idCol: String, textCol: String,
+      evalPred: Column, w: Int = 4): DataFrame =
+    graft.ops.Corpus.contaminationFrac(df, idCol, textCol, evalPred, w)
+
+  /** Top-k adjacent-token PMI collocations — see
+    * [[graft.ops.Corpus.pmiCollocations]].
+    */
+  def pmiCollocations(textCol: String, minCount: Int = 5, k: Int = 25): DataFrame =
+    graft.ops.Corpus.pmiCollocations(df, textCol, minCount, k)
+
+  /** Deterministic DSIR importance resample (Gumbel-top-k, ∝
+    * exp(log_w)) — see [[graft.ops.Corpus.importanceSample]].
+    */
+  def importanceSample(idCol: String, textCol: String, targetPred: Column,
+      n: Int, salt: String = ""): DataFrame =
+    graft.ops.Corpus.importanceSample(df, idCol, textCol, targetPred, n, salt = salt)
+
+  /** Cross-source duplicate-leakage matrix: near-dup pairs rolled up by
+    * unordered source pair — which sources copy from each other.
+    */
+  def dupSourceMatrix(idCol: String, textCol: String, srcCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val src = df.select(col(idCol), col(srcCol))
+    graft.dedup.MinHash.nearDupPairs(df, idCol, textCol, threshold = threshold)
+      .join(src.select(col(idCol).as("id_a"), col(srcCol).as("src_a")), "id_a")
+      .join(src.select(col(idCol).as("id_b"), col(srcCol).as("src_b")), "id_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n_pairs"))
+  }
 }
 
 object Collection {

@@ -121,4 +121,31 @@ class CollectionSpec extends SparkSpec {
     mrr.toSeq shouldBe Seq(1.0, 1.0)
     graft.api.CacheScope.global.release(blocking = true)
   }
+
+  test("corpus accessors compose on the collection: contamination, pmi, resample, dup matrix") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon", "eval", "s1"),
+      (2L, "alpha beta gamma delta zeta", "train", "s1"),   // shares a 4-gram
+      (3L, "one two three four five six", "train", "s2"),
+      (4L, "alpha beta gamma delta epsilon", "train", "s2") // exact dup of 1
+    ).toDF("doc_id", "text", "split", "source")
+    val c = new Collection("docs", docs)
+    val frac = c.contaminationFrac("doc_id", "text", col("split") === "eval", w = 4)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    frac(4L) shouldBe 1.0
+    frac(3L) shouldBe 0.0
+    val pmi = c.pmiCollocations("text", minCount = 2, k = 5).collect()
+    pmi.length should be > 0
+    val sampled = c.importanceSample("doc_id", "text",
+      col("split") === "eval", n = 2, salt = "x")
+    sampled.count() shouldBe 2L
+    val m = c.dupSourceMatrix("doc_id", "text", "source")
+      .as[(String, String, Long)].collect().toSeq
+    // docs 1 (s1) and 4 (s2) are exact duplicates -> cross-source pair
+    m.map(r => (r._1, r._2)) should contain(("s1", "s2"))
+    m.foreach(_._3 should be >= 1L)
+    graft.api.CacheScope.global.release(blocking = true)
+  }
 }
