@@ -83,6 +83,12 @@ object ScaleSmoke {
         graft.dedup.NgramJaccard.jaccardPairsExact(docsX(k), "doc_id", "text")),
       "minhash_lsh" -> (k =>
         graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text")),
+      "minhash_calib" -> (k =>
+        // same bucket-bounded candidate plan as minhash_lsh plus k
+        // signature-equality checks per candidate: salted copies share
+        // no buckets, so candidates stay constant while the corpus
+        // grows k-fold
+        graft.dedup.MinHash.estVsExactPairs(docsX(k), "doc_id", "text")),
       "embed_neardup" -> (k =>
         graft.ann.Knn.nearDupPairs(embsX(k), "vec_id", "embedding", threshold = 0.95)),
       "matcher_lsh" -> (k => {

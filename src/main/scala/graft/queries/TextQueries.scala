@@ -172,6 +172,24 @@ object TextQueries extends QuerySet {
               |FROM (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents) t
               |ORDER BY doc_id""".stripMargin)),
 
+    // Language-ID confusion matrix: declared lang × heuristic
+    // prediction — the classifier-quality report per language (which
+    // languages confuse, how much mislabeled data a lang filter would
+    // pass). Map-only predict + one bounded-key (lang domain squared)
+    // aggregate.
+    Q("q_lang_confusion",
+      (s, d) => Tables.df(s, d, "documents").select(
+        col("lang"),
+        LangId.predict(TextFunctions.tokens(col("text"))).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred"),
+      Some(s"""SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n
+              |FROM (SELECT lang, ${LangId.predictDuckSql("toks")} AS lang_pred
+              |      FROM (SELECT lang, string_split(text, ' ') AS toks FROM documents) t) p
+              |GROUP BY lang, lang_pred
+              |ORDER BY lang, lang_pred""".stripMargin)),
+
     // Multinomial Naive Bayes fit + argmax scoring entirely in-plan
     // (the sklearn-engine analog): every 10th doc is the probe split,
     // the rest train a lang classifier on whitespace tokens.
@@ -190,6 +208,51 @@ object TextQueries extends QuerySet {
       (s, d) => graft.ops.LogReg.classify(Tables.df(s, d, "documents"),
         "doc_id", "text", label = col("lang") === "en"),
       Some(graft.ops.LogReg.classifyDuckSql("documents",
-        "doc_id", "text", labelSql = "lang = 'en'")))
+        "doc_id", "text", labelSql = "lang = 'en'"))),
+
+    // Classifier quality roll-up over the trained LR gate: confusion
+    // counts + accuracy/precision/recall/F1 at the 0.5 threshold —
+    // the eval row a pipeline checks before trusting a learned filter.
+    // One extra global aggregate over the q_lr_classify plan (ratios
+    // derive from exact integer counts, so engines agree bit-for-bit);
+    // degenerate classifiers (no predicted/true positives) yield NULL
+    // ratios, not divide errors.
+    Q("q_classifier_metrics",
+      (s, d) => {
+        val preds = graft.ops.LogReg.classify(Tables.df(s, d, "documents"),
+          "doc_id", "text", label = col("lang") === "en")
+        val isPos = col("prob") >= 0.5
+        preds.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("y") === 1.0 && isPos, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y") === 0.0 && isPos, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y") === 1.0 && !isPos, 1L).otherwise(0L)).as("fn"))
+          .select(col("n"), col("tp"), col("fp"), col("fn"),
+            round((col("n") - col("fp") - col("fn")) / col("n").cast("double"), 4)
+              .as("accuracy"),
+            round(when(col("tp") + col("fp") > 0,
+              col("tp") / (col("tp") + col("fp")).cast("double")), 4).as("prec"),
+            round(when(col("tp") + col("fn") > 0,
+              col("tp") / (col("tp") + col("fn")).cast("double")), 4).as("recall"),
+            round(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+              lit(2) * col("tp") /
+                (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")), 4).as("f1"))
+      },
+      Some(s"""WITH preds AS (
+              |${graft.ops.LogReg.classifyDuckSql("documents", "doc_id", "text",
+                  labelSql = "lang = 'en'")}),
+              |c AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n,
+              |    CAST(sum(CASE WHEN y = 1 AND prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+              |    CAST(sum(CASE WHEN y = 0 AND prob >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+              |    CAST(sum(CASE WHEN y = 1 AND prob < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+              |  FROM preds)
+              |SELECT n, tp, fp, fn,
+              |  round((n - fp - fn) / CAST(n AS DOUBLE), 4) AS accuracy,
+              |  round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) END, 4) AS prec,
+              |  round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) END, 4) AS recall,
+              |  round(CASE WHEN 2 * tp + fp + fn > 0
+              |    THEN 2 * tp / CAST(2 * tp + fp + fn AS DOUBLE) END, 4) AS f1
+              |FROM c""".stripMargin))
   )
 }
