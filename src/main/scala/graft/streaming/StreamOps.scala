@@ -131,6 +131,53 @@ object StreamOps {
     stream.filter(!contaminated(col(vecCol).cast("array<double>")))
   }
 
+  /** Streaming DSIR importance scoring — "fit the domain model on the
+    * standing corpus once, score every incoming document forever": the
+    * hashed-unigram LM log-ratio model
+    * ([[graft.ops.Corpus.importanceWeights]]) collapses to an
+    * nBuckets-double array on the driver (a LITERAL bound — the
+    * KMeans-centers pattern), broadcasts once, and the stream side is
+    * a STATELESS map-only per-doc sum — no joins, no state store, any
+    * ingest rate. Buckets never seen in the corpus score with the
+    * Laplace-smoothed default, exactly what the batch formula assigns
+    * a zero-count bucket. Appends `log_w` (4dp, Spark round
+    * semantics) to the stream; batch parity asserted in
+    * StreamOpsSpec.
+    */
+  def importanceScoreStream(stream: DataFrame, corpus: DataFrame, textCol: String,
+                            targetPred: org.apache.spark.sql.Column,
+                            nBuckets: Int = 1024): DataFrame = {
+    import graft.text.TextFunctions
+    val isT = coalesce(targetPred, lit(false))
+    val counts = corpus.select(isT.as("__t"),
+        explode(expr(
+          s"transform(${TextFunctions.tokenHashesSql(textCol)}, h -> h % $nBuckets)")).as("b"))
+      .groupBy("b").agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("ct"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("cr"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nt = counts.map(_._2).sum
+    val nr = counts.map(_._3).sum
+    // same arithmetic shape as the batch model: ln((c+1)/(N+B)) ratios
+    def lwOf(ct: Long, cr: Long): Double =
+      math.log((ct + 1).toDouble / (nt + nBuckets)) -
+        math.log((cr + 1).toDouble / (nr + nBuckets))
+    val lw = Array.fill(nBuckets)(lwOf(0L, 0L))
+    counts.foreach { case (b, ct, cr) => lw(b.toInt) = lwOf(ct, cr) }
+    val bc = stream.sparkSession.sparkContext.broadcast(lw)
+    val score = udf { (hs: Seq[Long]) =>
+      if (hs == null) null.asInstanceOf[java.lang.Double]
+      else {
+        var s = 0.0
+        hs.foreach(h => s += bc.value((h % nBuckets).toInt))
+        // Spark round() semantics (BigDecimal HALF_UP) for batch parity
+        java.lang.Double.valueOf(BigDecimal.decimal(s)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    stream.withColumn("log_w", score(expr(TextFunctions.tokenHashesSql(textCol))))
+  }
+
   def decontaminateStream(stream: DataFrame, evalDf: DataFrame, textCol: String,
                           evalTextCol: String, w: Int, fpp: Double = 0.01): DataFrame = {
     import graft.text.{Repetition, TextFunctions}

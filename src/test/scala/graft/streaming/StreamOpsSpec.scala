@@ -229,6 +229,40 @@ class StreamOpsSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("importanceScoreStream: stream scores match the batch DSIR weights") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // corpus: target speaks {aa bb}, raw mixes; the model fits ONCE on
+    // this static frame, then scores the stream statelessly
+    val corpus = Seq(
+      (1L, "aa bb aa bb aa", "t"),
+      (2L, "aa bb cc dd ee", "r"),
+      (3L, "vv ww xx yy zz", "r"),
+      (4L, "aa aa bb bb cc", "r")).toDF("doc_id", "text", "split")
+    val targetPred = col("split") === "t"
+    val input = MemoryStream[(Long, String)]
+    val scored = StreamOps.importanceScoreStream(
+      input.toDF().toDF("doc_id", "text"), corpus, "text", targetPred)
+    val q = scored.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      // stream the raw docs: their scores must equal the batch op's
+      input.addData((2L, "aa bb cc dd ee"), (3L, "vv ww xx yy zz"),
+        (4L, "aa aa bb bb cc"),
+        (9L, "qq rr ss tt uu")) // novel doc: smoothed default buckets
+      q.processAllAvailable()
+      val streamW = spark.table("dsir_out")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_w")).toMap
+      val batchW = graft.ops.Corpus.importanceWeights(
+        corpus, "doc_id", "text", targetPred)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_w")).toMap
+      Seq(2L, 3L, 4L).foreach(id => streamW(id) shouldBe batchW(id) +- 1e-9)
+      // target-like streams score higher than off-domain ones
+      streamW(4L) should be > streamW(3L)
+      // novel-bucket doc gets a finite smoothed score, not NaN/null
+      streamW(9L).isNaN shouldBe false
+    } finally q.stop()
+  }
+
   test("stateless cleaning/augmentation (c4Clean, mlmMask, hash-embed) stream with batch parity") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
