@@ -267,6 +267,34 @@ class Collection(val name: String, val df: DataFrame) {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Quality-aware dedupe: like [[dedupe]], but each near-dup cluster
+    * keeps its BEST member by `score` (ties → lowest id) instead of
+    * the min-id representative — the RefinedWeb-style policy (keep the
+    * longest/cleanest copy, drop the mirrors). The ranking window
+    * partitions on the cluster label — cluster tables are tiny next to
+    * the corpus (only docs WITH a duplicate appear), same bound as
+    * [[dedupe]]'s anti-join side. `score` is any Column over this
+    * collection's rows (pre-round it if engines must agree on ties).
+    */
+  def dedupeKeepBest(
+      idCol: String,
+      textCol: String,
+      score: Column,
+      threshold: Double = 0.5,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val pairs = graft.dedup.MinHash.nearDupPairs(
+      df, idCol, textCol, threshold = threshold, scope = scope)
+    val clusters = graft.dedup.Cluster.connectedComponents(pairs, "id_a", "id_b")
+    val scored = df.select(col(idCol).as("id"), score.as("__q"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      .orderBy(col("__q").desc, col("id").asc)
+    val dropped = clusters.join(scored, "id")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") =!= 1)
+      .select(col("id").as(idCol))
+    df.join(dropped, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic train/val/test split column (`split`) — pure
     * function of (idCol, salt); see [[graft.ops.Sampling.splitAssign]].
     */

@@ -124,6 +124,42 @@ object DedupQueries extends QuerySet {
               |WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster)
               |ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware dedupe: each cluster keeps its BEST member by the
+    // (4dp-pre-rounded) quality score, ties to the lowest id — the
+    // RefinedWeb-style "keep the cleanest copy" policy where
+    // q_dedup_keep keeps the min id. Ranking windows on the cluster
+    // label (tiny next to the corpus — only docs with a duplicate).
+    Q("q_dedup_keepbest",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val scored = docs.select(col("doc_id").as("id"),
+          round(TextFunctions.stopwordRatio(split(col("text"), " ")), 4).as("__q"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+          .orderBy(col("__q").desc, col("id").asc)
+        val dropped = componentsCached(s, d).join(scored, "id")
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") =!= 1)
+          .select(col("id").as("doc_id"))
+        docs.join(dropped, Seq("doc_id"), "left_anti")
+          .select("doc_id", "source")
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
+                 MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+                 "id_a", "id_b")}),
+              |sc AS (
+              |  SELECT doc_id AS id,
+              |    round(${TextFunctions.stopwordRatioDuck("string_split(text, ' ')")}, 4) AS q
+              |  FROM documents),
+              |ranked AS (
+              |  SELECT cc.id,
+              |    row_number() OVER (PARTITION BY cc.cluster
+              |      ORDER BY sc.q DESC, cc.id ASC) AS rn
+              |  FROM cc JOIN sc ON sc.id = cc.id)
+              |SELECT doc_id, source FROM documents
+              |WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn <> 1)
+              |ORDER BY doc_id""".stripMargin)),
+
     // Incremental dedup: an ingest delta (every 10th doc) against the
     // standing corpus (the rest) — the delta's band keys broadcast,
     // the corpus side never shuffles. Same plan SignatureIndex.

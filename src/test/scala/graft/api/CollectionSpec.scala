@@ -101,6 +101,25 @@ class CollectionSpec extends SparkSpec {
     kept shouldBe Array(1L, 4L, 5L) // 2 and 3 fold into cluster min 1
   }
 
+  test("dedupeKeepBest keeps the best-scoring cluster member, not the min id") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+      (3L, "an entirely different document about spark engines")
+    ).toDF("doc_id", "text")
+    val scope = new graft.api.CacheScope
+    // score doc 2 higher: keepBest must keep 2 and drop 1 (dedupe
+    // would keep min-id 1)
+    val kept = new Collection("docs", docs)
+      .dedupeKeepBest("doc_id", "text", score = col("doc_id").cast("double"),
+        scope = scope)
+      .select("doc_id").as[Long].collect().sorted
+    scope.release()
+    kept shouldBe Array(2L, 3L)
+  }
+
   test("splitAssign / shardAssign / searchQuality compose on the collection") {
     import spark.implicits._
     val docs = (1L to 40L).map(i =>
