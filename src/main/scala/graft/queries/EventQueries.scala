@@ -150,6 +150,47 @@ object EventQueries extends QuerySet {
              |          AND epoch_us(CAST(p.ts AS TIMESTAMP))
              |ORDER BY purchase_id, click_id""".stripMargin)),
 
+    // Weekly retention-cohort matrix — the standing product-analytics
+    // report: users grouped by first-seen epoch week, distinct-user
+    // counts at each week offset, rate vs the cohort size. Integer
+    // epoch-week arithmetic (micros div week — exact in both engines;
+    // a double division at 1e15 magnitudes would not be). Shuffles:
+    // first-seen groupBy + (user, week) distinct + one keyed join on
+    // the max-cardinality user id; the cohort×offset output and the
+    // cohort-size side are calendar-bounded.
+    Q("q_retention",
+      (s, d) => {
+        val e = Tables.df(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+        val firstWk = e.groupBy("user_id").agg(min("wk").as("cohort"))
+        val act = e.distinct()
+        val byCohort = act.join(firstWk, "user_id")
+          .select(col("cohort"), (col("wk") - col("cohort")).as("offset_wk"))
+          .groupBy("cohort", "offset_wk").agg(count(lit(1)).as("n_users"))
+        val sizes = firstWk.groupBy("cohort").agg(count(lit(1)).as("n0"))
+        byCohort.join(sizes, "cohort")
+          .select(col("cohort"), col("offset_wk"), col("n_users"),
+            round(col("n_users") / col("n0").cast("double"), 4).as("rate"))
+          .orderBy("cohort", "offset_wk")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+             |  FROM events),
+             |fw AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY user_id),
+             |act AS (SELECT DISTINCT user_id, wk FROM e),
+             |ro AS (
+             |  SELECT cohort, wk - cohort AS offset_wk,
+             |    CAST(count(*) AS BIGINT) AS n_users
+             |  FROM act JOIN fw USING (user_id)
+             |  GROUP BY cohort, wk - cohort),
+             |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n0 FROM fw GROUP BY cohort)
+             |SELECT ro.cohort, ro.offset_wk, ro.n_users,
+             |  round(ro.n_users / CAST(cs.n0 AS DOUBLE), 4) AS rate
+             |FROM ro JOIN cs USING (cohort)
+             |ORDER BY cohort, offset_wk""".stripMargin)),
+
     // Nested-path find (reference: dotted a.b.c where paths on nested
     // objects): parse props into a struct, filter with a Mongo-style
     // nested map, project the nested field.
