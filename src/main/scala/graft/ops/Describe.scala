@@ -121,6 +121,58 @@ object Describe {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Exact per-GROUP quantiles — the grouped form [[describe]]'s
+    * global pass can't express (per-language length percentiles, the
+    * corpus-profile row of a mixing report). quantile_cont semantics
+    * (pos = p·(n−1), linear interpolation), computed in-plan: rank +
+    * count windows partitioned on the GROUP key — bounded by contract
+    * (a language/source domain, the qualityTopQ argument) — then one
+    * conditional aggregate picks the floor/ceil positions and the
+    * interpolation is post-agg arithmetic. No value→count maps (the
+    * built-in exact `percentile`'s unbounded buffer), no driver
+    * passes. At extreme per-group cardinality the sub-linear tier is
+    * `approx_percentile` with the same call shape.
+    */
+  def groupQuantiles(df: DataFrame, groupCol: String, valCol: String,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9),
+      roundTo: Int = 4): DataFrame = {
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val base = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__rn", row_number().over(byGroup.orderBy(col("__v").asc)).cast("long") - 1)
+      .withColumn("__n", count(lit(1)).over(byGroup))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = lit(p) * (col("__n") - 1).cast("double")
+      Seq(
+        max(when(col("__rn") === floor(pos), col("__v"))).as(s"__lo_$name"),
+        max(when(col("__rn") === ceil(pos), col("__v"))).as(s"__hi_$name"))
+    } :+ max(col("__n")).as("__cnt")
+    val g = base.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val outCols = col(groupCol) +: col("__cnt").as("n") +: ps.map { case (name, p) =>
+      val pos = lit(p) * (col("__cnt") - 1).cast("double")
+      round(col(s"__lo_$name") +
+        (col(s"__hi_$name") - col(s"__lo_$name")) * (pos - floor(pos)), roundTo)
+        .as(name)
+    }
+    g.select(outCols: _*).orderBy(groupCol)
+  }
+
+  /** DuckDB twin of [[groupQuantiles]] (quantile_cont IS the
+    * interpolation contract).
+    */
+  def groupQuantilesDuckSql(table: String, groupCol: String, valCol: String,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9),
+      roundTo: Int = 4): String = {
+    val qs = ps.map { case (name, p) =>
+      s"round(quantile_cont($valCol, $p), $roundTo) AS $name"
+    }.mkString(",\n  ")
+    s"""SELECT $groupCol, CAST(count($valCol) AS BIGINT) AS n,
+       |  $qs
+       |FROM $table
+       |GROUP BY $groupCol
+       |ORDER BY $groupCol""".stripMargin
+  }
+
   /** DuckDB oracle SQL for [[describe]] over the same columns. */
   def oracleSql(table: String, cols: Seq[String], roundTo: Int = 4): String =
     cols.sorted.map { c =>

@@ -18,6 +18,15 @@ object StatsQueries extends QuerySet {
       Some(Describe.oracleSql("lineitem",
         Seq("l_quantity", "l_extendedprice", "l_discount")))),
 
+    // Exact per-group quantiles (grouped describe): per-language
+    // document-length p50/p90 with quantile_cont interpolation —
+    // rank+count windows on the bounded group domain + one conditional
+    // aggregate, no value->count maps, no driver passes.
+    Q("q_group_quantiles",
+      (s, d) => Describe.groupQuantiles(
+        Tables.df(s, d, "documents"), "lang", "n_chars"),
+      Some(Describe.groupQuantilesDuckSql("documents", "lang", "n_chars"))),
+
     // group_by + agg_map {count, sum, list} — the reference's group_by
     // with deterministic (sorted) list aggregation. The list column is
     // serialized to a comma-joined string: the driver compare hashes

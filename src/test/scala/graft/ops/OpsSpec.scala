@@ -142,4 +142,16 @@ class OpsSpec extends SparkSpec {
     r.getAs[Double]("p25") shouldBe 1.75
     r.getAs[Double]("max") shouldBe 4.0
   }
+
+  test("groupQuantiles interpolates quantile_cont semantics per group") {
+    // group a: [10, 20, 30, 40] -> p50 = 25 (pos 1.5), p90 = 37 (pos 2.7)
+    // group b: [5] -> p50 = p90 = 5 (single element, pos 0)
+    val df = (Seq(("a", 10), ("a", 20), ("a", 30), ("a", 40), ("b", 5)))
+      .toDF("g", "v")
+    val rows = Describe.groupQuantiles(df, "g", "v")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p50"), r.getAs[Double]("p90")))).toMap
+    rows("a") shouldBe ((4L, 25.0, 37.0))
+    rows("b") shouldBe ((1L, 5.0, 5.0))
+  }
 }
