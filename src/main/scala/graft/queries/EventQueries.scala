@@ -150,6 +150,34 @@ object EventQueries extends QuerySet {
              |          AND epoch_us(CAST(p.ts AS TIMESTAMP))
              |ORDER BY purchase_id, click_id""".stripMargin)),
 
+    // Per-user z-score anomaly flags on the event value stream — the
+    // monitoring query an event pipeline runs continuously (fraud /
+    // sensor-drift / spam-burst detection): |z| >= 2 vs the user's own
+    // mean/std, users with < 5 events or zero variance skipped. All
+    // windows partition on the max-cardinality user id (no skew, no
+    // global pass); z pre-rounds to 4dp so both engines apply the
+    // identical threshold.
+    Q("q_anomaly",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+        Tables.df(s, d, "events")
+          .select(col("event_id"), col("user_id"), col("value"))
+          .withColumn("__mu", avg("value").over(w))
+          .withColumn("__sd", stddev_pop("value").over(w))
+          .withColumn("__n", count(lit(1)).over(w))
+          .withColumn("z", round((col("value") - col("__mu")) / col("__sd"), 4))
+          .filter(col("__n") >= 5 && col("__sd") > 0 && abs(col("z")) >= 2.0)
+          .select(col("event_id"), col("user_id"), col("z"))
+          .orderBy("event_id")
+      },
+      Some("""SELECT event_id, user_id, z FROM (
+             |  SELECT event_id, user_id,
+             |    round((value - avg(value) OVER w) / (stddev_pop(value) OVER w), 4) AS z,
+             |    count(*) OVER w AS n, stddev_pop(value) OVER w AS sd
+             |  FROM events WINDOW w AS (PARTITION BY user_id)) t
+             |WHERE n >= 5 AND sd > 0 AND abs(z) >= 2.0
+             |ORDER BY event_id""".stripMargin)),
+
     // Weekly retention-cohort matrix — the standing product-analytics
     // report: users grouped by first-seen epoch week, distinct-user
     // counts at each week offset, rate vs the cohort size. Integer
