@@ -60,6 +60,69 @@ object SearchEval {
     rows.toDF("probe_id", "query", "rank", "rr")
   }
 
+  /** Probe queries captured by the most recent [[retrieverAgreement]]
+    * call — oracle plumbing, the [[lastProbes]] pattern.
+    */
+  @volatile var lastAgreeProbes: Seq[(Long, String)] = Seq.empty
+
+  /** Retriever-agreement report: for each probe query, the top-k
+    * overlap between the BM25 lexical ranking and the trigram-cosine
+    * ranking — the "are my two retrieval surfaces seeing the same
+    * corpus" diagnostic (low overlap flags tokenization drift between
+    * the surfaces, or a stale index; it is also the signal that hybrid
+    * retrieval would add value). Same bounded shape as [[bm25SelfMrr]]:
+    * fixed probe list, ≤k rows per retriever per probe to the driver;
+    * the trigram index frame persists across the probe loop (one
+    * build, nProbes scans).
+    */
+  def retrieverAgreement(df: DataFrame, idCol: String, textCol: String,
+      probeIds: Seq[Long], nTerms: Int = 4, k: Int = 10,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val spark = df.sparkSession
+    val probes: Seq[(Long, String)] = df
+      .filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .take(nTerms).mkString(" "))
+      .sortBy(_._1).toSeq
+    lastAgreeProbes = probes
+    val idx = scope.persist(TrigramIndexer.index(df, idCol, textCol))
+    val rows = probes.map { case (pid, q) =>
+      val bm = Bm25.search(df, idCol, textCol, q, k)
+        .collect().map(_.getLong(0)).toSet
+      val cos = Search.searchTrigram(spark, idx, idCol, q, k)
+        .collect().map(_.getLong(0)).toSet
+      val inter = (bm & cos).size
+      (pid, q, inter,
+        BigDecimal(inter.toDouble / k).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    import spark.implicits._
+    rows.toDF("probe_id", "query", "n_overlap", "overlap_at_k")
+  }
+
+  /** DuckDB twin of [[retrieverAgreement]]: replays BOTH retrievers'
+    * full top-k per probe and counts the id intersection.
+    */
+  def retrieverAgreementDuckSql(table: String, idCol: String, textCol: String,
+      probes: Seq[(Long, String)], k: Int = 10): String = {
+    val parts = probes.map { case (pid, q) =>
+      val esc = q.replace("'", "''")
+      s"""SELECT CAST($pid AS BIGINT) AS probe_id, '$esc' AS query,
+         |  CAST((SELECT count(*)
+         |    FROM (SELECT $idCol FROM (${Bm25.searchDuckSql(table, idCol, textCol, q, k)}) b$pid) bb$pid
+         |    JOIN (SELECT $idCol FROM (${Search.searchTrigramDuckSql(table, idCol, textCol, q, k)}) c$pid) cc$pid
+         |    USING ($idCol)) AS INT) AS n_overlap,
+         |  round((SELECT count(*)
+         |    FROM (SELECT $idCol FROM (${Bm25.searchDuckSql(table, idCol, textCol, q, k)}) b2$pid) bb2$pid
+         |    JOIN (SELECT $idCol FROM (${Search.searchTrigramDuckSql(table, idCol, textCol, q, k)}) c2$pid) cc2$pid
+         |    USING ($idCol)) / ${k}.0, 4) AS overlap_at_k""".stripMargin
+    }
+    parts.mkString("", "\nUNION ALL\n", "\nORDER BY probe_id")
+  }
+
   /** DuckDB twin: replays each probe's full BM25 top-k (the captured
     * query literals) and the rank/rr extraction, one CTE pair per
     * probe, UNION ALL.

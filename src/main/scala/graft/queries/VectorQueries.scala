@@ -492,6 +492,19 @@ object VectorQueries extends QuerySet {
       Some(graft.index.SearchEval.bm25SelfMrrDuckSql(
         "documents", "doc_id", "text", graft.index.SearchEval.lastProbes))),
 
+    // Retriever-agreement report: top-10 overlap between the BM25
+    // lexical ranking and the trigram-cosine ranking per probe — low
+    // overlap flags tokenization drift between the surfaces (and is
+    // the signal hybrid retrieval would add value). Bounded probe
+    // list, both retrievers replayed end-to-end by the oracle.
+    Q("q_search_agreement",
+      (s, d) => graft.index.SearchEval.retrieverAgreement(
+        Tables.df(s, d, "documents"), "doc_id", "text",
+        probeIds = Seq(3L, 17L, 42L, 101L, 250L))
+        .orderBy("probe_id"),
+      Some(graft.index.SearchEval.retrieverAgreementDuckSql(
+        "documents", "doc_id", "text", graft.index.SearchEval.lastAgreeProbes))),
+
     // The no-model bootstrap path END TO END: raw text -> feature-hash
     // vectors -> distributed Lloyd's -> topic assignment, with the
     // oracle replaying hash-embed + the full unrolled training loop.

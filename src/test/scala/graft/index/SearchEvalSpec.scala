@@ -26,6 +26,23 @@ class SearchEvalSpec extends SparkSpec {
       "garden soil preparation for")
   }
 
+  test("retrieverAgreement: overlap bounded by k and hits on distinctive probes") {
+    val out = SearchEval.retrieverAgreement(docs, "doc_id", "text",
+      probeIds = Seq(2L, 3L), nTerms = 4, k = 3)
+      .orderBy("probe_id").collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getDouble(3)))
+    graft.api.CacheScope.global.release()
+    out.map(_._1) shouldBe Array(2L, 3L)
+    out.foreach { case (_, n, o) =>
+      n should (be >= 0 and be <= 3)
+      o shouldBe n / 3.0 +- 1e-4
+      // both retrievers see a 5-doc corpus with distinctive probe
+      // openings: they must agree on at least the probe doc itself
+      n should be >= 1
+    }
+    SearchEval.lastAgreeProbes.map(_._1) shouldBe Seq(2L, 3L)
+  }
+
   test("a shared opening can out-rank the probe; rr reflects the real rank") {
     // docs 1 and 4 share the first 3 query terms and have EQUAL
     // length (8 tokens), so their scores tie bit-for-bit on the
