@@ -318,6 +318,13 @@ class Collection(val name: String, val df: DataFrame) {
       nTerms: Int = 4, k: Int = 10): DataFrame =
     graft.index.SearchEval.bm25SelfMrr(df, idCol, textCol, probeIds, nTerms, k)
 
+  /** Hybrid lexical+trigram retrieval fused by reciprocal rank — see
+    * [[graft.index.Search.hybridRrf]].
+    */
+  def searchHybrid(textCol: String, query: String, k: Int = 10,
+      idCol: String = "doc_id"): DataFrame =
+    graft.index.Search.hybridRrf(spark, df, idCol, textCol, query, k)
+
   /** Graded train/eval contamination fraction per doc — see
     * [[graft.ops.Corpus.contaminationFrac]].
     */

@@ -65,6 +65,74 @@ object Search {
        |ORDER BY score DESC, dots.$idCol ASC
        |LIMIT $k""".stripMargin
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009):
+    * fuse the BM25 lexical top-`fetchK` and the trigram-cosine
+    * top-`fetchK` into one ranking with score(d) = Σ_r 1/(c + rank_r(d))
+    * — the standard score-scale-free way to combine retrievers (raw
+    * BM25 and cosine scores are incomparable; ranks always are). Docs
+    * absent from a list contribute nothing for it (rank reported 0).
+    *
+    * Scale shape: both retrievals stay distributed (one corpus scan +
+    * TakeOrdered each); the fusion itself touches only the two
+    * ≤fetchK-row lists on the driver — the MMR bounded-re-rank
+    * pattern, which also keeps the plan free of partition-less
+    * windows. Returns (idCol, r_bm, r_cos, rrf) — top `k` by fused
+    * score, ties to the lower id.
+    */
+  def hybridRrf(
+      spark: SparkSession,
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int = 10,
+      fetchK: Int = 20,
+      c: Int = 60): DataFrame = {
+    val bm = Bm25.search(df, idCol, textCol, query, fetchK)
+      .collect().map(_.getLong(0))
+    val idx = TrigramIndexer.index(df, idCol, textCol)
+    val cos = searchTrigram(spark, idx, idCol, query, fetchK)
+      .collect().map(_.getLong(0))
+    val rBm = bm.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val rCos = cos.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val fused = (bm ++ cos).distinct.map { id =>
+      val tb = rBm.get(id).map(r => 1.0 / (c + r)).getOrElse(0.0)
+      val tc = rCos.get(id).map(r => 1.0 / (c + r)).getOrElse(0.0)
+      // same addition order as the oracle's coalesce(bm)+coalesce(cos)
+      val rrf = BigDecimal.decimal(tb + tc)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (id, rBm.getOrElse(id, 0), rCos.getOrElse(id, 0), rrf)
+    }.sortBy { case (id, _, _, rrf) => (-rrf, id) }.take(k)
+    import spark.implicits._
+    fused.toSeq.toDF(idCol, "r_bm", "r_cos", "rrf")
+  }
+
+  /** DuckDB twin of [[hybridRrf]] — both retrievers' top-fetchK
+    * re-ranked (the search's own deterministic order), full-outer
+    * joined, fused with the identical arithmetic.
+    */
+  def hybridRrfDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      query: String,
+      k: Int = 10,
+      fetchK: Int = 20,
+      c: Int = 60): String =
+    s"""WITH b AS (
+       |  SELECT $idCol, row_number() OVER (ORDER BY score DESC, $idCol ASC) AS r
+       |  FROM (${Bm25.searchDuckSql(table, idCol, textCol, query, fetchK)}) t),
+       |cc AS (
+       |  SELECT $idCol, row_number() OVER (ORDER BY score DESC, $idCol ASC) AS r
+       |  FROM (${searchTrigramDuckSql(table, idCol, textCol, query, fetchK)}) t)
+       |SELECT COALESCE(b.$idCol, cc.$idCol) AS $idCol,
+       |  CAST(coalesce(b.r, 0) AS INT) AS r_bm,
+       |  CAST(coalesce(cc.r, 0) AS INT) AS r_cos,
+       |  round(coalesce(1.0 / ($c + b.r), 0) + coalesce(1.0 / ($c + cc.r), 0), 4) AS rrf
+       |FROM b FULL OUTER JOIN cc ON b.$idCol = cc.$idCol
+       |ORDER BY rrf DESC, $idCol ASC
+       |LIMIT $k""".stripMargin
+
   /** Cosine top-`fetchK` retrieval followed by an MMR-diversified
     * re-rank down to `k` (reference: collection.py search with
     * mmr_relevance_factor). The re-rank touches only the bounded

@@ -492,6 +492,17 @@ object VectorQueries extends QuerySet {
       Some(graft.index.SearchEval.bm25SelfMrrDuckSql(
         "documents", "doc_id", "text", graft.index.SearchEval.lastProbes))),
 
+    // Hybrid retrieval by reciprocal-rank fusion: BM25 + trigram-cosine
+    // top-20 lists fused with 1/(60+rank) — the score-scale-free
+    // combination (raw BM25 and cosine are incomparable; ranks always
+    // are). Retrievals distributed; fusion is the MMR bounded driver
+    // re-rank.
+    Q("q_search_hybrid",
+      (s, d) => Search.hybridRrf(s, Tables.df(s, d, "documents"),
+        "doc_id", "text", Query, k = 10)
+        .orderBy(col("rrf").desc, col("doc_id").asc),
+      Some(Search.hybridRrfDuckSql("documents", "doc_id", "text", Query, k = 10))),
+
     // Retriever-agreement report: top-10 overlap between the BM25
     // lexical ranking and the trigram-cosine ranking per probe — low
     // overlap flags tokenization drift between the surfaces (and is

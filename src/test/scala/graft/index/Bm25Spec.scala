@@ -30,6 +30,26 @@ class Bm25Spec extends SparkSpec {
     out.head._1 shouldBe 3L
   }
 
+  test("hybridRrf fuses lexical and trigram rankings with 1/(c+rank)") {
+    val out = Search.hybridRrf(spark, docs, "doc_id", "text", "fast spark", k = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    graft.api.CacheScope.global.release()
+    out.length should be >= 2
+    // every fused row matches sum of its reciprocal-rank terms
+    out.foreach { case (_, rb, rc, rrf) =>
+      val expect = (if (rb > 0) 1.0 / (60 + rb) else 0.0) +
+        (if (rc > 0) 1.0 / (60 + rc) else 0.0)
+      rrf shouldBe BigDecimal.decimal(expect)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble +- 1e-9
+      (rb > 0 || rc > 0) shouldBe true
+    }
+    // a doc ranked top by BOTH retrievers must out-score single-list docs
+    val both = out.filter(r => r._2 > 0 && r._3 > 0)
+    val single = out.filter(r => r._2 == 0 || r._3 == 0)
+    if (both.nonEmpty && single.nonEmpty)
+      both.map(_._4).max should be > single.map(_._4).max
+  }
+
   test("docs matching no query term are dropped; k caps the result") {
     val out = Bm25.search(docs, "doc_id", "text", "spark fast", k = 2)
       .select("doc_id").as[Long].collect().toSeq
