@@ -150,6 +150,42 @@ object EventQueries extends QuerySet {
              |          AND epoch_us(CAST(p.ts AS TIMESTAMP))
              |ORDER BY purchase_id, click_id""".stripMargin)),
 
+    // Event-type transition matrix (first-order Markov counts + rates):
+    // what users do NEXT after each event type — the funnel-discovery /
+    // navigation-analysis query. lead() windows partition on the
+    // max-cardinality user id; the (from, to) output and the rate
+    // normalizer are bounded by the event-type domain squared. The
+    // oracle orders by the micros-cast timestamp (the Sessionize
+    // convention) so both engines see identical event sequences.
+    Q("q_event_transitions",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        Tables.df(s, d, "events")
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("__next", lead("event_type", 1).over(w))
+          .filter(col("__next").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rate", round(col("n") /
+            sum("n").over(org.apache.spark.sql.expressions.Window
+              .partitionBy("from_type")).cast("double"), 4))
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+             |  FROM p WHERE to_type IS NOT NULL
+             |  GROUP BY from_type, to_type)
+             |SELECT from_type, to_type, n,
+             |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS rate
+             |FROM c
+             |ORDER BY from_type, to_type""".stripMargin)),
+
     // Per-user z-score anomaly flags on the event value stream — the
     // monitoring query an event pipeline runs continuously (fraud /
     // sensor-drift / spam-burst detection): |z| >= 2 vs the user's own
