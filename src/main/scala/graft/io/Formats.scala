@@ -36,6 +36,14 @@ object Formats {
       df.write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  // ORC: the other columnar format Spark carries natively — warehouse
+  // interop (Hive/Trino ORC tables) costs one registry entry
+  case object Orc extends Format("orc", Seq("orc")) {
+    def read(spark: SparkSession, path: String): DataFrame = spark.read.orc(path)
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode(SaveMode.Overwrite).orc(path)
+  }
+
   private def csvReader(spark: SparkSession, sep: String): DataFrameReader =
     spark.read.option("header", "true").option("inferSchema", "true").option("sep", sep)
 
@@ -150,7 +158,7 @@ object Formats {
         "toml WRITE is out of scope (the reference's tomllib is read-only)")
   }
 
-  val all: Seq[Format] = Seq(Parquet, Csv, Tsv, Jsonl, Json, Yaml, Yamll, Xlsx, Toml)
+  val all: Seq[Format] = Seq(Parquet, Orc, Csv, Tsv, Jsonl, Json, Yaml, Yamll, Xlsx, Toml)
 
   def byName(name: String): Format =
     all.find(_.name == name.toLowerCase).getOrElse(

@@ -210,6 +210,32 @@ object TextQueries extends QuerySet {
       Some(graft.ops.LogReg.classifyDuckSql("documents",
         "doc_id", "text", labelSql = "lang = 'en'"))),
 
+    // Calibration curve of the trained LR gate: predicted-probability
+    // deciles vs observed positive rate — a well-calibrated classifier
+    // tracks the diagonal; systematic over/under-confidence means the
+    // probabilities can't be thresholded as-is. One bounded-key (10
+    // buckets) aggregate over the q_lr_classify plan.
+    Q("q_lr_calibration",
+      (s, d) => {
+        val preds = graft.ops.LogReg.classify(Tables.df(s, d, "documents"),
+          "doc_id", "text", label = col("lang") === "en")
+        preds.groupBy(least(floor(col("prob") * 10), lit(9L)).cast("int").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            round(avg(col("prob")), 4).as("mean_prob"),
+            round(avg(col("y")), 4).as("pos_rate"))
+          .orderBy("bucket")
+      },
+      Some(s"""WITH preds AS (
+              |${graft.ops.LogReg.classifyDuckSql("documents", "doc_id", "text",
+                  labelSql = "lang = 'en'")})
+              |SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bucket,
+              |  CAST(count(*) AS BIGINT) AS n,
+              |  round(avg(prob), 4) AS mean_prob,
+              |  round(avg(y), 4) AS pos_rate
+              |FROM preds
+              |GROUP BY bucket
+              |ORDER BY bucket""".stripMargin)),
+
     // Classifier quality roll-up over the trained LR gate: confusion
     // counts + accuracy/precision/recall/F1 at the 0.5 threshold —
     // the eval row a pipeline checks before trusting a learned filter.

@@ -23,6 +23,7 @@ class FormatsSpec extends SparkSpec {
   }
 
   test("parquet round-trip") { roundTrip("parquet", tmp("t.parquet")) }
+  test("orc round-trip") { roundTrip("orc", tmp("t.orc")) }
   test("csv round-trip with header + inferSchema") { roundTrip("csv", tmp("t.csv")) }
   test("tsv round-trip") { roundTrip("tsv", tmp("t.tsv")) }
   test("jsonl round-trip") { roundTrip("jsonl", tmp("t.jsonl")) }
