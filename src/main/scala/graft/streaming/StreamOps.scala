@@ -311,6 +311,49 @@ object StreamOps {
       }
   }
 
+  /** Streaming per-key z-score anomaly flags — the continuous twin of
+    * the batch q_anomaly monitor, with PREFIX semantics (the only ones
+    * a stream can have): each event scores against its key's running
+    * mean/std over everything seen BEFORE it, then folds into the
+    * state. Welford's online update keeps the state at three doubles
+    * per key — numerically stable, O(keys) memory, no event history
+    * retained. Events score only once >= `minN` prior observations
+    * exist and the running std is positive; z rounds to 4dp (Spark
+    * round semantics). Within a micro-batch, a key's rows process in
+    * ascending id order so replays are deterministic.
+    *
+    * Input (key, id, value) → flagged (key, id, z) with |z| >= thresh.
+    */
+  def anomalyStream(ds: Dataset[(Long, Long, Double)],
+      minN: Int = 5, zThresh: Double = 2.0): Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Long, Double, Double)]) =>
+          var (n, mean, m2) = state.getOption.getOrElse((0L, 0.0, 0.0))
+          val out = scala.collection.mutable.ListBuffer[(Long, Long, Double)]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            if (n >= minN) {
+              val sd = math.sqrt(m2 / n)
+              if (sd > 0) {
+                val z = BigDecimal.decimal((v - mean) / sd)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (math.abs(z) >= zThresh) out += ((key, id, z))
+              }
+            }
+            n += 1
+            val d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+          }
+          state.update((n, mean, m2))
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: cumulative (count, sum)
     * per key, emitted on every update.
     */

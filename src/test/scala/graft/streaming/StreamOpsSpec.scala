@@ -229,6 +229,30 @@ class StreamOpsSpec extends SparkSpec {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("anomalyStream flags spikes against running state, carries state across batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = StreamOps.anomalyStream(input.toDS(), minN = 5, zThresh = 2.0)
+      .toDF("user_id", "event_id", "z")
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: 6 stable values — no flags (first 5 below minN, the
+      // 6th is within 2 sd of the stable prefix)
+      input.addData((1L to 6L).map(i => (7L, i, 10.0 + (i % 2) * 0.2)): _*)
+      q.processAllAvailable()
+      spark.table("anom_out").count() shouldBe 0
+      // batch 2: a spike — state carried from batch 1 must flag it,
+      // and the stable value after it must not flag
+      input.addData((7L, 7L, 50.0), (7L, 8L, 10.1))
+      q.processAllAvailable()
+      val flagged = spark.table("anom_out")
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      flagged.map(_._1).toSeq shouldBe Seq(7L)
+      flagged.head._2 should be > 2.0
+    } finally q.stop()
+  }
+
   test("importanceScoreStream: stream scores match the batch DSIR weights") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // corpus: target speaks {aa bb}, raw mixes; the model fits ONCE on
