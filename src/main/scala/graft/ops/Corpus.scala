@@ -563,6 +563,53 @@ object Corpus {
        |GROUP BY $idCol
        |ORDER BY $idCol""".stripMargin
 
+  /** Pairwise vocabulary overlap between group corpora: Jaccard of the
+    * DISTINCT token sets per unordered group pair — the coarse
+    * corpus-similarity matrix next to [[klDivergence]]'s
+    * distribution-sensitive one (overlap answers "do they share words
+    * at all", KL answers "do they use them alike"). One distinct
+    * (group, token) table, a self-join on the token — at most |groups|²
+    * rows per token, and the group domain is bounded by the
+    * training-mix contract — then bounded-key aggregates.
+    */
+  def vocabOverlap(df: DataFrame, groupCol: String, textCol: String,
+                   scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val st = scope.persist(df
+      .select(col(groupCol).as("g"), explode(TextFunctions.tokens(col(textCol))).as("tok"))
+      .distinct())
+    val sizes = st.groupBy("g").agg(count(lit(1)).as("nv"))
+    val inter = st.select(col("g").as("ga"), col("tok"))
+      .join(st.select(col("g").as("gb"), col("tok")), "tok")
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("g").as("ga"), col("nv").as("na")), "ga")
+      .join(sizes.select(col("g").as("gb"), col("nv").as("nb")), "gb")
+      .select(col("ga").as("group_a"), col("gb").as("group_b"),
+        col("n_shared"),
+        round(col("n_shared") /
+          (col("na") + col("nb") - col("n_shared")).cast("double"), 4).as("jaccard"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** DuckDB twin of [[vocabOverlap]]. */
+  def vocabOverlapDuckSql(table: String, groupCol: String, textCol: String): String =
+    s"""WITH st AS (
+       |  SELECT DISTINCT $groupCol AS g, tok
+       |  FROM (SELECT $groupCol, unnest(string_split($textCol, ' ')) AS tok FROM $table)),
+       |sizes AS (SELECT g, CAST(count(*) AS BIGINT) AS nv FROM st GROUP BY g),
+       |inter AS (
+       |  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_shared
+       |  FROM st a JOIN st b ON a.tok = b.tok
+       |  WHERE a.g < b.g
+       |  GROUP BY a.g, b.g)
+       |SELECT ga AS group_a, gb AS group_b, n_shared,
+       |  round(n_shared / CAST(sa.nv + sb.nv - n_shared AS DOUBLE), 4) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.g = ga
+       |JOIN sizes sb ON sb.g = gb
+       |ORDER BY group_a, group_b""".stripMargin
+
   /** DSIR importance RESAMPLING — the selection half of Xie et al.
     * 2023 that [[importanceWeights]]'s scoring half feeds: draw `n`
     * documents WITHOUT replacement with probability ∝ exp(log_w) via

@@ -62,6 +62,30 @@ object CorpusQueries extends QuerySet {
       (s, d) => Corpus.vocabStats(Tables.df(s, d, "documents"), "lang", "text"),
       Some(Corpus.vocabStatsDuckSql("documents", "lang", "text"))),
 
+    // pairwise vocabulary Jaccard between language corpora — the
+    // coarse similarity matrix next to q_corpus_kl's
+    // distribution-sensitive drift
+    Q("q_vocab_overlap",
+      (s, d) => Corpus.vocabOverlap(Tables.df(s, d, "documents"), "lang", "text"),
+      Some(Corpus.vocabOverlapDuckSql("documents", "lang", "text"))),
+
+    // "does my quality score just measure length?" — Pearson corr of
+    // the stopword-ratio score vs n_chars, 1 row; a |corr| near 1
+    // means the gate is a length filter in disguise
+    Q("q_score_length_corr",
+      (s, d) => Tables.df(s, d, "documents")
+        .select(graft.text.TextFunctions.stopwordRatio(
+          split(col("text"), " ")).as("score"),
+          col("n_chars").cast("double").as("len"))
+        .agg(count(lit(1)).as("n"),
+          round(corr(col("score"), col("len")), 4).as("score_len_corr")),
+      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
+              |  round(corr(score, len), 4) AS score_len_corr
+              |FROM (
+              |  SELECT ${graft.text.TextFunctions.stopwordRatioDuck("string_split(text, ' ')")} AS score,
+              |         CAST(n_chars AS DOUBLE) AS len
+              |  FROM documents) t""".stripMargin)),
+
     // distribution drift between language corpora: add-one-smoothed KL
     // over the global vocabulary, absent-absent mass in closed form
     Q("q_corpus_kl",
