@@ -100,6 +100,36 @@ object DedupQueries extends QuerySet {
               |FROM sizes GROUP BY sz
               |ORDER BY cluster_size""".stripMargin)),
 
+    // One-row dedup health summary — the number a corpus report leads
+    // with: docs, docs in a near-dup cluster, cluster count, and the
+    // fraction the prune would drop. Derived entirely from the shared
+    // component table (bounded: only docs WITH a duplicate appear) +
+    // one corpus count.
+    Q("q_dedup_rate",
+      (s, d) => {
+        val cc = componentsCached(s, d)
+        val nDocs = Tables.df(s, d, "documents")
+          .agg(count(lit(1)).as("n_docs"))
+        val stats = cc.agg(
+          count(lit(1)).as("n_dup_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+        nDocs.crossJoin(stats)
+          .select(col("n_docs"), col("n_dup_docs"), col("n_clusters"),
+            round((col("n_dup_docs") - col("n_clusters")) /
+              col("n_docs").cast("double"), 4).as("drop_frac"))
+      },
+      Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
+                 MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+                 "id_a", "id_b")}),
+              |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+              |s AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_dup_docs,
+              |    CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+              |  FROM cc)
+              |SELECT n_docs, n_dup_docs, n_clusters,
+              |  round((n_dup_docs - n_clusters) / CAST(n_docs AS DOUBLE), 4) AS drop_frac
+              |FROM n, s""".stripMargin)),
+
     // survivors after end-to-end dedupe (pairs -> components -> drop
     // non-representatives): the oracle replays the same walk and
     // anti-joins the dropped ids

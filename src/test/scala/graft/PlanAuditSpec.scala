@@ -108,6 +108,8 @@ class PlanAuditSpec extends SparkSpec {
                            // idiom)
     "q_pmi",               // two 1-row totals crossJoins (token and
                            // bigram counts — the LM normalizers)
+    "q_dedup_rate",        // 1-row corpus count × 1-row component
+                           // stats crossJoin
     "q_ivf_balance"        // 1-row total crossJoin derived from the
                            // persisted k-row cell table
   )
