@@ -318,6 +318,13 @@ class Collection(val name: String, val df: DataFrame) {
       nTerms: Int = 4, k: Int = 10): DataFrame =
     graft.index.SearchEval.bm25SelfMrr(df, idCol, textCol, probeIds, nTerms, k)
 
+  /** Exact per-group quantiles (grouped describe) — see
+    * [[graft.ops.Describe.groupQuantiles]].
+    */
+  def groupQuantiles(groupCol: String, valCol: String,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame =
+    graft.ops.Describe.groupQuantiles(df, groupCol, valCol, ps)
+
   /** Hybrid lexical+trigram retrieval fused by reciprocal rank — see
     * [[graft.index.Search.hybridRrf]].
     */
