@@ -120,6 +120,68 @@ object VectorQueries extends QuerySet {
       Some(graft.ann.Sq.searchDuckSql("embeddings", "vec_id", "embedding",
         queryId = 0L, k = 10, dim = Dim))),
 
+    // Index-quality eval as DATA: recall@10 of every approximate ANN
+    // tier against the exact brute-force truth for the same query —
+    // the table an index-tuning loop reads (RecallSpec pins floors;
+    // this row makes the numbers oracle-visible). Each tier's top-10
+    // is a bounded collect (the MMR pattern); the oracle replays every
+    // tier's full search AND the brute truth, then counts the id
+    // intersections.
+    Q("q_ann_recall",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        val brute = Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, 10)
+          .collect().map(_.getLong(0)).toSet
+        val qv = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val pqModel = graft.ann.Pq.fit(e, "vec_id", "embedding",
+          m = 2, ks = 8, maxIters = 0)
+        val sqModel = graft.ann.Sq.fit(e, "embedding")
+        val tiers: Seq[(String, Array[Long])] = Seq(
+          "ivf" -> Knn.ivfTopK(e, "vec_id", "embedding", 0L, 10)
+            .collect().map(_.getLong(0)),
+          "lsh" -> Knn.lshTopK(e, "vec_id", "embedding", 0L, 10)
+            .collect().map(_.getLong(0)),
+          "multiprobe" -> Knn.lshTopKMultiProbe(e, "vec_id", "embedding", 0L, 10)
+            .collect().map(_.getLong(0)),
+          "pq" -> graft.ann.Pq.search(
+            graft.ann.Pq.encode(e, "vec_id", "embedding", pqModel),
+            "vec_id", pqModel, qv, k = 10).collect().map(_.getLong(0)),
+          "sq" -> graft.ann.Sq.search(
+            graft.ann.Sq.encode(e, "vec_id", "embedding", sqModel),
+            "vec_id", sqModel, qv, k = 10).collect().map(_.getLong(0)))
+        val rows = tiers.map { case (name, ids) =>
+          val hit = ids.count(brute)
+          (name, hit,
+            BigDecimal.decimal(hit / 10.0)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        import s.implicits._
+        rows.toDF("tier", "n_hit", "recall").orderBy("tier")
+      },
+      Some {
+        val brute = graft.ann.Knn.bruteForceTopKDuckSql(
+          "embeddings", "vec_id", "embedding", queryId = 0L, k = 10, dim = Dim)
+        def tierRow(name: String, sql: String): String =
+          s"""SELECT '$name' AS tier,
+             |  CAST((SELECT count(*) FROM ($sql) t_$name
+             |        JOIN ($brute) b_$name ON t_$name.vec_id = b_$name.vec_id) AS INT) AS n_hit,
+             |  round((SELECT count(*) FROM ($sql) t2_$name
+             |        JOIN ($brute) b2_$name ON t2_$name.vec_id = b2_$name.vec_id) / 10.0, 4) AS recall""".stripMargin
+        Seq(
+          tierRow("ivf", graft.ann.Knn.ivfTopKDuckSql(
+            "embeddings", "vec_id", "embedding", queryId = 0L, k = 10, dim = Dim)),
+          tierRow("lsh", graft.ann.Knn.lshTopKDuckSql(
+            "embeddings", "vec_id", "embedding", queryId = 0L, k = 10, dim = Dim)),
+          tierRow("multiprobe", graft.ann.Knn.lshTopKMultiProbeDuckSql(
+            "embeddings", "vec_id", "embedding", queryId = 0L, k = 10, dim = Dim)),
+          tierRow("pq", graft.ann.Pq.searchDuckSql("embeddings", "vec_id", "embedding",
+            m = 2, ks = 8, queryId = 0L, k = 10, dim = Dim)),
+          tierRow("sq", graft.ann.Sq.searchDuckSql("embeddings", "vec_id", "embedding",
+            queryId = 0L, k = 10, dim = Dim))
+        ).mkString("", "\nUNION ALL\n", "\nORDER BY tier")
+      }),
+
     // MMR-diversified search: the greedy re-rank runs driver-side over
     // the bounded top-fetchK; the oracle replays the identical greedy
     // argmax as a DuckDB recursive CTE (exact integer dots -> the float
