@@ -541,6 +541,28 @@ object VectorQueries extends QuerySet {
       Some(graft.index.Bm25.searchDuckSql("documents", "doc_id", "text",
         Query, k = 15))),
 
+    // Passage retrieval end-to-end (the RAG ingestion + query path):
+    // token-window chunking composed with BM25 over the CHUNK corpus —
+    // retrieval at sub-document granularity, the unit a RAG context
+    // window actually consumes. Both stages are the already-verified
+    // operators; this row proves they COMPOSE (the q_pipeline_e2e
+    // argument for the retrieval side). chunk_id = doc_id·100000 +
+    // chunk_idx keeps ids unique without a global pass.
+    Q("q_chunk_search",
+      (s, d) => {
+        val chunks = graft.ops.Chunking.chunk(Tables.df(s, d, "documents"),
+          "doc_id", "text", win = 16, stride = 8)
+          .select((col("doc_id") * 100000L + col("chunk_idx")).as("chunk_id"),
+            col("chunk"))
+        graft.index.Bm25.search(chunks, "chunk_id", "chunk", Query, k = 10)
+      },
+      Some(graft.index.Bm25.searchDuckSql(
+        "(SELECT doc_id * 100000 + chunk_idx AS chunk_id, chunk FROM ("
+          + graft.ops.Chunking.chunkDuckSql("documents", "doc_id", "text",
+              win = 16, stride = 8)
+          + ") ch) chunks",
+        "chunk_id", "chunk", Query, k = 10))),
+
     // Retrieval-quality eval, the lexical twin of the ANN recallAtK:
     // self-retrieval MRR@10 — each probe doc's first 4 tokens query
     // the corpus, rank of the probe itself in the BM25 top-k; the
