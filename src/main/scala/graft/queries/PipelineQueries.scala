@@ -258,6 +258,36 @@ object PipelineQueries extends QuerySet {
       Some(TrainStream.lengthBatchesDuckSql("documents", "doc_id", "text",
         batchSize = 32, salt = "r7") + "\nORDER BY doc_id")),
 
+    // Padding-waste roll-up of the length-bucketed batching — the ONE
+    // number the batching strategy exists to minimize: 1 −
+    // real_tokens / padded_tokens where each batch pads to its max
+    // length. Two keyed aggregations over the q_length_batches plan;
+    // ratios from exact integer sums, engines agree bit-for-bit.
+    Q("q_padding_waste",
+      (s, d) => TrainStream.lengthBatches(Tables.df(s, d, "documents"),
+        "doc_id", "text", batchSize = 32, salt = "r7")
+        .groupBy("len_bucket", "batch_id")
+        .agg(count(lit(1)).as("n"), max("n_toks").as("mx"),
+          sum("n_toks").as("sm"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("sm")).as("total_toks"),
+          sum(col("mx") * col("n")).as("padded_toks"))
+        .select(col("n_batches"), col("total_toks"), col("padded_toks"),
+          round(lit(1.0) - col("total_toks") / col("padded_toks").cast("double"), 4)
+            .as("waste_frac")),
+      Some(s"""WITH lb AS (
+              |${TrainStream.lengthBatchesDuckSql("documents", "doc_id", "text",
+                  batchSize = 32, salt = "r7")}),
+              |pb AS (
+              |  SELECT len_bucket, batch_id, CAST(count(*) AS BIGINT) AS n,
+              |    CAST(max(n_toks) AS BIGINT) AS mx, CAST(sum(n_toks) AS BIGINT) AS sm
+              |  FROM lb GROUP BY len_bucket, batch_id)
+              |SELECT CAST(count(*) AS BIGINT) AS n_batches,
+              |  CAST(sum(sm) AS BIGINT) AS total_toks,
+              |  CAST(sum(mx * n) AS BIGINT) AS padded_toks,
+              |  round(1.0 - CAST(sum(sm) AS BIGINT) / CAST(CAST(sum(mx * n) AS BIGINT) AS DOUBLE), 4) AS waste_frac
+              |FROM pb""".stripMargin)),
+
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),
         "doc_id", "text", seqLen = 256, salt = "r4")
