@@ -276,7 +276,8 @@ class PlanAuditSpec extends SparkSpec {
       "q_nb_classify", "q_corpus_kl", "q_mix_temperature", "q_token_budget",
       "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk",
       "q_length_batches", "q_shard_assign", "q_contam_frac",
-      "q_dsir_sample") // composes q_dsir_weights' bucket-bounded model broadcast
+      "q_dsir_sample", // composes q_dsir_weights' bucket-bounded model broadcast
+      "q_padding_waste") // composes q_length_batches' (len × 256 hex)-bucket offsets
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
