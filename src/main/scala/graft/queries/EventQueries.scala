@@ -150,6 +150,35 @@ object EventQueries extends QuerySet {
              |          AND epoch_us(CAST(p.ts AS TIMESTAMP))
              |ORDER BY purchase_id, click_id""".stripMargin)),
 
+    // Hour-of-day seasonality profile: event counts per (UTC hour ×
+    // type) with the share within each type — the load/seasonality
+    // report behind capacity planning and bot detection (a type with a
+    // flat profile is automation). Integer epoch-hour arithmetic
+    // (micros div hour, mod 24 — exact in both engines); one
+    // bounded-key (24 × types) aggregate, count rides a second
+    // bounded-key window.
+    Q("q_hour_profile",
+      (s, d) => Tables.df(s, d, "events")
+        .select(col("event_type"),
+          expr("(unix_micros(ts) div 3600000000) % 24").cast("int").as("hour"))
+        .groupBy("event_type", "hour")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", round(col("n") /
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type")).cast("double"), 4))
+        .orderBy("event_type", "hour"),
+      Some("""WITH h AS (
+             |  SELECT event_type,
+             |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INT) AS hour
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
+             |  FROM h GROUP BY event_type, hour)
+             |SELECT event_type, hour, n,
+             |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS share
+             |FROM c
+             |ORDER BY event_type, hour""".stripMargin)),
+
     // Event-type transition matrix (first-order Markov counts + rates):
     // what users do NEXT after each event type — the funnel-discovery /
     // navigation-analysis query. lead() windows partition on the
