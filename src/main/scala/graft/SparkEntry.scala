@@ -38,4 +38,12 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** [[oracleSql]] restricted to `wanted` names, rendering ONLY those
+    * thunks — a targeted Verify must not render oracles of queries it
+    * never ran (their captured model state is absent and they throw).
+    */
+  def oracleSqlFiltered(wanted: String => Boolean): Map[String, String] =
+    registry.filter(q => wanted(q.name))
+      .flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -72,21 +72,22 @@ object BpeApply {
 
   // the packed literal is identical for every row of a query; cache
   // the parsed form so eval/codegen pay the parse once per executor,
-  // not once per row (single-entry cache: one tokenizer per query)
-  @volatile private var cacheKey: UTF8String = _
-  @volatile private var cacheVal: Array[Array[String]] = _
+  // not once per row. Key and value live in ONE volatile pair so a
+  // concurrent reader can never pair a new key with a stale value
+  // (executor JVMs run many task threads; two queries with different
+  // tokenizers would otherwise race the two-field write)
+  @volatile private var cache: (UTF8String, Array[Array[String]]) = _
 
   private def parse(packed: UTF8String): Array[Array[String]] = {
-    val k = cacheKey
-    if (k != null && k.equals(packed)) return cacheVal
+    val c = cache
+    if (c != null && c._1.equals(packed)) return c._2
     val parsed =
       if (packed.numBytes() == 0) Array.empty[Array[String]]
       else packed.toString.split(GS).map { unit =>
         val i = unit.indexOf(RS)
         Array(unit.substring(0, i), unit.substring(i + 1))
       }
-    cacheKey = packed.clone()
-    cacheVal = parsed
+    cache = (packed.clone(), parsed)
     parsed
   }
 

@@ -71,6 +71,72 @@ object Bm25 {
     }
   }
 
+  /** All probes' top-k in ONE plan: (probe_id, idCol, score), per probe
+    * bit-identical to [[search]] of that probe's query. The union of
+    * every probe's terms is still a bounded literal, so one scan
+    * computes every tf column, ONE 1-row aggregate carries every df,
+    * and the per-probe scores emit as an array-of-structs explode
+    * (nProbes rows per matching doc — never a probe×corpus shuffle:
+    * the rank filter compiles to WindowGroupLimit, which prunes to ≤k
+    * rows per probe per partition MAP-SIDE before the exchange). Job
+    * count is independent of the probe count — the round-8 evals ran
+    * one plan per probe, serializing at large probe lists.
+    * Result is eager (≤ nProbes·k rows) and the scan cache released.
+    */
+  def searchBatch(df: DataFrame, idCol: String, textCol: String,
+      probes: Seq[(Long, String)], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(probes.nonEmpty, "no probes")
+    val perProbe: Seq[(Long, Seq[String])] =
+      probes.map { case (pid, q) => pid -> queryTerms(q) }
+    perProbe.foreach { case (pid, ts) =>
+      require(ts.nonEmpty, s"probe $pid has no terms") }
+    val allTerms = perProbe.flatMap(_._2).distinct
+    val termIdx = allTerms.zipWithIndex.toMap
+    val toks = split(lower(col(textCol)), " ")
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).as(s"__tf$i")
+    }
+    val localScope = new graft.api.CacheScope
+    val base = localScope.persist(
+      df.select(col(idCol) +: size(toks).as("__dl") +: tfCols: _*))
+    val dfAggs = allTerms.indices.map(i =>
+      sum((col(s"__tf$i") > 0).cast("int")).as(s"__df$i"))
+    val stats = base.agg(count(lit(1)).as("__n"),
+      sum("__dl").as("__sumdl") +: dfAggs: _*)
+    def contribution(i: Int): Column = {
+      val tf = col(s"__tf$i").cast("double")
+      val dfi = col(s"__df$i").cast("double")
+      val n = col("__n").cast("double")
+      val sumdl = col("__sumdl").cast("double")
+      val idf = log(lit(1.0) + (n - dfi + lit(0.5)) / (dfi + lit(0.5)))
+      val dl = col("__dl").cast("double")
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl * n / sumdl))
+    }
+    // per-probe (score, matched) structs — contribution ADDITION ORDER
+    // follows each probe's own term order, as the single search does
+    val probeStructs = perProbe.map { case (pid, ts) =>
+      val score = round(ts.map(t => contribution(termIdx(t))).reduce(_ + _), 4)
+      val matched = ts.map(t => col(s"__tf${termIdx(t)}") > 0).reduce(_ || _)
+      struct(lit(pid).as("probe_id"), score.as("score"), matched.as("m"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("score").desc, col(idCol).asc)
+    val out = base.crossJoin(broadcast(stats))
+      .select(col(idCol), explode(array(probeStructs: _*)).as("p"))
+      .filter(col("p.m"))
+      .select(col("p.probe_id").as("probe_id"), col(idCol),
+        col("p.score").as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select("probe_id", idCol, "score")
+    val rows = out.collect()
+    localScope.release()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   private def scoreAndTake(base: DataFrame, stats: DataFrame, idCol: String,
       nTerms: Int, k: Int, k1: Double, b: Double): DataFrame = {
     val contributions: Seq[Column] = (0 until nTerms).map { i =>

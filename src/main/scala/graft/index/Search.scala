@@ -45,6 +45,53 @@ object Search {
       .limit(k)
   }
 
+  /** All probes' trigram-cosine top-k in ONE plan: (probe_id, idCol,
+    * score), per probe bit-identical to [[searchTrigram]]. Each probe's
+    * query vector rides as its own map literal; ONE aggregation over
+    * the index computes every probe's dot plus the shared doc norm,
+    * then the per-probe scores explode and the rank filter compiles to
+    * WindowGroupLimit (map-side ≤k per probe per partition). Job count
+    * independent of probe count. Eager (≤ nProbes·k rows).
+    */
+  def searchTrigramBatch(
+      spark: SparkSession,
+      index: DataFrame,
+      idCol: String,
+      probes: Seq[(Long, String)],
+      k: Int = 10,
+      dim: Int = TrigramIndexer.DefaultDim): DataFrame = {
+    require(probes.nonEmpty, "no probes")
+    val qvs = probes.map { case (pid, q) =>
+      val qv = TrigramIndexer.queryVector(q, dim)
+      require(qv.nonEmpty, s"probe $pid has no trigrams")
+      (pid, qv, math.sqrt(qv.map { case (_, c) => c.toDouble * c }.sum))
+    }
+    val dotAggs = qvs.zipWithIndex.map { case ((_, qv, _), i) =>
+      val qMap = map(qv.toSeq.flatMap { case (b, c) => Seq(lit(b), lit(c)) }: _*)
+      sum(col("cnt") * coalesce(element_at(qMap, col("bucket")), lit(0L)))
+        .as(s"__dot$i")
+    }
+    val probeStructs = qvs.zipWithIndex.map { case ((pid, _, qNorm), i) =>
+      struct(lit(pid).as("probe_id"),
+        round(col(s"__dot$i") / (sqrt(col("nrm2")) * lit(qNorm)), 4).as("score"),
+        (col(s"__dot$i") > 0).as("m"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("probe_id").orderBy(col("score").desc, col(idCol).asc)
+    val out = index
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt") * col("cnt")).as("nrm2"), dotAggs: _*)
+      .select(col(idCol), explode(array(probeStructs: _*)).as("p"))
+      .filter(col("p.m"))
+      .select(col("p.probe_id").as("probe_id"), col(idCol),
+        col("p.score").as("score"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select("probe_id", idCol, "score")
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Duck SQL twin of [[searchTrigram]]. */
   def searchTrigramDuckSql(
       table: String,

@@ -166,9 +166,13 @@ object Describe {
     val qs = ps.map { case (name, p) =>
       s"round(quantile_cont($valCol, $p), $roundTo) AS $name"
     }.mkString(",\n  ")
+    // WHERE mirrors the Spark side's pre-group NULL filter: a group
+    // whose values are ALL NULL is dropped by BOTH engines (without it
+    // DuckDB would emit that group with n=0 and NULL quantiles)
     s"""SELECT $groupCol, CAST(count($valCol) AS BIGINT) AS n,
        |  $qs
        |FROM $table
+       |WHERE $valCol IS NOT NULL
        |GROUP BY $groupCol
        |ORDER BY $groupCol""".stripMargin
   }

@@ -72,19 +72,44 @@ object CorpusQueries extends QuerySet {
     // "does my quality score just measure length?" — Pearson corr of
     // the stopword-ratio score vs n_chars, 1 row; a |corr| near 1
     // means the gate is a length filter in disguise
+    // corr is computed from EXACT integer sums (score pre-quantized to
+    // 1e-4 units) with the textbook formula in identical operation
+    // order — the built-in corr() aggregates differ in summation order
+    // between engines and can flip the 4th decimal on large corpora
     Q("q_score_length_corr",
-      (s, d) => Tables.df(s, d, "documents")
-        .select(graft.text.TextFunctions.stopwordRatio(
-          split(col("text"), " ")).as("score"),
-          col("n_chars").cast("double").as("len"))
-        .agg(count(lit(1)).as("n"),
-          round(corr(col("score"), col("len")), 4).as("score_len_corr")),
-      Some(s"""SELECT CAST(count(*) AS BIGINT) AS n,
-              |  round(corr(score, len), 4) AS score_len_corr
+      (s, d) => {
+        val agg = Tables.df(s, d, "documents")
+          .select(round(graft.text.TextFunctions.stopwordRatio(
+            split(col("text"), " ")) * 10000).cast("long").as("xi"),
+            col("n_chars").cast("long").as("yi"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
+            sum(col("xi") * col("yi")).as("sxy"),
+            sum(col("xi") * col("xi")).as("sxx"),
+            sum(col("yi") * col("yi")).as("syy"))
+        val nd = col("n").cast("double")
+        val num = nd * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val den = sqrt(
+          (nd * col("sxx").cast("double") - col("sx").cast("double") * col("sx").cast("double")) *
+          (nd * col("syy").cast("double") - col("sy").cast("double") * col("sy").cast("double")))
+        agg.select(col("n"),
+          round(when(den === 0.0, lit(null)).otherwise(num / den), 4)
+            .as("score_len_corr"))
+      },
+      Some(s"""SELECT CAST(n AS BIGINT) AS n,
+              |  round(CASE WHEN sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |                     * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) = 0 THEN NULL
+              |        ELSE (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              |           / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              |                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END, 4) AS score_len_corr
               |FROM (
-              |  SELECT ${graft.text.TextFunctions.stopwordRatioDuck("string_split(text, ' ')")} AS score,
-              |         CAST(n_chars AS DOUBLE) AS len
-              |  FROM documents) t""".stripMargin)),
+              |  SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
+              |         sum(xi * yi) AS sxy, sum(xi * xi) AS sxx, sum(yi * yi) AS syy
+              |  FROM (
+              |    SELECT CAST(round(${graft.text.TextFunctions.stopwordRatioDuck("string_split(text, ' ')")} * 10000) AS BIGINT) AS xi,
+              |           CAST(n_chars AS BIGINT) AS yi
+              |    FROM documents) t) a""".stripMargin)),
 
     // distribution drift between language corpora: add-one-smoothed KL
     // over the global vocabulary, absent-absent mass in closed form

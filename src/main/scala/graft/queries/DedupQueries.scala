@@ -25,13 +25,17 @@ object DedupQueries extends QuerySet {
     ccVal = graft.dedup.Cluster.connectedComponents(
       MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
       "id_a", "id_b")
-    ccKey = d
+    // the memoized frame is BOUND to the session that built it — key on
+    // (session, dir) so a restarted session never receives a plan tied
+    // to a dead one (the KMeans/Pca memos dodge this by caching only
+    // driver-side arrays; a DataFrame memo must carry its session)
+    ccKey = ((s, d))
     ccVal
   }
   private def componentsCached(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = synchronized {
-    if (ccKey != d) componentsRefresh(s, d) else ccVal
+    if (ccKey != ((s, d))) componentsRefresh(s, d) else ccVal
   }
-  @volatile private var ccKey: String = _
+  @volatile private var ccKey: (org.apache.spark.sql.SparkSession, String) = _
   @volatile private var ccVal: org.apache.spark.sql.DataFrame = _
 
   def all: Seq[Q] = Seq(

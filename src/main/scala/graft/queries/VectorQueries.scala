@@ -129,7 +129,11 @@ object VectorQueries extends QuerySet {
     // intersections.
     Q("q_ann_recall",
       (s, d) => {
-        val e = Tables.df(s, d, "embeddings")
+        // every tier + the truth scans the same small table — persist
+        // for the duration of the six component searches (all outputs
+        // are bounded collects, so the pin releases before returning)
+        val scope = new graft.api.CacheScope
+        val e = scope.persist(Tables.df(s, d, "embeddings"))
         val brute = Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, 10)
           .collect().map(_.getLong(0)).toSet
         val qv = e.filter(col("vec_id") === 0L)
@@ -156,6 +160,7 @@ object VectorQueries extends QuerySet {
             BigDecimal.decimal(hit / 10.0)
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
+        scope.release()
         import s.implicits._
         rows.toDF("tier", "n_hit", "recall").orderBy("tier")
       },
@@ -574,7 +579,8 @@ object VectorQueries extends QuerySet {
         probeIds = Seq(3L, 17L, 42L, 101L, 250L))
         .orderBy("probe_id"),
       Some(graft.index.SearchEval.bm25SelfMrrDuckSql(
-        "documents", "doc_id", "text", graft.index.SearchEval.lastProbes))),
+        "documents", "doc_id", "text", graft.index.SearchEval.capturedProbes(
+          "doc_id", "text", Seq(3L, 17L, 42L, 101L, 250L))))),
 
     // Hybrid retrieval by reciprocal-rank fusion: BM25 + trigram-cosine
     // top-20 lists fused with 1/(60+rank) — the score-scale-free
@@ -598,7 +604,8 @@ object VectorQueries extends QuerySet {
         probeIds = Seq(3L, 17L, 42L, 101L, 250L))
         .orderBy("probe_id"),
       Some(graft.index.SearchEval.retrieverAgreementDuckSql(
-        "documents", "doc_id", "text", graft.index.SearchEval.lastAgreeProbes))),
+        "documents", "doc_id", "text", graft.index.SearchEval.capturedProbes(
+          "doc_id", "text", Seq(3L, 17L, 42L, 101L, 250L))))),
 
     // The no-model bootstrap path END TO END: raw text -> feature-hash
     // vectors -> distributed Lloyd's -> topic assignment, with the
