@@ -318,6 +318,15 @@ class Collection(val name: String, val df: DataFrame) {
       nTerms: Int = 4, k: Int = 10): DataFrame =
     graft.index.SearchEval.bm25SelfMrr(df, idCol, textCol, probeIds, nTerms, k)
 
+  /** Per-feature k-fold CV predictive power of `targetCol` (reference
+    * stats_utils.analyze_predictive_power) — see
+    * [[graft.ops.PredictivePower.cvAccuracy]].
+    */
+  def predictivePower(idCol: String, targetCol: String,
+      features: Seq[(String, org.apache.spark.sql.Column)], k: Int = 3,
+      salt: String = ""): DataFrame =
+    graft.ops.PredictivePower.cvAccuracy(df, idCol, targetCol, features, k, salt)
+
   /** Exact per-group quantiles (grouped describe) — see
     * [[graft.ops.Describe.groupQuantiles]].
     */

@@ -113,6 +113,17 @@ object Sampling {
         .otherwise(lit("train")))
   }
 
+  /** Deterministic k-fold assignment in [0, k): the CV analog of
+    * [[splitAssign]] — fold is a pure function of (key, salt), so
+    * reruns and engines agree and growth never reassigns a row.
+    */
+  def foldAssign(key: Column, k: Int, salt: String = ""): Column =
+    hashMod(key, salt) % k.toLong
+
+  /** DuckDB twin of [[foldAssign]]. */
+  def foldAssignDuckSql(keySql: String, k: Int, salt: String = ""): String =
+    s"((${hashModDuckSql(keySql, salt)}) % $k)"
+
   /** DuckDB twin of [[splitAssign]] (appends `split` to `table`'s
     * columns via SELECT *).
     */

@@ -111,6 +111,27 @@ object StatsQueries extends QuerySet {
         "(SELECT *, n_chars // 200 AS len_bucket FROM documents) db",
         Seq("lang", "source", "len_bucket")) + "\nORDER BY x, y")),
 
+    // Per-feature k-fold CV predictive power (reference
+    // stats_utils.py:5-53 `analyze_predictive_power`): majority-class
+    // stump per feature, deterministic hash folds, exact integer
+    // confusion counts — the direct CV-accuracy twin next to
+    // q_mutual_info's information-theoretic association
+    Q("q_predictive_power",
+      (s, d) => graft.ops.PredictivePower.cvAccuracy(
+        Tables.df(s, d, "documents"), "doc_id", "lang",
+        Seq(
+          "source" -> col("source"),
+          "len_bucket" -> expr("n_chars div 200"),
+          "first_char" -> substring(col("text"), 1, 1)),
+        k = 3, salt = "pp9"),
+      Some(graft.ops.PredictivePower.cvAccuracyDuckSql(
+        "documents", "doc_id", "lang",
+        Seq(
+          "source" -> "source",
+          "len_bucket" -> "n_chars // 200",
+          "first_char" -> "substr(text, 1, 1)"),
+        k = 3, salt = "pp9"))),
+
     Q("q_pivot",
       (s, d) => Tables.df(s, d, "orders")
         .groupBy(col("o_orderpriority"))
