@@ -213,6 +213,44 @@ class BucketedParquetCollection(
     commitBuckets(withBucket(next), touched)
   }
 
+  /** Update by primary key — the pk IS this store's bucketing key, so
+    * this is [[upsert]] (reference update semantics; rewrites only the
+    * touched buckets).
+    */
+  def update(rows: DataFrame): Unit = upsert(rows)
+
+  /** Delete objects: remove rows equal to some input row on ALL of the
+    * input's columns (null-safe equality — [[ParquetCollection.delete]]
+    * semantics). Touched buckets come from the matching rows, so a
+    * delete of k keys rewrites only their buckets.
+    */
+  def delete(objs: DataFrame): Unit = {
+    val cur = df
+    def on(left: DataFrame) = objs.columns.map(c => left(c) <=> objs(c)).reduce(_ && _)
+    val matching = cur.join(objs, on(cur), "left_semi")
+    val touched = touchedBuckets(matching)
+    if (touched.isEmpty) return
+    val slice = bucketsDf(touched)
+    val next = slice.join(objs, on(slice), "left_anti")
+    commitBuckets(withBucket(next), touched)
+  }
+
+  /** Set a nested `path := value` on every row matching `where` —
+    * [[ParquetCollection.updatePath]] semantics, but only the buckets
+    * holding matching rows are rewritten.
+    */
+  def updatePath(path: String, value: Column, where: Filter = Filter.True): Unit = {
+    val cur = df
+    val cond = Filter.bind(where, cur.schema).toColumn
+    val touched = touchedBuckets(cur.filter(coalesce(cond, lit(false))))
+    if (touched.isEmpty) return
+    val slice = bucketsDf(touched)
+    val sliceCond = Filter.bind(where, slice.schema).toColumn
+    commitBuckets(
+      withBucket(graft.ops.ObjectPaths.pathUpdate(slice, path, value, sliceCond)),
+      touched)
+  }
+
   /** Remove bucket versions and manifests not referenced by the current
     * manifest (old readers' snapshots disappear — run when quiesced).
     */

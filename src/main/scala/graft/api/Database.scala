@@ -39,6 +39,8 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
   def collection(collName: String): ParquetCollection = {
     val dir = dirOf(collName)
     require(Files.exists(dir), s"no collection '$collName' in database $name")
+    require(!Files.exists(dir.resolve("_BUCKETED")),
+      s"'$collName' is a bucketed collection — open it with bucketedCollection")
     // a declared-but-unmaterialized collection populates at attach
     // time (reference load_from_source / _materialize_derivations run
     // lazily on first touch)
@@ -74,6 +76,34 @@ class Database(val spark: SparkSession, val root: String, val name: String) {
     */
   def attachParquet(collName: String, path: String): Collection =
     new Collection(collName, spark.read.parquet(path))
+
+  /** Create the LARGE-TABLE tier of [[createCollection]]: a pk-bucketed
+    * store whose mutations rewrite only touched buckets (see
+    * [[BucketedParquetCollection]] — at 1000 buckets an upsert of a few
+    * keys rewrites ~0.1% of a 100 TB table, where ParquetCollection
+    * rewrites everything). The (pk, nBuckets) layout persists in a
+    * `_BUCKETED` meta file so [[bucketedCollection]] can reopen it.
+    */
+  def createBucketedCollection(collName: String, rows: DataFrame, pk: String,
+      nBuckets: Int = 16): BucketedParquetCollection = {
+    val dir = dirOf(collName)
+    Files.createDirectories(dir)
+    Files.writeString(dir.resolve("_BUCKETED"), s"$pk,$nBuckets")
+    val c = new BucketedParquetCollection(spark, dir.toString, collName, pk, nBuckets)
+    c.replace(rows)
+    c
+  }
+
+  /** Reopen a bucketed collection created by [[createBucketedCollection]]
+    * (layout read back from its `_BUCKETED` meta file).
+    */
+  def bucketedCollection(collName: String): BucketedParquetCollection = {
+    val dir = dirOf(collName)
+    val meta = dir.resolve("_BUCKETED")
+    require(Files.exists(meta), s"no bucketed collection '$collName' in database $name")
+    val Array(pk, n) = Files.readString(meta).trim.split(",")
+    new BucketedParquetCollection(spark, dir.toString, collName, pk, n.toInt)
+  }
 
   // ------------------------------------------------------ derived collections
 

@@ -113,6 +113,69 @@ class BucketedParquetCollectionSpec extends SparkSpec {
     c.df.filter(org.apache.spark.sql.functions.col("id") === 42L).count() shouldBe 1
   }
 
+  test("upsert of k keys rewrites at most k buckets — the 100 TB contract") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 32)
+    c.replace((1 to 400).map(i => (i, s"name$i")).toDF("id", "name"))
+    val before = bucketVersions(root)
+    val ks = Seq(3, 77, 151) // k = 3 upserted keys
+    c.upsert(ks.map(i => (i, "X")).toDF("id", "name"))
+    val after = bucketVersions(root)
+    val touched = after.collect { case (b, vs) if vs != before(b) => b }.toSet
+    touched.size should be <= ks.size
+    (before.keySet -- touched).foreach(b => after(b) shouldBe before(b))
+    c.count() shouldBe 400
+  }
+
+  test("update is upsert by pk; delete removes all-column null-safe matches, touching only their buckets") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 8)
+    c.replace(Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")).toDF("id", "tag"))
+    c.update(Seq((2, "B")).toDF("id", "tag"))
+    c.findByKey(2).collect().head.getString(1) shouldBe "B"
+    val before = bucketVersions(root)
+    // full-object match: (3, "c") matches, (4, "nope") does not
+    c.delete(Seq((3, "c"), (4, "nope")).toDF("id", "tag"))
+    val after = bucketVersions(root)
+    val touched = after.collect { case (b, vs) if vs != before.getOrElse(b, Set.empty[String]) => b }.toSet
+    touched.size should be <= 1
+    c.df.orderBy("id").collect().map(_.getInt(0)) shouldBe Array(1, 2, 4)
+    // a delete that matches nothing writes nothing
+    val v = bucketVersions(root)
+    c.delete(Seq((99, "zz")).toDF("id", "tag"))
+    bucketVersions(root) shouldBe v
+  }
+
+  test("updatePath rewrites matching rows' buckets only") {
+    val root = tmpDir()
+    val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 8)
+    c.replace(Seq((1, "a", 10L), (2, "b", 20L), (3, "c", 30L)).toDF("id", "tag", "score"))
+    val before = bucketVersions(root)
+    c.updatePath("score", org.apache.spark.sql.functions.lit(99L),
+      Filter.parse(Map("tag" -> "b")))
+    val after = bucketVersions(root)
+    val touched = after.collect { case (b, vs) if vs != before(b) => b }.toSet
+    touched.size shouldBe 1
+    val got = c.df.orderBy("id").collect().map(r => (r.getInt(0), r.getLong(2)))
+    got shouldBe Array((1, 10L), (2, 99L), (3, 30L))
+  }
+
+  test("Database creates, lists, and reopens a bucketed collection; the flat accessor rejects it") {
+    val root = tmpDir()
+    val db = new Database(spark, root, "testdb")
+    val c = db.createBucketedCollection("big", (1 to 40).map(i => (i, i * 2)).toDF("id", "v"), "id", nBuckets = 8)
+    c.count() shouldBe 40
+    db.listCollectionNames should contain("big")
+    // reopen from the persisted (pk, nBuckets) meta
+    val re = db.bucketedCollection("big")
+    re.nBuckets shouldBe 8
+    re.pk shouldBe "id"
+    re.findByKey(7).collect().head.getInt(1) shouldBe 14
+    re.upsert(Seq((7, 700)).toDF("id", "v"))
+    db.bucketedCollection("big").findByKey(7).collect().head.getInt(1) shouldBe 700
+    an[Exception] should be thrownBy db.collection("big")
+  }
+
   test("vacuum removes unreferenced bucket versions, keeps the live snapshot") {
     val root = tmpDir()
     val c = new BucketedParquetCollection(spark, root, "t", "id", nBuckets = 4)
