@@ -197,6 +197,35 @@ object ScaleSmoke {
         graft.ops.CorpusBuild.trainingSubset(corpus, "doc_id", "lang", "text",
           evalPred = col("doc_id") % 10 === 0, w = 4,
           budgetPerSource = 700L * k, salt = "ss")
+      }),
+      "skew_ngram" -> (k => {
+        // ONE hot shingle family at corpus-wide df: every doc carries
+        // the same boilerplate phrase, so uncapped the inverted-index
+        // self-join would form (n·k)² candidate rows on it. The df cap
+        // drops the hot postings (SkewCapSpec pins both sides of that
+        // contract) and cost stays ~linear — the skew regime the
+        // uniform-salted finders above never enter
+        val hot = docsX(k).withColumn("text", concat(col("text"),
+          lit(" graft shared boilerplate footer phrase common to every single document")))
+        graft.dedup.NgramJaccard.jaccardPairs(hot, "doc_id", "text", maxDf = 200)
+      }),
+      "skew_minhash" -> (k => {
+        // template spam: 40·k exact copies of one text — the template's
+        // band buckets grow k-fold; the bucket cap drops them once past
+        // 100, bounding pair formation regardless of k
+        val spam = spark.range(40L * k).select(
+          (col("id") + 900000000L).as("doc_id"),
+          lit("the same template text repeated verbatim for every spam row of this corpus").as("text"))
+        graft.dedup.MinHash.nearDupPairs(
+          docsX(k).select("doc_id", "text").unionByName(spam),
+          "doc_id", "text", maxBucket = 100)
+      }),
+      "skew_winnow" -> (k => {
+        // one shared passage in every doc: its fingerprint bucket is
+        // corpus-sized; the bucket cap drops it at any k
+        val hot = docsX(k).withColumn("text", concat(col("text"),
+          lit(" this long shared passage of twenty tokens sits inside every document so its fingerprints bucket together across the entire corpus")))
+        graft.dedup.Winnow.sharedFingerprintPairs(hot, "doc_id", "text", maxBucket = 200)
       }))
     // (no semdedup finder: its pair join is by contract quadratic in
     // CLUSTER size — the scale dial is k ∝ n (constant cluster size,
