@@ -178,6 +178,45 @@ object StreamOps {
     stream.withColumn("log_w", score(expr(TextFunctions.tokenHashesSql(textCol))))
   }
 
+  /** Streaming retrieval against the persisted IVF+PQ index
+    * ([[graft.ann.IvfPqIndex]]) — "build the index on the standing
+    * corpus once, serve every incoming query forever". Structured
+    * Streaming cannot express per-query top-k in append mode (top-k
+    * is an ordered limit, not a watermarked aggregation), so the
+    * streaming shape is the standard foreachBatch one: this is the
+    * BATCH BODY — each micro-batch's queries (bounded: a batch of
+    * retrieval requests) probe the static on-disk index with the same
+    * partition-pruned ADC scan the batch `searchVectorPq` runs, and
+    * the union of the ≤ nQueries·k result rows comes back as one
+    * frame. All state is the on-disk index — restart-safe, nothing in
+    * the state store. Batch parity asserted in StreamOpsSpec.
+    *
+    * {{{
+    * queries.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+    *   StreamOps.probeVectorPqBatch(b, "qid", "vec", dir, k = 5)
+    *     .write.mode("append").parquet(out)
+    * }.start()
+    * }}}
+    */
+  def probeVectorPqBatch(batch: DataFrame, qidCol: String, vecCol: String,
+                         indexDir: String, k: Int, nProbe: Int = 4,
+                         rerank: Int = 0,
+                         raw: Option[(DataFrame, String, String)] = None): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val queries: Seq[(Long, Seq[Double])] = batch
+      .select(col(qidCol).cast("long"), col(vecCol).cast("array<double>"))
+      .filter(col(vecCol).isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toSeq
+    if (queries.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("qid", "id", "score")
+    val rows = queries.flatMap { case (qid, qv) =>
+      graft.ann.IvfPqIndex.probe(spark, indexDir, qv, k, nProbe, rerank, raw)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }
+    rows.toDF("qid", "id", "score")
+  }
+
   def decontaminateStream(stream: DataFrame, evalDf: DataFrame, textCol: String,
                           evalTextCol: String, w: Int, fpp: Double = 0.01): DataFrame = {
     import graft.text.{Repetition, TextFunctions}

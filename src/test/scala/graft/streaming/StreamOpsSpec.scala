@@ -39,6 +39,44 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("probeVectorPqBatch: streamed queries match the batch IVF+PQ probe") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // small clustered corpus + a persisted index (the static side)
+    val rnd = new scala.util.Random(7)
+    val corpus = (0 until 120).map { i =>
+      val center = Array.fill(8)(if (i % 3 == 0) 1.0 else if (i % 3 == 1) -1.0 else 0.0)
+      (i.toLong, center.map(_ + rnd.nextGaussian() * 0.1).toSeq)
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft-pqstream").toString
+    graft.ann.IvfPqIndex.build(corpus, "id", "vec", dir, nCells = 3, m = 2, ks = 4)
+
+    val queries = Seq(
+      (100L, Array.fill(8)(1.0).toSeq),
+      (200L, Array.fill(8)(-1.0).toSeq))
+    val input = MemoryStream[(Long, Seq[Double])]
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    val q = input.toDF().toDF("qid", "vec").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        StreamOps.probeVectorPqBatch(b, "qid", "vec", dir, k = 5, nProbe = 2)
+          .collect().foreach(r => got.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+      }.start()
+    try {
+      input.addData(queries.head)
+      q.processAllAvailable()
+      input.addData(queries(1)) // second micro-batch: index is reused, stateless
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    val streamed = got.asScala.toSet
+    val batch = queries.flatMap { case (qid, qv) =>
+      graft.ann.IvfPqIndex.probe(spark, dir, qv, k = 5, nProbe = 2)
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+    }.toSet
+    streamed shouldBe batch
+    streamed.map(_._1) shouldBe Set(100L, 200L)
+  }
+
   test("streaming dedupe drops duplicate keys within the watermark") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Timestamp, String)]
