@@ -210,8 +210,12 @@ object Pca {
       val scale = 1.0 / math.sqrt(math.max(model.explainedVariance(j), 1e-12))
       val w = s"(list_sum(list_transform(range(1, ${dim + 1}), " +
         s"i -> CAST($vecCol[i] AS DOUBLE) * c.c${j + 1}[i])) - ($offset)) * ($scale)"
+      // "+ 0" folds DuckDB's round(-1e-9, 4) = -0.0 into +0.0 (Spark's
+      // BigDecimal round never emits -0.0); the comparator sorts rows
+      // by string, where "-0.0" and "0.0" land apart — a centered
+      // projection is guaranteed to straddle zero at scale
       (s"$lit AS c${j + 1}",
-        if (round4) s"round($w, 4) AS w${j + 1}" else s"$w AS w${j + 1}")
+        if (round4) s"round($w, 4) + 0 AS w${j + 1}" else s"$w AS w${j + 1}")
     }
     s"""WITH c AS (SELECT ${comps.map(_._1).mkString(",\n  ")})
        |SELECT $idCol,
@@ -320,8 +324,9 @@ object Pca {
       val offset = comp.zip(model.mean).map { case (c, m) => c * m }.sum
       val dot = s"list_sum(list_transform(range(1, ${dim + 1}), " +
         s"i -> CAST($vecCol[i] AS DOUBLE) * c.c${j + 1}[i])) - ($offset)"
+      // "+ 0" folds -0.0 → +0.0 (see projectWhitenedDuckSql)
       (s"$lit AS c${j + 1}",
-        if (round4) s"round($dot, 4) AS pc${j + 1}" else s"$dot AS pc${j + 1}")
+        if (round4) s"round($dot, 4) + 0 AS pc${j + 1}" else s"$dot AS pc${j + 1}")
     }
     s"""WITH c AS (SELECT ${comps.map(_._1).mkString(",\n  ")})
        |SELECT $idCol,
