@@ -103,6 +103,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry
       .registerFunction(RepetitionStats.info._1, RepetitionStats.info._2, RepetitionStats.info._3)
     spark.sessionState.functionRegistry
+      .registerFunction(RepetitionStats.info4._1, RepetitionStats.info4._2, RepetitionStats.info4._3)
+    spark.sessionState.functionRegistry
       .registerFunction(ArraySumAgg.info._1, ArraySumAgg.info._2, ArraySumAgg.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(ContainedCount.info._1, ContainedCount.info._2, ContainedCount.info._3)
@@ -136,6 +138,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(MinHashSigs.info)
     ext.injectFunction(TokenHashes60.info)
     ext.injectFunction(RepetitionStats.info)
+    ext.injectFunction(RepetitionStats.info4)
     ext.injectFunction(ArraySumAgg.info)
     ext.injectFunction(ContainedCount.info)
     ext.injectFunction(ManhattanDistance.info)

@@ -46,6 +46,39 @@ case class RepetitionStats(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** [[RepetitionStats]] with the four fractions pre-rounded to 4dp by
+  * EXACT integer half-up arithmetic on the underlying rationals:
+  * round4(p/q) = ⌊(20000·p + q) / (2·q)⌋ / 10000. Every stat here is a
+  * ratio of integer char/token counts, and `round(double, 4)` is NOT
+  * engine-portable on exact decimal boundaries — a doc with
+  * best/len = 57/800 = 0.07125 rounds to 0.0713 under Spark's
+  * BigDecimal(Double.toString) HALF_UP but 0.0712 under DuckDB's
+  * binary-value rounding (the double is 0.0712499…96, just below the
+  * boundary). Integer rounding of the true rational is identical in
+  * both engines for ALL inputs, so the oracle twin mirrors the same
+  * ⌊(20000p+q)/(2q)⌋ formula (surfaced at sf1: doc 600004885).
+  */
+case class RepetitionStats4(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_repetition_stats4 requires string, got $other")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_repetition_stats4"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.computeRounded(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.RepetitionStats$$.MODULE$$.computeRounded($s);")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats4 =
+    copy(child = newChild)
+}
+
 object RepetitionStats {
 
   /** (dup frac, best count*charlen) over the w-grams of `toks`.
@@ -55,8 +88,18 @@ object RepetitionStats {
     * top2gramCharFrac and the oracle's unnest+GROUP BY formulation.
     */
   private def gramStats(toks: Array[String], w: Int): (Double, Long) = {
+    val (total, uniq, best) = gramCounts(toks, w)
+    val frac = if (total == 0L) 0.0 else (total - uniq).toDouble / total.toDouble
+    (frac, best)
+  }
+
+  /** Integer (total, uniq, best) char-weight counts over the w-grams —
+    * the exact rationals behind [[gramStats]], consumed by the
+    * integer-rounding [[computeRounded]] path.
+    */
+  private def gramCounts(toks: Array[String], w: Int): (Long, Long, Long) = {
     val n = toks.length
-    if (n < w) return (0.0, 0L)
+    if (n < w) return (0L, 0L, 0L)
     val counts = new java.util.HashMap[String, Array[Int]]()
     val sb = new java.lang.StringBuilder()
     var i = 0
@@ -85,8 +128,7 @@ object RepetitionStats {
       uniq += l
       if (c * l > best) best = c * l
     }
-    val frac = if (total == 0L) 0.0 else (total - uniq).toDouble / total.toDouble
-    (frac, best)
+    (total, uniq, best)
   }
 
   def compute(s: UTF8String): GenericArrayData = {
@@ -108,8 +150,39 @@ object RepetitionStats {
     new GenericArrayData(Array(dupTok, d2, d3, t2))
   }
 
+  /** Exact 4dp half-up rounding of the rational p/q (p, q ≥ 0): no
+    * double ever carries the unrounded value, so decimal-boundary
+    * ratios round identically to the DuckDB twin's mirrored
+    * ⌊(20000p+q)/(2q)⌋ integer formula. p ≤ total doc chars (~1e6)
+    * keeps 20000·p far inside Long range.
+    */
+  def intRound4(p: Long, q: Long): Double =
+    if (q == 0L) 0.0 else ((20000L * p + q) / (2L * q)) / 10000.0
+
+  def computeRounded(s: UTF8String): GenericArrayData = {
+    val text = s.toString
+    val toks = text.split(" ", -1)
+    val n = toks.length
+    val distinct = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { distinct.add(toks(i)); i += 1 }
+    val (t2tot, t2uniq, best2) = gramCounts(toks, 2)
+    val (t3tot, t3uniq, _) = gramCounts(toks, 3)
+    val textLen = text.codePointCount(0, text.length).toLong
+    new GenericArrayData(Array(
+      intRound4((n - distinct.size).toLong, n.toLong),
+      intRound4(t2tot - t2uniq, t2tot),
+      intRound4(t3tot - t3uniq, t3tot),
+      if (n < 2) 0.0 else intRound4(best2, textLen)))
+  }
+
   val info = (
     FunctionIdentifier("graft_repetition_stats"),
     new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition_stats"),
     (children: Seq[Expression]) => RepetitionStats(children.head): Expression)
+
+  val info4 = (
+    FunctionIdentifier("graft_repetition_stats4"),
+    new ExpressionInfo(classOf[RepetitionStats4].getName, "graft_repetition_stats4"),
+    (children: Seq[Expression]) => RepetitionStats4(children.head): Expression)
 }

@@ -120,13 +120,17 @@ object TextQueries extends QuerySet {
     // stats via unnest + GROUP BY, a deliberately different formulation.
     Q("q_repetition",
       (s, d) => {
-        val st = graft.text.Repetition.statsNative(col("text"))
+        // statsNative4, NOT round(statsNative, 4): the 4dp rounding
+        // happens in exact integer arithmetic inside the kernel so
+        // decimal-boundary ratios agree with the oracle's mirrored
+        // integer formula (see Repetition.statsNative4)
+        val st = graft.text.Repetition.statsNative4(col("text"))
         Tables.df(s, d, "documents").select(
           col("doc_id"),
-          round(element_at(st, 1), 4).as("dup_token_frac"),
-          round(element_at(st, 2), 4).as("dup_2gram_frac"),
-          round(element_at(st, 3), 4).as("dup_3gram_frac"),
-          round(element_at(st, 4), 4).as("top_2gram_frac"))
+          element_at(st, 1).as("dup_token_frac"),
+          element_at(st, 2).as("dup_2gram_frac"),
+          element_at(st, 3).as("dup_3gram_frac"),
+          element_at(st, 4).as("top_2gram_frac"))
           .orderBy("doc_id")
       },
       Some(graft.text.Repetition.statsDuckSql("documents") + "\nORDER BY doc_id")),

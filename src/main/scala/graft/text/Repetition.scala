@@ -40,6 +40,18 @@ object Repetition {
   def statsNative(text: Column): Column =
     call_function("graft_repetition_stats", text)
 
+  /** [[statsNative]] pre-rounded to 4dp by exact integer half-up
+    * arithmetic on the underlying count rationals
+    * ([[graft.functions.RepetitionStats.intRound4]]) — the
+    * oracle-comparison entry point: `round(double, 4)` is not
+    * engine-portable when a ratio lands exactly on a decimal boundary
+    * (best/len = 57/800 = 0.07125 → Spark 0.0713, DuckDB 0.0712),
+    * while the integer formula mirrored in [[statsDuckSql]] rounds the
+    * true rational identically everywhere.
+    */
+  def statsNative4(text: Column): Column =
+    call_function("graft_repetition_stats4", text)
+
   /** Non-distinct token w-grams (space-joined), [] when n_tokens < w. */
   def ngrams(text: Column, w: Int): Column = {
     val t = TextFunctions.tokens(text)
@@ -117,6 +129,13 @@ object Repetition {
       s"""SELECT doc_id, sum(c * l) AS total, sum((c - 1) * l) AS dup${if (withBest) ", max(c * l) AS best" else ""}
          |  FROM (SELECT doc_id, count(*) AS c, length(gram) AS l
          |        FROM $src GROUP BY doc_id, gram) GROUP BY doc_id""".stripMargin
+    // exact integer half-up 4dp of the rational p/q — the mirror of
+    // RepetitionStats.intRound4 (round(double, 4) flips on decimal-
+    // boundary ratios like 57/800 = 0.07125; integer rounding of the
+    // true rational cannot)
+    def r4(p: String, q: String) =
+      s"CASE WHEN coalesce($q, 0) = 0 THEN 0.0 " +
+        s"ELSE ((20000 * $p + $q) // (2 * $q)) / 10000.0 END"
     s"""WITH d AS MATERIALIZED (
        |  SELECT doc_id, text, string_split(text, ' ') AS toks FROM $table
        |),
@@ -125,11 +144,11 @@ object Repetition {
        |s2 AS (${aggCte("g2", withBest = true)}),
        |s3 AS (${aggCte("g3", withBest = false)})
        |SELECT d.doc_id,
-       |  round((len(toks) - len(list_distinct(toks))) / CAST(len(toks) AS DOUBLE), 4) AS dup_token_frac,
-       |  round(coalesce(s2.dup / CAST(nullif(s2.total, 0) AS DOUBLE), 0), 4) AS dup_2gram_frac,
-       |  round(coalesce(s3.dup / CAST(nullif(s3.total, 0) AS DOUBLE), 0), 4) AS dup_3gram_frac,
-       |  round(CASE WHEN length(d.text) = 0 THEN 0
-       |    ELSE coalesce(s2.best, 0) / CAST(length(d.text) AS DOUBLE) END, 4) AS top_2gram_frac
+       |  ${r4("(len(toks) - len(list_distinct(toks)))", "len(toks)")} AS dup_token_frac,
+       |  ${r4("coalesce(s2.dup, 0)", "coalesce(s2.total, 0)")} AS dup_2gram_frac,
+       |  ${r4("coalesce(s3.dup, 0)", "coalesce(s3.total, 0)")} AS dup_3gram_frac,
+       |  CASE WHEN len(toks) < 2 THEN 0.0
+       |    ELSE ${r4("coalesce(s2.best, 0)", "length(d.text)")} END AS top_2gram_frac
        |FROM d LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)""".stripMargin
   }
 }
