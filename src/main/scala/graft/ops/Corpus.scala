@@ -160,7 +160,10 @@ object Corpus {
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("__hit"), lit(0))).as("n_shared"))
       .select(col(idCol), col("n_grams"), col("n_shared"),
-        round(col("n_shared") / col("n_grams").cast("double"), 4).as("frac"))
+        // integer-exact rounding: n_shared/n_grams is a small-integer
+        // rational, the class that flips round(double, 4) across
+        // engines on decimal boundaries (PortableRound)
+        PortableRound.intRound4(col("n_shared"), col("n_grams")).as("frac"))
       .orderBy(idCol)
   }
 
@@ -187,7 +190,7 @@ object Corpus {
        |  FROM tr LEFT JOIN ev USING (gh)
        |  GROUP BY $idCol)
        |SELECT $idCol, n_grams, n_shared,
-       |  round(n_shared / CAST(n_grams AS DOUBLE), 4) AS frac
+       |  ${PortableRound.intRound4Duck("n_shared", "n_grams")} AS frac
        |FROM agg
        |ORDER BY $idCol""".stripMargin
 
@@ -476,8 +479,11 @@ object Corpus {
     */
   def qualityTopQ(df: DataFrame, idCol: String, srcCol: String,
                   textCol: String, q: Double): DataFrame = {
-    val score = TextFunctions.stopwordRatio(split(col(textCol), " "))
-    val scored = df.select(col(idCol), col(srcCol), round(score, 4).as("score"))
+    // integer-exact 4dp (PortableRound): the score feeds a rank +
+    // quantile cutoff, where a cross-engine boundary flip moves docs
+    // across the gate
+    val score = TextFunctions.stopwordRatio4(split(col(textCol), " "))
+    val scored = df.select(col(idCol), col(srcCol), score.as("score"))
     val bySrc = Window.partitionBy(col(srcCol))
     val rn = row_number().over(bySrc.orderBy(col("score").desc, col(idCol).asc))
     val n = count(lit(1)).over(bySrc)
@@ -492,7 +498,7 @@ object Corpus {
                          textCol: String, q: Double): String =
     s"""SELECT $idCol, $srcCol, score FROM (
        |  SELECT $idCol, $srcCol,
-       |    round(${TextFunctions.stopwordRatioDuck(s"string_split($textCol, ' ')")}, 4) AS score
+       |    ${TextFunctions.stopwordRatio4Duck(s"string_split($textCol, ' ')")} AS score
        |  FROM $table) t
        |QUALIFY row_number() OVER (PARTITION BY $srcCol ORDER BY score DESC, $idCol ASC)
        |  <= floor(count(*) OVER (PARTITION BY $srcCol) * $q)

@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Engine-portable 4dp rounding of integer-count ratios.
+  *
+  * `round(p / q, 4)` on a double is NOT portable between Spark and
+  * DuckDB when the true rational p/q lands exactly on a decimal
+  * boundary: Spark rounds the SHORTEST-STRING decimal of the double
+  * (BigDecimal(Double.toString), so 57/800 → "0.07125" → 0.0713
+  * half-up) while DuckDB rounds the exact BINARY value
+  * (0.0712499…96 → 0.0712). Rare per ratio (the 5th decimal must be
+  * an exact trailing 5), but a 50k-row ratio column hits it at scale —
+  * q_repetition did at sf1.
+  *
+  * The portable form rounds the TRUE RATIONAL in integer arithmetic:
+  * round4(p/q) = ⌊(20000·p + q) / (2·q)⌋ / 10000, identical in every
+  * engine. Here the integer floor-divide is expressed as
+  * (num − num mod den) / den — the double division is EXACT because
+  * the numerator is an exact multiple of den and all magnitudes stay
+  * far below 2^53 (p ≤ ~1e9 counts → num ≤ 2e13).
+  *
+  * Use for any 4dp output column whose numerator and denominator are
+  * integer counts (rates, shares, fractions); plain `round` stays
+  * fine for genuinely-float quantities, where exact decimal
+  * boundaries have measure ~zero.
+  */
+object PortableRound {
+
+  /** round4(p/q) for non-negative integral columns; 0.0 when q = 0. */
+  def intRound4(p: Column, q: Column): Column = {
+    val num = lit(20000L) * p.cast("long") + q.cast("long")
+    val den = lit(2L) * q.cast("long")
+    when(q === 0, lit(0.0))
+      .otherwise(((num - pmod(num, den)) / den) / lit(10000.0))
+  }
+
+  /** DuckDB twin — same integer formula (`//` floors like the Spark
+    * form on the non-negative values this is specified for).
+    */
+  def intRound4Duck(p: String, q: String): String =
+    s"CASE WHEN ($q) = 0 THEN 0.0 " +
+      s"ELSE ((20000 * ($p) + ($q)) // (2 * ($q))) / 10000.0 END"
+
+  /** round(scale · p/q) as an exact LONG — the fixed-point quantizer
+    * (`round(ratio * 10000)` is the same boundary hazard in disguise).
+    */
+  def intScaled(p: Column, q: Column, scale: Long = 10000L): Column = {
+    val num = lit(2L * scale) * p.cast("long") + q.cast("long")
+    val den = lit(2L) * q.cast("long")
+    when(q === 0, lit(0L))
+      .otherwise(((num - pmod(num, den)) / den).cast("long"))
+  }
+
+  def intScaledDuck(p: String, q: String, scale: Long = 10000L): String =
+    s"CASE WHEN ($q) = 0 THEN 0 " +
+      s"ELSE (${2 * scale} * ($p) + ($q)) // (2 * ($q)) END"
+}

@@ -79,8 +79,13 @@ object CorpusQueries extends QuerySet {
     Q("q_score_length_corr",
       (s, d) => {
         val agg = Tables.df(s, d, "documents")
-          .select(round(graft.text.TextFunctions.stopwordRatio(
-            split(col("text"), " ")) * 10000).cast("long").as("xi"),
+          // fixed-point quantizer in exact integer arithmetic
+          // (PortableRound.intScaled): round(ratio * 10000) on the
+          // double has the same cross-engine decimal-boundary hazard
+          // as round(ratio, 4)
+          .select(graft.ops.PortableRound.intScaled(
+            graft.text.TextFunctions.stopwordCount(split(col("text"), " ")),
+            size(split(col("text"), " "))).as("xi"),
             col("n_chars").cast("long").as("yi"))
           .agg(count(lit(1)).as("n"),
             sum(col("xi")).as("sx"), sum(col("yi")).as("sy"),
@@ -107,7 +112,9 @@ object CorpusQueries extends QuerySet {
               |  SELECT count(*) AS n, sum(xi) AS sx, sum(yi) AS sy,
               |         sum(xi * yi) AS sxy, sum(xi * xi) AS sxx, sum(yi * yi) AS syy
               |  FROM (
-              |    SELECT CAST(round(${graft.text.TextFunctions.stopwordRatioDuck("string_split(text, ' ')")} * 10000) AS BIGINT) AS xi,
+              |    SELECT CAST(${graft.ops.PortableRound.intScaledDuck(
+                     graft.text.TextFunctions.stopwordCountDuck("string_split(text, ' ')"),
+                     "len(string_split(text, ' '))")} AS BIGINT) AS xi,
               |           CAST(n_chars AS BIGINT) AS yi
               |    FROM documents) t) a""".stripMargin)),
 

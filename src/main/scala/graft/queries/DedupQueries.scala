@@ -134,6 +134,21 @@ object DedupQueries extends QuerySet {
               |  round((n_dup_docs - n_clusters) / CAST(n_docs AS DOUBLE), 4) AS drop_frac
               |FROM n, s""".stripMargin)),
 
+    // Fixed-point integer PageRank over the near-dup pair graph — the
+    // template-hub detector (see graft.ops.PageRank): rank mass
+    // concentrating on few docs = boilerplate families with a
+    // canonical template; flat rank = organic near-dups. Every rank
+    // is a BIGINT in 1e-8 units and the whole iteration is integer
+    // arithmetic, so five iterations are bit-exact across engines.
+    Q("q_pagerank",
+      (s, d) => graft.ops.PageRank.ranks(
+        MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text"),
+        "id_a", "id_b")
+        .orderBy("id"),
+      Some(graft.ops.PageRank.ranksDuckSql(
+        MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+        "id_a", "id_b") + "\nORDER BY id")),
+
     // survivors after end-to-end dedupe (pairs -> components -> drop
     // non-representatives): the oracle replays the same walk and
     // anti-joins the dropped ids
@@ -167,7 +182,9 @@ object DedupQueries extends QuerySet {
       (s, d) => {
         val docs = Tables.df(s, d, "documents")
         val scored = docs.select(col("doc_id").as("id"),
-          round(TextFunctions.stopwordRatio(split(col("text"), " ")), 4).as("__q"))
+          // integer-exact 4dp: the score RANKS cluster members, so a
+          // cross-engine boundary flip would change which doc survives
+          TextFunctions.stopwordRatio4(split(col("text"), " ")).as("__q"))
         val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
           .orderBy(col("__q").desc, col("id").asc)
         val dropped = componentsCached(s, d).join(scored, "id")
@@ -183,7 +200,7 @@ object DedupQueries extends QuerySet {
                  "id_a", "id_b")}),
               |sc AS (
               |  SELECT doc_id AS id,
-              |    round(${TextFunctions.stopwordRatioDuck("string_split(text, ' ')")}, 4) AS q
+              |    ${TextFunctions.stopwordRatio4Duck("string_split(text, ' ')")} AS q
               |  FROM documents),
               |ranked AS (
               |  SELECT cc.id,

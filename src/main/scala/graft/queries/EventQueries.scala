@@ -243,6 +243,24 @@ object EventQueries extends QuerySet {
              |WHERE n >= 5 AND sd > 0 AND abs(z) >= 2.0
              |ORDER BY event_id""".stripMargin)),
 
+    // Per-user exponentially-weighted moving average of the event
+    // value stream — the smoothing primitive under drift dashboards
+    // and alert hysteresis. Truncated 8-lag form (decay 0.75^i,
+    // 0.75^8 < 0.1 of a step weight) rather than the recursion:
+    // ewma_t = Σ w_i·x_{t-i} / Σ w_i over the lags that exist — ONE
+    // window pass partitioned on the max-cardinality user id. The
+    // weights are dyadic rationals (0.75 = 3/4), so every product and
+    // the left-assoc sums evaluate bit-identically in both engines;
+    // the oracle repeats the identical lag/arithmetic shape.
+    Q("q_ewma",
+      (s, d) => graft.ops.Ewma.ewma(Tables.df(s, d, "events"),
+        keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+        valueCol = "value")
+        .orderBy("event_id"),
+      Some(graft.ops.Ewma.ewmaDuckSql("events",
+        keyCol = "user_id", tsSql = "CAST(ts AS TIMESTAMP)",
+        tieCol = "event_id", valueCol = "value") + "\nORDER BY event_id")),
+
     // Weekly retention-cohort matrix — the standing product-analytics
     // report: users grouped by first-seen epoch week, distinct-user
     // counts at each week offset, rate vs the cohort size. Integer

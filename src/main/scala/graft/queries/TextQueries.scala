@@ -16,29 +16,34 @@ object TextQueries extends QuerySet {
     // the five ratios from ONE native byte scan (graft_text_stats) —
     // spec-asserted bit-identical to the regex/lambda formulations the
     // oracle mirrors
+    // ratios pre-rounded by EXACT INTEGER arithmetic on the kernel's
+    // count array (qualityStats4/PortableRound): int/int ratios are
+    // the class where round(double, 4) flips across engines on exact
+    // decimal boundaries — the q_repetition sf1 lesson, and this
+    // query emits 4 such ratios per document
     Q("q_text_quality",
       (s, d) => {
-        val qs = TextFunctions.qualityStats(col("text"))
+        val qs = TextFunctions.qualityStats4(col("text"))
         Tables.df(s, d, "documents").select(
           col("doc_id"),
           qs.nTokens.as("n_tokens"),
-          round(qs.meanTokLen, 4).as("mean_tok_len"),
-          round(qs.stopRatio, 4).as("stop_ratio"),
-          round(qs.punctRatio, 4).as("punct_ratio"),
-          round(qs.digitRatio, 4).as("digit_ratio"))
+          qs.meanTokLen.as("mean_tok_len"),
+          qs.stopRatio.as("stop_ratio"),
+          qs.punctRatio.as("punct_ratio"),
+          qs.digitRatio.as("digit_ratio"))
           .orderBy("doc_id")
       },
-      Some(s"""SELECT doc_id,
-              |  len(toks) AS n_tokens,
-              |  round(CASE WHEN len(toks) = 0 THEN 0
-              |    ELSE list_sum(list_transform(toks, x -> length(x))) / CAST(len(toks) AS DOUBLE) END, 4) AS mean_tok_len,
-              |  round(${TextFunctions.stopwordRatioDuck("toks")}, 4) AS stop_ratio,
-              |  round(CASE WHEN length(text) = 0 THEN 0
-              |    ELSE length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) / CAST(length(text) AS DOUBLE) END, 4) AS punct_ratio,
-              |  round(CASE WHEN length(text) = 0 THEN 0
-              |    ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE) END, 4) AS digit_ratio
-              |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t
-              |ORDER BY doc_id""".stripMargin)),
+      {
+        import graft.ops.PortableRound.intRound4Duck
+        Some(s"""SELECT doc_id,
+                |  len(toks) AS n_tokens,
+                |  ${intRound4Duck("list_sum(list_transform(toks, x -> length(x)))", "len(toks)")} AS mean_tok_len,
+                |  ${intRound4Duck(s"len(list_filter(toks, x -> list_contains(${TextFunctions.stopwordArrayDuck}, x)))", "len(toks)")} AS stop_ratio,
+                |  ${intRound4Duck("length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))", "length(text)")} AS punct_ratio,
+                |  ${intRound4Duck("length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))", "length(text)")} AS digit_ratio
+                |FROM (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents) t
+                |ORDER BY doc_id""".stripMargin)
+      }),
 
     // counts via the allocation-free forms (arithmetic span count +
     // native byte scan) — spec-asserted equal to the array-size

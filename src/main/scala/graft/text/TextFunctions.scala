@@ -76,10 +76,36 @@ object TextFunctions {
       size(filter(toks, x => array_contains(stopwordArray, x))).cast("double") /
         size(toks).cast("double"))
 
-  def stopwordRatioDuck(toksSql: String): String = {
-    val arr = stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-    s"CASE WHEN len($toksSql) = 0 THEN 0 ELSE len(list_filter($toksSql, x -> list_contains($arr, x))) / CAST(len($toksSql) AS DOUBLE) END"
-  }
+  /** The stopword list as a DuckDB array literal. */
+  def stopwordArrayDuck: String =
+    stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  def stopwordRatioDuck(toksSql: String): String =
+    s"CASE WHEN len($toksSql) = 0 THEN 0 ELSE len(list_filter($toksSql, x -> list_contains($stopwordArrayDuck, x))) / CAST(len($toksSql) AS DOUBLE) END"
+
+  /** [[stopwordRatio]] pre-rounded to 4dp by exact integer arithmetic
+    * ([[graft.ops.PortableRound]]) — for RANKED/THRESHOLDED scores
+    * (keep-best dedupe, top-quantile gates): n_stop/n_toks is an
+    * integer rational, where `round(double, 4)` can flip between
+    * engines on an exact decimal boundary and change which doc wins.
+    */
+  def stopwordRatio4(toks: Column): Column =
+    graft.ops.PortableRound.intRound4(
+      size(filter(toks, x => array_contains(stopwordArray, x))), size(toks))
+
+  def stopwordRatio4Duck(toksSql: String): String =
+    graft.ops.PortableRound.intRound4Duck(
+      s"len(list_filter($toksSql, x -> list_contains($stopwordArrayDuck, x)))",
+      s"len($toksSql)")
+
+  /** Stopword count / token count as exact integer columns (for
+    * fixed-point quantizers like the corr xi units).
+    */
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, x => array_contains(stopwordArray, x)))
+
+  def stopwordCountDuck(toksSql: String): String =
+    s"len(list_filter($toksSql, x -> list_contains($stopwordArrayDuck, x)))"
 
   /** Mean token length (0 when empty). */
   def meanTokenLen(toks: Column): Column =
@@ -119,6 +145,27 @@ object TextFunctions {
         .otherwise(el(3).cast("double") / el(1).cast("double")),
       digitRatio = when(el(1) === 0, lit(0.0))
         .otherwise(el(4).cast("double") / el(1).cast("double")))
+  }
+
+  /** [[qualityStats]] with the four ratio columns pre-rounded to 4dp
+    * by exact integer arithmetic on the kernel's count array
+    * ([[graft.ops.PortableRound]]) — the oracle-comparison entry
+    * point: every ratio here is integer/integer, the class whose
+    * `round(double, 4)` flips between engines on exact decimal
+    * boundaries (the q_repetition sf1 lesson). `nTokens` stays the
+    * raw count.
+    */
+  def qualityStats4(text: Column): QualityStats = {
+    import graft.ops.PortableRound.intRound4
+    val st = call_function("graft_text_stats", text)
+    def el(i: Int): Column = element_at(st, i)
+    val nToks = el(2) + 1
+    QualityStats(
+      nTokens = nToks.cast("int"),
+      meanTokLen = intRound4(el(1) - el(2), nToks),
+      stopRatio = intRound4(el(5), nToks),
+      punctRatio = intRound4(el(3), el(1)),
+      digitRatio = intRound4(el(4), el(1)))
   }
 
   /** DEFLATE compression ratio (compressed bytes / raw UTF-8 bytes,
