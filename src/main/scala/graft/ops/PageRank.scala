@@ -40,24 +40,45 @@ object PageRank {
     */
   def ranks(pairs: DataFrame, aCol: String, bCol: String,
             iters: Int = 5): DataFrame = {
-    val p = pairs.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
-    val edges = p.select(col("a").as("src"), col("b").as("dst"))
-      .unionByName(p.select(col("b").as("src"), col("a").as("dst")))
-      .distinct()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    var r = deg.select(col("src").as("id"), lit(Scale).as("r"))
-    for (_ <- 1 to iters) {
-      // share = r div deg per source, summed at each destination:
-      // the per-edge contribution is computed ONCE per source (join
-      // rank+degree first), then fanned out along the edge list
-      val share = r.join(deg.withColumnRenamed("src", "id"), "id")
-        .select(col("id").as("src"), expr("r div deg").as("share"))
-      r = edges.join(share, "src")
-        .groupBy(col("dst").as("id"))
-        .agg(sum("share").as("acc"))
-        .select(col("id"), (lit(15000000L) + expr("(85 * acc) div 100")).as("r"))
-    }
-    r.select(col("id"), col("r").as("rank_fp"))
+    // Eager iterative builder — the Cluster.connectedComponents cache
+    // discipline: persist the (typically expensive) pair-finding
+    // lineage ONCE in a local scope, truncate the rank table's lineage
+    // every round with localCheckpoint. Without this, iteration k
+    // re-evaluates the whole LSH pair pipeline k times and the final
+    // plan costs ~iters× the pair-finder (measured: 14.8 s vs ~2 s at
+    // sf0.1 for 5 iterations over a 447-node graph).
+    val scope = new graft.api.CacheScope
+    try {
+      val p0 = scope.persist(
+        pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
+      val nPairs = p0.count()
+      // dup graphs are tiny next to the corpus — full cluster
+      // parallelism per round is pure scheduling overhead (same
+      // threshold rationale as Cluster)
+      val parts = if (nPairs < 500000L) 4
+        else pairs.sparkSession.sparkContext.defaultParallelism
+      val edges = scope.persist(
+        p0.unionByName(p0.select(col("dst").as("src"), col("src").as("dst")))
+          .distinct().coalesce(parts))
+      val deg = scope.persist(
+        edges.groupBy("src").agg(count(lit(1)).as("deg")))
+      var r = deg.select(col("src").as("id"), lit(Scale).as("r"))
+        .localCheckpoint()
+      for (_ <- 1 to iters) {
+        // share = r div deg per source, summed at each destination:
+        // the per-edge contribution is computed ONCE per source (join
+        // rank+degree first), then fanned out along the edge list
+        val share = r.join(deg.withColumnRenamed("src", "id"), "id")
+          .select(col("id").as("src"), expr("r div deg").as("share"))
+        r = edges.join(share, "src")
+          .groupBy(col("dst").as("id"))
+          .agg(sum("share").as("acc"))
+          .select(col("id"), (lit(15000000L) + expr("(85 * acc) div 100")).as("r"))
+          .coalesce(parts)
+          .localCheckpoint()
+      }
+      r.select(col("id"), col("r").as("rank_fp"))
+    } finally scope.release()
   }
 
   /** DuckDB twin: the same fixed-point iterations unrolled as CTEs

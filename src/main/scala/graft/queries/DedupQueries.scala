@@ -119,8 +119,8 @@ object DedupQueries extends QuerySet {
           countDistinct(col("cluster")).as("n_clusters"))
         nDocs.crossJoin(stats)
           .select(col("n_docs"), col("n_dup_docs"), col("n_clusters"),
-            round((col("n_dup_docs") - col("n_clusters")) /
-              col("n_docs").cast("double"), 4).as("drop_frac"))
+            graft.ops.PortableRound.intRound4(
+              col("n_dup_docs") - col("n_clusters"), col("n_docs")).as("drop_frac"))
       },
       Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
                  MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
@@ -131,7 +131,7 @@ object DedupQueries extends QuerySet {
               |    CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
               |  FROM cc)
               |SELECT n_docs, n_dup_docs, n_clusters,
-              |  round((n_dup_docs - n_clusters) / CAST(n_docs AS DOUBLE), 4) AS drop_frac
+              |  ${graft.ops.PortableRound.intRound4Duck("n_dup_docs - n_clusters", "n_docs")} AS drop_frac
               |FROM n, s""".stripMargin)),
 
     // Fixed-point integer PageRank over the near-dup pair graph — the

@@ -67,13 +67,15 @@ object EventQueries extends QuerySet {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"),
-          round(avg("k"), 4).as("avg_k"),
+          // avg of a BIGINT is an integer ratio — integer-exact 4dp
+          graft.ops.PortableRound.intRound4(sum("k"), count(col("k"))).as("avg_k"),
           max("k").as("max_k"))
         .orderBy("event_type"),
-      Some("""SELECT event_type, count(*) AS n,
-             |  round(avg(k), 4) AS avg_k, max(k) AS max_k
+      Some(s"""SELECT event_type, count(*) AS n,
+             |  ${graft.ops.PortableRound.intRound4Duck("sum(k)", "count(k)")} AS avg_k,
+             |  max(k) AS max_k
              |FROM (SELECT event_type,
-             |        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+             |        CAST(json_extract_string(props, '$$.k') AS BIGINT) AS k
              |      FROM events) t
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
@@ -163,11 +165,11 @@ object EventQueries extends QuerySet {
           expr("(unix_micros(ts) div 3600000000) % 24").cast("int").as("hour"))
         .groupBy("event_type", "hour")
         .agg(count(lit(1)).as("n"))
-        .withColumn("share", round(col("n") /
+        .withColumn("share", graft.ops.PortableRound.intRound4(col("n"),
           sum("n").over(org.apache.spark.sql.expressions.Window
-            .partitionBy("event_type")).cast("double"), 4))
+            .partitionBy("event_type"))))
         .orderBy("event_type", "hour"),
-      Some("""WITH h AS (
+      Some(s"""WITH h AS (
              |  SELECT event_type,
              |    CAST((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) % 24 AS INT) AS hour
              |  FROM events),
@@ -175,7 +177,7 @@ object EventQueries extends QuerySet {
              |  SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n
              |  FROM h GROUP BY event_type, hour)
              |SELECT event_type, hour, n,
-             |  round(n / CAST(sum(n) OVER (PARTITION BY event_type) AS DOUBLE), 4) AS share
+             |  ${graft.ops.PortableRound.intRound4Duck("n", "sum(n) OVER (PARTITION BY event_type)")} AS share
              |FROM c
              |ORDER BY event_type, hour""".stripMargin)),
 
@@ -196,12 +198,12 @@ object EventQueries extends QuerySet {
           .filter(col("__next").isNotNull)
           .groupBy(col("event_type").as("from_type"), col("__next").as("to_type"))
           .agg(count(lit(1)).as("n"))
-          .withColumn("rate", round(col("n") /
+          .withColumn("rate", graft.ops.PortableRound.intRound4(col("n"),
             sum("n").over(org.apache.spark.sql.expressions.Window
-              .partitionBy("from_type")).cast("double"), 4))
+              .partitionBy("from_type"))))
           .orderBy("from_type", "to_type")
       },
-      Some("""WITH p AS (
+      Some(s"""WITH p AS (
              |  SELECT event_type AS from_type,
              |    lead(event_type) OVER (PARTITION BY user_id
              |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
@@ -211,7 +213,7 @@ object EventQueries extends QuerySet {
              |  FROM p WHERE to_type IS NOT NULL
              |  GROUP BY from_type, to_type)
              |SELECT from_type, to_type, n,
-             |  round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 4) AS rate
+             |  ${graft.ops.PortableRound.intRound4Duck("n", "sum(n) OVER (PARTITION BY from_type)")} AS rate
              |FROM c
              |ORDER BY from_type, to_type""".stripMargin)),
 
@@ -282,10 +284,10 @@ object EventQueries extends QuerySet {
         val sizes = firstWk.groupBy("cohort").agg(count(lit(1)).as("n0"))
         byCohort.join(sizes, "cohort")
           .select(col("cohort"), col("offset_wk"), col("n_users"),
-            round(col("n_users") / col("n0").cast("double"), 4).as("rate"))
+            graft.ops.PortableRound.intRound4(col("n_users"), col("n0")).as("rate"))
           .orderBy("cohort", "offset_wk")
       },
-      Some("""WITH e AS (
+      Some(s"""WITH e AS (
              |  SELECT user_id,
              |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
              |  FROM events),
@@ -298,7 +300,7 @@ object EventQueries extends QuerySet {
              |  GROUP BY cohort, wk - cohort),
              |cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n0 FROM fw GROUP BY cohort)
              |SELECT ro.cohort, ro.offset_wk, ro.n_users,
-             |  round(ro.n_users / CAST(cs.n0 AS DOUBLE), 4) AS rate
+             |  ${graft.ops.PortableRound.intRound4Duck("ro.n_users", "cs.n0")} AS rate
              |FROM ro JOIN cs USING (cohort)
              |ORDER BY cohort, offset_wk""".stripMargin)),
 

@@ -273,7 +273,9 @@ object PipelineQueries extends QuerySet {
           sum(col("sm")).as("total_toks"),
           sum(col("mx") * col("n")).as("padded_toks"))
         .select(col("n_batches"), col("total_toks"), col("padded_toks"),
-          round(lit(1.0) - col("total_toks") / col("padded_toks").cast("double"), 4)
+          // 1 - p/q = (q-p)/q — integer-exact 4dp (PortableRound)
+          graft.ops.PortableRound.intRound4(
+            col("padded_toks") - col("total_toks"), col("padded_toks"))
             .as("waste_frac")),
       Some(s"""WITH lb AS (
               |${TrainStream.lengthBatchesDuckSql("documents", "doc_id", "text",
@@ -285,7 +287,9 @@ object PipelineQueries extends QuerySet {
               |SELECT CAST(count(*) AS BIGINT) AS n_batches,
               |  CAST(sum(sm) AS BIGINT) AS total_toks,
               |  CAST(sum(mx * n) AS BIGINT) AS padded_toks,
-              |  round(1.0 - CAST(sum(sm) AS BIGINT) / CAST(CAST(sum(mx * n) AS BIGINT) AS DOUBLE), 4) AS waste_frac
+              |  ${graft.ops.PortableRound.intRound4Duck(
+                   "CAST(sum(mx * n) AS BIGINT) - CAST(sum(sm) AS BIGINT)",
+                   "CAST(sum(mx * n) AS BIGINT)")} AS waste_frac
               |FROM pb""".stripMargin)),
 
     Q("q_pack_sequences",

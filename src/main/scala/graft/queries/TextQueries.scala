@@ -231,7 +231,12 @@ object TextQueries extends QuerySet {
         preds.groupBy(least(floor(col("prob") * 10), lit(9L)).cast("int").as("bucket"))
           .agg(count(lit(1)).as("n"),
             round(avg(col("prob")), 4).as("mean_prob"),
-            round(avg(col("y")), 4).as("pos_rate"))
+            // y is 0/1 — pos_rate is an integer ratio, rounded
+            // integer-exact (PortableRound); mean_prob stays float
+            // round (probs are full-entropy doubles, boundary measure
+            // ~zero)
+            graft.ops.PortableRound.intRound4(
+              sum(col("y").cast("long")), count(lit(1))).as("pos_rate"))
           .orderBy("bucket")
       },
       Some(s"""WITH preds AS (
@@ -240,7 +245,8 @@ object TextQueries extends QuerySet {
               |SELECT CAST(least(floor(prob * 10), 9) AS INT) AS bucket,
               |  CAST(count(*) AS BIGINT) AS n,
               |  round(avg(prob), 4) AS mean_prob,
-              |  round(avg(y), 4) AS pos_rate
+              |  ${graft.ops.PortableRound.intRound4Duck(
+                   "CAST(sum(y) AS BIGINT)", "count(*)")} AS pos_rate
               |FROM preds
               |GROUP BY bucket
               |ORDER BY bucket""".stripMargin)),
@@ -263,15 +269,17 @@ object TextQueries extends QuerySet {
           sum(when(col("y") === 0.0 && isPos, 1L).otherwise(0L)).as("fp"),
           sum(when(col("y") === 1.0 && !isPos, 1L).otherwise(0L)).as("fn"))
           .select(col("n"), col("tp"), col("fp"), col("fn"),
-            round((col("n") - col("fp") - col("fn")) / col("n").cast("double"), 4)
-              .as("accuracy"),
-            round(when(col("tp") + col("fp") > 0,
-              col("tp") / (col("tp") + col("fp")).cast("double")), 4).as("prec"),
-            round(when(col("tp") + col("fn") > 0,
-              col("tp") / (col("tp") + col("fn")).cast("double")), 4).as("recall"),
-            round(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
-              lit(2) * col("tp") /
-                (lit(2) * col("tp") + col("fp") + col("fn")).cast("double")), 4).as("f1"))
+            // confusion-count ratios in integer-exact 4dp
+            // (PortableRound); zero denominators stay NULL
+            graft.ops.PortableRound.intRound4(
+              col("n") - col("fp") - col("fn"), col("n")).as("accuracy"),
+            when(col("tp") + col("fp") > 0, graft.ops.PortableRound.intRound4(
+              col("tp"), col("tp") + col("fp"))).as("prec"),
+            when(col("tp") + col("fn") > 0, graft.ops.PortableRound.intRound4(
+              col("tp"), col("tp") + col("fn"))).as("recall"),
+            when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+              graft.ops.PortableRound.intRound4(lit(2) * col("tp"),
+                lit(2) * col("tp") + col("fp") + col("fn"))).as("f1"))
       },
       Some(s"""WITH preds AS (
               |${graft.ops.LogReg.classifyDuckSql("documents", "doc_id", "text",
@@ -283,11 +291,11 @@ object TextQueries extends QuerySet {
               |    CAST(sum(CASE WHEN y = 1 AND prob < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn
               |  FROM preds)
               |SELECT n, tp, fp, fn,
-              |  round((n - fp - fn) / CAST(n AS DOUBLE), 4) AS accuracy,
-              |  round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) END, 4) AS prec,
-              |  round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) END, 4) AS recall,
-              |  round(CASE WHEN 2 * tp + fp + fn > 0
-              |    THEN 2 * tp / CAST(2 * tp + fp + fn AS DOUBLE) END, 4) AS f1
+              |  ${graft.ops.PortableRound.intRound4Duck("n - fp - fn", "n")} AS accuracy,
+              |  CASE WHEN tp + fp > 0 THEN ${graft.ops.PortableRound.intRound4Duck("tp", "tp + fp")} END AS prec,
+              |  CASE WHEN tp + fn > 0 THEN ${graft.ops.PortableRound.intRound4Duck("tp", "tp + fn")} END AS recall,
+              |  CASE WHEN 2 * tp + fp + fn > 0
+              |    THEN ${graft.ops.PortableRound.intRound4Duck("2 * tp", "2 * tp + fp + fn")} END AS f1
               |FROM c""".stripMargin))
   )
 }

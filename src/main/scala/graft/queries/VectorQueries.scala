@@ -427,7 +427,7 @@ object VectorQueries extends QuerySet {
           .filter(col("__rn") === 1)
           .select(col("cluster"), col("n"),
             col("label").as("top_label"), col("cnt").as("top_n"),
-            round(col("cnt") / col("n").cast("double"), 4).as("purity"))
+            graft.ops.PortableRound.intRound4(col("cnt"), col("n")).as("purity"))
           .orderBy("cluster")
       },
       Some(s"""WITH ${graft.ann.KMeans.assignCtesDuckSql(
@@ -437,7 +437,7 @@ object VectorQueries extends QuerySet {
               |  FROM afinal a JOIN embeddings t ON t.vec_id = a.id
               |  GROUP BY a.cid, t.label)
               |SELECT cluster, n, top_label, top_n,
-              |  round(top_n / CAST(n AS DOUBLE), 4) AS purity
+              |  ${graft.ops.PortableRound.intRound4Duck("top_n", "n")} AS purity
               |FROM (
               |  SELECT cluster, label AS top_label, cnt AS top_n,
               |    CAST(sum(cnt) OVER (PARTITION BY cluster) AS BIGINT) AS n,
