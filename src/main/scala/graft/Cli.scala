@@ -111,7 +111,10 @@ object Cli {
             .map(c => graft.ops.Validate.Required(c)).toSeq
           if (rules.isEmpty)
             throw new IllegalArgumentException("validate needs --required col[,col]")
-          emit(opts, out, graft.ops.Validate.validate(df, pk, rules))
+          // deterministic rendering for the interactive report (the
+          // library op itself stays unordered/map-only)
+          emit(opts, out, graft.ops.Validate.validate(df, pk, rules)
+            .orderBy("row_id", "field", "code"))
         case "diff" =>
           val df = load(spark, opts)
           val other = graft.io.Formats.read(spark,

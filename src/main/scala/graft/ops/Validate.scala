@@ -42,7 +42,12 @@ object Validate {
 
   /** One scan: every rule's violation becomes a struct; non-violations
     * are filtered inside the array before the explode, so clean rows
-    * contribute zero output.
+    * contribute zero output. The violation stream is UNORDERED —
+    * map-only, zero shuffle at any scale (a dirty 100 TB table can
+    * emit violations row-bounded in size; a global sort of that
+    * stream was the single superlinear step the sf1 bench caught:
+    * 800k violations → 13× wall at 10× data). Callers that render a
+    * report sort their own bounded slice.
     */
   def validate(df: DataFrame, idCol: String, rules: Seq[Rule]): DataFrame = {
     val checks = rules.map { r =>
@@ -54,7 +59,6 @@ object Validate {
     df.select(col(idCol).as("row_id"),
         explode(filter(array(checks: _*), _.isNotNull)).as("v"))
       .select(col("row_id"), col("v.field"), col("v.code"), col("v.value"))
-      .orderBy("row_id", "field", "code")
   }
 
   /** A declared foreign-key-style reference: values of `from.fkCol`

@@ -210,6 +210,25 @@ class PlanAuditSpec extends SparkSpec {
     } finally graft.api.CacheScope.global.release()
   }
 
+  test("the validation library path is map-only (no sort, no exchange)") {
+    // Validate.validate used to end in orderBy(row_id, field, code)
+    // for oracle cosmetics; on a dirty table the violation stream is
+    // row-bounded in size and a global sort of it was the ONLY
+    // superlinear step the sf1 bench caught (800k violations → 13×
+    // wall at 10× data). The op must stay scan → project → explode.
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    val plan = graft.ops.Validate.validate(
+      graft.Tables.df(spark, sfDir, "orders"), "o_orderkey", Seq(
+        graft.ops.Validate.Required("o_custkey"),
+        graft.ops.Validate.Enum("o_orderstatus", Seq("F", "O")),
+        graft.ops.Validate.Range("o_totalprice", None, Some(400000.0)),
+        graft.ops.Validate.Pattern("o_orderpriority", "^[1-5]-")))
+      .queryExecution.sparkPlan
+    plan.collect { case s: SortExec => s } shouldBe empty
+    plan.collect { case e: Exchange => e } shouldBe empty
+  }
+
   test("no query broadcast-hints a grouped (unbounded) aggregate") {
     // an explicit broadcast() of a groupBy-aggregate ships an
     // unbounded result (a 100 TB corpus vocabulary / document

@@ -61,7 +61,9 @@ class OpsSpec extends SparkSpec {
       Validate.Range("price", Some(0.0), None),
       Validate.Pattern("prio", "^[1-5]-")))
       .collect().map(x => (x.getInt(0), x.getString(1), x.getString(2)))
-    r shouldBe Array(
+    // the violation stream is deliberately unordered (map-only op) —
+    // sort here, not in the plan
+    r.sortBy(identity) shouldBe Array(
       (2, "price", "range"),
       (2, "prio", "pattern"),
       (2, "status", "enum"),
