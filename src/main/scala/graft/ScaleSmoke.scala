@@ -226,7 +226,15 @@ object ScaleSmoke {
         val hot = docsX(k).withColumn("text", concat(col("text"),
           lit(" this long shared passage of twenty tokens sits inside every document so its fingerprints bucket together across the entire corpus")))
         graft.dedup.Winnow.sharedFingerprintPairs(hot, "doc_id", "text", maxBucket = 200)
-      }))
+      }),
+      "pagerank" -> (k =>
+        // iterative op on the pair graph: the pair-finder dominates
+        // (persisted once per call — the eager CacheScope discipline),
+        // five fixed rank rounds ride the cap-bounded edge list, so
+        // cost tracks the minhash_lsh finder ~linearly
+        graft.ops.PageRank.ranks(
+          graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text"),
+          "id_a", "id_b")))
     // (no semdedup finder: its pair join is by contract quadratic in
     // CLUSTER size — the scale dial is k ∝ n (constant cluster size,
     // fit on a subsample), so a fixed-k 10x run measures the documented

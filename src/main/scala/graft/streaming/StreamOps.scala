@@ -393,6 +393,51 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Ewma]]: truncated `lags`-term EWMA
+    * per key on a live event stream. State is the last (lags−1)
+    * values per key — BOUNDED (seven doubles at the default), unlike
+    * the true recursion's unbounded-horizon dependence, and exactly
+    * reproducible from the batch op: the per-event arithmetic repeats
+    * [[graft.ops.Ewma.ewma]]'s left-assoc weighted sums (a missing
+    * lag adds 0.0 there, which is an IEEE no-op, so skipping it here
+    * is bit-identical) and the same HALF_UP 4dp rounding. Events
+    * inside a micro-batch fold in id order (the batch op's tie
+    * column), so replaying a corpus through the stream reproduces the
+    * batch frame row-for-row (spec-pinned).
+    */
+  def ewmaStream(ds: Dataset[(Long, Long, Double)], lags: Int = 8,
+      decay: Double = 0.75): Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    val ws = (0 until lags).map(i => math.pow(decay, i))
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[List[Double]]) =>
+          var prev = state.getOption.getOrElse(Nil) // most recent first
+          val out = scala.collection.mutable.ListBuffer[(Long, Long, Double)]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            var num = v * ws(0)
+            var den = ws(0)
+            var i = 1
+            var p = prev
+            while (i < lags && p.nonEmpty) {
+              num += p.head * ws(i)
+              den += ws(i)
+              p = p.tail
+              i += 1
+            }
+            val e = BigDecimal.decimal(num / den)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            out += ((key, id, e))
+            prev = (v :: prev).take(lags - 1)
+          }
+          state.update(prev)
+          out.iterator
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: cumulative (count, sum)
     * per key, emitted on every update.
     */

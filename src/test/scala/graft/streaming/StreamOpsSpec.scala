@@ -291,6 +291,38 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ewmaStream reproduces the batch EWMA row-for-row across batches") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(7)
+    // 4 keys x 60 events, values with spikes; ids globally ordered so
+    // two sequential micro-batches replay the batch op's (ts, id) walk
+    val rows = (1L to 240L).map(i => (i % 4, i, math.rint(rng.nextDouble() * 1000) / 100.0 + (if (i % 17 == 0) 25.0 else 0.0)))
+    val batchDf = rows.toDF("user_id", "event_id", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_millis(col("event_id")))
+    val expected = graft.ops.Ewma.ewma(batchDf,
+      keyCol = "user_id", tsCol = "ts", tieCol = "event_id", valueCol = "value")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val q = StreamOps.ewmaStream(input.toDS())
+      .toDF("user_id", "event_id", "ewma")
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = rows.splitAt(120) // state must carry across batches
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("ewma_out").collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toMap
+      got.keySet shouldBe expected.keySet
+      got.foreach { case (id, e) =>
+        withClue(s"event $id: ") { e shouldBe expected(id) }
+      }
+    } finally q.stop()
+  }
+
   test("importanceScoreStream: stream scores match the batch DSIR weights") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // corpus: target speaks {aa bb}, raw mixes; the model fits ONCE on
