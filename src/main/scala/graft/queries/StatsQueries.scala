@@ -27,6 +27,43 @@ object StatsQueries extends QuerySet {
         Tables.df(s, d, "documents"), "lang", "n_chars"),
       Some(Describe.groupQuantilesDuckSql("documents", "lang", "n_chars"))),
 
+    // Equi-width histogram of a numeric column — the computation
+    // behind the reference's distribution plots (renderers are §6
+    // out of scope; the distributed binning is not): floor-bucketed
+    // in identical double arithmetic on both engines (no rounding —
+    // floor of the same quotient), bounded-key aggregate (24 buckets
+    // regardless of corpus size).
+    Q("q_histogram",
+      (s, d) => {
+        val (lo, w, nb) = (0.0, 25000.0, 24)
+        val bucket = least(greatest(
+          floor((col("o_totalprice") - lit(lo)) / lit(w)), lit(0.0)),
+          lit((nb - 1).toDouble)).cast("int")
+        Tables.df(s, d, "orders")
+          .select(bucket.as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n"))
+          .select(col("bucket"),
+            (lit(lo) + col("bucket") * lit(w)).as("bucket_lo"), col("n"))
+          .orderBy("bucket")
+      },
+      Some("""SELECT bucket, 0.0 + bucket * 25000.0 AS bucket_lo,
+             |  CAST(count(*) AS BIGINT) AS n
+             |FROM (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 23) AS INT) AS bucket
+             |      FROM orders) t
+             |GROUP BY bucket
+             |ORDER BY bucket""".stripMargin)),
+
+    // Pearson correlation matrix over the lineitem numeric columns in
+    // ONE aggregation pass — redundancy diagnostics for quality
+    // signals before a learned gate (see ops/CorrMatrix for the
+    // exact-integer-sum portability design; sums ride DECIMAL(38)/
+    // HUGEINT so a 100 TB pair sum cannot silently wrap).
+    Q("q_corr_matrix",
+      (s, d) => graft.ops.CorrMatrix.corrMatrix(Tables.df(s, d, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some(graft.ops.CorrMatrix.corrMatrixDuckSql("lineitem",
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")))),
+
     // group_by + agg_map {count, sum, list} — the reference's group_by
     // with deterministic (sorted) list aggregation. The list column is
     // serialized to a comma-joined string: the driver compare hashes
