@@ -334,6 +334,44 @@ class Collection(val name: String, val df: DataFrame) {
       ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame =
     graft.ops.Describe.groupQuantiles(df, groupCol, valCol, ps)
 
+  /** Equi-width histogram of a numeric column (bounded-key aggregate;
+    * the computation behind distribution plots).
+    */
+  def histogram(valCol: String, lo: Double, width: Double,
+      nBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bucket = least(greatest(
+      floor((col(valCol) - lit(lo)) / lit(width)), lit(0.0)),
+      lit((nBuckets - 1).toDouble)).cast("int")
+    df.select(bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .select(col("bucket"),
+        (lit(lo) + col("bucket") * lit(width)).as("bucket_lo"), col("n"))
+  }
+
+  /** One-pass Pearson correlation matrix over numeric columns — see
+    * [[graft.ops.CorrMatrix.corrMatrix]].
+    */
+  def corrMatrix(cols: Seq[String], scale: Long = 100L): DataFrame =
+    graft.ops.CorrMatrix.corrMatrix(df, cols, scale)
+
+  /** Per-key truncated EWMA smoothing — see [[graft.ops.Ewma.ewma]]. */
+  def ewma(keyCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.Ewma.ewma(df, keyCol, tsCol, tieCol, valueCol)
+
+  /** Fixed-point integer PageRank over this collection's near-dup
+    * pair graph — the template-hub report (see
+    * [[graft.ops.PageRank]]); `idCol`/`textCol` feed the same
+    * MinHash-LSH pair finder [[dedupe]] uses.
+    */
+  def dupGraphPageRank(idCol: String, textCol: String,
+      iters: Int = 5): DataFrame =
+    graft.ops.PageRank.ranks(
+      graft.dedup.MinHash.nearDupPairs(df, idCol, textCol),
+      "id_a", "id_b", iters)
+
   /** Hybrid lexical+trigram retrieval fused by reciprocal rank — see
     * [[graft.index.Search.hybridRrf]].
     */

@@ -34,18 +34,9 @@ object StatsQueries extends QuerySet {
     // floor of the same quotient), bounded-key aggregate (24 buckets
     // regardless of corpus size).
     Q("q_histogram",
-      (s, d) => {
-        val (lo, w, nb) = (0.0, 25000.0, 24)
-        val bucket = least(greatest(
-          floor((col("o_totalprice") - lit(lo)) / lit(w)), lit(0.0)),
-          lit((nb - 1).toDouble)).cast("int")
-        Tables.df(s, d, "orders")
-          .select(bucket.as("bucket"))
-          .groupBy("bucket").agg(count(lit(1)).as("n"))
-          .select(col("bucket"),
-            (lit(lo) + col("bucket") * lit(w)).as("bucket_lo"), col("n"))
-          .orderBy("bucket")
-      },
+      (s, d) => Tables.coll(s, d, "orders")
+        .histogram("o_totalprice", lo = 0.0, width = 25000.0, nBuckets = 24)
+        .orderBy("bucket"),
       Some("""SELECT bucket, 0.0 + bucket * 25000.0 AS bucket_lo,
              |  CAST(count(*) AS BIGINT) AS n
              |FROM (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) / 25000.0), 0), 23) AS INT) AS bucket

@@ -167,4 +167,33 @@ class CollectionSpec extends SparkSpec {
     m.foreach(_._3 should be >= 1L)
     graft.api.CacheScope.global.release(blocking = true)
   }
+
+  test("analytics accessors compose: histogram, corrMatrix, ewma, dup-graph pagerank") {
+    import spark.implicits._
+    val nums = (1 to 100).map(i => (i.toLong, i.toDouble, (i * 2).toDouble))
+      .toDF("id", "x", "y")
+    val cn = new Collection("nums", nums)
+    val h = cn.histogram("x", lo = 0.0, width = 25.0, nBuckets = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    h.values.sum shouldBe 100L
+    h(0) shouldBe 24L // buckets [0,25): x=1..24
+    val cm = cn.corrMatrix(Seq("x", "y")).collect()
+    cm.length shouldBe 1
+    cm.head.getDouble(2) shouldBe 1.0
+    val ev = (1L to 10L).map(i =>
+      (i, 1L, new java.sql.Timestamp(i * 1000), 5.0)).toDF("eid", "uid", "ts", "v")
+    new Collection("ev", ev).ewma("uid", "ts", "eid", "v")
+      .collect().foreach(_.getDouble(2) shouldBe 5.0)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")).toDF("doc_id", "text")
+    val pr = new Collection("docs", docs)
+      .dupGraphPageRank("doc_id", "text", iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1/2 are near-dups -> a 2-clique at the 1e8 fixed point
+    pr.keySet shouldBe Set(1L, 2L)
+    pr.values.foreach(_ shouldBe 100000000L)
+    graft.api.CacheScope.global.release(blocking = true)
+  }
 }
