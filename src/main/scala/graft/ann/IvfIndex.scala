@@ -58,6 +58,30 @@ object IvfIndex {
       java.nio.file.Paths.get(dir, "_CELLS"), cent.length.toString)
   }
 
+  /** Incremental ingest into a standing index — the daily-delta path
+    * at 100 TB (the [[graft.dedup.SignatureIndex]] contract applied
+    * to vectors): the delta is assigned with the PERSISTED codebook
+    * (same `ivfCellExpr`, so placement is identical to a full
+    * rebuild) and appended as new files under the touched cell
+    * directories only. The standing corpus is never read, never
+    * shuffled, never rewritten; cells the delta misses gain nothing.
+    * A probe afterwards sees old + new rows indistinguishably —
+    * spec-pinned equal to a probe of a from-scratch rebuild on the
+    * union (deterministic placement makes them the same table).
+    * The codebook itself is intentionally frozen: re-training
+    * centroids on drifted data is a REBUILD decision (build), not an
+    * ingest decision.
+    */
+  def append(df: DataFrame, idCol: String, vecCol: String, dir: String): Unit = {
+    val spark = df.sparkSession
+    val cent = spark.read.parquet(s"$dir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    require(cent.nonEmpty, s"no centroids at $dir — build the index first")
+    normalized(df, idCol, vecCol)
+      .withColumn("__cell", Knn.ivfCellExpr(cent))
+      .write.mode("append").partitionBy("__cell").parquet(s"$dir/cells")
+  }
+
   /** Exact cosine top-k within the `nProbe` cells whose centroids best
     * match the query vector. One partition-pruned scan ending in
     * TakeOrdered; only the centroid frame (nCells rows) is collected.

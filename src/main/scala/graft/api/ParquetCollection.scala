@@ -194,6 +194,29 @@ class ParquetCollection(
     stampSrcVersion(dir)
   }
 
+  /** Ingest `delta` into the collection AND its standing IVF index in
+    * one step — the daily-delta path at scale: rows append to the
+    * corpus snapshot, their cell assignments land as NEW FILES under
+    * the touched cell directories only ([[graft.ann.IvfIndex.append]]
+    * — the standing cells are never read or rewritten, placement is
+    * identical to a rebuild because the persisted codebook assigns),
+    * and the freshness stamp advances with the new snapshot version,
+    * so probes keep working without an index rebuild. Requires a
+    * FRESH index: ingesting over a stale one would silently leave the
+    * earlier mutation unindexed.
+    */
+  def insertIndexed(delta: org.apache.spark.sql.DataFrame,
+                    idCol: String, vecCol: String): Unit = {
+    val dir = s"$root/_vindex_$vecCol"
+    require(Files.exists(Paths.get(dir)),
+      s"no vector index on '$vecCol' — call attachVectorIndex first")
+    require(indexFresh(dir),
+      s"vector index on '$vecCol' is STALE — rebuild before incremental ingest")
+    insert(delta)
+    graft.ann.IvfIndex.append(delta, idCol, vecCol, dir)
+    stampSrcVersion(dir)
+  }
+
   /** Materialize a persisted IVF+PQ vector index ([[graft.ann.IvfPqIndex]]):
     * cells hold m-byte PQ codes of the residuals instead of raw
     * vectors (~32× smaller at m=8 over 64-dim float32 — the variant
