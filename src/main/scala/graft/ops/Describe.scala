@@ -177,6 +177,44 @@ object Describe {
        |ORDER BY $groupCol""".stripMargin
   }
 
+  /** Per-group median absolute deviation — the ROBUST spread twin of
+    * the describe stddev (a handful of 10 MB outlier docs dominates a
+    * variance but barely moves a MAD; the length-profile number a
+    * mixing report should quote). Two [[groupQuantiles]] passes:
+    * per-group median, keyed join back (the group domain is bounded
+    * by contract ⇒ broadcast-sized), median of |x − med|. With
+    * integer-valued inputs every intermediate is an exact dyadic
+    * (k or k.5), so the 4dp rounding is engine-portable.
+    */
+  def groupMad(df: DataFrame, groupCol: String, valCol: String): DataFrame = {
+    val med = groupQuantiles(df, groupCol, valCol, Seq("median" -> 0.5))
+      .select(col(groupCol), col("n"), col("median"))
+    val devs = df.select(col(groupCol), col(valCol).cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .join(med.select(col(groupCol), col("median")), Seq(groupCol))
+      .select(col(groupCol), abs(col("__v") - col("median")).as("__d"))
+    groupQuantiles(devs, groupCol, "__d", Seq("mad" -> 0.5))
+      .select(col(groupCol), col("mad"))
+      .join(med, Seq(groupCol))
+      .select(col(groupCol), col("n"), col("median"), col("mad"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB twin of [[groupMad]]. */
+  def groupMadDuckSql(table: String, groupCol: String, valCol: String): String =
+    s"""WITH med AS (
+       |  SELECT $groupCol, CAST(count($valCol) AS BIGINT) AS n,
+       |    round(quantile_cont($valCol, 0.5), 4) AS median
+       |  FROM $table
+       |  WHERE $valCol IS NOT NULL
+       |  GROUP BY $groupCol)
+       |SELECT t.$groupCol, max(med.n) AS n, max(med.median) AS median,
+       |  round(quantile_cont(abs(t.$valCol - med.median), 0.5), 4) AS mad
+       |FROM $table t JOIN med USING ($groupCol)
+       |WHERE t.$valCol IS NOT NULL
+       |GROUP BY t.$groupCol
+       |ORDER BY t.$groupCol""".stripMargin
+
   /** DuckDB oracle SQL for [[describe]] over the same columns. */
   def oracleSql(table: String, cols: Seq[String], roundTo: Int = 4): String =
     cols.sorted.map { c =>

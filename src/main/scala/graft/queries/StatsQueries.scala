@@ -27,6 +27,16 @@ object StatsQueries extends QuerySet {
         Tables.df(s, d, "documents"), "lang", "n_chars"),
       Some(Describe.groupQuantilesDuckSql("documents", "lang", "n_chars"))),
 
+    // Per-language MAD of document length — robust spread for the
+    // mixing report (outlier docs dominate a stddev, barely move a
+    // MAD). Two bounded-key grouped-quantile passes + one broadcast-
+    // sized keyed join; integer inputs make every intermediate an
+    // exact dyadic, so 4dp rounding is engine-portable.
+    Q("q_mad",
+      (s, d) => Describe.groupMad(
+        Tables.df(s, d, "documents"), "lang", "n_chars"),
+      Some(Describe.groupMadDuckSql("documents", "lang", "n_chars"))),
+
     // Equi-width histogram of a numeric column — the computation
     // behind the reference's distribution plots (renderers are §6
     // out of scope; the distributed binning is not): floor-bucketed
