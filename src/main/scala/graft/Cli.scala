@@ -54,6 +54,23 @@ object Cli {
               .filter(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
               .map(_.name))
           emit(opts, out, graft.ops.Describe.describe(df, cols))
+        case "histogram" =>
+          val df = load(spark, opts)
+          val c = opts.getOrElse("column",
+            throw new IllegalArgumentException("histogram needs --column"))
+          val nb = opts.getOrElse("buckets", "20").toInt
+          // default range from one bounded min/max aggregate
+          val (lo, hi) = (opts.get("min"), opts.get("max")) match {
+            case (Some(a), Some(b)) => (a.toDouble, b.toDouble)
+            case _ =>
+              val r = df.agg(org.apache.spark.sql.functions.min(c),
+                org.apache.spark.sql.functions.max(c)).head()
+              (opts.get("min").map(_.toDouble).getOrElse(r.getAs[Any](0).toString.toDouble),
+                opts.get("max").map(_.toDouble).getOrElse(r.getAs[Any](1).toString.toDouble))
+          }
+          val w = math.max((hi - lo) / nb, Double.MinPositiveValue)
+          emit(opts, out, new graft.api.Collection("t", df)
+            .histogram(c, lo, w, nb).orderBy("bucket"))
         case "pivot" =>
           val df = load(spark, opts)
           def need(k: String) = opts.getOrElse(k,

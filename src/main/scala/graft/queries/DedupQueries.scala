@@ -134,6 +134,57 @@ object DedupQueries extends QuerySet {
               |  ${graft.ops.PortableRound.intRound4Duck("n_dup_docs - n_clusters", "n_docs")} AS drop_frac
               |FROM n, s""".stripMargin)),
 
+    // Neighbor-label consistency over the near-dup graph — LABEL
+    // NOISE detection (Northcutt-style, graph-shaped): a doc whose
+    // near-duplicates carry a different language/source label than
+    // its own is a mislabel candidate (or a mislabeled template
+    // family). One round of majority vote along the LSH pair edges:
+    // integer neighbor-label counts, rank window on the (dup-graph-
+    // bounded) node key, deterministic (count desc, label asc) tie —
+    // oracle-exact by construction. Only docs WITH a duplicate
+    // appear, so output and window keys stay pair-graph-bounded.
+    Q("q_label_consistency",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val pairs = MinHash.nearDupPairs(docs, "doc_id", "text")
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nb"))
+          .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nb")))
+        val lang = docs.select(col("doc_id"), col("lang"))
+        val votes = edges
+          .join(lang.select(col("doc_id").as("nb"), col("lang").as("nb_lang")), "nb")
+          .groupBy("id", "nb_lang").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("n").desc, col("nb_lang").asc)
+        votes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .join(lang.select(col("doc_id").as("id"), col("lang")), "id")
+          .select(col("id"), col("lang"), col("nb_lang").as("majority_lang"),
+            col("n").as("n_votes"),
+            (col("lang") === col("nb_lang")).as("consistent"))
+          .orderBy("id")
+      },
+      Some(s"""WITH pr AS MATERIALIZED (${MinHash.nearDupPairsDuckSql(
+                 "documents", "doc_id", "text")}),
+              |edges AS (
+              |  SELECT id_a AS id, id_b AS nb FROM pr
+              |  UNION ALL
+              |  SELECT id_b AS id, id_a AS nb FROM pr),
+              |votes AS (
+              |  SELECT e.id, d.lang AS nb_lang, CAST(count(*) AS BIGINT) AS n
+              |  FROM edges e JOIN documents d ON d.doc_id = e.nb
+              |  GROUP BY e.id, d.lang),
+              |top AS (
+              |  SELECT id, nb_lang, n,
+              |    row_number() OVER (PARTITION BY id
+              |      ORDER BY n DESC, nb_lang ASC) AS rn
+              |  FROM votes)
+              |SELECT t.id, d.lang, t.nb_lang AS majority_lang,
+              |  t.n AS n_votes, d.lang = t.nb_lang AS consistent
+              |FROM top t JOIN documents d ON d.doc_id = t.id
+              |WHERE t.rn = 1
+              |ORDER BY t.id""".stripMargin)),
+
     // Fixed-point integer PageRank over the near-dup pair graph — the
     // template-hub detector (see graft.ops.PageRank): rank mass
     // concentrating on few docs = boilerplate families with a

@@ -47,6 +47,15 @@ class CliSpec extends SparkSpec {
     out.map(_.split('\t').head) should contain allOf ("id", "score")
   }
 
+  test("histogram: bucketed counts over a numeric column") {
+    val (code, out) = runCli("histogram", "--path", dataPath,
+      "--column", "score", "--buckets", "4")
+    code shouldBe 0
+    out.head.split('\t').toSeq shouldBe Seq("bucket", "bucket_lo", "n")
+    // every row lands in some bucket
+    out.tail.map(_.split('\t')(2).toLong).sum should be > 0L
+  }
+
   test("schema: induced class definition as JSON") {
     val (code, out) = runCli("schema", "--path", dataPath, "--class-name", "Person")
     code shouldBe 0
