@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.ops.{Chunking, TrainStream}
-import graft.text.QualityFilter
+import graft.text.{QualityFilter, TextFunctions}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators beyond the reference's surface
@@ -291,6 +291,66 @@ object PipelineQueries extends QuerySet {
                    "CAST(sum(mx * n) AS BIGINT) - CAST(sum(sm) AS BIGINT)",
                    "CAST(sum(mx * n) AS BIGINT)")} AS waste_frac
               |FROM pb""".stripMargin)),
+
+    // Quality-gate ABLATION report — the filter-debugging table a
+    // pipeline reads before shipping a gate stack: per-gate drop
+    // counts plus every pairwise overlap ("gate A only re-drops what
+    // gate B already caught" = dead weight; disjoint drops = both
+    // earn their place). ONE scan: four boolean gate columns from
+    // integer counts, thresholds as INTEGER cross-multiplications
+    // (100·n_stop < 6·n_toks, never a float ratio compare — nothing
+    // to round, nothing to drift), one global aggregate, the 10-row
+    // (gate, gate) matrix + any/total exploded from literals.
+    Q("q_gate_ablation",
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        val nToks = size(toks).cast("long")
+        val gates: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+          "short" -> (nToks < 10L),
+          "stop" -> (lit(100L) * TextFunctions.stopwordCount(toks).cast("long") < lit(6L) * nToks),
+          "punct" -> (lit(10L) * length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("long") > length(col("text")).cast("long")),
+          "rep" -> (lit(10L) * (nToks - size(array_distinct(toks)).cast("long")) > lit(3L) * nToks))
+        val flagged = Tables.df(s, d, "documents").select(
+          gates.map { case (n, c) => c.as(s"g_$n") } :+
+            gates.map(_._2).reduce(_ || _).as("g_any"): _*)
+        val cells = (gates.map(g => (g._1, g._1)) ++
+          (for { i <- gates.indices; j <- (i + 1) until gates.size }
+            yield (gates(i)._1, gates(j)._1))) :+ ("any", "any")
+        val aggs = cells.map { case (a, b) =>
+          sum(when(col(s"g_$a") && col(s"g_$b"), 1L).otherwise(0L)).as(s"n_${a}_$b")
+        } :+ count(lit(1)).as("n_total")
+        val agg = flagged.agg(aggs.head, aggs.tail: _*)
+        val rows = array(cells.map { case (a, b) =>
+          struct(lit(a).as("gate_a"), lit(b).as("gate_b"),
+            col(s"n_${a}_$b").as("n_dropped"))
+        } :+ struct(lit("total").as("gate_a"), lit("total").as("gate_b"),
+          col("n_total").as("n_dropped")): _*)
+        agg.select(explode(rows).as("r"))
+          .select(col("r.gate_a"), col("r.gate_b"), col("r.n_dropped"))
+          .orderBy("gate_a", "gate_b")
+      },
+      {
+        val toks = "string_split(text, ' ')"
+        val nToks = s"len($toks)"
+        val gateSql = Seq(
+          "short" -> s"$nToks < 10",
+          "stop" -> s"100 * ${TextFunctions.stopwordCountDuck(toks)} < 6 * $nToks",
+          "punct" -> s"10 * length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) > length(text)",
+          "rep" -> s"10 * ($nToks - len(list_distinct($toks))) > 3 * $nToks")
+        val cells = (gateSql.map(g => (g._1, g._1)) ++
+          (for { i <- gateSql.indices; j <- (i + 1) until gateSql.size }
+            yield (gateSql(i)._1, gateSql(j)._1))) :+ ("any", "any")
+        val rows = cells.map { case (a, b) =>
+          s"SELECT '$a' AS gate_a, '$b' AS gate_b, " +
+            s"CAST(sum(CASE WHEN g_$a AND g_$b THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped FROM f"
+        } :+ "SELECT 'total', 'total', CAST(count(*) AS BIGINT) FROM f"
+        Some(s"""WITH f AS MATERIALIZED (
+                |  SELECT ${gateSql.map { case (n, c) => s"($c) AS g_$n" }.mkString(",\n    ")},
+                |    (${gateSql.map(g => s"g_${g._1}").mkString(" OR ")}) AS g_any
+                |  FROM documents)
+                |${rows.mkString("\nUNION ALL\n")}
+                |ORDER BY gate_a, gate_b""".stripMargin)
+      }),
 
     Q("q_pack_sequences",
       (s, d) => TrainStream.packSequences(Tables.df(s, d, "documents"),

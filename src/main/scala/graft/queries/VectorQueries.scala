@@ -462,6 +462,19 @@ object VectorQueries extends QuerySet {
       Some(graft.ann.KMeans.cellBalanceDuckSql(
         "embeddings", "vec_id", "embedding", k = 8, iters = 3, dim = Dim))),
 
+    // Johnson–Lindenstrauss random projection — the TRAINING-FREE
+    // dim-reduction tier beside PCA: a seed-derived ±1/√k sign matrix
+    // (no covariance pass, no model state), applied map-only in the
+    // ingest scan; the oracle replays the identical literal matrix
+    // (see ops/RandomProjection).
+    Q("q_jl_project",
+      (s, d) => graft.ops.RandomProjection.project(
+        Tables.df(s, d, "embeddings"), "vec_id", "embedding",
+        k = 8, d = Dim)
+        .orderBy("vec_id"),
+      Some(graft.ops.RandomProjection.projectDuckSql(
+        "embeddings", "vec_id", "embedding", k = 8, d = Dim))),
+
     // distributed PCA projection (dimensionality_reduction.py analog):
     // the eigen-decomposition itself is not SQL-expressible (PcaSpec
     // pins orthonormality, variance ordering, claimed-vs-measured pc
