@@ -57,6 +57,52 @@ object CorpusQueries extends QuerySet {
         Tables.df(s, d, "documents"), "text", minCount = 5, k = 25),
       Some(Corpus.pmiCollocationsDuckSql("documents", "text", minCount = 5, k = 25))),
 
+    // Per-source shingle NOVELTY — the marginal-value-of-ingest curve
+    // (DataComp-style): what fraction of a source's distinct 3-gram
+    // shingles appears in NO lexicographically-earlier source. A
+    // source that only re-treads earlier shingles adds bulk, not
+    // coverage — drop it from the mix before paying to tokenize it.
+    // Explode → per-(source, shingle) distinct → min-source first-
+    // occurrence attribution → one keyed join back: every stage is
+    // vocabulary-bounded, the ratio rounds integer-exact
+    // (PortableRound), and min(source) over ASCII strings orders
+    // identically in both engines.
+    Q("q_novelty",
+      (s, d) => {
+        val g = Tables.df(s, d, "documents")
+          .select(col("source"),
+            explode(graft.text.Repetition.ngrams(col("text"), 3)).as("gram"))
+          .select(col("source"),
+            graft.text.TextFunctions.portableHash60(col("gram")).as("gh"))
+          .distinct()
+        val first = g.groupBy("gh").agg(min("source").as("first_src"))
+        g.join(first, "gh")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("first_src") === col("source"), 1L).otherwise(0L)).as("n_novel"))
+          .select(col("source"), col("n_shingles"), col("n_novel"),
+            graft.ops.PortableRound.intRound4(col("n_novel"), col("n_shingles"))
+              .as("novelty"))
+          .orderBy("source")
+      },
+      Some(s"""WITH g0 AS (
+              |  SELECT source, unnest(${graft.text.Repetition.ngramsDuck("text", 3)}) AS gram
+              |  FROM documents),
+              |g AS (
+              |  SELECT DISTINCT source,
+              |    CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+              |  FROM g0),
+              |f AS (SELECT gh, min(source) AS first_src FROM g GROUP BY gh),
+              |agg AS (
+              |  SELECT g.source, CAST(count(*) AS BIGINT) AS n_shingles,
+              |    CAST(sum(CASE WHEN f.first_src = g.source THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+              |  FROM g JOIN f USING (gh)
+              |  GROUP BY g.source)
+              |SELECT source, n_shingles, n_novel,
+              |  ${graft.ops.PortableRound.intRound4Duck("n_novel", "n_shingles")} AS novelty
+              |FROM agg
+              |ORDER BY source""".stripMargin)),
+
     // corpus health dashboard: per-language token/vocab/hapax/top-share
     Q("q_vocab_stats",
       (s, d) => Corpus.vocabStats(Tables.df(s, d, "documents"), "lang", "text"),
