@@ -304,6 +304,45 @@ object EventQueries extends QuerySet {
              |FROM ro JOIN cs USING (cohort)
              |ORDER BY cohort, offset_wk""".stripMargin)),
 
+    // Inter-arrival gap profile per event type — the engagement /
+    // rate-limit calibration table (median + p90 seconds between a
+    // user's consecutive events of each type; a median collapsing
+    // toward zero is a bot signature the hour-profile can miss).
+    // Gaps derive from INTEGER micros via a lag window on the
+    // max-cardinality user id; the exact per-type quantiles ride the
+    // bounded event-type domain (groupQuantiles), and integer inputs
+    // keep the interpolation dyadic-exact in both engines.
+    Q("q_interarrival",
+      (s, d) => {
+        // INTEGER-second gaps (floor-div — `div`//`//` agree on the
+        // non-negative diffs), so the quantile interpolation inputs
+        // are integers and every interpolated value is dyadic-exact
+        val gaps = Tables.df(s, d, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"),
+            unix_micros(col("ts")).as("__us"))
+          .withColumn("__gap_s",
+            expr("(__us - lag(__us, 1) OVER (PARTITION BY user_id, event_type " +
+              "ORDER BY __us ASC, event_id ASC)) div 1000000").cast("double"))
+          .filter(col("__gap_s").isNotNull)
+        graft.ops.Describe.groupQuantiles(gaps, "event_type", "__gap_s",
+          Seq("p50_s" -> 0.5, "p90_s" -> 0.9))
+      },
+      Some("""WITH g AS (
+             |  SELECT event_type,
+             |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+             |     lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+             |       PARTITION BY user_id, event_type
+             |       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+             |    ) // 1000000 AS gap_s
+             |  FROM events)
+             |SELECT event_type, CAST(count(gap_s) AS BIGINT) AS n,
+             |  round(quantile_cont(gap_s, 0.5), 4) AS p50_s,
+             |  round(quantile_cont(gap_s, 0.9), 4) AS p90_s
+             |FROM g
+             |WHERE gap_s IS NOT NULL
+             |GROUP BY event_type
+             |ORDER BY event_type""".stripMargin)),
+
     // Nested-path find (reference: dotted a.b.c where paths on nested
     // objects): parse props into a struct, filter with a Mongo-style
     // nested map, project the nested field.
