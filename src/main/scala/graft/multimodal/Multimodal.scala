@@ -190,6 +190,62 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** 64-bit-capped difference hash (dHash) of a decoded image — the
+    * PERCEPTUAL near-dup key for image corpora (identical bytes is
+    * the wrong dedup notion for media: re-encodes and metadata edits
+    * change every byte but not the gradient structure). Bit
+    * k = r·(w−1)+c is set iff gray(r,c) < gray(r,c+1) — horizontal
+    * gradient signs, row-major; multi-channel images reduce to
+    * integer-floor mean gray first. (w−1)·h ≤ 63 bits required (an
+    * 8×8 thumbnail ⇒ 56 bits); production pipelines resize to the
+    * thumbnail BEFORE hashing with the same decode machinery.
+    */
+  def dHash64(bytes: Array[Byte]): Option[Long] = {
+    imageIoInit
+    if (bytes == null) return None
+    try {
+      // InputStream overload: ImageIO closes the wrapped stream itself
+      // (a ByteArrayInputStream close is a no-op), so no double-close
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) return None
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w < 2 || (w - 1).toLong * h > 63L) return None
+      val raster = img.getRaster
+      val bands = raster.getNumBands
+      def gray(x: Int, y: Int): Int = {
+        var s = 0
+        var b = 0
+        while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+        s / bands
+      }
+      var hash = 0L
+      var r = 0
+      while (r < h) {
+        var c = 0
+        while (c < w - 1) {
+          if (gray(c, r) < gray(c + 1, r))
+            hash |= 1L << (r * (w - 1) + c)
+          c += 1
+        }
+        r += 1
+      }
+      Some(hash)
+    } catch { case _: Exception => None }
+  }
+
+  /** Per-partition dHash column: appends `dhash` (long, null when the
+    * payload doesn't decode). Map-only, constant memory.
+    */
+  def dHashCol(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = df.schema.add(StructField("dhash", LongType))
+    val binIdx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row.fromSeq(r.toSeq :+ dHash64(r.getAs[Array[Byte]](binIdx)).orNull)
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Per-partition batched feature extraction: appends `features`
     * (array<float>) computed by `decoder` from `binCol`. Row batches
     * stream through the iterator — constant memory, decoder setup cost

@@ -174,6 +174,44 @@ object PipelineQueries extends QuerySet {
              |      FROM documents) t
              |ORDER BY doc_id""".stripMargin)),
 
+    // Perceptual image hash (dHash) over the REAL decode path — the
+    // image-dedup key (re-encodes and metadata edits change every
+    // byte but not the gradient signs): encode the deterministic
+    // 8×8 gray thumbnail, decode with javax.imageio, hash the
+    // horizontal gradient signs into 56 bits; n_same counts docs
+    // sharing a hash (the perceptual dup-group size). The oracle
+    // states the hash ARITHMETICALLY from the same payload bytes
+    // (lossless gray PNG ⇒ pixels == payload — the q_image_decode
+    // contract), bit-for-bit as integers.
+    Q("q_image_dhash",
+      (s, d) => {
+        val ascii = regexp_replace(col("text"), "[^ -~]", "?")
+        val base = Tables.df(s, d, "documents").select(
+          col("doc_id"), rpad(ascii, 64, " ").cast("binary").as("payload"))
+        val png = graft.multimodal.Multimodal.encodeGrayPngCol(base, "payload", w = 8, h = 8)
+        val hashed = graft.multimodal.Multimodal.dHashCol(png, "png")
+        hashed
+          .withColumn("n_same", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("dhash")))
+          .select(col("doc_id"), col("dhash"), col("n_same"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH px AS (
+             |  SELECT doc_id,
+             |    rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 64, ' ') AS p
+             |  FROM documents),
+             |h AS (
+             |  SELECT doc_id,
+             |    CAST(list_sum(list_transform(range(0, 56), k ->
+             |      CASE WHEN unicode(substring(p, (k // 7) * 8 + (k % 7) + 1, 1))
+             |             < unicode(substring(p, (k // 7) * 8 + (k % 7) + 2, 1))
+             |           THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS dhash
+             |  FROM px)
+             |SELECT doc_id, dhash,
+             |  count(*) OVER (PARTITION BY dhash) AS n_same
+             |FROM h
+             |ORDER BY doc_id""".stripMargin)),
+
     // C4-style LINE-level cleaning: the corpus has no newlines, so the
     // query first manufactures lines deterministically (every 10-token
     // group gets terminal punctuation + a '|' break; the tail fragment

@@ -79,6 +79,23 @@ class MultimodalSpec extends SparkSpec {
     s.channelStd.head shouldBe math.sqrt(variance) +- 1e-9
   }
 
+  test("dHash64 encodes horizontal gradient signs, row-major") {
+    // row pattern 0,10,20,…,70 strictly increasing: every one of the
+    // 7 bits per row is set -> 56 ones
+    val inc = Array.tabulate[Byte](64)(i => ((i % 8) * 10).toByte)
+    Multimodal.dHash64(Multimodal.encodeGrayPng(inc, 8, 8)).get shouldBe ((1L << 56) - 1)
+    // flat image: no gradients, hash 0
+    Multimodal.dHash64(Multimodal.encodeGrayPng(Array.fill[Byte](64)(42), 8, 8)).get shouldBe 0L
+    // exactly one rising edge at row 0, col 2 -> bit 2 only
+    val one = Array.fill[Byte](64)(7)
+    one(3) = 9 // px(r=0, c=3) > px(r=0, c=2); c=3 itself then FALLS to 7
+    val h = Multimodal.dHash64(Multimodal.encodeGrayPng(one, 8, 8)).get
+    h shouldBe (1L << 2)
+    // garbage payloads hash to None, not an exception
+    Multimodal.dHash64("not an image".getBytes) shouldBe None
+    Multimodal.dHash64(null) shouldBe None
+  }
+
   test("RGB PNG decodes 3 channels with per-channel means") {
     val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
     // r g / b r: distinct per-channel means
