@@ -212,6 +212,58 @@ object PipelineQueries extends QuerySet {
              |FROM h
              |ORDER BY doc_id""".stripMargin)),
 
+    // Image NEAR-dup pairs: dHash fingerprints through the SimHash
+    // pigeonhole banding (hamming ≤ 6 ⇒ one of 7 bit-chunks equal —
+    // the 56-bit hash rides the 60-bit geometry, top bits always
+    // equal), bucket join + exact bit_count verify, hot buckets
+    // capped. The composition that makes perceptual image dedup run
+    // at corpus scale with ZERO new join machinery; the oracle
+    // replays the arithmetic hash + the same banding.
+    Q("q_image_dhash_pairs",
+      (s, d) => {
+        val ascii = regexp_replace(col("text"), "[^ -~]", "?")
+        val base = Tables.df(s, d, "documents").select(
+          col("doc_id"), rpad(ascii, 64, " ").cast("binary").as("payload"))
+        val png = graft.multimodal.Multimodal.encodeGrayPngCol(base, "payload", w = 8, h = 8)
+        val fps = graft.api.CacheScope.global.persist(
+          graft.multimodal.Multimodal.dHashCol(png, "png")
+            .select(col("doc_id"), col("dhash").as("simhash")))
+        graft.dedup.SimHash.nearDupPairsFromFingerprints(fps, "doc_id", maxDist = 6)
+          .orderBy("id_a", "id_b")
+      },
+      {
+        // same band geometry as the Spark side: Bits=60, bands=7
+        val (bits, maxDist) = (60, 6)
+        val bands = maxDist + 1
+        val width = (bits + bands - 1) / bands
+        val bandSelects = (0 until bands).map { b =>
+          val lo = b * width
+          val w = math.min(width, bits - lo)
+          val mask = (1L << w) - 1
+          s"SELECT doc_id, dhash, $b AS band, (dhash >> $lo) & $mask AS chunk FROM h"
+        }.mkString("\nUNION ALL\n")
+        Some(s"""WITH px AS (
+                |  SELECT doc_id,
+                |    rpad(regexp_replace(text, '[^ -~]', '?', 'g'), 64, ' ') AS p
+                |  FROM documents),
+                |h AS (
+                |  SELECT doc_id,
+                |    CAST(list_sum(list_transform(range(0, 56), k ->
+                |      CASE WHEN unicode(substring(p, (k // 7) * 8 + (k % 7) + 1, 1))
+                |             < unicode(substring(p, (k // 7) * 8 + (k % 7) + 2, 1))
+                |           THEN CAST(1 AS BIGINT) << k ELSE 0 END)) AS BIGINT) AS dhash
+                |  FROM px),
+                |bk AS (
+                |  SELECT * FROM ($bandSelects) raw
+                |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= ${graft.dedup.SimHash.DefaultMaxBucket})
+                |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                |  bit_count(xor(a.dhash, b.dhash)) AS dist
+                |FROM bk a JOIN bk b ON a.band = b.band AND a.chunk = b.chunk
+                |WHERE a.doc_id < b.doc_id
+                |  AND bit_count(xor(a.dhash, b.dhash)) <= $maxDist
+                |ORDER BY id_a, id_b""".stripMargin)
+      }),
+
     // C4-style LINE-level cleaning: the corpus has no newlines, so the
     // query first manufactures lines deterministically (every 10-token
     // group gets terminal punctuation + a '|' break; the tail fragment
