@@ -250,6 +250,48 @@ object CorpusQueries extends QuerySet {
       Some("SELECT doc_id, array_to_string(tokens, ' ') AS tokens FROM ("
         + graft.text.BpeTrain.encodeDuckSql(
             "documents", "doc_id", "text", graft.text.BpeTrain.lastFit)
-        + ") enc ORDER BY doc_id"))
+        + ") enc ORDER BY doc_id")),
+
+    // Source concentration: Gini over per-source token mass — the
+    // one-number mixing-health check next to q_interleave (0 = every
+    // source contributes equally, →1 = one source dominates the token
+    // budget). Exact integer arithmetic: per-source totals collapse to
+    // ONE collected row (|sources| is a bounded enum), ranks come from
+    // sort_array + sequence inside Catalyst — no partition-less
+    // window, no self-join, nothing leaves the executors until the
+    // single output row. Gini = Σ(2i−n−1)·T_i / (n·ΣT) on longs,
+    // PortableRound for the 4dp emit.
+    Q("q_source_gini",
+      (s, d) => {
+        val st = Tables.df(s, d, "documents")
+          .groupBy("source")
+          .agg(sum(size(graft.text.TextFunctions.tokens(col("text"))))
+            .cast("long").as("t"))
+        st.agg(collect_list(struct(col("t"), col("source"))).as("arr"))
+          .select(
+            expr("size(arr)").cast("long").as("n_sources"),
+            expr("aggregate(sort_array(arr), 0L, (a, x) -> a + x.t)")
+              .as("total_tokens"),
+            expr("""aggregate(
+                      zip_with(sort_array(arr), sequence(1, size(arr)),
+                        (x, i) -> (CAST(2 * i AS BIGINT) - size(arr) - 1) * x.t),
+                      0L, (a, y) -> a + y)""").as("num"))
+          .select(col("n_sources"), col("total_tokens"),
+            graft.ops.PortableRound.intRound4(col("num"),
+              col("n_sources") * col("total_tokens")).as("gini"))
+      },
+      Some(s"""WITH st AS (
+              |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
+              |  FROM documents GROUP BY source),
+              |r AS (
+              |  SELECT t, row_number() OVER (ORDER BY t, source) AS i,
+              |    count(*) OVER () AS n, sum(t) OVER () AS tot
+              |  FROM st)
+              |SELECT CAST(max(n) AS BIGINT) AS n_sources,
+              |  CAST(max(tot) AS BIGINT) AS total_tokens,
+              |  ${graft.ops.PortableRound.intRound4Duck(
+                    "CAST(sum((2 * i - n - 1) * t) AS BIGINT)",
+                    "CAST(max(n) * max(tot) AS BIGINT)")} AS gini
+              |FROM r""".stripMargin))
   )
 }

@@ -343,6 +343,120 @@ object EventQueries extends QuerySet {
              |GROUP BY event_type
              |ORDER BY event_type""".stripMargin)),
 
+    // Per-user behavioral feature vector — the feature-engineering
+    // table a churn/segmentation model trains on: volume, breadth
+    // (distinct types + Shannon entropy over the type mix), value
+    // level, and active span. Entropy via the H = ln n − (Σ c·ln c)/n
+    // identity: one positive-term float sum, no per-term ratios — the
+    // cross-engine-stable formulation (same class as q_corpus_kl).
+    // Two aggregates over the same user_id shuffle key joined back;
+    // both sides arrive hash-partitioned on user_id, so the join
+    // reuses the exchange instead of adding one.
+    Q("q_user_features",
+      (s, d) => {
+        val ev = Tables.df(s, d, "events")
+        val mix = ev.groupBy("user_id", "event_type")
+          .agg(count(lit(1)).as("c"))
+          .groupBy("user_id").agg(
+            sum("c").as("n_events"),
+            count(lit(1)).as("n_types"),
+            round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
+              .as("type_entropy"))
+        // mean over CENT-quantized values (q = ⌊100·v + ½⌋, exact on
+        // the identical input doubles in both engines), then the
+        // exact-integer round4(Σq / 100n) — avg() of raw doubles sums
+        // in engine-dependent order and flips the 4th decimal at scale
+        val base = ev
+          .withColumn("q", floor(col("value") * 100 + 0.5).cast("long"))
+          .groupBy("user_id").agg(
+            graft.ops.PortableRound.intRound4(sum("q"), lit(100L) * count(lit(1)))
+              .as("mean_value"),
+            expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
+              .as("span_days"))
+        mix.join(base, "user_id")
+          .select(col("user_id"), col("n_events"), col("n_types"),
+            col("type_entropy"), col("mean_value"), col("span_days"))
+          .orderBy("user_id")
+      },
+      Some("""WITH bt AS (
+             |  SELECT user_id, event_type, count(*) AS c
+             |  FROM events GROUP BY user_id, event_type),
+             |mix AS (
+             |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+             |    count(*) AS n_types,
+             |    round(ln(CAST(sum(c) AS DOUBLE)) -
+             |          sum(c * ln(c)) / CAST(sum(c) AS DOUBLE), 4) AS type_entropy
+             |  FROM bt GROUP BY user_id),
+             |base AS (
+             |  SELECT user_id,
+             |    """.stripMargin + graft.ops.PortableRound.intRound4Duck(
+               "CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)",
+               "100 * count(*)") + """ AS mean_value,
+             |    (max(epoch_us(CAST(ts AS TIMESTAMP))) -
+             |     min(epoch_us(CAST(ts AS TIMESTAMP)))) // 86400000000 AS span_days
+             |  FROM events GROUP BY user_id)
+             |SELECT user_id, n_events, n_types, type_entropy, mean_value, span_days
+             |FROM mix JOIN base USING (user_id)
+             |ORDER BY user_id""".stripMargin)),
+
+    // First-half vs second-half mean shift per event type (time-
+    // ordered row_number split at n div 2) — the cheap distribution-
+    // drift check between the early and late halves of the stream;
+    // |drift| far from zero says the metric moved mid-corpus.
+    // Deterministic INTEGER split (row_number over the unique
+    // (ts, event_id) order); the windows partition on event_type —
+    // no partition-less window, one shuffle serves both specs.
+    Q("q_value_drift",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+          .orderBy(col("__us").asc, col("event_id").asc)
+        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+        Tables.df(s, d, "events")
+          .select(col("event_type"), col("value"), col("event_id"),
+            unix_micros(col("ts")).as("__us"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(wAll))
+          // cent-quantized exact-integer means (see q_user_features);
+          // drift then subtracts two EXACT 4dp decimals — safe to
+          // re-round (the midpoint hazard needs a true .00005 tail,
+          // which a difference of 4dp grid points never has)
+          .withColumn("qv", floor(col("value") * 100 + 0.5).cast("long"))
+          .groupBy("event_type")
+          .agg(
+            max("n").as("n_events"),
+            graft.ops.PortableRound.intRound4(
+              sum(when(expr("rn <= n div 2"), col("qv"))),
+              lit(100L) * count(when(expr("rn <= n div 2"), lit(1)))).as("mean_h1"),
+            graft.ops.PortableRound.intRound4(
+              sum(when(expr("rn > n div 2"), col("qv"))),
+              lit(100L) * count(when(expr("rn > n div 2"), lit(1)))).as("mean_h2"))
+          .withColumn("drift", round(col("mean_h2") - col("mean_h1"), 4))
+          .select(col("event_type"), col("n_events"), col("mean_h1"),
+            col("mean_h2"), col("drift"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |h AS (
+             |  SELECT event_type, CAST(max(n) AS BIGINT) AS n_events,
+             |    """.stripMargin
+        + graft.ops.PortableRound.intRound4Duck(
+            "CAST(sum(CASE WHEN rn <= n // 2 THEN qv END) AS BIGINT)",
+            "100 * count(CASE WHEN rn <= n // 2 THEN 1 END)") + " AS mean_h1,\n    "
+        + graft.ops.PortableRound.intRound4Duck(
+            "CAST(sum(CASE WHEN rn > n // 2 THEN qv END) AS BIGINT)",
+            "100 * count(CASE WHEN rn > n // 2 THEN 1 END)") + """ AS mean_h2
+             |  FROM r GROUP BY event_type)
+             |SELECT event_type, n_events, mean_h1, mean_h2,
+             |  round(mean_h2 - mean_h1, 4) AS drift
+             |FROM h ORDER BY event_type""".stripMargin)),
+
     // Nested-path find (reference: dotted a.b.c where paths on nested
     // objects): parse props into a struct, filter with a Mongo-style
     // nested map, project the nested field.

@@ -296,6 +296,46 @@ object TextQueries extends QuerySet {
               |  CASE WHEN tp + fn > 0 THEN ${graft.ops.PortableRound.intRound4Duck("tp", "tp + fn")} END AS recall,
               |  CASE WHEN 2 * tp + fp + fn > 0
               |    THEN ${graft.ops.PortableRound.intRound4Duck("2 * tp", "2 * tp + fp + fn")} END AS f1
-              |FROM c""".stripMargin))
+              |FROM c""".stripMargin)),
+
+    // Lexical diversity per document — type-token ratio + Simpson
+    // repeat probability Σc(c−1)/(n(n−1)): the "stuck-in-a-loop"
+    // generation signal next to q_repetition's n-gram view (TTR
+    // penalizes small vocabularies, Simpson penalizes skew toward a
+    // few tokens). Exact integer arithmetic end-to-end
+    // (PortableRound); one explode + two-level aggregation, the
+    // q_vocab_stats shuffle shape — token-linear, no per-doc
+    // quadratic work.
+    Q("q_lexical_diversity",
+      (s, d) => {
+        val tf = Tables.df(s, d, "documents")
+          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        tf.groupBy("doc_id")
+          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
+            sum(col("c") * (col("c") - 1)).as("rep"))
+          .filter(col("n_tokens") >= 2)
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            graft.ops.PortableRound.intRound4(col("n_distinct"), col("n_tokens"))
+              .as("ttr"),
+            graft.ops.PortableRound.intRound4(col("rep"),
+              col("n_tokens") * (col("n_tokens") - 1)).as("simpson"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tf AS (
+              |  SELECT doc_id, tok, count(*) AS c
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |        FROM documents)
+              |  GROUP BY doc_id, tok),
+              |agg AS (
+              |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              |    count(*) AS n_distinct,
+              |    CAST(sum(c * (c - 1)) AS BIGINT) AS rep
+              |  FROM tf GROUP BY doc_id)
+              |SELECT doc_id, n_tokens, n_distinct,
+              |  ${graft.ops.PortableRound.intRound4Duck("n_distinct", "n_tokens")} AS ttr,
+              |  ${graft.ops.PortableRound.intRound4Duck("rep", "n_tokens * (n_tokens - 1)")} AS simpson
+              |FROM agg WHERE n_tokens >= 2
+              |ORDER BY doc_id""".stripMargin))
   )
 }
