@@ -372,6 +372,54 @@ class Collection(val name: String, val df: DataFrame) {
       graft.dedup.MinHash.nearDupPairs(df, idCol, textCol),
       "id_a", "id_b", iters)
 
+  /** Per-key behavioral feature vector (volume, type breadth +
+    * entropy, exact mean value, active span) — see
+    * [[graft.ops.EventFeatures.userFeatures]].
+    */
+  def userFeatures(keyCol: String, typeCol: String, tsCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.EventFeatures.userFeatures(df, keyCol, typeCol, tsCol, valueCol)
+
+  /** First-vs-second-half mean shift per group — see
+    * [[graft.ops.EventFeatures.valueDrift]].
+    */
+  def valueDrift(groupCol: String, tsCol: String, tieCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.EventFeatures.valueDrift(df, groupCol, tsCol, tieCol, valueCol)
+
+  /** One-row session-health digest over gap sessions — see
+    * [[graft.ops.EventFeatures.sessionStats]].
+    */
+  def sessionStats(keyCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long = 1800): DataFrame =
+    graft.ops.EventFeatures.sessionStats(df, keyCol, tsCol, tieCol, gapSeconds)
+
+  /** Per-row within-group quantile normalization — see
+    * [[graft.ops.EventFeatures.quantileNormalize]].
+    */
+  def quantileNormalize(groupCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    graft.ops.EventFeatures.quantileNormalize(df, groupCol, idCol, valueCol)
+
+  /** Per-doc type-token ratio + Simpson repeat probability — see
+    * [[graft.text.Lexical.lexicalDiversity]].
+    */
+  def lexicalDiversity(idCol: String, textCol: String): DataFrame =
+    graft.text.Lexical.lexicalDiversity(df, idCol, textCol)
+
+  /** Top-k token burstiness (c/df) — see
+    * [[graft.text.Lexical.burstiness]].
+    */
+  def burstiness(idCol: String, textCol: String, minDf: Long = 5,
+      topK: Int = 50): DataFrame =
+    graft.text.Lexical.burstiness(df, idCol, textCol, minDf, topK)
+
+  /** Token-mass concentration Gini across a bounded group domain —
+    * see [[graft.text.Lexical.sourceGini]].
+    */
+  def sourceGini(groupCol: String, textCol: String): DataFrame =
+    graft.text.Lexical.sourceGini(df, groupCol, textCol)
+
   /** Hybrid lexical+trigram retrieval fused by reciprocal rank — see
     * [[graft.index.Search.hybridRrf]].
     */

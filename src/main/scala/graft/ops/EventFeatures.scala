@@ -1,0 +1,141 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream feature engineering (reference: the derived-view /
+  * groupby surface of store's analytics API, re-expressed as the
+  * feature tables a churn / segmentation / drift model consumes).
+  * Every ratio output rounds the true rational in integer arithmetic
+  * ([[PortableRound]]) so results are engine-portable at any scale.
+  */
+object EventFeatures {
+
+  /** Per-key behavioral feature vector: volume, breadth (distinct
+    * types + Shannon entropy of the type mix), cent-quantized exact
+    * mean value, active span in whole days. Entropy uses the
+    * H = ln n − (Σ c·ln c)/n identity — one positive-term float sum,
+    * no per-term ratios. Two aggregates over the SAME key join back;
+    * both sides arrive hash-partitioned on the key, so the join
+    * reuses the exchange instead of adding one.
+    */
+  def userFeatures(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, valueCol: String): DataFrame = {
+    val mix = df.groupBy(keyCol, typeCol)
+      .agg(count(lit(1)).as("c"))
+      .groupBy(keyCol).agg(
+        sum("c").as("n_events"),
+        count(lit(1)).as("n_types"),
+        round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
+          .as("type_entropy"))
+    // mean over CENT-quantized values (q = ⌊100·v + ½⌋, exact on the
+    // identical input doubles in both engines), then the exact-integer
+    // round4(Σq / 100n) — avg() of raw doubles sums in
+    // engine-dependent order and flips the 4th decimal at scale
+    val base = df
+      .withColumn("q", floor(col(valueCol) * 100 + 0.5).cast("long"))
+      .groupBy(keyCol).agg(
+        PortableRound.intRound4(sum("q"), lit(100L) * count(lit(1)))
+          .as("mean_value"),
+        expr(s"(max(unix_micros($tsCol)) - min(unix_micros($tsCol))) div 86400000000")
+          .as("span_days"))
+    mix.join(base, keyCol)
+      .select(col(keyCol), col("n_events"), col("n_types"),
+        col("type_entropy"), col("mean_value"), col("span_days"))
+      .orderBy(keyCol)
+  }
+
+  /** First-half vs second-half mean shift per group (deterministic
+    * integer split at n div 2 over the unique (ts, tie) order) — the
+    * cheap distribution-drift check between the early and late halves
+    * of a stream. Cent-quantized exact-integer half-means; drift is a
+    * difference of exact 4dp grid points (re-round-safe: it never
+    * lands on a true .00005 midpoint).
+    */
+  def valueDrift(df: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("__us").asc, col(tieCol).asc)
+    val wAll = Window.partitionBy(groupCol)
+    df.select(col(groupCol), col(valueCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("qv", floor(col(valueCol) * 100 + 0.5).cast("long"))
+      .groupBy(groupCol)
+      .agg(
+        max("n").as("n_events"),
+        PortableRound.intRound4(
+          sum(when(expr("rn <= n div 2"), col("qv"))),
+          lit(100L) * count(when(expr("rn <= n div 2"), lit(1)))).as("mean_h1"),
+        PortableRound.intRound4(
+          sum(when(expr("rn > n div 2"), col("qv"))),
+          lit(100L) * count(when(expr("rn > n div 2"), lit(1)))).as("mean_h2"))
+      .withColumn("drift", round(col("mean_h2") - col("mean_h1"), 4))
+      .select(col(groupCol), col("n_events"), col("mean_h1"),
+        col("mean_h2"), col("drift"))
+      .orderBy(groupCol)
+  }
+
+  /** One-row session-health digest (bounce rate, events and
+    * integer-second duration per session, max duration). Sessions via
+    * [[Sessionize]]'s lag + running-sum windows partitioned on the
+    * max-cardinality key; everything after is ONE global partial
+    * aggregate.
+    */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long = 1800): DataFrame = {
+    val byTime = Window.partitionBy(keyCol)
+      .orderBy(col("__us").asc, col(tieCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val sess = df
+      .select(col(keyCol), col(tieCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(byTime))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("__brk")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        ((max(col("__us")) - min(col("__us"))) / lit(1000000L)).cast("long")
+          .as("dur_s"))
+    sess.agg(
+      count(lit(1)).as("n_sessions"),
+      countDistinct(col(keyCol)).as("n_users"),
+      PortableRound.intRound4(
+        count(when(col("n_ev") === 1, lit(1))), count(lit(1))).as("bounce_rate"),
+      PortableRound.intRound4(sum("n_ev"), count(lit(1))).as("avg_events"),
+      PortableRound.intRound4(sum("dur_s"), count(lit(1))).as("avg_dur_s"),
+      max("dur_s").as("max_dur_s"))
+  }
+
+  /** Per-row quantile normalization of a value within its group —
+    * the rank-based feature transform (maps any distribution onto
+    * uniform [0,1], outlier-robust where z-scores are not).
+    * Scale-correct formulation: the rank window runs over the
+    * COMPRESSED (group, cent-value) histogram — bounded by the value
+    * domain — never the raw log; per-row values arrive by a keyed
+    * join back on (group, cent). Average-rank tie handling in exact
+    * integers: qn = (2·cum_below + cnt + 1) / (2·(n + 1)).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val ev = df.select(col(idCol), col(groupCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("qv"))
+    val byGroup = Window.partitionBy(groupCol)
+    val h = ev.groupBy(groupCol, "qv").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(
+        byGroup.orderBy(col("qv").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("cnt")).over(byGroup))
+      .select(col(groupCol), col("qv"),
+        PortableRound.intRound4(
+          lit(2L) * (col("cum") - col("cnt")) + col("cnt") + 1,
+          lit(2L) * (col("n") + 1)).as("qn"))
+    ev.join(h, Seq(groupCol, "qv"))
+      .select(col(idCol), col(groupCol), col("qn"))
+      .orderBy(idCol)
+  }
+}

@@ -262,24 +262,8 @@ object CorpusQueries extends QuerySet {
     // single output row. Gini = Σ(2i−n−1)·T_i / (n·ΣT) on longs,
     // PortableRound for the 4dp emit.
     Q("q_source_gini",
-      (s, d) => {
-        val st = Tables.df(s, d, "documents")
-          .groupBy("source")
-          .agg(sum(size(graft.text.TextFunctions.tokens(col("text"))))
-            .cast("long").as("t"))
-        st.agg(collect_list(struct(col("t"), col("source"))).as("arr"))
-          .select(
-            expr("size(arr)").cast("long").as("n_sources"),
-            expr("aggregate(sort_array(arr), 0L, (a, x) -> a + x.t)")
-              .as("total_tokens"),
-            expr("""aggregate(
-                      zip_with(sort_array(arr), sequence(1, size(arr)),
-                        (x, i) -> (CAST(2 * i AS BIGINT) - size(arr) - 1) * x.t),
-                      0L, (a, y) -> a + y)""").as("num"))
-          .select(col("n_sources"), col("total_tokens"),
-            graft.ops.PortableRound.intRound4(col("num"),
-              col("n_sources") * col("total_tokens")).as("gini"))
-      },
+      (s, d) => graft.text.Lexical.sourceGini(
+        Tables.df(s, d, "documents"), "source", "text"),
       Some(s"""WITH st AS (
               |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS t
               |  FROM documents GROUP BY source),
@@ -292,6 +276,31 @@ object CorpusQueries extends QuerySet {
               |  ${graft.ops.PortableRound.intRound4Duck(
                     "CAST(sum((2 * i - n - 1) * t) AS BIGINT)",
                     "CAST(max(n) * max(tot) AS BIGINT)")} AS gini
-              |FROM r""".stripMargin))
+              |FROM r""".stripMargin)),
+
+    // Token burstiness (Church & Gale): mean occurrences per
+    // CONTAINING document, c/df — a function word spreads thin
+    // (burstiness ≈ its rate), a topical/template token clumps
+    // (burstiness ≫ 1 at modest df). The signal that separates "common
+    // because ubiquitous" from "common because a few docs repeat it" —
+    // which the raw frequency table (47g) cannot. Two-level keyed agg
+    // — (doc, tok) partial counts, then per-token sums, so df needs no
+    // count-distinct pass — and a deterministic top-50 TakeOrdered
+    // ((c, tok) is unique per row). Ratio integer-exact.
+    Q("q_burstiness",
+      (s, d) => graft.text.Lexical.burstiness(
+        Tables.df(s, d, "documents"), "doc_id", "text"),
+      Some(s"""WITH dt AS (
+              |  SELECT doc_id, tok, count(*) AS c
+              |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              |        FROM documents)
+              |  GROUP BY doc_id, tok),
+              |t AS (
+              |  SELECT tok, CAST(sum(c) AS BIGINT) AS c, count(*) AS df
+              |  FROM dt GROUP BY tok)
+              |SELECT tok, c, df,
+              |  ${graft.ops.PortableRound.intRound4Duck("c", "df")} AS burstiness
+              |FROM t WHERE df >= 5
+              |ORDER BY c DESC, tok LIMIT 50""".stripMargin))
   )
 }

@@ -353,31 +353,8 @@ object EventQueries extends QuerySet {
     // both sides arrive hash-partitioned on user_id, so the join
     // reuses the exchange instead of adding one.
     Q("q_user_features",
-      (s, d) => {
-        val ev = Tables.df(s, d, "events")
-        val mix = ev.groupBy("user_id", "event_type")
-          .agg(count(lit(1)).as("c"))
-          .groupBy("user_id").agg(
-            sum("c").as("n_events"),
-            count(lit(1)).as("n_types"),
-            round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
-              .as("type_entropy"))
-        // mean over CENT-quantized values (q = ⌊100·v + ½⌋, exact on
-        // the identical input doubles in both engines), then the
-        // exact-integer round4(Σq / 100n) — avg() of raw doubles sums
-        // in engine-dependent order and flips the 4th decimal at scale
-        val base = ev
-          .withColumn("q", floor(col("value") * 100 + 0.5).cast("long"))
-          .groupBy("user_id").agg(
-            graft.ops.PortableRound.intRound4(sum("q"), lit(100L) * count(lit(1)))
-              .as("mean_value"),
-            expr("(max(unix_micros(ts)) - min(unix_micros(ts))) div 86400000000")
-              .as("span_days"))
-        mix.join(base, "user_id")
-          .select(col("user_id"), col("n_events"), col("n_types"),
-            col("type_entropy"), col("mean_value"), col("span_days"))
-          .orderBy("user_id")
-      },
+      (s, d) => graft.ops.EventFeatures.userFeatures(
+        Tables.df(s, d, "events"), "user_id", "event_type", "ts", "value"),
       Some("""WITH bt AS (
              |  SELECT user_id, event_type, count(*) AS c
              |  FROM events GROUP BY user_id, event_type),
@@ -407,35 +384,8 @@ object EventQueries extends QuerySet {
     // (ts, event_id) order); the windows partition on event_type —
     // no partition-less window, one shuffle serves both specs.
     Q("q_value_drift",
-      (s, d) => {
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("event_type")
-          .orderBy(col("__us").asc, col("event_id").asc)
-        val wAll = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
-        Tables.df(s, d, "events")
-          .select(col("event_type"), col("value"), col("event_id"),
-            unix_micros(col("ts")).as("__us"))
-          .withColumn("rn", row_number().over(w))
-          .withColumn("n", count(lit(1)).over(wAll))
-          // cent-quantized exact-integer means (see q_user_features);
-          // drift then subtracts two EXACT 4dp decimals — safe to
-          // re-round (the midpoint hazard needs a true .00005 tail,
-          // which a difference of 4dp grid points never has)
-          .withColumn("qv", floor(col("value") * 100 + 0.5).cast("long"))
-          .groupBy("event_type")
-          .agg(
-            max("n").as("n_events"),
-            graft.ops.PortableRound.intRound4(
-              sum(when(expr("rn <= n div 2"), col("qv"))),
-              lit(100L) * count(when(expr("rn <= n div 2"), lit(1)))).as("mean_h1"),
-            graft.ops.PortableRound.intRound4(
-              sum(when(expr("rn > n div 2"), col("qv"))),
-              lit(100L) * count(when(expr("rn > n div 2"), lit(1)))).as("mean_h2"))
-          .withColumn("drift", round(col("mean_h2") - col("mean_h1"), 4))
-          .select(col("event_type"), col("n_events"), col("mean_h1"),
-            col("mean_h2"), col("drift"))
-          .orderBy("event_type")
-      },
+      (s, d) => graft.ops.EventFeatures.valueDrift(
+        Tables.df(s, d, "events"), "event_type", "ts", "event_id", "value"),
       Some("""WITH r AS (
              |  SELECT event_type,
              |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv,
@@ -456,6 +406,77 @@ object EventQueries extends QuerySet {
              |SELECT event_type, n_events, mean_h1, mean_h2,
              |  round(mean_h2 - mean_h1, 4) AS drift
              |FROM h ORDER BY event_type""".stripMargin)),
+
+    // Corpus-level session-health summary — the one-row digest of
+    // q_sessionize's per-session table (bounce rate, events and
+    // duration per session): the engagement dashboard number, and the
+    // sanity check run after changing the gap parameter. Sessions are
+    // built with the same lag+running-sum windows partitioned on the
+    // max-cardinality user id; everything after is ONE global partial
+    // aggregate — counts and integer-second duration sums, so every
+    // ratio is PortableRound-exact.
+    Q("q_session_stats",
+      (s, d) => graft.ops.EventFeatures.sessionStats(
+        Tables.df(s, d, "events"), "user_id", "ts", "event_id", gapSeconds = 1800),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |l AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |m AS (
+             |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM l),
+             |s AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             |  FROM m),
+             |sess AS (
+             |  SELECT user_id, session_id, count(*) AS n_ev,
+             |    (max(us) - min(us)) // 1000000 AS dur_s
+             |  FROM s GROUP BY user_id, session_id)
+             |SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  """.stripMargin
+        + graft.ops.PortableRound.intRound4Duck(
+            "count(CASE WHEN n_ev = 1 THEN 1 END)", "count(*)") + " AS bounce_rate,\n  "
+        + graft.ops.PortableRound.intRound4Duck(
+            "CAST(sum(n_ev) AS BIGINT)", "count(*)") + " AS avg_events,\n  "
+        + graft.ops.PortableRound.intRound4Duck(
+            "CAST(sum(dur_s) AS BIGINT)", "count(*)") + """ AS avg_dur_s,
+             |  CAST(max(dur_s) AS BIGINT) AS max_dur_s
+             |FROM sess""".stripMargin)),
+
+    // Per-event quantile normalization of `value` within its event
+    // type — the rank-based feature transform (maps any distribution
+    // onto uniform [0,1], robust to outliers where z-scores are not).
+    // Scale-correct formulation: the rank window runs over the
+    // COMPRESSED (type, cent-value) histogram — bounded by the value
+    // domain, thousands of rows — never over the raw event log; the
+    // per-event normalized value then arrives by a keyed join back on
+    // (type, cent). Average-rank tie handling in exact integers:
+    // qn = (2·cum_below + cnt + 1) / (2·(n + 1)).
+    Q("q_quantile_normalize",
+      (s, d) => graft.ops.EventFeatures.quantileNormalize(
+        Tables.df(s, d, "events"), "event_type", "event_id", "value"),
+      Some("""WITH ev AS (
+             |  SELECT event_id, event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+             |  FROM events),
+             |h AS (
+             |  SELECT event_type, qv, count(*) AS cnt,
+             |    sum(count(*)) OVER (PARTITION BY event_type ORDER BY qv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             |    sum(count(*)) OVER (PARTITION BY event_type) AS n
+             |  FROM ev GROUP BY event_type, qv)
+             |SELECT ev.event_id, ev.event_type,
+             |  """.stripMargin
+        + graft.ops.PortableRound.intRound4Duck(
+            "CAST(2 * (h.cum - h.cnt) + h.cnt + 1 AS BIGINT)",
+            "CAST(2 * (h.n + 1) AS BIGINT)") + """ AS qn
+             |FROM ev JOIN h USING (event_type, qv)
+             |ORDER BY ev.event_id""".stripMargin)),
 
     // Nested-path find (reference: dotted a.b.c where paths on nested
     // objects): parse props into a struct, filter with a Mongo-style

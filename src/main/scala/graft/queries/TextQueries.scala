@@ -307,21 +307,8 @@ object TextQueries extends QuerySet {
     // q_vocab_stats shuffle shape — token-linear, no per-doc
     // quadratic work.
     Q("q_lexical_diversity",
-      (s, d) => {
-        val tf = Tables.df(s, d, "documents")
-          .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("tok"))
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
-        tf.groupBy("doc_id")
-          .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct"),
-            sum(col("c") * (col("c") - 1)).as("rep"))
-          .filter(col("n_tokens") >= 2)
-          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-            graft.ops.PortableRound.intRound4(col("n_distinct"), col("n_tokens"))
-              .as("ttr"),
-            graft.ops.PortableRound.intRound4(col("rep"),
-              col("n_tokens") * (col("n_tokens") - 1)).as("simpson"))
-          .orderBy("doc_id")
-      },
+      (s, d) => graft.text.Lexical.lexicalDiversity(
+        Tables.df(s, d, "documents"), "doc_id", "text"),
       Some(s"""WITH tf AS (
               |  SELECT doc_id, tok, count(*) AS c
               |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok

@@ -196,4 +196,61 @@ class CollectionSpec extends SparkSpec {
     pr.values.foreach(_ shouldBe 100000000L)
     graft.api.CacheScope.global.release(blocking = true)
   }
+
+  test("behavioral/lexical accessors compose: userFeatures, sessionStats, " +
+      "quantileNormalize, valueDrift, lexicalDiversity, burstiness, sourceGini") {
+    import spark.implicits._
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      (1L, 1L, ts(0L), "view", 1.0),
+      (2L, 1L, ts(600L), "view", 2.0),
+      (3L, 1L, ts(1200L), "click", 3.0),
+      (4L, 1L, ts(10000L), "view", 4.0), // gap 8800s > 1800 -> new session
+      (5L, 2L, ts(0L), "click", 10.0)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value")
+    val c = new Collection("ev", ev)
+
+    val uf = c.userFeatures("user_id", "event_type", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    uf(1L) shouldBe ((4L, 2L, 0.5623, 2.5, 0L)) // H = ln4 - (3ln3)/4
+    uf(2L) shouldBe ((1L, 1L, 0.0, 10.0, 0L))
+
+    val ss = c.sessionStats("user_id", "ts", "event_id").collect().head
+    ss.getLong(0) shouldBe 3L            // sessions: {e1-e3}, {e4}, {e5}
+    ss.getLong(1) shouldBe 2L
+    ss.getDouble(2) shouldBe 0.6667      // 2 of 3 are single-event
+    ss.getDouble(3) shouldBe 1.6667      // 5 events / 3 sessions
+    ss.getDouble(4) shouldBe 400.0       // (1200 + 0 + 0) / 3
+    ss.getLong(5) shouldBe 1200L
+
+    val qn = c.quantileNormalize("event_type", "event_id", "value")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    qn(1L) shouldBe 0.25 // view ranks 1..3 of n=3 -> r/(n+1)
+    qn(2L) shouldBe 0.5
+    qn(4L) shouldBe 0.75
+    qn(3L) shouldBe 0.3333 // click ranks over n=2
+    qn(5L) shouldBe 0.6667
+
+    val vd = c.valueDrift("event_type", "ts", "event_id", "value")
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    vd("view") shouldBe ((1.0, 3.0, 2.0))    // h1 = {1.0}, h2 = {2.0, 4.0}
+    vd("click") shouldBe ((10.0, 3.0, -7.0)) // time-ordered: e5 (t=0) first
+
+    val docs = Seq((1L, "a a b", "s1"), (2L, "a b c d", "s2"))
+      .toDF("doc_id", "text", "source")
+    val cd = new Collection("docs", docs)
+    val ld = cd.lexicalDiversity("doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    ld(1L) shouldBe ((0.6667, 0.3333)) // ttr 2/3, simpson 2/(3*2)
+    ld(2L) shouldBe ((1.0, 0.0))
+    val b = cd.burstiness("doc_id", "text", minDf = 1, topK = 10).collect()
+    b.map(_.getString(0)).toSeq shouldBe Seq("a", "b", "c", "d")
+    b.head.getDouble(3) shouldBe 1.5 // 'a': c=3 over df=2 docs
+    val g = cd.sourceGini("source", "text").collect().head
+    g.getLong(0) shouldBe 2L
+    g.getLong(1) shouldBe 7L
+    g.getDouble(2) shouldBe 0.0714 // ((-1)*3 + 1*4) / (2*7)
+    graft.api.CacheScope.global.release(blocking = true)
+  }
 }
