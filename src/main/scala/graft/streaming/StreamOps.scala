@@ -178,6 +178,60 @@ object StreamOps {
     stream.withColumn("log_w", score(expr(TextFunctions.tokenHashesSql(textCol))))
   }
 
+  /** Streaming quantile normalization — the serve-time tier of
+    * [[graft.ops.EventFeatures.quantileNormalize]]: fit the
+    * per-(group, cent-value) CDF ONCE on the standing corpus (the
+    * compressed histogram is bounded by the value domain, so it
+    * collapses to driver arrays — the KMeans-centers pattern),
+    * broadcast, and map each incoming row STATELESSLY to its
+    * normalized rank. A value seen in the corpus reproduces the batch
+    * op's qn bit-for-bit (identical integer arithmetic); an unseen
+    * value interpolates by its insertion point (count of corpus
+    * values strictly below it, cnt = 0 in the same formula) — so the
+    * output stays monotone in the value and lands in (0, 1). An
+    * unseen GROUP yields null (no distribution to normalize against).
+    * No joins, no state store, any ingest rate. The UDF wraps the
+    * broadcast per-group arrays (binary search per row) — the
+    * documented broadcast-model exception; batch parity asserted in
+    * StreamOpsSpec.
+    */
+  def quantileNormalizeStream(stream: DataFrame, corpus: DataFrame,
+      groupCol: String, valueCol: String): DataFrame = {
+    val fit = corpus.select(col(groupCol).cast("string").as("g"),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("qv"))
+      .filter(col("g").isNotNull && col("qv").isNotNull)
+      .groupBy("g", "qv").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val model: Map[String, (Array[Long], Array[Long], Array[Long])] =
+      fit.groupBy(_._1).map { case (g, rows) =>
+        val sorted = rows.sortBy(_._2)
+        val qvs = sorted.map(_._2).toArray
+        val cnts = sorted.map(_._3).toArray
+        // cum(i) = corpus values strictly below qvs(i); cum(len) = n
+        val cum = new Array[Long](qvs.length + 1)
+        var i = 0
+        while (i < qvs.length) { cum(i + 1) = cum(i) + cnts(i); i += 1 }
+        g -> ((qvs, cum, cnts))
+      }
+    val bc = stream.sparkSession.sparkContext.broadcast(model)
+    val qn = udf { (g: String, v: java.lang.Double) =>
+      if (g == null || v == null) null.asInstanceOf[java.lang.Double]
+      else bc.value.get(g) match {
+        case None => null.asInstanceOf[java.lang.Double]
+        case Some((qvs, cum, cnts)) =>
+          val qv = math.floor(v * 100 + 0.5).toLong
+          val idx = java.util.Arrays.binarySearch(qvs, qv)
+          // avg-rank p/q with the exact PortableRound integer formula
+          val p = if (idx >= 0) 2L * cum(idx) + cnts(idx) + 1
+                  else 2L * cum(-idx - 1) + 1
+          val q = 2L * (cum(qvs.length) + 1)
+          java.lang.Double.valueOf(((20000L * p + q) / (2L * q)).toDouble / 10000.0)
+      }
+    }
+    stream.withColumn("qn",
+      qn(col(groupCol).cast("string"), col(valueCol).cast("double")))
+  }
+
   /** Streaming retrieval against the persisted IVF+PQ index
     * ([[graft.ann.IvfPqIndex]]) — "build the index on the standing
     * corpus once, serve every incoming query forever". Structured

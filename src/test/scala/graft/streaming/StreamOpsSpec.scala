@@ -519,4 +519,43 @@ class StreamOpsSpec extends SparkSpec {
       stream.size shouldBe 24
     } finally q.stop()
   }
+
+  test("quantileNormalizeStream: seen values match the batch op, unseen interpolate") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val corpus = Seq(
+      (1L, "view", 1.0), (2L, "view", 2.0), (4L, "view", 4.0),
+      (3L, "click", 3.0), (5L, "click", 10.0)
+    ).toDF("event_id", "event_type", "value")
+    val input = MemoryStream[(Long, String, Double)]
+    val out = StreamOps.quantileNormalizeStream(
+      input.toDF().toDF("event_id", "event_type", "value"),
+      corpus, "event_type", "value")
+    val q = out.writeStream.format("memory").queryName("qn_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (101L, "view", 2.0),   // seen -> batch qn
+        (102L, "click", 10.0), // seen -> batch qn
+        (103L, "view", 3.0),   // unseen, between 2.0 and 4.0
+        (104L, "view", 0.5),   // unseen, below min
+        (105L, "view", 9.0),   // unseen, above max
+        (106L, "other", 1.0))  // unknown group
+      q.processAllAvailable()
+      val got = spark.table("qn_out")
+        .collect().map(r => r.getLong(0) ->
+          Option(r.getAs[java.lang.Double]("qn")).map(_.doubleValue)).toMap
+      val batch = graft.ops.EventFeatures.quantileNormalize(
+        corpus, "event_type", "event_id", "value")
+        .collect().map(r => (r.getString(1), r.getLong(0)) -> r.getDouble(2)).toMap
+      got(101L) shouldBe Some(batch(("view", 2L)))   // 0.5
+      got(102L) shouldBe Some(batch(("click", 5L)))  // 0.6667
+      got(103L) shouldBe Some(0.625)  // 2 of 3 below -> (2*2+1)/(2*4)
+      got(104L) shouldBe Some(0.125)  // 0 below -> 1/8
+      got(105L) shouldBe Some(0.875)  // 3 below -> 7/8
+      got(106L) shouldBe None
+      // monotone in the value within a group
+      Seq(got(104L).get, got(101L).get, got(103L).get, got(105L).get)
+        .sliding(2).foreach { case Seq(a, b) => a should be < b }
+    } finally q.stop()
+  }
 }
