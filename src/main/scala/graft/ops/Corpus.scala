@@ -465,6 +465,171 @@ object Corpus {
        |CROSS JOIN v
        |ORDER BY lang_a, lang_b""".stripMargin
 
+  /** Jensen-Shannon divergence between every unordered pair of group
+    * corpora's unigram distributions — the SYMMETRIC, bounded (≤ ln 2)
+    * companion of [[klDivergence]], the number data-mixing reports
+    * actually quote (KL explodes when a token is near-absent on one
+    * side; JS saturates). Same add-one smoothing over the global
+    * vocabulary, same three-part V×L² collapse: tokens absent from
+    * BOTH groups contribute a per-pair constant h(0,0), so the grid
+    * never materializes — (1) tokens present in a (left join b),
+    * (2) tokens present only in b (anti join), (3) closed-form
+    * remainder (V − |vocab_a ∪ vocab_b|)·h(0,0), with
+    * h(ca,cb) = ½p·ln(p/m) + ½q·ln(q/m), m = (p+q)/2. Unordered
+    * output (group_a < group_b) — JS is symmetric, so the ordered
+    * grid would double the work for mirrored rows.
+    */
+  def jsDivergence(df: DataFrame, groupCol: String, textCol: String,
+                   scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val counts = scope.persist(df
+      .select(col(groupCol).as("g"), explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy(col("g"), col("tok")).agg(count(lit(1)).cast("double").as("c")))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val vRow = counts.agg(countDistinct(col("tok")).cast("double").as("v"))
+    val a = counts.select(col("g").as("la"), col("tok"), col("c").as("ca"))
+    val b = counts.select(col("g").as("lb"), col("tok"), col("c").as("cb"))
+    val ta = totals.select(col("g").as("la"), col("n").as("na"))
+    val tb = totals.select(col("g").as("lb"), col("n").as("nb"))
+    def term(ca: Column, cb: Column): Column = {
+      val p = (ca + 1.0) / (col("na") + col("v"))
+      val q = (cb + 1.0) / (col("nb") + col("v"))
+      val m = (p + q) / 2.0
+      lit(0.5) * p * log(p / m) + lit(0.5) * q * log(q / m)
+    }
+    val part1 = a.crossJoin(broadcast(tb)).join(b, Seq("lb", "tok"), "left")
+      .join(ta, "la").crossJoin(broadcast(vRow))
+      .filter(col("la") < col("lb"))
+      .withColumn("t", term(col("ca"), coalesce(col("cb"), lit(0.0))))
+      .groupBy(col("la"), col("lb")).agg(sum(col("t")).as("s"), count(lit(1)).as("k"))
+    val part2 = b.crossJoin(broadcast(ta)).join(a, Seq("la", "tok"), "left_anti")
+      .join(tb, "lb").crossJoin(broadcast(vRow))
+      .filter(col("la") < col("lb"))
+      .withColumn("t", term(lit(0.0), col("cb")))
+      .groupBy(col("la"), col("lb")).agg(sum(col("t")).as("s"), count(lit(1)).as("k"))
+    part1.union(part2)
+      .groupBy(col("la"), col("lb")).agg(sum(col("s")).as("s"), sum(col("k")).as("k"))
+      .join(ta, "la").join(tb, "lb").crossJoin(broadcast(vRow))
+      .select(col("la").as("group_a"), col("lb").as("group_b"),
+        round(col("s") + (col("v") - col("k")) *
+          (lit(0.5) * (lit(1.0) / (col("na") + col("v")))
+            * log((lit(1.0) / (col("na") + col("v")))
+              / ((lit(1.0) / (col("na") + col("v")) + lit(1.0) / (col("nb") + col("v"))) / 2.0))
+          + lit(0.5) * (lit(1.0) / (col("nb") + col("v")))
+            * log((lit(1.0) / (col("nb") + col("v")))
+              / ((lit(1.0) / (col("na") + col("v")) + lit(1.0) / (col("nb") + col("v"))) / 2.0))),
+          4).as("js"))
+      .orderBy("group_a", "group_b")
+  }
+
+  /** DuckDB twin of [[jsDivergence]] — the same three-part split and
+    * the same arithmetic shape per term.
+    */
+  def jsDivergenceDuckSql(table: String, groupCol: String, textCol: String): String = {
+    val pa = "((a.c + 1.0) / (ta.n + v.v))"
+    val qa = "((coalesce(b.c, 0.0) + 1.0) / (tb.n + v.v))"
+    val p2 = "((0.0 + 1.0) / (ta.n + v.v))"
+    val q2 = "((b.c + 1.0) / (tb.n + v.v))"
+    val ua = "(1.0 / (ta.n + v.v))"
+    val ub = "(1.0 / (tb.n + v.v))"
+    s"""WITH counts AS (
+       |  SELECT g, tok, CAST(count(*) AS DOUBLE) AS c
+       |  FROM (SELECT $groupCol AS g, unnest(string_split($textCol, ' ')) AS tok FROM $table)
+       |  GROUP BY g, tok),
+       |totals AS (SELECT g, sum(c) AS n FROM counts GROUP BY g),
+       |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM counts),
+       |part1 AS (
+       |  SELECT a.g AS la, tb.g AS lb,
+       |    sum(0.5 * $pa * ln($pa / (($pa + $qa) / 2.0))
+       |      + 0.5 * $qa * ln($qa / (($pa + $qa) / 2.0))) AS s,
+       |    count(*) AS k
+       |  FROM counts a
+       |  CROSS JOIN totals tb
+       |  LEFT JOIN counts b ON b.g = tb.g AND b.tok = a.tok
+       |  JOIN totals ta ON ta.g = a.g
+       |  CROSS JOIN v
+       |  WHERE a.g < tb.g
+       |  GROUP BY a.g, tb.g),
+       |part2 AS (
+       |  SELECT ta.g AS la, b.g AS lb,
+       |    sum(0.5 * $p2 * ln($p2 / (($p2 + $q2) / 2.0))
+       |      + 0.5 * $q2 * ln($q2 / (($p2 + $q2) / 2.0))) AS s,
+       |    count(*) AS k
+       |  FROM counts b
+       |  CROSS JOIN totals ta
+       |  JOIN totals tb ON tb.g = b.g
+       |  CROSS JOIN v
+       |  WHERE ta.g < b.g
+       |    AND NOT EXISTS (SELECT 1 FROM counts a WHERE a.g = ta.g AND a.tok = b.tok)
+       |  GROUP BY ta.g, b.g),
+       |merged AS (
+       |  SELECT la, lb, sum(s) AS s, sum(k) AS k
+       |  FROM (SELECT * FROM part1 UNION ALL SELECT * FROM part2)
+       |  GROUP BY la, lb)
+       |SELECT m.la AS group_a, m.lb AS group_b,
+       |  round(m.s + (v.v - m.k) *
+       |    (0.5 * $ua * ln($ua / (($ua + $ub) / 2.0))
+       |     + 0.5 * $ub * ln($ub / (($ua + $ub) / 2.0))), 4) AS js
+       |FROM merged m
+       |JOIN totals ta ON ta.g = m.la
+       |JOIN totals tb ON tb.g = m.lb
+       |CROSS JOIN v
+       |ORDER BY group_a, group_b""".stripMargin
+  }
+
+  /** Heaps-law fit V = K·N^β over per-unit (token count, vocab)
+    * points — the vocabulary-growth companion of [[zipfFit]]: β well
+    * below ~0.8 says more data re-treads the same vocabulary.
+    * Log-log least squares in the same covar_pop/var_pop shape as the
+    * Zipf fit, over the per-DOCUMENT (N, V) scatter — thousands of
+    * well-spread points (a handful of near-identical per-source
+    * totals degenerates the variance to the float-zero boundary,
+    * where the two engines' guard comparisons disagree). Degenerate
+    * inputs yield NULL, not a divide error; `+ 0` folds a rounded
+    * −0.0 into +0.0 on both sides (the Pca twin convention).
+    */
+  def heapsFit(df: DataFrame, unitCol: String, textCol: String): DataFrame = {
+    val st = df
+      .select(col(unitCol).as("g"), explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
+      .groupBy("g", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("g").agg(sum("c").as("n"), count(lit(1)).as("vcb"))
+    val lx = log(col("n").cast("double"))
+    val ly = log(col("vcb").cast("double"))
+    st.agg(
+        covar_pop(ly, lx).as("cxy"), var_pop(lx).as("vx"), var_pop(ly).as("vy"),
+        avg(lx).as("mx"), avg(ly).as("my"), count(lit(1)).as("n_points"))
+      .select(
+        (round(when(col("vx") =!= 0, col("cxy") / col("vx")), 4) + lit(0.0)).as("beta"),
+        (round(when(col("vx") =!= 0,
+          col("my") - col("cxy") / col("vx") * col("mx")), 4) + lit(0.0)).as("ln_k"),
+        (round(when(col("vx") * col("vy") =!= 0,
+          col("cxy") * col("cxy") / (col("vx") * col("vy"))), 4) + lit(0.0)).as("r2"),
+        col("n_points"))
+  }
+
+  /** DuckDB twin of [[heapsFit]]. */
+  def heapsFitDuckSql(table: String, unitCol: String, textCol: String): String =
+    s"""WITH st AS (
+       |  SELECT g, CAST(sum(c) AS BIGINT) AS n, count(*) AS vcb
+       |  FROM (
+       |    SELECT g, tok, count(*) AS c
+       |    FROM (SELECT $unitCol AS g, unnest(string_split($textCol, ' ')) AS tok FROM $table)
+       |    GROUP BY g, tok)
+       |  GROUP BY g)
+       |SELECT
+       |  round(CASE WHEN var_pop(ln(CAST(n AS DOUBLE))) <> 0
+       |    THEN covar_pop(ln(CAST(vcb AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+       |       / var_pop(ln(CAST(n AS DOUBLE))) END, 4) + 0 AS beta,
+       |  round(CASE WHEN var_pop(ln(CAST(n AS DOUBLE))) <> 0
+       |    THEN avg(ln(CAST(vcb AS DOUBLE)))
+       |       - covar_pop(ln(CAST(vcb AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+       |         / var_pop(ln(CAST(n AS DOUBLE))) * avg(ln(CAST(n AS DOUBLE))) END, 4) + 0 AS ln_k,
+       |  round(CASE WHEN var_pop(ln(CAST(n AS DOUBLE))) * var_pop(ln(CAST(vcb AS DOUBLE))) <> 0
+       |    THEN covar_pop(ln(CAST(vcb AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+       |       * covar_pop(ln(CAST(vcb AS DOUBLE)), ln(CAST(n AS DOUBLE)))
+       |       / (var_pop(ln(CAST(n AS DOUBLE))) * var_pop(ln(CAST(vcb AS DOUBLE)))) END, 4) + 0 AS r2,
+       |  count(*) AS n_points
+       |FROM st""".stripMargin
+
   /** Per-source top-quantile quality gate (the FineWeb-style "keep the
     * best q of every dump" filter — RELATIVE to each source, where an
     * absolute threshold would empty low-resource sources): rank each

@@ -111,6 +111,106 @@ object EventFeatures {
       max("dur_s").as("max_dur_s"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per group: the
+    * first half vs second half of the stream (same deterministic
+    * integer split as [[valueDrift]]), but comparing the WHOLE value
+    * distribution, not just the mean — a variance or tail shift with
+    * an unmoved mean is invisible to valueDrift and lights up here.
+    * Exact at any scale: the two empirical CDFs are evaluated at
+    * every observed cent value via running-sum windows over the
+    * COMPRESSED (group, cent) histogram (the sup of |F1−F2| is
+    * attained at a jump point, and the histogram carries every jump
+    * of either half), and the statistic is maximized as the INTEGER
+    * cross-multiplication |cum1·n2 − cum2·n1| before the single
+    * final [[PortableRound]] division — no float comparison ever
+    * decides the max. Denominator n1·n2 must stay under ~4.6e11 for
+    * the exact rounding (≈ 1.3M rows per group per half); beyond
+    * that, pre-aggregate or sample.
+    */
+  def ksDrift(df: DataFrame, groupCol: String, tsCol: String,
+      tieCol: String, valueCol: String): DataFrame = {
+    val byTime = Window.partitionBy(groupCol)
+      .orderBy(col("__us").asc, col(tieCol).asc)
+    val wAll = Window.partitionBy(groupCol)
+    val halves = df.select(col(groupCol), col(valueCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("rn", row_number().over(byTime))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .select(col(groupCol),
+        floor(col(valueCol) * 100 + 0.5).cast("long").as("qv"),
+        when(expr("rn <= n div 2"), 1L).otherwise(0L).as("h1"))
+    val byQv = Window.partitionBy(groupCol).orderBy(col("qv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = halves.groupBy(col(groupCol), col("qv"))
+      .agg(sum("h1").as("c1"), sum(lit(1L) - col("h1")).as("c2"))
+      .withColumn("cum1", sum("c1").over(byQv))
+      .withColumn("cum2", sum("c2").over(byQv))
+      .withColumn("n1", sum("c1").over(wAll))
+      .withColumn("n2", sum("c2").over(wAll))
+    cum.groupBy(groupCol)
+      .agg(max("n1").as("n_h1"), max("n2").as("n_h2"),
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("__d"))
+      .select(col(groupCol), col("n_h1"), col("n_h2"),
+        PortableRound.intRound4(col("__d"), col("n_h1") * col("n_h2")).as("ks"))
+      .orderBy(groupCol)
+  }
+
+  /** Per-state next-step entropy of the first-order event chain —
+    * "given the current event type, how predictable is the next?"
+    * (≈0 = deterministic funnel; ln(branching) = uniform noise).
+    * The behavioral companion of the transition matrix: same lead()
+    * window on the max-cardinality key, then entropy over the
+    * type² -bounded transition counts via the H = ln n − (Σ c·ln c)/n
+    * identity (one positive-term float sum, no per-term ratios).
+    */
+  def transitionEntropy(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    val byTime = Window.partitionBy(keyCol)
+      .orderBy(col("__us").asc, col(tieCol).asc)
+    df.select(col(keyCol), col(typeCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__next", lead(col(typeCol), 1).over(byTime))
+      .filter(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("from_type")
+      .agg(sum("c").as("n_trans"), count(lit(1)).as("branching"),
+        round(log(sum("c")) - sum(col("c") * log(col("c"))) / sum("c"), 4)
+          .as("h_next"))
+      .orderBy("from_type")
+  }
+
+  /** Tukey-fence (1.5·IQR) outlier summary per group — the robust
+    * companion of the per-user z-score flags: quartiles don't move
+    * for a fat tail, so the fences stay meaningful on skewed value
+    * distributions where mean±2σ is dragged by the outliers
+    * themselves. Quartiles via [[Describe.groupQuantiles]]'s
+    * rank-window idiom on the cent-quantized values (quarter-cent
+    * interpolation points are dyadic-exact, and ×1.5 keeps the
+    * fences exact eighths of a cent — every qv<lo comparison decides
+    * identically in both engines); the |groups|-row fence table
+    * broadcasts back onto the stream for one counting pass.
+    */
+  def iqrOutliers(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val ev = df.select(col(groupCol),
+      floor(col(valueCol) * 100 + 0.5).cast("long").as("__qv"))
+    val fences = Describe.groupQuantiles(ev, groupCol, "__qv",
+        Seq("q1c" -> 0.25, "q3c" -> 0.75))
+      .select(col(groupCol), col("q1c"), col("q3c"),
+        (col("q1c") - lit(1.5) * (col("q3c") - col("q1c"))).as("__lo"),
+        (col("q3c") + lit(1.5) * (col("q3c") - col("q1c"))).as("__hi"))
+    ev.join(broadcast(fences), Seq(groupCol))
+      .groupBy(groupCol)
+      .agg(count(lit(1)).as("n"),
+        round(max("q1c") / 100.0, 4).as("q1"),
+        round(max("q3c") / 100.0, 4).as("q3"),
+        count(when(col("__qv") < col("__lo"), lit(1))).as("n_low"),
+        count(when(col("__qv") > col("__hi"), lit(1))).as("n_high"))
+      .withColumn("outlier_rate",
+        PortableRound.intRound4(col("n_low") + col("n_high"), col("n")))
+      .orderBy(groupCol)
+  }
+
   /** Per-row quantile normalization of a value within its group —
     * the rank-based feature transform (maps any distribution onto
     * uniform [0,1], outlier-robust where z-scores are not).

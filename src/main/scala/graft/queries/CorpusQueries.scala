@@ -301,6 +301,25 @@ object CorpusQueries extends QuerySet {
               |SELECT tok, c, df,
               |  ${graft.ops.PortableRound.intRound4Duck("c", "df")} AS burstiness
               |FROM t WHERE df >= 5
-              |ORDER BY c DESC, tok LIMIT 50""".stripMargin))
+              |ORDER BY c DESC, tok LIMIT 50""".stripMargin)),
+
+    // Jensen-Shannon divergence between source-pair unigram
+    // distributions — the symmetric, bounded (≤ ln 2) drift number a
+    // mixing report quotes where KL (q_corpus_kl) explodes on
+    // near-absent tokens. Same three-part V×L² collapse as KL:
+    // present-in-a join, only-in-b anti join, closed-form
+    // absent-absent remainder — the vocabulary × pair grid never
+    // materializes.
+    Q("q_js_divergence",
+      (s, d) => Corpus.jsDivergence(Tables.df(s, d, "documents"), "source", "text"),
+      Some(Corpus.jsDivergenceDuckSql("documents", "source", "text"))),
+
+    // Heaps-law vocabulary growth V = K·N^β over the per-document
+    // (N, V) scatter — "does more text buy new vocabulary?" next to
+    // q_novelty's shingle view and q_zipf_fit's frequency view;
+    // log-log least squares in the zipfFit covar/var shape.
+    Q("q_heaps_fit",
+      (s, d) => Corpus.heapsFit(Tables.df(s, d, "documents"), "doc_id", "text"),
+      Some(Corpus.heapsFitDuckSql("documents", "doc_id", "text")))
   )
 }

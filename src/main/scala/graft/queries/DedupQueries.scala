@@ -134,6 +134,49 @@ object DedupQueries extends QuerySet {
               |  ${graft.ops.PortableRound.intRound4Duck("n_dup_docs - n_clusters", "n_docs")} AS drop_frac
               |FROM n, s""".stripMargin)),
 
+    // Token-mass inflation from near-duplicates — the COMPUTE-WASTE
+    // number next to q_dedup_rate's doc-count view: the fraction of
+    // training tokens spent on non-representative duplicate docs
+    // (epochs over a template family). Reuses the memoized component
+    // frame; representative = the component-min id, so dup docs are
+    // the id ≠ cluster rows; one keyed join onto per-doc token counts
+    // and two 1-row aggregates (1-row crossJoin, the allowlisted
+    // totals shape).
+    Q("q_dup_inflation",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+          .select(col("doc_id"),
+            size(TextFunctions.tokens(col("text"))).cast("long").as("nt"))
+        val dup = componentsCached(s, d).filter(col("id") =!= col("cluster"))
+          .join(docs.withColumnRenamed("doc_id", "id"), "id")
+          .agg(coalesce(sum("nt"), lit(0L)).as("dup_tokens"),
+            count(lit(1)).as("n_dup_docs"))
+        val tot = docs.agg(sum("nt").as("total_tokens"), count(lit(1)).as("n_docs"))
+        tot.crossJoin(dup)
+          .select(col("n_docs"), col("n_dup_docs"), col("total_tokens"),
+            col("dup_tokens"),
+            graft.ops.PortableRound.intRound4(col("dup_tokens"), col("total_tokens"))
+              .as("token_drop_frac"))
+      },
+      Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
+                 MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+                 "id_a", "id_b")}),
+              |dt AS (
+              |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+              |  FROM documents),
+              |dup AS (
+              |  SELECT CAST(coalesce(sum(nt), 0) AS BIGINT) AS dup_tokens,
+              |    CAST(count(*) AS BIGINT) AS n_dup_docs
+              |  FROM cc JOIN dt ON cc.id = dt.doc_id
+              |  WHERE cc.id <> cc.cluster),
+              |tot AS (
+              |  SELECT CAST(sum(nt) AS BIGINT) AS total_tokens,
+              |    CAST(count(*) AS BIGINT) AS n_docs
+              |  FROM dt)
+              |SELECT n_docs, n_dup_docs, total_tokens, dup_tokens,
+              |  ${graft.ops.PortableRound.intRound4Duck("dup_tokens", "total_tokens")} AS token_drop_frac
+              |FROM tot, dup""".stripMargin)),
+
     // Neighbor-label consistency over the near-dup graph — LABEL
     // NOISE detection (Northcutt-style, graph-shaped): a doc whose
     // near-duplicates carry a different language/source label than

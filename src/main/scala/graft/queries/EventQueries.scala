@@ -407,6 +407,127 @@ object EventQueries extends QuerySet {
              |  round(mean_h2 - mean_h1, 4) AS drift
              |FROM h ORDER BY event_type""".stripMargin)),
 
+    // Two-sample Kolmogorov–Smirnov drift per event type (first half
+    // vs second half of the stream, q_value_drift's split) — the
+    // whole-distribution drift test: a variance or tail shift with an
+    // unmoved mean is invisible to the mean-shift check and lights up
+    // here. CDFs ride running-sum windows over the COMPRESSED
+    // (type, cent) histogram; the sup decides as the exact INTEGER
+    // cross-multiplication |cum1·n2 − cum2·n1|, divided once at the
+    // end (PortableRound) — no float comparison picks the max.
+    Q("q_ks_drift",
+      (s, d) => graft.ops.EventFeatures.ksDrift(
+        Tables.df(s, d, "events"), "event_type", "ts", "event_id", "value"),
+      Some(s"""WITH r AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, qv,
+             |    CAST(count(CASE WHEN rn <= n // 2 THEN 1 END) AS BIGINT) AS c1,
+             |    CAST(count(CASE WHEN rn > n // 2 THEN 1 END) AS BIGINT) AS c2
+             |  FROM r GROUP BY event_type, qv),
+             |k AS (
+             |  SELECT event_type,
+             |    sum(c1) OVER (PARTITION BY event_type ORDER BY qv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+             |    sum(c2) OVER (PARTITION BY event_type ORDER BY qv
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2,
+             |    sum(c1) OVER (PARTITION BY event_type) AS n1,
+             |    sum(c2) OVER (PARTITION BY event_type) AS n2
+             |  FROM c)
+             |SELECT event_type, CAST(max(n1) AS BIGINT) AS n_h1,
+             |  CAST(max(n2) AS BIGINT) AS n_h2,
+             |  ${graft.ops.PortableRound.intRound4Duck(
+                  "max(abs(cum1 * n2 - cum2 * n1))", "max(n1) * max(n2)")} AS ks
+             |FROM k GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Per-state next-step entropy of the first-order event chain —
+    // "given the current event type, how predictable is the next?"
+    // (≈0 = deterministic funnel, ln(branching) = uniform noise); the
+    // behavioral digest of q_event_transitions' matrix. Same lead()
+    // window on the max-cardinality user id; entropy over the
+    // type²-bounded counts via the one-float-sum H identity.
+    Q("q_transition_entropy",
+      (s, d) => graft.ops.EventFeatures.transitionEntropy(
+        Tables.df(s, d, "events"), "user_id", "event_type", "ts", "event_id"),
+      Some("""WITH p AS (
+             |  SELECT event_type AS from_type,
+             |    lead(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS to_type
+             |  FROM events),
+             |c AS (
+             |  SELECT from_type, to_type, count(*) AS c
+             |  FROM p WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+             |SELECT from_type, CAST(sum(c) AS BIGINT) AS n_trans,
+             |  CAST(count(*) AS BIGINT) AS branching,
+             |  round(ln(CAST(sum(c) AS DOUBLE))
+             |    - sum(c * ln(c)) / CAST(sum(c) AS DOUBLE), 4) AS h_next
+             |FROM c GROUP BY from_type ORDER BY from_type""".stripMargin)),
+
+    // Tukey-fence (1.5·IQR) outlier summary per event type — the
+    // robust companion of q_anomaly's z-scores: quartiles don't move
+    // for a fat tail, so the fences stay meaningful on skewed value
+    // distributions where mean±2σ is dragged by the outliers
+    // themselves. Quartiles via the groupQuantiles rank-window idiom
+    // on cent-quantized values (quarter-cent interpolation points are
+    // dyadic-exact; ×1.5 keeps fences exact eighths of a cent), fence
+    // table broadcast back for one counting pass.
+    Q("q_iqr_outliers",
+      (s, d) => graft.ops.EventFeatures.iqrOutliers(
+        Tables.df(s, d, "events"), "event_type", "value"),
+      Some(s"""WITH ev AS (
+             |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv
+             |  FROM events),
+             |f AS (
+             |  SELECT event_type,
+             |    round(quantile_cont(qv, 0.25), 4) AS q1c,
+             |    round(quantile_cont(qv, 0.75), 4) AS q3c
+             |  FROM ev GROUP BY event_type)
+             |SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+             |  round(max(q1c) / 100.0, 4) AS q1,
+             |  round(max(q3c) / 100.0, 4) AS q3,
+             |  CAST(count(CASE WHEN qv < q1c - 1.5 * (q3c - q1c) THEN 1 END) AS BIGINT) AS n_low,
+             |  CAST(count(CASE WHEN qv > q3c + 1.5 * (q3c - q1c) THEN 1 END) AS BIGINT) AS n_high,
+             |  ${graft.ops.PortableRound.intRound4Duck(
+                  "count(CASE WHEN qv < q1c - 1.5 * (q3c - q1c) THEN 1 END) " +
+                  "+ count(CASE WHEN qv > q3c + 1.5 * (q3c - q1c) THEN 1 END)",
+                  "count(*)")} AS outlier_rate
+             |FROM ev JOIN f USING (event_type)
+             |GROUP BY ev.event_type
+             |ORDER BY event_type""".stripMargin)),
+
+    // Trailing-7-day rolling daily volume per event type — the
+    // smoothed traffic curve under every ops dashboard. Integer epoch-
+    // day bucketing (micros div — exact both engines); the rolling sum
+    // is a RANGE window (true calendar days, not observed rows) over
+    // the COMPRESSED (type, day) daily table — bounded by the calendar
+    // × type domain, never the raw event log.
+    Q("q_rolling_daily",
+      (s, d) => {
+        val daily = Tables.df(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type").orderBy(col("day").asc)
+          .rangeBetween(-6, 0)
+        daily.withColumn("n_7d", sum("n").over(w))
+          .orderBy("event_type", "day")
+      },
+      Some("""WITH daily AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    count(*) AS n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, day, n,
+             |  CAST(sum(n) OVER (PARTITION BY event_type ORDER BY day
+             |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
+             |FROM daily ORDER BY event_type, day""".stripMargin)),
+
     // Corpus-level session-health summary — the one-row digest of
     // q_sessionize's per-session table (bounce rate, events and
     // duration per session): the engagement dashboard number, and the

@@ -110,6 +110,12 @@ class PlanAuditSpec extends SparkSpec {
                            // bigram counts — the LM normalizers)
     "q_dedup_rate",        // 1-row corpus count × 1-row component
                            // stats crossJoin
+    "q_dup_inflation",     // 1-row corpus token-totals × 1-row dup
+                           // token-mass crossJoin (the q_dedup_rate
+                           // shape, token-weighted)
+    "q_js_divergence",     // group-totals frame + 1-row vocab-size
+                           // crossJoins — the q_corpus_kl shape with
+                           // the symmetric JS term
     "q_ivf_balance"        // 1-row total crossJoin derived from the
                            // persisted k-row cell table
   )
@@ -296,7 +302,11 @@ class PlanAuditSpec extends SparkSpec {
       "q_dedup_delta", "q_dsir_weights", "q_pipeline_e2e", "q_cms_topk",
       "q_length_batches", "q_shard_assign", "q_contam_frac",
       "q_dsir_sample", // composes q_dsir_weights' bucket-bounded model broadcast
-      "q_padding_waste") // composes q_length_batches' (len × 256 hex)-bucket offsets
+      "q_padding_waste", // composes q_length_batches' (len × 256 hex)-bucket offsets
+      "q_js_divergence", // per-group token totals — the q_corpus_kl argument verbatim
+      "q_iqr_outliers") // quartile-fence table grouped by the event-type
+                        // domain — |groups| rows by the same contract as
+                        // groupQuantiles (a language/source/type domain)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)
