@@ -211,6 +211,52 @@ object EventFeatures {
       .orderBy(groupCol)
   }
 
+  /** Market-basket co-occurrence of event types within a session —
+    * "which actions happen together" (support + lift per unordered
+    * type pair), the association-mining primitive under
+    * recommendation and funnel-design reports. Sessions via the
+    * [[sessionStats]] lag + running-sum windows on the
+    * max-cardinality key; the basket self-join is KEYED on
+    * (key, session) with ≤|types| rows per side per key, and
+    * support/lift are single [[PortableRound]] divisions of exact
+    * integer count products (lift = n_ab·n_sess / (n_a·n_b)) — no
+    * float ratio chain. Output bounded by the type domain squared.
+    */
+  def basketPairs(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCol: String, gapSeconds: Long = 1800): DataFrame = {
+    val byTime = Window.partitionBy(keyCol)
+      .orderBy(col("__us").asc, col(tieCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val st = df
+      .select(col(keyCol), col(typeCol), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(byTime))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("__brk")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col(keyCol), col("sid"), col(typeCol).as("t"))
+      .distinct()
+    val nSess = st.select(col(keyCol), col("sid")).distinct()
+      .agg(count(lit(1)).as("n_sess"))
+    val typeCounts = st.groupBy("t").agg(count(lit(1)).as("na"))
+    val pairs = st.select(col(keyCol), col("sid"), col("t").as("type_a"))
+      .join(st.select(col(keyCol), col("sid"), col("t").as("type_b")),
+        Seq(keyCol, "sid"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(typeCounts.select(col("t").as("type_a"), col("na").as("n_a")), "type_a")
+      .join(typeCounts.select(col("t").as("type_b"), col("na").as("n_b")), "type_b")
+      .crossJoin(broadcast(nSess))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+        PortableRound.intRound4(col("n_ab"), col("n_sess")).as("support"),
+        PortableRound.intRound4(col("n_ab") * col("n_sess"),
+          col("n_a") * col("n_b")).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+
   /** Per-row quantile normalization of a value within its group —
     * the rank-based feature transform (maps any distribution onto
     * uniform [0,1], outlier-robust where z-scores are not).

@@ -59,6 +59,124 @@ object EventQueries extends QuerySet {
              |SELECT 3, 'purchase', count(*) FROM t3
              |ORDER BY step""".stripMargin)),
 
+    // Market-basket co-occurrence of event types within a session —
+    // support + lift per unordered type pair, the association-mining
+    // primitive under recommendation / funnel-design reports (lift>1:
+    // the pair co-occurs more than independent sessions would). The
+    // basket self-join is KEYED on (user, session) with ≤|types| rows
+    // per side per key; lift = n_ab·n_sess/(n_a·n_b) decides as one
+    // PortableRound division of exact integer products.
+    Q("q_basket_pairs",
+      (s, d) => graft.ops.EventFeatures.basketPairs(
+        Tables.df(s, d, "events"), "user_id", "event_type", "ts", "event_id",
+        gapSeconds = 1800),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_type, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |l AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |m AS (
+             |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM l),
+             |s AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |st AS (SELECT DISTINCT user_id, sid, event_type AS t FROM s),
+             |ns AS (SELECT CAST(count(*) AS BIGINT) AS n_sess
+             |       FROM (SELECT DISTINCT user_id, sid FROM st)),
+             |tc AS (SELECT t, CAST(count(*) AS BIGINT) AS na FROM st GROUP BY t),
+             |p AS (
+             |  SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS n_ab
+             |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.sid = b.sid
+             |    AND a.t < b.t
+             |  GROUP BY a.t, b.t)
+             |SELECT type_a, type_b, n_ab, ta.na AS n_a, tb.na AS n_b,
+             |  ${graft.ops.PortableRound.intRound4Duck("n_ab", "n_sess")} AS support,
+             |  ${graft.ops.PortableRound.intRound4Duck(
+                  "n_ab * n_sess", "ta.na * tb.na")} AS lift
+             |FROM p
+             |JOIN tc ta ON ta.t = p.type_a
+             |JOIN tc tb ON tb.t = p.type_b
+             |CROSS JOIN ns
+             |ORDER BY type_a, type_b""".stripMargin)),
+
+    // Per-user conversion lag: first 'view' → first LATER 'purchase',
+    // in integer seconds — the time-to-convert table an attribution /
+    // campaign report aggregates. The q_funnel shape (each stage
+    // shrinks to per-user minima BEFORE the next keyed join on the
+    // max-cardinality user id); floor-div micros keeps the lag exact.
+    Q("q_conversion_lag",
+      (s, d) => {
+        val e = Tables.df(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("__us"))
+        val v = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("__us").as("t_view"))
+        e.filter(col("event_type") === "purchase")
+          .join(v, "user_id")
+          .filter(col("__us") > col("t_view"))
+          .groupBy("user_id", "t_view").agg(min("__us").as("t_purchase"))
+          .select(col("user_id"),
+            expr("(t_purchase - t_view) div 1000000").as("lag_s"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (
+             |  SELECT user_id, min(epoch_us(CAST(ts AS TIMESTAMP))) AS t_view
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |p AS (
+             |  SELECT e.user_id, v.t_view,
+             |    min(epoch_us(CAST(ts AS TIMESTAMP))) AS t_purchase
+             |  FROM events e JOIN v ON e.user_id = v.user_id
+             |  WHERE e.event_type = 'purchase'
+             |    AND epoch_us(CAST(ts AS TIMESTAMP)) > v.t_view
+             |  GROUP BY e.user_id, v.t_view)
+             |SELECT user_id, (t_purchase - t_view) // 1000000 AS lag_s
+             |FROM p ORDER BY user_id""".stripMargin)),
+
+    // Weekly churn: of the users active in epoch-week w, the fraction
+    // NOT seen in week w+1 — the retention dashboard's inverse, one
+    // number per calendar week. (user, week) distinct activity,
+    // retained = left self-join shifted one week on the
+    // max-cardinality user id; the final (data-max) week is excluded
+    // — its churn is undefined, not 100%. Integer week arithmetic
+    // (micros div week) and a PortableRound rate.
+    Q("q_churn_weekly",
+      (s, d) => {
+        val wk = Tables.df(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 604800000000").as("wk"))
+          .distinct()
+        val nxt = wk.select(col("user_id"), (col("wk") - 1).as("wk"))
+          .withColumn("__ret", lit(1L))
+        val maxWk = wk.agg(max("wk").as("max_wk"))
+        wk.join(nxt, Seq("user_id", "wk"), "left")
+          .crossJoin(broadcast(maxWk))
+          .filter(col("wk") < col("max_wk"))
+          .groupBy("wk")
+          .agg(count(lit(1)).as("n_active"), count(col("__ret")).as("n_retained"))
+          .withColumn("churn_rate", graft.ops.PortableRound.intRound4(
+            col("n_active") - col("n_retained"), col("n_active")))
+          .orderBy("wk")
+      },
+      Some(s"""WITH wk AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS wk
+             |  FROM events),
+             |mx AS (SELECT max(wk) AS max_wk FROM wk)
+             |SELECT w.wk, CAST(count(*) AS BIGINT) AS n_active,
+             |  CAST(count(n.user_id) AS BIGINT) AS n_retained,
+             |  ${graft.ops.PortableRound.intRound4Duck(
+                  "count(*) - count(n.user_id)", "count(*)")} AS churn_rate
+             |FROM wk w
+             |LEFT JOIN wk n ON n.user_id = w.user_id AND n.wk = w.wk + 1
+             |CROSS JOIN mx
+             |WHERE w.wk < mx.max_wk
+             |GROUP BY w.wk ORDER BY w.wk""".stripMargin)),
+
     // Semi-structured access: JSON property extraction + typed cast,
     // aggregated — the engine analog of querying nested object fields.
     Q("q_json_extract",

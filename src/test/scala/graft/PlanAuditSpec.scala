@@ -116,8 +116,12 @@ class PlanAuditSpec extends SparkSpec {
     "q_js_divergence",     // group-totals frame + 1-row vocab-size
                            // crossJoins — the q_corpus_kl shape with
                            // the symmetric JS term
-    "q_ivf_balance"        // 1-row total crossJoin derived from the
+    "q_ivf_balance",       // 1-row total crossJoin derived from the
                            // persisted k-row cell table
+    "q_basket_pairs",      // 1-row session-total crossJoin (the lift
+                           // normalizer n_sess)
+    "q_churn_weekly"       // 1-row max-week crossJoin (excludes the
+                           // final, churn-undefined week)
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
