@@ -331,6 +331,60 @@ object VectorQueries extends QuerySet {
         trainWhere = "true", evalWhere = "vec_id % 10 = 0",
         threshold = 0.95, dim = Dim))),
 
+    // Pairwise label-centroid cosine matrix — which classes/sources
+    // sit close in embedding space: a merged or mirrored source shows
+    // up as an off-diagonal ≈ 1, drift between two snapshots as a
+    // falling diagonal-pair cosine. One corpus pass builds the
+    // centroids (the q_embed_centroid plan); the pairwise stage runs
+    // entirely on |labels|×dim model-state rows. Dim-means pre-round
+    // to the 4dp grid and QUANTIZE to integer ten-thousandths, so the
+    // dot/norm sums are exact integers (order-independent — the
+    // q_corr_matrix trick); only the final cosine divides floats.
+    Q("q_centroid_drift",
+      (s, d) => {
+        val cent = Tables.df(s, d, "embeddings")
+          .groupBy("label")
+          .agg(call_function("graft_array_sum", col("embedding")).as("sums"),
+            count(lit(1)).as("n"))
+          .select(col("label"), col("n"), posexplode(col("sums")))
+          // round(mean,4) lands within 1e-9 of the true 4dp grid point
+          // in both engines (the q_embed_centroid contract), so
+          // floor(x·10⁴ + ½) recovers the SAME integer — sign-agnostic
+          .select(col("label"), col("pos"),
+            floor(round(col("col") / col("n"), 4) * 10000 + 0.5)
+              .cast("long").as("q"))
+        val a = cent.select(col("label").as("label_a"), col("pos"), col("q").as("qa"))
+        val b = cent.select(col("label").as("label_b"), col("pos"), col("q").as("qb"))
+        a.join(b, "pos").filter(col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(sum(col("qa") * col("qb")).as("dot"),
+            sum(col("qa") * col("qa")).as("na2"),
+            sum(col("qb") * col("qb")).as("nb2"))
+          .select(col("label_a"), col("label_b"),
+            round(col("dot") / sqrt(col("na2").cast("double") * col("nb2").cast("double")), 4)
+              .as("cosine"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""WITH m AS (
+             |  SELECT label, dim,
+             |    CAST(floor(round(avg(v), 4) * 10000 + 0.5) AS BIGINT) AS q
+             |  FROM (
+             |    SELECT label,
+             |           unnest(range(1, len(embedding) + 1)) AS dim,
+             |           unnest(embedding) AS v
+             |    FROM embeddings)
+             |  GROUP BY label, dim),
+             |p AS (
+             |  SELECT a.label AS label_a, b.label AS label_b,
+             |    CAST(sum(a.q * b.q) AS BIGINT) AS dot,
+             |    CAST(sum(a.q * a.q) AS BIGINT) AS na2,
+             |    CAST(sum(b.q * b.q) AS BIGINT) AS nb2
+             |  FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+             |  GROUP BY a.label, b.label)
+             |SELECT label_a, label_b,
+             |  round(dot / sqrt(CAST(na2 AS DOUBLE) * CAST(nb2 AS DOUBLE)), 4) AS cosine
+             |FROM p ORDER BY label_a, label_b""".stripMargin)),
+
     // Per-label embedding centroid via the native element-wise
     // array-sum aggregate: partial aggregation reduces each partition
     // to ONE dim-length buffer per label before the (only) shuffle —

@@ -36,6 +36,29 @@ object StreamOps {
         col("n_events"), col("sum_value"))
   }
 
+  /** Trailing-7-day rolling daily volume as a SLIDING event-time
+    * window (7-day window sliding 1 day) — the streaming twin of the
+    * batch RANGE-window op (`q_rolling_daily`). Emits
+    * (key, day, n_7d) for every epoch day whose trailing window holds
+    * at least one event — a SUPERSET of the batch frame, which emits
+    * only days with same-day events; on those shared days the counts
+    * agree exactly (spec-pinned). The watermark bounds per
+    * (window, key) state to ~7 days + allowed lateness; sliding
+    * windows align to the epoch, so the as-of day is
+    * window_end/86400s − 1.
+    */
+  def rollingDailyStream(df: DataFrame, tsCol: String, keyCol: String,
+      watermark: Option[String] = None): DataFrame = {
+    val base =
+      if (df.isStreaming && watermark.isDefined) df.withWatermark(tsCol, watermark.get)
+      else df
+    base.groupBy(window(col(tsCol), "7 days", "1 day").as("w"), col(keyCol))
+      .agg(count(lit(1)).as("n_7d"))
+      .select(col(keyCol),
+        (expr("unix_micros(w.end) div 86400000000") - 1).as("day"),
+        col("n_7d"))
+  }
+
   /** Streaming dedup with bounded state: duplicates of `keyCols` are
     * dropped while their event time is within the watermark.
     */

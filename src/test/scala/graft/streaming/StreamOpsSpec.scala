@@ -39,6 +39,57 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rollingDailyStream matches the batch RANGE-window rolling sum on shared days") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def day(d: Int, h: Int): Timestamp = Timestamp.valueOf(f"2026-01-$d%02d $h%02d:00:00")
+    // clicks on days 1,2,3,9 (gap crosses a full window), views on 2,4
+    val events = Seq(
+      (day(1, 9), "click"), (day(1, 15), "click"), (day(2, 9), "click"),
+      (day(3, 9), "click"), (day(9, 9), "click"),
+      (day(2, 10), "view"), (day(4, 10), "view"))
+
+    val input = MemoryStream[(Timestamp, String)]
+    val streamed = StreamOps.rollingDailyStream(
+      input.toDF().toDF("ts", "event_type"), "ts", "event_type",
+      watermark = Some("1 day"))
+    val q = streamed.writeStream.format("memory")
+      .queryName("roll_out").outputMode("complete").start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      val streamRows = spark.table("roll_out")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+      // batch twin: per-(key, day) counts, RANGE window over true days
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("day").asc).rangeBetween(-6, 0)
+      val batchRows = events.toDF("ts", "event_type")
+        .select(col("event_type"),
+          org.apache.spark.sql.functions.expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .withColumn("n_7d", org.apache.spark.sql.functions.sum("n").over(w))
+        .select("event_type", "day", "n_7d")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+      // every batch (same-day-event) row appears in the stream output
+      // with the identical trailing count
+      batchRows.subsetOf(streamRows) shouldBe true
+      // stream extras are days with an empty same-day bucket but a
+      // non-empty trailing window (e.g. click days 4-8 carry days 1-3)
+      val extras = streamRows -- batchRows
+      val batchDays = batchRows.map(t => (t._1, t._2))
+      extras.foreach { case (k, d, _) => batchDays should not contain ((k, d)) }
+      // the click gap produces in-between stream-only days (trailing
+      // window still non-empty on days 4..8 with no same-day events)
+      extras.count(_._1 == "click") should be >= 4
+      // day-9's trailing window sees day-3 (offset 6) but not days 1-2
+      val d9 = batchRows.filter(_._1 == "click").map(_._2).max
+      streamRows should contain(("click", d9, 2L))
+    } finally q.stop()
+  }
+
   test("probeVectorPqBatch: streamed queries match the batch IVF+PQ probe") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // small clustered corpus + a persisted index (the static side)
