@@ -227,6 +227,26 @@ object ScaleSmoke {
           lit(" this long shared passage of twenty tokens sits inside every document so its fingerprints bucket together across the entire corpus")))
         graft.dedup.Winnow.sharedFingerprintPairs(hot, "doc_id", "text", maxBucket = 200)
       }),
+      "js_divergence" -> (k =>
+        // same shape contract as corpus_kl: groups constant, vocab
+        // grows ~k-fold, the absent-absent mass must stay closed-form
+        graft.ops.Corpus.jsDivergence(docsX(k), "lang", "text")),
+      "basket_pairs" -> (k => {
+        // k-fold users (id-shifted copies), constant per-user session
+        // shape: the basket self-join is keyed on (user, session) with
+        // ≤|types| rows per side per key, so pair work grows with the
+        // user count — linear — never with the corpus squared
+        val ev = Tables.df(spark, sfDir, "events")
+          .select("user_id", "event_type", "ts", "event_id")
+        val evX = (0 until k).map { i =>
+          if (i == 0) ev
+          else ev.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+            col("event_type"), col("ts"),
+            (col("event_id") + lit(i * 1000000000L)).as("event_id"))
+        }.reduce(_ unionByName _)
+        graft.ops.EventFeatures.basketPairs(evX, "user_id", "event_type",
+          "ts", "event_id")
+      }),
       "pagerank" -> (k =>
         // iterative op on the pair graph: the pair-finder dominates
         // (persisted once per call — the eager CacheScope discipline),

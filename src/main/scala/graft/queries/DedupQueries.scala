@@ -134,6 +134,60 @@ object DedupQueries extends QuerySet {
               |  ${graft.ops.PortableRound.intRound4Duck("n_dup_docs - n_clusters", "n_docs")} AS drop_frac
               |FROM n, s""".stripMargin)),
 
+    // Per-source dedup drop table — WHERE the duplicates live: the
+    // per-source breakdown of q_dedup_rate (a source whose drop
+    // fraction spikes is a mirrored dump or template farm; the mix
+    // report re-weights BEFORE pruning). One keyed left join of the
+    // bounded component table onto doc→source, one grouped count;
+    // dropped = cluster members that are not the min-id representative.
+    Q("q_dup_rate_source",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents").select(col("doc_id"), col("source"))
+        docs.join(componentsCached(s, d).withColumnRenamed("id", "doc_id"),
+            Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            count(col("cluster")).as("n_dup_docs"),
+            count(when(col("cluster").isNotNull &&
+              col("doc_id") =!= col("cluster"), lit(1))).as("n_dropped"))
+          .withColumn("drop_frac", graft.ops.PortableRound.intRound4(
+            col("n_dropped"), col("n_docs")))
+          .orderBy("source")
+      },
+      Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
+                 MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+                 "id_a", "id_b")})
+              |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(count(cc.cluster) AS BIGINT) AS n_dup_docs,
+              |  CAST(count(CASE WHEN cc.cluster IS NOT NULL
+              |    AND d.doc_id <> cc.cluster THEN 1 END) AS BIGINT) AS n_dropped,
+              |  ${graft.ops.PortableRound.intRound4Duck(
+                   "count(CASE WHEN cc.cluster IS NOT NULL AND d.doc_id <> cc.cluster THEN 1 END)",
+                   "count(*)")} AS drop_frac
+              |FROM documents d LEFT JOIN cc ON cc.id = d.doc_id
+              |GROUP BY d.source ORDER BY d.source""".stripMargin)),
+
+    // Degree profile of the near-dup graph — the HUB health check run
+    // next to the cluster-size histogram (a max degree pinned at the
+    // LSH bucket cap means the cap is doing the bounding; a natural
+    // fat tail means template hubs — what q_pagerank then ranks).
+    // Bounded: both aggregations run over the cap-bounded pair list.
+    Q("q_dup_degree",
+      (s, d) => {
+        val pairs = MinHash.nearDupPairs(Tables.df(s, d, "documents"),
+          "doc_id", "text")
+        pairs.select(col("id_a").as("id"))
+          .unionAll(pairs.select(col("id_b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some(s"""WITH p AS (${MinHash.nearDupPairsDuckSql("documents", "doc_id", "text")}),
+              |u AS (SELECT id_a AS id FROM p UNION ALL SELECT id_b AS id FROM p),
+              |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM u GROUP BY id)
+              |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+              |FROM dg GROUP BY degree ORDER BY degree""".stripMargin)),
+
     // Token-mass inflation from near-duplicates — the COMPUTE-WASTE
     // number next to q_dedup_rate's doc-count view: the fraction of
     // training tokens spent on non-representative duplicate docs
