@@ -134,6 +134,47 @@ object DedupQueries extends QuerySet {
               |  ${graft.ops.PortableRound.intRound4Duck("n_dup_docs - n_clusters", "n_docs")} AS drop_frac
               |FROM n, s""".stripMargin)),
 
+    // LSH candidate-generation recall vs the exact pair set — the
+    // operational tuning number for (k, bands): q_minhash_calib grades
+    // the ESTIMATOR per candidate; this grades the BANDING (what the
+    // buckets failed to surface at all), with the exact PPJoin pair
+    // set (same shingles, same τ) as ground truth. LSH pairs are
+    // already exact-verified, so false positives are structural
+    // (multiset- vs set-Jaccard edges), reported as n_lsh_only. Both
+    // finders are the audited cap-bounded plans; like q_ann_recall,
+    // run on a sampled slice at 100 TB.
+    Q("q_lsh_recall",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val lsh = MinHash.nearDupPairs(docs, "doc_id", "text")
+          .select("id_a", "id_b")
+        val exact = NgramJaccard.jaccardPairsExact(docs, "doc_id", "text")
+          .select("id_a", "id_b")
+        val tp = exact.join(lsh, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_tp"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+        ne.crossJoin(nl).crossJoin(tp)
+          .select(col("n_exact"), col("n_lsh"), col("n_tp"),
+            (col("n_lsh") - col("n_tp")).as("n_lsh_only"),
+            graft.ops.PortableRound.intRound4(col("n_tp"), col("n_exact"))
+              .as("recall"))
+      },
+      Some(s"""WITH l AS (
+              |  SELECT id_a, id_b
+              |  FROM (${MinHash.nearDupPairsDuckSql("documents", "doc_id", "text")})),
+              |e AS (
+              |  SELECT id_a, id_b
+              |  FROM (${NgramJaccard.jaccardPairsExactDuckSql("documents", "doc_id", "text")})),
+              |tp AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_tp
+              |  FROM e JOIN l USING (id_a, id_b)),
+              |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e),
+              |nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM l)
+              |SELECT n_exact, n_lsh, n_tp, n_lsh - n_tp AS n_lsh_only,
+              |  ${graft.ops.PortableRound.intRound4Duck("n_tp", "n_exact")} AS recall
+              |FROM ne, nl, tp""".stripMargin)),
+
     // Per-source dedup drop table — WHERE the duplicates live: the
     // per-source breakdown of q_dedup_rate (a source whose drop
     // fraction spikes is a mirrored dump or template farm; the mix

@@ -646,6 +646,49 @@ object EventQueries extends QuerySet {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
              |FROM daily ORDER BY event_type, day""".stripMargin)),
 
+    // DAU / trailing-WAU stickiness — the engagement ratio product
+    // dashboards lead with (stickiness near 1 = users return daily;
+    // near 1/7 = weekly visitors). Exact trailing distinct counts
+    // WITHOUT a distinct-over-window (which Spark can't do): each
+    // (user, active-day) row covers days d..d+6 via a 7-element
+    // sequence explode over the COMPRESSED activity table, then one
+    // distinct + keyed count per covered day — bounded by 7 × |users
+    // × days|, never the raw event log. Only days with same-day
+    // activity are emitted (inner join).
+    Q("q_stickiness",
+      (s, d) => {
+        val act = Tables.df(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val dau = act.groupBy("day").agg(count(lit(1)).as("n_dau"))
+        val wau = act
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + 6)).as("day"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("n_wau"))
+        dau.join(wau, "day")
+          .select(col("day"), col("n_dau"), col("n_wau"),
+            graft.ops.PortableRound.intRound4(col("n_dau"), col("n_wau"))
+              .as("stickiness"))
+          .orderBy("day")
+      },
+      Some(s"""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events),
+             |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_dau
+             |        FROM act GROUP BY day),
+             |cov AS (
+             |  SELECT DISTINCT user_id, day
+             |  FROM (SELECT user_id, unnest(range(day, day + 7)) AS day FROM act)),
+             |wau AS (SELECT day, CAST(count(*) AS BIGINT) AS n_wau
+             |        FROM cov GROUP BY day)
+             |SELECT dau.day, n_dau, n_wau,
+             |  ${graft.ops.PortableRound.intRound4Duck("n_dau", "n_wau")} AS stickiness
+             |FROM dau JOIN wau USING (day)
+             |ORDER BY day""".stripMargin)),
+
     // Corpus-level session-health summary — the one-row digest of
     // q_sessionize's per-session table (bounce rate, events and
     // duration per session): the engagement dashboard number, and the

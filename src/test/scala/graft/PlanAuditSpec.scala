@@ -120,8 +120,10 @@ class PlanAuditSpec extends SparkSpec {
                            // persisted k-row cell table
     "q_basket_pairs",      // 1-row session-total crossJoin (the lift
                            // normalizer n_sess)
-    "q_churn_weekly"       // 1-row max-week crossJoin (excludes the
+    "q_churn_weekly",      // 1-row max-week crossJoin (excludes the
                            // final, churn-undefined week)
+    "q_lsh_recall"         // three 1-row pair-count crossJoins (the
+                           // q_dedup_rate totals shape)
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
