@@ -134,6 +134,36 @@ object DedupQueries extends QuerySet {
               |  ${graft.ops.PortableRound.intRound4Duck("n_dup_docs - n_clusters", "n_docs")} AS drop_frac
               |FROM n, s""".stripMargin)),
 
+    // Shingle document-frequency histogram in powers of two — the
+    // CAP-TUNING evidence for every inverted-index pair finder: the
+    // bucket a df cap cuts at, and how much posting mass (the
+    // quadratic-pair fuel, Σdf per bucket) each power-of-two band
+    // carries. Bucket = length(bin(df)) — an exact INTEGER log2 in
+    // both engines (float log2 of an exact power sits on a rounding
+    // boundary). Vocab-sized aggregate → ~32 output rows.
+    Q("q_shingle_df_hist",
+      (s, d) => {
+        graft.functions.GraftFunctions.register(s)
+        Tables.df(s, d, "documents")
+          .select(col("doc_id"), explode(array_distinct(
+            call_function("graft_hashed_shingles", col("text"), lit(3)))).as("sh"))
+          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .groupBy(length(bin(col("df"))).as("log2_bucket"))
+          .agg(count(lit(1)).as("n_shingles"), sum("df").as("postings"))
+          .orderBy("log2_bucket")
+      },
+      Some(s"""WITH th AS (
+              |  SELECT doc_id, ${TextFunctions.tokenHashesDuckSql("text")} AS th
+              |  FROM documents),
+              |sh AS (
+              |  SELECT doc_id, unnest(${TextFunctions.hashedShinglesFromDuckSql("th", 3)}) AS sh
+              |  FROM th),
+              |dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY sh)
+              |SELECT CAST(length(bin(df)) AS INT) AS log2_bucket,
+              |  CAST(count(*) AS BIGINT) AS n_shingles,
+              |  CAST(sum(df) AS BIGINT) AS postings
+              |FROM dfreq GROUP BY 1 ORDER BY log2_bucket""".stripMargin)),
+
     // LSH candidate-generation recall vs the exact pair set — the
     // operational tuning number for (k, bands): q_minhash_calib grades
     // the ESTIMATOR per candidate; this grades the BANDING (what the

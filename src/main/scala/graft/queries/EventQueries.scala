@@ -689,6 +689,40 @@ object EventQueries extends QuerySet {
              |FROM dau JOIN wau USING (day)
              |ORDER BY day""".stripMargin)),
 
+    // New vs returning users per day — the acquisition/retention split
+    // on every growth dashboard. First-seen day per user (one grouped
+    // min on the max-cardinality key) joined back onto the COMPRESSED
+    // (user, day) activity table; same-day = new. Exact integers
+    // throughout; the join reuses the activity table's user_id
+    // exchange.
+    Q("q_new_users",
+      (s, d) => {
+        val act = Tables.df(s, d, "events")
+          .select(col("user_id"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val first = act.groupBy("user_id").agg(min("day").as("first_day"))
+        act.join(first, "user_id")
+          .groupBy("day")
+          .agg(count(when(col("day") === col("first_day"), lit(1))).as("n_new"),
+            count(when(col("day") =!= col("first_day"), lit(1))).as("n_returning"))
+          .withColumn("new_frac", graft.ops.PortableRound.intRound4(
+            col("n_new"), col("n_new") + col("n_returning")))
+          .orderBy("day")
+      },
+      Some(s"""WITH act AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+             |  FROM events),
+             |f AS (SELECT user_id, min(day) AS first_day FROM act GROUP BY user_id)
+             |SELECT day,
+             |  CAST(count(CASE WHEN day = first_day THEN 1 END) AS BIGINT) AS n_new,
+             |  CAST(count(CASE WHEN day <> first_day THEN 1 END) AS BIGINT) AS n_returning,
+             |  ${graft.ops.PortableRound.intRound4Duck(
+                  "count(CASE WHEN day = first_day THEN 1 END)", "count(*)")} AS new_frac
+             |FROM act JOIN f USING (user_id)
+             |GROUP BY day ORDER BY day""".stripMargin)),
+
     // Corpus-level session-health summary — the one-row digest of
     // q_sessionize's per-session table (bounce rate, events and
     // duration per session): the engagement dashboard number, and the
