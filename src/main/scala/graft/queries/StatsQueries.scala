@@ -54,6 +54,17 @@ object StatsQueries extends QuerySet {
              |GROUP BY bucket
              |ORDER BY bucket""".stripMargin)),
 
+    // Revenue-concentration digest over customers (Lorenz curve in one
+    // row: Gini + top-decile share). Global revenue rank via the zipf
+    // range-partition prefix-sum idiom — no partition-less window, no
+    // collect_list of a 150k-customer domain; the Gini numerator uses
+    // 2·Σ(i·t) − (n+1)·Σt with DECIMAL(38) product sums.
+    Q("q_revenue_gini",
+      (s, d) => graft.ops.Stats.concentration(Tables.df(s, d, "orders"),
+        "o_custkey", "o_totalprice", outKeyCnt = "n_customers"),
+      Some(graft.ops.Stats.concentrationDuckSql("orders",
+        "o_custkey", "o_totalprice", outKeyCnt = "n_customers"))),
+
     // Pearson correlation matrix over the lineitem numeric columns in
     // ONE aggregation pass — redundancy diagnostics for quality
     // signals before a learned gate (see ops/CorrMatrix for the
