@@ -168,6 +168,91 @@ object CoreQueries extends QuerySet {
              |WHERE o_orderstatus = 'O'
              |GROUP BY n_name ORDER BY n_name""".stripMargin)),
 
+    // Semi-join: "orders having at least one heavy line". LEFT_SEMI
+    // never materializes the probe side's columns or duplicates a
+    // left row per match — at 100 TB the shuffle carries only the
+    // filtered lineitem KEYS, not the 16-column rows an inner-join +
+    // distinct would drag through the exchange.
+    Q("q_join_semi",
+      (s, d) => Tables.df(s, d, "orders")
+        .join(
+          Tables.df(s, d, "lineitem").filter(col("l_quantity") >= 48),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 4).as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 4) AS revenue
+             |FROM orders
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Anti-join: "customers with no finished order" — the NOT EXISTS
+    // plan. Same keys-only shuffle economics as q_join_semi; the
+    // NOT IN subquery formulation would add a null-check cartesian
+    // guard, so the operator surface exposes anti-join directly.
+    Q("q_join_anti",
+      (s, d) => Tables.df(s, d, "customer")
+        .join(
+          Tables.df(s, d, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          round(avg("c_acctbal"), 4).as("avg_acctbal"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_customers,
+             |  round(avg(c_acctbal), 4) AS avg_acctbal
+             |FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Skew-salted fact-fact join (SkewJoin.saltedInner): lineitem's
+    // salt spreads any hot orderkey over 8 shuffle tasks; orders
+    // replicates 8x. Row-identical to the plain join — the oracle IS
+    // the plain join, so correctness of the salting is oracle-proven,
+    // not just spec-asserted.
+    Q("q_join_salted",
+      (s, d) => graft.ops.SkewJoin.saltedInner(
+          Tables.df(s, d, "lineitem"), Tables.df(s, d, "orders"),
+          "l_orderkey", "o_orderkey",
+          saltOn = struct(col("l_orderkey"), col("l_linenumber")), s = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+            .as("revenue"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Bloom-prefiltered join (SkewJoin.bloomInner): the selective dim
+    // (top-balance BUILDING customers) compiles to a ~KB Bloom that
+    // drops non-matching orders BEFORE the shuffle; the exact join
+    // removes the Bloom's false positives, so the oracle is again the
+    // plain join. At 100 TB this is the manual runtime-filter tier for
+    // sources where Catalyst's InjectRuntimeFilter can't reach.
+    Q("q_join_bloom",
+      (s, d) => {
+        val dim = Tables.df(s, d, "customer")
+          .filter(col("c_mktsegment") === "BUILDING" && col("c_acctbal") > 7500)
+        graft.ops.SkewJoin.bloomInner(
+            Tables.df(s, d, "orders"), dim,
+            "o_custkey", "c_custkey", expectedRightKeys = 100000L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 4).as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n_orders,
+             |  round(sum(o_totalprice), 4) AS revenue
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
     // Two-phase salted top-k (see WindowOps): identical output to the
     // naive 5-partition window but the heavy sort spreads over
     // keys x salt tasks. Salt on o_orderkey (deterministic).

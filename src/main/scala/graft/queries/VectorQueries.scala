@@ -187,6 +187,50 @@ object VectorQueries extends QuerySet {
         ).mkString("", "\nUNION ALL\n", "\nORDER BY tier")
       }),
 
+    // Matryoshka-style dimension-truncation eval: recall@10 of exact
+    // cosine search over only the first d dims vs the full-dim truth —
+    // the table that decides how many dims a 100 TB index actually
+    // needs to store/scan (storage and dot-product cost scale linearly
+    // in d; this row makes the recall price of truncation data, like
+    // q_ann_recall does for the quantization tiers). Each search is
+    // the audited brute plan on a slice()-projected frame; top-10s are
+    // bounded collects.
+    Q("q_dim_truncate",
+      (s, d) => {
+        val scope = new graft.api.CacheScope
+        val e = scope.persist(Tables.df(s, d, "embeddings")
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("__v")))
+        def top10(dim: Int): Array[Long] = Knn.bruteForceTopK(
+            e.select(col("vec_id"), slice(col("__v"), 1, dim).as("__v")),
+            "vec_id", "__v", queryId = 0L, k = 10)
+          .collect().map(_.getLong(0))
+        val truth = top10(Dim).toSet
+        val rows = Seq(8, 16, 32).map { dim =>
+          val hit = top10(dim).count(truth)
+          (dim, hit,
+            BigDecimal.decimal(hit / 10.0)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        scope.release()
+        import s.implicits._
+        rows.toDF("dim", "n_hit", "recall").orderBy("dim")
+      },
+      Some {
+        val brute = Knn.bruteForceTopKDuckSql(
+          "embeddings", "vec_id", "embedding", queryId = 0L, k = 10, dim = Dim)
+        def dimRow(dim: Int): String = {
+          val trunc = Knn.bruteForceTopKDuckSql(
+            "embeddings", "vec_id", "embedding", queryId = 0L, k = 10, dim = dim)
+          s"""SELECT $dim AS dim,
+             |  CAST((SELECT count(*) FROM ($trunc) t_$dim
+             |        JOIN ($brute) b_$dim ON t_$dim.vec_id = b_$dim.vec_id) AS INT) AS n_hit,
+             |  round((SELECT count(*) FROM ($trunc) t2_$dim
+             |        JOIN ($brute) b2_$dim ON t2_$dim.vec_id = b2_$dim.vec_id) / 10.0, 4) AS recall""".stripMargin
+        }
+        Seq(8, 16, 32).map(dimRow)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY dim")
+      }),
+
     // MMR-diversified search: the greedy re-rank runs driver-side over
     // the bounded top-fetchK; the oracle replays the identical greedy
     // argmax as a DuckDB recursive CTE (exact integer dots -> the float

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fact = (1 to 2000).map { i =>
+    // key 7 is hot: ~half the fact rows land on it
+    val k = if (i % 2 == 0) 7 else i % 50
+    (k, i, i * 3 % 100)
+  }.toDF("fk", "row_id", "v")
+
+  private def dim = (0 until 50).map(k => (k, s"d$k")).toDF("dk", "name")
+
+  test("salted inner join is row-identical to the plain join") {
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "row_id", "name")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    val salted = SkewJoin.saltedInner(fact, dim, "fk", "dk",
+        saltOn = col("row_id"), s = 8)
+      .select("fk", "row_id", "name")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getString(2))).toSet
+    salted shouldBe plain
+    // 1000 even rows + the 40 odd rows with i % 50 == 7
+    salted.count(_._1 == 7) shouldBe 1040
+  }
+
+  test("salted join spreads a hot key across salt buckets") {
+    val l = fact.withColumn("__salt", pmod(xxhash64(col("row_id")), lit(8L)))
+    val buckets = l.filter(col("fk") === 7)
+      .groupBy("__salt").count().collect().map(_.getLong(1))
+    buckets.length shouldBe 8
+    // no bucket holds more than half the hot key's rows
+    buckets.max.toDouble / buckets.sum should be < 0.5
+  }
+
+  test("bloom-prefiltered join is row-identical to the plain join") {
+    val selective = dim.filter(col("dk") < 5)
+    val plain = fact.join(selective, col("fk") === col("dk"))
+      .select("fk", "row_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    val bloomed = SkewJoin.bloomInner(fact, selective, "fk", "dk",
+        expectedRightKeys = 100L)
+      .select("fk", "row_id").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    bloomed shouldBe plain
+  }
+
+  test("bloom prefilter drops most non-matching fact rows before the join") {
+    val selective = dim.filter(col("dk") < 5)
+    val bloom = Sketches.buildBloom(selective, col("dk"), 100L, fpp = 0.01)
+    val kept = fact.filter(Sketches.mightContain(fact, bloom, col("fk"))).count()
+    val matching = fact.filter(col("fk") < 5).count()
+    kept should be >= matching
+    // fpp 1% on 2000 rows: a handful of false positives at most
+    kept.toDouble should be <= matching + 200.0
+  }
+}
