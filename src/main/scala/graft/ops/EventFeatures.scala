@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -283,5 +283,84 @@ object EventFeatures {
     ev.join(h, Seq(groupCol, "qv"))
       .select(col(idCol), col(groupCol), col("qn"))
       .orderBy(idCol)
+  }
+
+  /** Top-k within-session event-type 3-grams — the path-mining table
+    * behind "what do users actually do" flow reports (q_event_transitions
+    * is the first-order digest; this surfaces the concrete multi-step
+    * paths funnel design starts from). ONE window pass on the
+    * max-cardinality key computes sessionization AND both leads (all
+    * specs share partition+order, so Catalyst fuses them into a single
+    * Window operator — no second sort, no (key, session) reshuffle);
+    * triples crossing a session boundary are dropped by comparing the
+    * led session ids. Output is bounded by |types|³ before the top-k.
+    */
+  def eventPaths(df: DataFrame, keyCol: String, typeCol: String,
+      tsCol: String, tieCol: String, gapSeconds: Long = 1800,
+      k: Int = 20): DataFrame = {
+    val byTime = Window.partitionBy(keyCol)
+      .orderBy(col("__us").asc, col(tieCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val triples = df
+      .select(col(keyCol), col(typeCol).as("t1"), col(tieCol),
+        unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(byTime))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("__brk")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("t2", lead(col("t1"), 1).over(byTime))
+      .withColumn("t3", lead(col("t1"), 2).over(byTime))
+      .withColumn("sid2", lead(col("sid"), 1).over(byTime))
+      .withColumn("sid3", lead(col("sid"), 2).over(byTime))
+      .filter(col("t3").isNotNull &&
+        col("sid2") === col("sid") && col("sid3") === col("sid"))
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+    val total = triples.agg(sum("n").as("n_total"))
+    triples.crossJoin(broadcast(total))
+      .select(col("t1"), col("t2"), col("t3"), col("n"),
+        PortableRound.intRound4(col("n"), col("n_total")).as("share"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(k)
+  }
+
+  /** Two-proportion A/B test over a deterministic hash split: users
+    * hash into arm A iff unitHash(key, salt) < 0.5 (rerun- and
+    * engine-stable — the q_split_assign contract, so the SAME users
+    * land in the same arm in every table of the warehouse), converted
+    * iff they ever emitted `convType`. One row: per-arm counts, exact
+    * integer-rounded rates, and the pooled two-proportion z statistic.
+    * Two keyed aggregates (per-user, then global) — no window, no
+    * join; the z arithmetic is division/sqrt on exact-integer-derived
+    * doubles in an operation order the oracle mirrors token-for-token.
+    */
+  def abTest(df: DataFrame, keyCol: String, convPred: Column,
+      salt: String = "ab"): DataFrame = {
+    val perUser = df.groupBy(keyCol)
+      .agg(max(when(convPred, 1L).otherwise(0L)).as("conv"))
+      .withColumn("__a", Sampling.unitHash(col(keyCol), salt) < 0.5)
+    val g = perUser.agg(
+      sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("__a"), col("conv")).otherwise(0L)).as("conv_a"),
+      sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"),
+      sum(when(!col("__a"), col("conv")).otherwise(0L)).as("conv_b"))
+    val pa = col("conv_a").cast("double") / col("n_a").cast("double")
+    val pb = col("conv_b").cast("double") / col("n_b").cast("double")
+    val pp = (col("conv_a") + col("conv_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / col("n_a").cast("double") + lit(1.0) / col("n_b").cast("double")))
+    // z undefined (and an ANSI divide-by-zero) when either arm is
+    // empty or pooled conversion is 0 or 1 — CaseWhen keeps the
+    // division unevaluated on that row
+    g.select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+      PortableRound.intRound4(col("conv_a"), col("n_a")).as("rate_a"),
+      PortableRound.intRound4(col("conv_b"), col("n_b")).as("rate_b"),
+      when(col("n_a") === 0 || col("n_b") === 0 ||
+          col("conv_a") + col("conv_b") === 0 ||
+          col("conv_a") + col("conv_b") === col("n_a") + col("n_b"),
+        lit(null).cast("double"))
+        .otherwise(round((pa - pb) / se, 4)).as("z"))
   }
 }

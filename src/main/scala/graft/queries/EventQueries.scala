@@ -59,6 +59,146 @@ object EventQueries extends QuerySet {
              |SELECT 3, 'purchase', count(*) FROM t3
              |ORDER BY step""".stripMargin)),
 
+    // Attribution-windowed funnel: q_funnel's shape but each step must
+    // fire within 900 s of the previous one — the industry-standard
+    // "conversion window" semantics (an unbounded funnel credits a
+    // purchase weeks after the view). Same scale plan: every stage
+    // shrinks to per-user minima BEFORE the next keyed join on the
+    // max-cardinality user id; integer-micros bounds decide identically
+    // in both engines.
+    Q("q_funnel_timebound",
+      (s, d) => {
+        val winUs = 900L * 1000000L
+        val e = Tables.df(s, d, "events")
+          .select(col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("__us"))
+        val t1 = e.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("__us").as("t1"))
+        val t2 = e.filter(col("event_type") === "click").join(t1, "user_id")
+          .filter(col("__us") > col("t1") && col("__us") - col("t1") <= winUs)
+          .groupBy("user_id").agg(min("__us").as("t2"))
+        val t3 = e.filter(col("event_type") === "purchase").join(t2, "user_id")
+          .filter(col("__us") > col("t2") && col("__us") - col("t2") <= winUs)
+          .groupBy("user_id").agg(min("__us").as("t3"))
+        t1.agg(lit(1).as("step"), lit("view").as("event_type"), count(lit(1)).as("n_users"))
+          .unionByName(t2.agg(lit(2).as("step"), lit("click").as("event_type"), count(lit(1)).as("n_users")))
+          .unionByName(t3.agg(lit(3).as("step"), lit("purchase").as("event_type"), count(lit(1)).as("n_users")))
+          .orderBy("step")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |t1 AS (
+             |  SELECT user_id, min(us) AS t1 FROM e
+             |  WHERE event_type = 'view' GROUP BY user_id),
+             |t2 AS (
+             |  SELECT e.user_id, min(us) AS t2 FROM e
+             |  JOIN t1 ON e.user_id = t1.user_id
+             |  WHERE event_type = 'click' AND us > t1.t1
+             |    AND us - t1.t1 <= 900000000 GROUP BY e.user_id),
+             |t3 AS (
+             |  SELECT e.user_id, min(us) AS t3 FROM e
+             |  JOIN t2 ON e.user_id = t2.user_id
+             |  WHERE event_type = 'purchase' AND us > t2.t2
+             |    AND us - t2.t2 <= 900000000 GROUP BY e.user_id)
+             |SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM t1
+             |UNION ALL
+             |SELECT 2, 'click', count(*) FROM t2
+             |UNION ALL
+             |SELECT 3, 'purchase', count(*) FROM t3
+             |ORDER BY step""".stripMargin)),
+
+    // Top-20 within-session event-type 3-grams (path mining): the
+    // concrete multi-step flows funnel design starts from, where
+    // q_event_transitions gives only the first-order digest. ONE
+    // window pass on the max-cardinality user id computes the session
+    // break, the running session id, and both leads (shared
+    // partition+order fuses them into a single Window operator);
+    // output bounded by |types|^3 before the top-k.
+    Q("q_event_paths",
+      (s, d) => graft.ops.EventFeatures.eventPaths(
+        Tables.df(s, d, "events"), "user_id", "event_type", "ts", "event_id",
+        gapSeconds = 1800, k = 20),
+      Some(s"""WITH e AS (
+             |  SELECT user_id, event_type, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |l AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |m AS (
+             |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM l),
+             |s AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |t AS (
+             |  SELECT event_type AS t1,
+             |    lead(event_type, 1) OVER w AS t2,
+             |    lead(event_type, 2) OVER w AS t3,
+             |    sid,
+             |    lead(sid, 1) OVER w AS sid2,
+             |    lead(sid, 2) OVER w AS sid3
+             |  FROM s
+             |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+             |tr AS (
+             |  SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n FROM t
+             |  WHERE t3 IS NOT NULL AND sid2 = sid AND sid3 = sid
+             |  GROUP BY t1, t2, t3),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM tr)
+             |SELECT t1, t2, t3, n,
+             |  ${graft.ops.PortableRound.intRound4Duck("n", "n_total")} AS share
+             |FROM tr CROSS JOIN tot
+             |ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+             |LIMIT 20""".stripMargin)),
+
+    // Two-proportion A/B test on a deterministic hash split: the
+    // experimentation primitive (arm = unitHash(user) < 0.5, converted
+    // = ever made a >120-value purchase) — z decides whether the arms'
+    // conversion rates differ beyond chance (they shouldn't: the split
+    // is random-equivalent, so |z| ≲ 2 is itself an A/A sanity check
+    // of the assignment hash). The split is the q_split_assign
+    // contract, so both engines (and any other table of the warehouse)
+    // assign identical arms; rates round in exact integer arithmetic
+    // and the z float pipeline is mirrored token-for-token, with the
+    // degenerate all/none-converted and empty-arm cases yielding NULL.
+    Q("q_ab_test",
+      (s, d) => graft.ops.EventFeatures.abTest(
+        Tables.df(s, d, "events"), "user_id",
+        convPred = col("event_type") === "purchase" && col("value") > 120,
+        salt = "ab"),
+      Some(s"""WITH u AS (
+             |  SELECT user_id,
+             |    max(CASE WHEN event_type = 'purchase' AND value > 120
+             |        THEN 1 ELSE 0 END) AS conv
+             |  FROM events GROUP BY user_id),
+             |a AS (
+             |  SELECT conv,
+             |    (${graft.ops.Sampling.unitHashDuckSql("user_id", "ab")}) < 0.5 AS in_a
+             |  FROM u),
+             |g AS (
+             |  SELECT
+             |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(sum(CASE WHEN in_a THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             |    CAST(sum(CASE WHEN NOT in_a THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+             |  FROM a)
+             |SELECT n_a, conv_a, n_b, conv_b,
+             |  ${graft.ops.PortableRound.intRound4Duck("conv_a", "n_a")} AS rate_a,
+             |  ${graft.ops.PortableRound.intRound4Duck("conv_b", "n_b")} AS rate_b,
+             |  CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+             |         OR conv_a + conv_b = n_a + n_b THEN NULL
+             |    ELSE round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             |         - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             |    / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |           * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+             |           * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))), 4)
+             |  END AS z
+             |FROM g""".stripMargin)),
+
     // Market-basket co-occurrence of event types within a session —
     // support + lift per unordered type pair, the association-mining
     // primitive under recommendation / funnel-design reports (lift>1:

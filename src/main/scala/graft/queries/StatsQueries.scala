@@ -27,6 +27,53 @@ object StatsQueries extends QuerySet {
         Tables.df(s, d, "documents"), "lang", "n_chars"),
       Some(Describe.groupQuantilesDuckSql("documents", "lang", "n_chars"))),
 
+    // Linear-counting distinct-estimator audit (the sketch tier of row
+    // 61 made oracle-checkable, like q_cms_topk did for Count-Min):
+    // users hash into m=65536 buckets via the portable md5-60bit hash,
+    // est = -m·ln((m - hit)/m) — one grouped-distinct aggregate, both
+    // engines replay the identical hash and float pipeline, and the
+    // exact count sits beside the estimate so the audit (rel_err) is
+    // data. m is sized so the load factor stays well under saturation
+    // through sf1 (15k users / 64k buckets); a saturated bitmap yields
+    // NULL, never ±inf. At 100 TB the same shape runs per
+    // partition-key slice; the bucket set is ≤m integers regardless of
+    // corpus size.
+    Q("q_lc_distinct",
+      (s, d) => {
+        val m = 65536L
+        Tables.df(s, d, "events")
+          .select(col("user_id"))
+          .agg(
+            countDistinct(col("user_id")).as("n_exact"),
+            countDistinct(pmod(
+              graft.text.TextFunctions.portableHash60(col("user_id").cast("string")),
+              lit(m))).as("buckets_hit"))
+          .select(col("n_exact"), col("buckets_hit"),
+            when(col("buckets_hit") === m, lit(null).cast("double"))
+              .otherwise(round(lit(-65536.0) * log(
+                (lit(m) - col("buckets_hit")).cast("double") / lit(65536.0)), 4))
+              .as("lc_est"))
+          .select(col("n_exact"), col("buckets_hit"), col("lc_est"),
+            round((col("lc_est") - col("n_exact").cast("double")) /
+              col("n_exact").cast("double"), 4).as("rel_err"))
+      },
+      Some("""WITH b AS (
+             |  SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+             |    CAST(count(DISTINCT
+             |      (CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+             |        AS UBIGINT) % 65536)) AS BIGINT) AS buckets_hit
+             |  FROM events),
+             |e AS (
+             |  SELECT n_exact, buckets_hit,
+             |    CASE WHEN buckets_hit = 65536 THEN NULL
+             |      ELSE round(-65536.0 * ln(CAST(65536 - buckets_hit AS DOUBLE) / 65536.0), 4)
+             |    END AS lc_est
+             |  FROM b)
+             |SELECT n_exact, buckets_hit, lc_est,
+             |  round((lc_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE), 4)
+             |    AS rel_err
+             |FROM e""".stripMargin)),
+
     // Per-language MAD of document length — robust spread for the
     // mixing report (outlier docs dominate a stddev, barely move a
     // MAD). Two bounded-key grouped-quantile passes + one broadcast-

@@ -88,6 +88,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_corpus_kl",         // group-totals frame (L rows; the op's own
                            // output is L² so L is small by contract)
                            // + 1-row vocab-size crossJoins
+    "q_event_paths",       // 1-row triple-total crossJoin (the share
+                           // normalizer over the |types|^3-bounded table)
     "q_mix_temperature",   // 1-row weight-normalizer crossJoin
     "q_dsir_weights",      // 1-row corpus-totals crossJoin (the LM
                            // normalizers nt/nr)

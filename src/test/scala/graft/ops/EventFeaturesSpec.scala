@@ -1,0 +1,66 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class EventFeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("eventPaths counts within-session triples and drops boundary-spanning ones") {
+    // user 1: a,b,c,d inside one session then (after a 1h gap) e,f,g —
+    // triples: (a,b,c), (b,c,d), (e,f,g); the (c,d,e)/(d,e,f) windows
+    // span the session break and must not appear
+    val rows = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(10), 2L), (1L, "c", ts(20), 3L),
+      (1L, "d", ts(30), 4L),
+      (1L, "e", ts(30 + 3600), 5L), (1L, "f", ts(40 + 3600), 6L),
+      (1L, "g", ts(50 + 3600), 7L))
+      .toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventFeatures.eventPaths(rows, "user_id", "event_type", "ts",
+        "event_id", gapSeconds = 1800, k = 20)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    out.toSet shouldBe Set(("a", "b", "c", 1L), ("b", "c", "d", 1L), ("e", "f", "g", 1L))
+  }
+
+  test("eventPaths shares sum to 1 over all triples and top-k orders by count") {
+    val rows = (1 to 50).flatMap { i =>
+      // every user emits the same x->y->z run twice and one p->q->r
+      Seq((i.toLong, "x", ts(i * 10000L), i * 10L),
+        (i.toLong, "y", ts(i * 10000L + 1), i * 10L + 1),
+        (i.toLong, "z", ts(i * 10000L + 2), i * 10L + 2))
+    }.toDF("user_id", "event_type", "ts", "event_id")
+    val out = EventFeatures.eventPaths(rows, "user_id", "event_type", "ts",
+      "event_id", gapSeconds = 1800, k = 5).collect()
+    out.length shouldBe 1
+    out.head.getString(0) shouldBe "x"
+    out.head.getDouble(4) shouldBe 1.0
+  }
+
+  test("abTest yields NULL z when every user converts (se = 0)") {
+    val rows = Seq((1L, "purchase"), (2L, "purchase"), (3L, "purchase"))
+      .toDF("user_id", "event_type")
+    val out = EventFeatures.abTest(rows, "user_id",
+      convPred = col("event_type") === "purchase").collect().head
+    out.isNullAt(out.fieldIndex("z")) shouldBe true
+    out.getDouble(out.fieldIndex("rate_a")) shouldBe 1.0
+  }
+
+  test("abTest arm assignment is deterministic and z is finite on a mixed split") {
+    val rows = (1 to 400).map(i =>
+      (i.toLong, if (i % 3 == 0) "purchase" else "view"))
+      .toDF("user_id", "event_type")
+    val a = EventFeatures.abTest(rows, "user_id",
+      convPred = col("event_type") === "purchase").collect().head
+    val b = EventFeatures.abTest(rows, "user_id",
+      convPred = col("event_type") === "purchase").collect().head
+    a shouldBe b
+    a.getLong(0) + a.getLong(2) shouldBe 400L
+    // conversion is i%3-driven, orthogonal to the md5 arm hash: z small
+    math.abs(a.getDouble(a.fieldIndex("z"))) should be < 3.5
+  }
+}
