@@ -253,6 +253,27 @@ object CoreQueries extends QuerySet {
              |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // TPC-H Q13 shape: orders-per-customer count INCLUDING the
+    // zero-order customers (the left join keeps them; an inner join
+    // silently drops the most interesting bucket), then the
+    // count-of-counts histogram. Two shuffles — the per-customer count
+    // keys on the max-cardinality custkey, the histogram on the
+    // bounded count domain.
+    Q("q_count_distribution",
+      (s, d) => Tables.df(s, d, "customer")
+        .join(Tables.df(s, d, "orders"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders"),
+      Some("""SELECT n_orders, count(*) AS n_customers FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS n_orders
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) t
+             |GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
+
     // Two-phase salted top-k (see WindowOps): identical output to the
     // naive 5-partition window but the heavy sort spreads over
     // keys x salt tasks. Salt on o_orderkey (deterministic).

@@ -259,6 +259,62 @@ object DedupQueries extends QuerySet {
               |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
               |FROM dg GROUP BY degree ORDER BY degree""".stripMargin)),
 
+    // Triangle census + global clustering coefficient of the near-dup
+    // graph — the transitivity check beside q_dup_degree's hub profile:
+    // near-duplication is ~transitive, so a LOW cc (many open wedges)
+    // means the LSH threshold is splitting template families into
+    // chains, while cc≈1 confirms clique-like clusters. Edges are the
+    // cap-bounded ordered pair list (persisted — five plan references);
+    // every triangle a<b<c is counted exactly once as the ordered path
+    // a→b→c closed by (a,c); wedges = Σ C(deg,2) in exact integers;
+    // cc = 3·T/W as one PortableRound division. The edge-edge join is
+    // bounded by Σ deg² which the LSH bucket cap bounds.
+    Q("q_dup_triangles",
+      (s, d) => {
+        val e = graft.api.CacheScope.global.persist(
+          MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text")
+            .select(col("id_a").as("a"), col("id_b").as("b")))
+        val nodes = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id"))).distinct()
+          .agg(count(lit(1)).as("n_nodes"))
+        val edges = e.agg(count(lit(1)).as("n_edges"))
+        val wedges = e.select(col("a").as("id"))
+          .unionAll(e.select(col("b").as("id")))
+          .groupBy("id").agg(count(lit(1)).as("dg"))
+          .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+        val tri = e.as("e1")
+          .join(e.as("e2"), col("e1.b") === col("e2.a"))
+          .join(e.as("e3"),
+            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+          .agg(count(lit(1)).as("n_triangles"))
+        nodes.crossJoin(edges).crossJoin(wedges).crossJoin(tri)
+          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+            col("n_triangles"),
+            graft.ops.PortableRound.intRound4(
+              lit(3L) * col("n_triangles"), col("n_wedges")).as("global_cc"))
+      },
+      Some(s"""WITH p AS MATERIALIZED (
+              |  ${MinHash.nearDupPairsDuckSql("documents", "doc_id", "text")}),
+              |e AS (SELECT id_a AS a, id_b AS b FROM p),
+              |nodes AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_nodes
+              |  FROM (SELECT a AS id FROM e UNION SELECT b FROM e)),
+              |edges AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+              |dg AS (
+              |  SELECT id, CAST(count(*) AS BIGINT) AS dg
+              |  FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+              |  GROUP BY id),
+              |w AS (SELECT CAST(sum((dg * (dg - 1)) // 2) AS BIGINT) AS n_wedges FROM dg),
+              |t AS (
+              |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+              |  FROM e e1
+              |  JOIN e e2 ON e1.b = e2.a
+              |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+              |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+              |  ${graft.ops.PortableRound.intRound4Duck(
+                   "3 * n_triangles", "n_wedges")} AS global_cc
+              |FROM nodes CROSS JOIN edges CROSS JOIN w CROSS JOIN t""".stripMargin)),
+
     // Token-mass inflation from near-duplicates — the COMPUTE-WASTE
     // number next to q_dedup_rate's doc-count view: the fraction of
     // training tokens spent on non-representative duplicate docs

@@ -74,6 +74,18 @@ object StatsQueries extends QuerySet {
              |    AS rel_err
              |FROM e""".stripMargin)),
 
+    // Per-type skewness + excess kurtosis of event values — the
+    // distribution-SHAPE drift profile describe's mean/std can't see
+    // (a heavy tail developing under a flat std is the classic fraud /
+    // outage signature). One grouped aggregate of exact integer power
+    // sums in DECIMAL(38)/HUGEINT (the CorrMatrix overflow rule),
+    // central-moment algebra on doubles mirrored stage-for-stage.
+    Q("q_moments",
+      (s, d) => graft.ops.Moments.groupMoments(
+        Tables.df(s, d, "events"), "event_type", "value"),
+      Some(graft.ops.Moments.groupMomentsDuckSql(
+        "events", "event_type", "value"))),
+
     // Per-language MAD of document length — robust spread for the
     // mixing report (outlier docs dominate a stddev, barely move a
     // MAD). Two bounded-key grouped-quantile passes + one broadcast-

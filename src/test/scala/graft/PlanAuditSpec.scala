@@ -90,6 +90,8 @@ class PlanAuditSpec extends SparkSpec {
                            // + 1-row vocab-size crossJoins
     "q_event_paths",       // 1-row triple-total crossJoin (the share
                            // normalizer over the |types|^3-bounded table)
+    "q_dup_triangles",     // four 1-row graph-census aggregates
+                           // crossJoined into the single output row
     "q_mix_temperature",   // 1-row weight-normalizer crossJoin
     "q_dsir_weights",      // 1-row corpus-totals crossJoin (the LM
                            // normalizers nt/nr)
