@@ -447,6 +447,58 @@ class Collection(val name: String, val df: DataFrame) {
       n: Int, salt: String = ""): DataFrame =
     graft.ops.Corpus.importanceSample(df, idCol, textCol, targetPred, n, salt = salt)
 
+  /** Rows of this collection with ≥1 match in `other` (EXISTS) —
+    * LEFT_SEMI: the probe side contributes keys only, no duplication,
+    * no probe columns through the exchange.
+    */
+  def semiJoin(other: Collection, key: String, otherKey: String): Collection =
+    new Collection(name,
+      df.join(other.df, df(key) === other.df(otherKey), "left_semi"))
+
+  /** Rows of this collection with NO match in `other` (NOT EXISTS) —
+    * LEFT_ANTI, same keys-only shuffle economics.
+    */
+  def antiJoin(other: Collection, key: String, otherKey: String): Collection =
+    new Collection(name,
+      df.join(other.df, df(key) === other.df(otherKey), "left_anti"))
+
+  /** Skew-salted inner equi-join against `other` — see
+    * [[graft.ops.SkewJoin.saltedInner]]; row-identical to the plain
+    * join, hot keys spread over `s` shuffle tasks.
+    */
+  def saltedJoin(other: Collection, key: String, otherKey: String,
+      saltOn: Column, s: Int = 8): DataFrame =
+    graft.ops.SkewJoin.saltedInner(df, other.df, key, otherKey, saltOn, s)
+
+  /** Bloom-prefiltered inner equi-join against a selective `other` —
+    * see [[graft.ops.SkewJoin.bloomInner]].
+    */
+  def bloomJoin(other: Collection, key: String, otherKey: String,
+      expectedOtherKeys: Long, fpp: Double = 0.01): DataFrame =
+    graft.ops.SkewJoin.bloomInner(df, other.df, key, otherKey,
+      expectedOtherKeys, fpp)
+
+  /** Top-k within-session event-type 3-grams — see
+    * [[graft.ops.EventFeatures.eventPaths]].
+    */
+  def eventPaths(keyCol: String, typeCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long = 1800, k: Int = 20): DataFrame =
+    graft.ops.EventFeatures.eventPaths(df, keyCol, typeCol, tsCol, tieCol,
+      gapSeconds, k)
+
+  /** Two-proportion A/B z-test over a deterministic hash split — see
+    * [[graft.ops.EventFeatures.abTest]].
+    */
+  def abTest(keyCol: String, convPred: Column, salt: String = "ab"): DataFrame =
+    graft.ops.EventFeatures.abTest(df, keyCol, convPred, salt)
+
+  /** Per-group skewness + excess kurtosis — see
+    * [[graft.ops.Moments.groupMoments]].
+    */
+  def groupMoments(groupCol: String, valCol: String,
+      scale: Long = 100L): DataFrame =
+    graft.ops.Moments.groupMoments(df, groupCol, valCol, scale)
+
   /** Cross-source duplicate-leakage matrix: near-dup pairs rolled up by
     * unordered source pair — which sources copy from each other.
     */

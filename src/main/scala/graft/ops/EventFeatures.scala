@@ -325,6 +325,56 @@ object EventFeatures {
       .limit(k)
   }
 
+  /** Hourly session-concurrency profile — peak simultaneous sessions,
+    * the capacity-planning number (licenses, connection pools,
+    * autoscaler floors). A session [s, e] overlaps hour h iff
+    * start_hour ≤ h AND end_hour ≥ h, so
+    * n_active(h) = cumStarts(≤h) − cumEnds(<h): both cumulatives run
+    * over the CALENDAR-BOUNDED hourly table (hours of the observed
+    * span — model-state-sized at any corpus scale), never the event
+    * log. The cumulative is a broadcast triangular join on that tiny
+    * table (the pack_sequences idiom) because a global running-sum
+    * window would drag its rows into one task-partition; sessions come
+    * from the same lag+running-sum windows on the max-cardinality user
+    * id every sessionized op uses. Hours with no boundary events still
+    * appear (sequence over the span) — sessions spanning them count.
+    */
+  def concurrency(df: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, gapSeconds: Long = 1800): DataFrame = {
+    val byTime = Window.partitionBy(keyCol)
+      .orderBy(col("__us").asc, col(tieCol).asc)
+    val gapUs = gapSeconds * 1000000L
+    val hourUs = 3600000000L
+    val sess = df
+      .select(col(keyCol), col(tieCol), unix_micros(col(tsCol)).as("__us"))
+      .withColumn("__prev", lag(col("__us"), 1).over(byTime))
+      .withColumn("__brk",
+        when(col("__prev").isNull || col("__us") - col("__prev") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("__brk")).over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("sid"))
+      .agg(expr(s"min(__us) div $hourUs").as("sh"),
+        expr(s"max(__us) div $hourUs").as("eh"))
+    val hourly = sess.select(col("sh").as("h"), lit(1L).as("st"), lit(0L).as("en"))
+      .unionAll(sess.select(col("eh").as("h"), lit(0L).as("st"), lit(1L).as("en")))
+      .groupBy("h").agg(sum("st").as("n_started"), sum("en").as("n_ended"))
+    val hours = hourly.agg(min("h").as("mn"), max("h").as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("hour"))
+    val hc = hours.join(hourly, col("hour") === col("h"), "left")
+      .select(col("hour"),
+        coalesce(col("n_started"), lit(0L)).as("n_started"),
+        coalesce(col("n_ended"), lit(0L)).as("n_ended"))
+    hc.as("a").join(broadcast(hc.as("b")), col("b.hour") <= col("a.hour"))
+      .groupBy(col("a.hour").as("hour"))
+      .agg(max(col("a.n_started")).as("n_started"),
+        max(col("a.n_ended")).as("n_ended"),
+        (sum(col("b.n_started")) -
+          sum(when(col("b.hour") < col("a.hour"), col("b.n_ended"))
+            .otherwise(0L))).as("n_active"))
+      .orderBy("hour")
+  }
+
   /** Two-proportion A/B test over a deterministic hash split: users
     * hash into arm A iff unitHash(key, salt) < 0.5 (rerun- and
     * engine-stable — the q_split_assign contract, so the SAME users

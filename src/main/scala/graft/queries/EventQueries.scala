@@ -59,6 +59,58 @@ object EventQueries extends QuerySet {
              |SELECT 3, 'purchase', count(*) FROM t3
              |ORDER BY step""".stripMargin)),
 
+    // Hourly session-concurrency profile: peak simultaneous sessions —
+    // the capacity-planning number. n_active(h) = cumStarts(≤h) −
+    // cumEnds(<h) over the CALENDAR-BOUNDED hourly table; the
+    // cumulative is a broadcast triangular join on that tiny table (a
+    // global running-sum window would collapse to one task), sessions
+    // from the standard lag+running-sum windows on the max-cardinality
+    // user id. Hours with no boundary events still appear.
+    Q("q_concurrency",
+      (s, d) => graft.ops.EventFeatures.concurrency(
+        Tables.df(s, d, "events"), "user_id", "ts", "event_id",
+        gapSeconds = 1800),
+      Some("""WITH e AS (
+             |  SELECT user_id, event_id,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+             |  FROM events),
+             |l AS (
+             |  SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev
+             |  FROM e),
+             |m AS (
+             |  SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+             |    THEN 1 ELSE 0 END AS brk
+             |  FROM l),
+             |s AS (
+             |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+             |  FROM m),
+             |sess AS (
+             |  SELECT user_id, sid,
+             |    min(us) // 3600000000 AS sh, max(us) // 3600000000 AS eh
+             |  FROM s GROUP BY user_id, sid),
+             |hourly AS (
+             |  SELECT h, CAST(sum(st) AS BIGINT) AS n_started,
+             |    CAST(sum(en) AS BIGINT) AS n_ended
+             |  FROM (SELECT sh AS h, 1 AS st, 0 AS en FROM sess
+             |        UNION ALL SELECT eh, 0, 1 FROM sess) u
+             |  GROUP BY h),
+             |hours AS (
+             |  SELECT unnest(generate_series(min(h), max(h))) AS hour FROM hourly),
+             |hc AS (
+             |  SELECT hour, coalesce(n_started, 0) AS n_started,
+             |    coalesce(n_ended, 0) AS n_ended
+             |  FROM hours LEFT JOIN hourly ON hour = h)
+             |SELECT a.hour AS hour,
+             |  max(a.n_started) AS n_started,
+             |  max(a.n_ended) AS n_ended,
+             |  CAST(sum(b.n_started)
+             |    - sum(CASE WHEN b.hour < a.hour THEN b.n_ended ELSE 0 END)
+             |    AS BIGINT) AS n_active
+             |FROM hc a JOIN hc b ON b.hour <= a.hour
+             |GROUP BY a.hour
+             |ORDER BY hour""".stripMargin)),
+
     // Attribution-windowed funnel: q_funnel's shape but each step must
     // fire within 900 s of the previous one — the industry-standard
     // "conversion window" semantics (an unbounded funnel credits a

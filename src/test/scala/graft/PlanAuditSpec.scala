@@ -92,6 +92,10 @@ class PlanAuditSpec extends SparkSpec {
                            // normalizer over the |types|^3-bounded table)
     "q_dup_triangles",     // four 1-row graph-census aggregates
                            // crossJoined into the single output row
+    "q_concurrency",       // calendar-bounded hourly triangular join
+                           // (the pack_sequences idiom) — a global
+                           // running-sum window would collapse to one
+                           // task instead
     "q_mix_temperature",   // 1-row weight-normalizer crossJoin
     "q_dsir_weights",      // 1-row corpus-totals crossJoin (the LM
                            // normalizers nt/nr)

@@ -41,6 +41,20 @@ class EventFeaturesSpec extends SparkSpec {
     out.head.getDouble(4) shouldBe 1.0
   }
 
+  test("concurrency counts overlapping sessions per hour, spanning quiet hours") {
+    // u1: one session spanning hours 0..2 (events at 0s and 2.5h kept
+    // in one session? no — gap 1800s splits; use events every 20 min)
+    val u1 = (0 until 9).map(i => (1L, ts(i * 1200L), i.toLong)) // 0..9600s = hours 0..2
+    // u2: one short session inside hour 1
+    val u2 = Seq((2L, ts(3700L), 100L), (2L, ts(3900L), 101L))
+    val df = (u1 ++ u2).toDF("user_id", "ts", "event_id")
+    val out = EventFeatures.concurrency(df, "user_id", "ts", "event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    out(0L) shouldBe 1L // only u1 active in hour 0
+    out(1L) shouldBe 2L // u1 spans it, u2 lives in it
+    out(2L) shouldBe 1L // u1's tail
+  }
+
   test("abTest yields NULL z when every user converts (se = 0)") {
     val rows = Seq((1L, "purchase"), (2L, "purchase"), (3L, "purchase"))
       .toDF("user_id", "event_type")
