@@ -259,6 +259,43 @@ object DedupQueries extends QuerySet {
               |SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
               |FROM dg GROUP BY degree ORDER BY degree""".stripMargin)),
 
+    // Dedup-bias audit: near-dup drop rate per document-length bucket —
+    // the fairness check run before shipping a dedup config (LSH over
+    // shingles is length-sensitive: short docs need fewer shared
+    // shingles to collide, so an unaudited pipeline can silently strip
+    // short-form sources). Reuses the memoized component frame; dropped
+    // = non-representative member (id ≠ cluster); one broadcast-sized
+    // keyed join onto the bucketed doc table, output bounded by the
+    // length-bucket domain.
+    Q("q_dup_by_length",
+      (s, d) => {
+        val cc = componentsCached(s, d)
+        Tables.df(s, d, "documents")
+          .select(col("doc_id"), expr("n_chars div 100").as("len_bucket"))
+          .join(cc.select(col("id").as("doc_id"),
+            (col("id") =!= col("cluster")).as("__dropped")), Seq("doc_id"), "left")
+          .groupBy("len_bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("__dropped"), 1L).otherwise(0L)).as("n_dropped"))
+          .select(col("len_bucket"), col("n_docs"), col("n_dropped"),
+            graft.ops.PortableRound.intRound4(
+              col("n_dropped"), col("n_docs")).as("drop_frac"))
+          .orderBy("len_bucket")
+      },
+      Some(s"""WITH cc AS (${Cluster.connectedComponentsDuckSql(
+                 MinHash.nearDupPairsDuckSql("documents", "doc_id", "text"),
+                 "id_a", "id_b")}),
+              |b AS (
+              |  SELECT d.doc_id, d.n_chars // 100 AS len_bucket,
+              |    CASE WHEN cc.id IS NOT NULL AND cc.id <> cc.cluster
+              |      THEN 1 ELSE 0 END AS dropped
+              |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.id)
+              |SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+              |  CAST(sum(dropped) AS BIGINT) AS n_dropped,
+              |  ${graft.ops.PortableRound.intRound4Duck(
+                   "sum(dropped)", "count(*)")} AS drop_frac
+              |FROM b GROUP BY len_bucket ORDER BY len_bucket""".stripMargin)),
+
     // Triangle census + global clustering coefficient of the near-dup
     // graph — the transitivity check beside q_dup_degree's hub profile:
     // near-duplication is ~transitive, so a LOW cc (many open wedges)
