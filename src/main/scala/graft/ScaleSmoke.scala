@@ -45,6 +45,21 @@ object ScaleSmoke {
           t => concat(t, lit(s"_$i")))).as("text"))
     }.reduce(_ unionByName _)
 
+    // k-fold users (id-shifted copies) over the SAME time span —
+    // constant per-user history, the regime where user-keyed window
+    // ops should scale with the log and calendar-bounded state stays
+    // constant
+    def eventsX(k: Int): DataFrame = {
+      val ev = Tables.df(spark, sfDir, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+      (0 until k).map { i =>
+        if (i == 0) ev
+        else ev.select((col("user_id") + lit(i * 10000000L)).as("user_id"),
+          col("event_type"), col("ts"),
+          (col("event_id") + lit(i * 1000000000L)).as("event_id"))
+      }.reduce(_ unionByName _)
+    }
+
     // jitter must vary PER ROW (vec_id enters the phase): a constant
     // per-copy offset would shift every row of a copy toward the same
     // direction and collapse whole copies into a handful of sign-bit
@@ -254,7 +269,32 @@ object ScaleSmoke {
         // cost tracks the minhash_lsh finder ~linearly
         graft.ops.PageRank.ranks(
           graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text"),
-          "id_a", "id_b")))
+          "id_a", "id_b")),
+      "dup_triangles" -> (k =>
+        // triangle census on the pair graph: salted copies keep each
+        // copy's pair structure intact, so edges AND per-node degrees
+        // stay constant per copy — the edge-edge path join (bounded by
+        // Σ deg² under the bucket cap) grows ~k, never (n·k)²; the
+        // persisted edge list rides the global scope time() releases
+        graft.dedup.GraphStats.triangleCensus(
+          graft.api.CacheScope.global.persist(
+            graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text")
+              .select("id_a", "id_b")))),
+      "event_paths" -> (k => {
+        // k-fold users, constant per-user history: ONE fused window
+        // pass on the user key + a |types|³-bounded aggregate — linear
+        // in the event log
+        graft.ops.EventFeatures.eventPaths(eventsX(k), "user_id",
+          "event_type", "ts", "event_id")
+      }),
+      "concurrency" -> (k => {
+        // k-fold users in the SAME time span: sessions grow ~k but the
+        // hourly boundary table stays calendar-bounded, so the
+        // triangular cumulative join is constant-size and total cost
+        // tracks the sessionizing window pass
+        graft.ops.EventFeatures.concurrency(eventsX(k), "user_id",
+          "ts", "event_id")
+      }))
     // (no semdedup finder: its pair join is by contract quadratic in
     // CLUSTER size — the scale dial is k ∝ n (constant cluster size,
     // fit on a subsample), so a fixed-k 10x run measures the documented

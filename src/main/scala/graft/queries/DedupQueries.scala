@@ -307,29 +307,10 @@ object DedupQueries extends QuerySet {
     // cc = 3·T/W as one PortableRound division. The edge-edge join is
     // bounded by Σ deg² which the LSH bucket cap bounds.
     Q("q_dup_triangles",
-      (s, d) => {
-        val e = graft.api.CacheScope.global.persist(
+      (s, d) => graft.dedup.GraphStats.triangleCensus(
+        graft.api.CacheScope.global.persist(
           MinHash.nearDupPairs(Tables.df(s, d, "documents"), "doc_id", "text")
-            .select(col("id_a").as("a"), col("id_b").as("b")))
-        val nodes = e.select(col("a").as("id"))
-          .unionAll(e.select(col("b").as("id"))).distinct()
-          .agg(count(lit(1)).as("n_nodes"))
-        val edges = e.agg(count(lit(1)).as("n_edges"))
-        val wedges = e.select(col("a").as("id"))
-          .unionAll(e.select(col("b").as("id")))
-          .groupBy("id").agg(count(lit(1)).as("dg"))
-          .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
-        val tri = e.as("e1")
-          .join(e.as("e2"), col("e1.b") === col("e2.a"))
-          .join(e.as("e3"),
-            col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
-          .agg(count(lit(1)).as("n_triangles"))
-        nodes.crossJoin(edges).crossJoin(wedges).crossJoin(tri)
-          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-            col("n_triangles"),
-            graft.ops.PortableRound.intRound4(
-              lit(3L) * col("n_triangles"), col("n_wedges")).as("global_cc"))
-      },
+            .select("id_a", "id_b"))),
       Some(s"""WITH p AS MATERIALIZED (
               |  ${MinHash.nearDupPairsDuckSql("documents", "doc_id", "text")}),
               |e AS (SELECT id_a AS a, id_b AS b FROM p),
