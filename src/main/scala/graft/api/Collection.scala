@@ -499,6 +499,20 @@ class Collection(val name: String, val df: DataFrame) {
       scale: Long = 100L): DataFrame =
     graft.ops.Moments.groupMoments(df, groupCol, valCol, scale)
 
+  /** Per-group winsorized (outlier-capped) mean — see
+    * [[graft.ops.Describe.winsorizedMeans]].
+    */
+  def winsorizedMeans(groupCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame =
+    graft.ops.Describe.winsorizedMeans(df, groupCol, valCol, pLo, pHi)
+
+  /** Hourly session-concurrency profile — see
+    * [[graft.ops.EventFeatures.concurrency]].
+    */
+  def concurrency(keyCol: String, tsCol: String, tieCol: String,
+      gapSeconds: Long = 1800): DataFrame =
+    graft.ops.EventFeatures.concurrency(df, keyCol, tsCol, tieCol, gapSeconds)
+
   /** Cross-source duplicate-leakage matrix: near-dup pairs rolled up by
     * unordered source pair — which sources copy from each other.
     */

@@ -215,6 +215,90 @@ object Describe {
        |GROUP BY t.$groupCol
        |ORDER BY t.$groupCol""".stripMargin
 
+  /** Per-group winsorized mean — the outlier-capping robust aggregate
+    * (clip at the p05/p95 caps, then average): the number a revenue /
+    * latency dashboard should quote when a handful of extreme rows
+    * would otherwise own the mean. Caps come from [[groupQuantiles]]
+    * (4dp-rounded, so both engines agree on them exactly); the
+    * winsorized mean is then assembled from EXACT integer cent sums
+    * plus the two bounded cap terms — never a float sum over raw
+    * doubles, whose partial-aggregate order differs between engines:
+    * mean_w = (Σ q_mid + n_lo·lo + n_hi·hi) / n. One quantile pass +
+    * one counting pass; the caps table is group-domain-bounded and
+    * broadcasts.
+    */
+  def winsorizedMeans(df: DataFrame, groupCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val caps = groupQuantiles(df, groupCol, valCol,
+        Seq("p_lo" -> pLo, "p_hi" -> pHi))
+      .select(col(groupCol), col("p_lo"), col("p_hi"))
+    val ev = df
+      .select(col(groupCol),
+        floor(col(valCol).cast("double") * 100 + 0.5).cast("long").as("q"))
+      .filter(col("q").isNotNull)
+    val j = ev.join(broadcast(caps), Seq(groupCol))
+      .withColumn("lo_c", col("p_lo") * lit(100.0))
+      .withColumn("hi_c", col("p_hi") * lit(100.0))
+    j.groupBy(groupCol).agg(
+        count(lit(1)).as("n"),
+        sum("q").as("sum_q"),
+        // categories are DISJOINT even when the caps coincide (a
+        // mostly-constant group has p05 == p95; a row must not count
+        // as both clipped-low and clipped-high)
+        sum(when(col("q") > col("lo_c") && col("q") < col("hi_c"), col("q"))
+          .otherwise(0L)).as("sum_mid"),
+        sum(when(col("q") <= col("lo_c"), 1L).otherwise(0L)).as("n_lo"),
+        sum(when(col("q") > col("lo_c") && col("q") >= col("hi_c"), 1L)
+          .otherwise(0L)).as("n_hi"),
+        max("p_lo").as("p_lo"), max("p_hi").as("p_hi"),
+        max("lo_c").as("lo_c"), max("hi_c").as("hi_c"))
+      .select(col(groupCol), col("n"),
+        PortableRound.intRound4(col("sum_q"), lit(100L) * col("n")).as("mean_raw"),
+        col("p_lo"), col("p_hi"), col("n_lo"), col("n_hi"),
+        round((col("sum_mid").cast("double") +
+          col("n_lo").cast("double") * col("lo_c") +
+          col("n_hi").cast("double") * col("hi_c")) /
+          col("n").cast("double") / lit(100.0), 4).as("mean_winsor"))
+      .orderBy(groupCol)
+  }
+
+  /** DuckDB twin of [[winsorizedMeans]] — quantile_cont caps (the
+    * groupQuantiles contract), identical cent quantizer, and the same
+    * sum-assembly arithmetic agg-then-select.
+    */
+  def winsorizedMeansDuckSql(table: String, groupCol: String,
+      valCol: String, pLo: Double = 0.05, pHi: Double = 0.95): String =
+    s"""WITH caps AS (
+       |  SELECT $groupCol, round(quantile_cont($valCol, $pLo), 4) AS p_lo,
+       |    round(quantile_cont($valCol, $pHi), 4) AS p_hi
+       |  FROM $table
+       |  WHERE $valCol IS NOT NULL
+       |  GROUP BY $groupCol),
+       |ev AS (
+       |  SELECT $groupCol, CAST(floor(CAST($valCol AS DOUBLE) * 100 + 0.5) AS BIGINT) AS q
+       |  FROM $table WHERE $valCol IS NOT NULL),
+       |j AS (
+       |  SELECT ev.$groupCol, q, p_lo, p_hi,
+       |    p_lo * 100.0 AS lo_c, p_hi * 100.0 AS hi_c
+       |  FROM ev JOIN caps USING ($groupCol)),
+       |g AS (
+       |  SELECT $groupCol, CAST(count(*) AS BIGINT) AS n,
+       |    sum(q) AS sum_q,
+       |    sum(CASE WHEN q > lo_c AND q < hi_c THEN q ELSE 0 END) AS sum_mid,
+       |    CAST(sum(CASE WHEN q <= lo_c THEN 1 ELSE 0 END) AS BIGINT) AS n_lo,
+       |    CAST(sum(CASE WHEN q > lo_c AND q >= hi_c THEN 1 ELSE 0 END) AS BIGINT) AS n_hi,
+       |    max(p_lo) AS p_lo, max(p_hi) AS p_hi,
+       |    max(lo_c) AS lo_c, max(hi_c) AS hi_c
+       |  FROM j GROUP BY $groupCol)
+       |SELECT $groupCol, n,
+       |  ${PortableRound.intRound4Duck("sum_q", "100 * n")} AS mean_raw,
+       |  p_lo, p_hi, n_lo, n_hi,
+       |  round((CAST(sum_mid AS DOUBLE) + CAST(n_lo AS DOUBLE) * lo_c
+       |    + CAST(n_hi AS DOUBLE) * hi_c) / CAST(n AS DOUBLE) / 100.0, 4)
+       |    AS mean_winsor
+       |FROM g
+       |ORDER BY $groupCol""".stripMargin
+
   /** DuckDB oracle SQL for [[describe]] over the same columns. */
   def oracleSql(table: String, cols: Seq[String], roundTo: Int = 4): String =
     cols.sorted.map { c =>

@@ -86,6 +86,18 @@ object StatsQueries extends QuerySet {
       Some(graft.ops.Moments.groupMomentsDuckSql(
         "events", "event_type", "value"))),
 
+    // Winsorized mean per event type — the outlier-capping robust
+    // aggregate a latency/revenue dashboard should quote: clip at the
+    // p05/p95 caps (from the groupQuantiles contract, 4dp-agreed in
+    // both engines) then average — assembled from exact integer cent
+    // sums plus the two bounded cap terms, never a float sum over raw
+    // doubles.
+    Q("q_winsorized_mean",
+      (s, d) => graft.ops.Describe.winsorizedMeans(
+        Tables.df(s, d, "events"), "event_type", "value"),
+      Some(graft.ops.Describe.winsorizedMeansDuckSql(
+        "events", "event_type", "value"))),
+
     // Per-language MAD of document length — robust spread for the
     // mixing report (outlier docs dominate a stddev, barely move a
     // MAD). Two bounded-key grouped-quantile passes + one broadcast-

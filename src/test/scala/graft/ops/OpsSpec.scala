@@ -156,4 +156,26 @@ class OpsSpec extends SparkSpec {
     rows("a") shouldBe ((4L, 25.0, 37.0))
     rows("b") shouldBe ((1L, 5.0, 5.0))
   }
+
+  test("winsorizedMeans caps the outlier's pull while the raw mean moves") {
+    // 99 values at 10.0 plus one 10000.0 outlier: raw mean ≈ 109.9,
+    // winsorized mean stays ≈ 10 + the capped outlier's share
+    val df = (Seq.fill(99)(10.0) :+ 10000.0).map(("g", _)).toDF("g", "v")
+    val r = Describe.winsorizedMeans(df, "g", "v").collect().head
+    r.getAs[Long]("n") shouldBe 100L
+    r.getAs[Double]("mean_raw") shouldBe 109.9 +- 1e-6
+    r.getAs[Double]("mean_winsor") shouldBe 10.0 +- 1e-9
+    // degenerate caps (p05 == p95 == 10): the 99 ties clip low, only
+    // the outlier clips high — categories stay disjoint
+    r.getAs[Long]("n_lo") shouldBe 99L
+    r.getAs[Long]("n_hi") shouldBe 1L
+  }
+
+  test("winsorizedMeans without outliers reproduces the raw mean") {
+    val df = (1 to 100).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val r = Describe.winsorizedMeans(df, "g", "v").collect().head
+    r.getAs[Double]("mean_raw") shouldBe 50.5 +- 1e-9
+    // clipping a symmetric uniform at symmetric caps keeps the mean
+    r.getAs[Double]("mean_winsor") shouldBe 50.5 +- 0.2
+  }
 }
