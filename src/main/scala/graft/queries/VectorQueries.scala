@@ -187,6 +187,48 @@ object VectorQueries extends QuerySet {
         ).mkString("", "\nUNION ALL\n", "\nORDER BY tier")
       }),
 
+    // Recall@k CURVE of the IVF tier vs brute truth — q_ann_recall
+    // fixes k=10 across tiers; this walks k for the tier a corpus-scale
+    // deployment actually runs, answering "how many results can I
+    // trust" (recall@1 ≫ recall@20 means the probed cells hold the
+    // head of the ranking but lose the tail — probe more cells before
+    // raising k). Bounded collects per k; the oracle replays both
+    // searches at every k.
+    Q("q_recall_curve",
+      (s, d) => {
+        val scope = new graft.api.CacheScope
+        val e = scope.persist(Tables.df(s, d, "embeddings"))
+        val ks = Seq(1, 5, 10, 20)
+        val rows = ks.map { k =>
+          val brute = Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, k)
+            .collect().map(_.getLong(0)).toSet
+          val ivf = Knn.ivfTopK(e, "vec_id", "embedding", 0L, k)
+            .collect().map(_.getLong(0))
+          val hit = ivf.count(brute)
+          (k, hit,
+            BigDecimal.decimal(hit.toDouble / k)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        scope.release()
+        import s.implicits._
+        rows.toDF("k", "n_hit", "recall").orderBy("k")
+      },
+      Some {
+        def kRow(k: Int): String = {
+          val brute = Knn.bruteForceTopKDuckSql(
+            "embeddings", "vec_id", "embedding", queryId = 0L, k = k, dim = Dim)
+          val ivf = Knn.ivfTopKDuckSql(
+            "embeddings", "vec_id", "embedding", queryId = 0L, k = k, dim = Dim)
+          s"""SELECT $k AS k,
+             |  CAST((SELECT count(*) FROM ($ivf) i_$k
+             |        JOIN ($brute) b_$k ON i_$k.vec_id = b_$k.vec_id) AS INT) AS n_hit,
+             |  round((SELECT count(*) FROM ($ivf) i2_$k
+             |        JOIN ($brute) b2_$k ON i2_$k.vec_id = b2_$k.vec_id) / $k.0, 4) AS recall""".stripMargin
+        }
+        Seq(1, 5, 10, 20).map(kRow)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY k")
+      }),
+
     // Matryoshka-style dimension-truncation eval: recall@10 of exact
     // cosine search over only the first d dims vs the full-dim truth —
     // the table that decides how many dims a 100 TB index actually

@@ -255,6 +255,44 @@ object StreamOps {
       qn(col(groupCol).cast("string"), col(valueCol).cast("double")))
   }
 
+  /** Serve-time winsorization: per-group p05/p95 caps fit ONCE on the
+    * standing corpus (the [[graft.ops.Describe.winsorizedMeans]]
+    * contract — groupQuantiles caps on the cent grid), broadcast as a
+    * |groups|-entry map, then a stateless map clips each incoming
+    * value — the live tier of the robust-mean dashboard (the batch op
+    * aggregates; this emits the per-row clipped value a downstream
+    * windowed mean consumes). Clip rule mirrors the batch categories
+    * exactly (q ≤ lo → lo; q ≥ hi AND q > lo → hi; else q), so the
+    * sum of streamed clipped values reproduces the batch winsorized
+    * numerator — spec-asserted. Unseen group yields null. No joins,
+    * no state store; the UDF wraps the broadcast cap map — the
+    * documented broadcast-model exception.
+    */
+  def winsorizeStream(stream: DataFrame, corpus: DataFrame,
+      groupCol: String, valueCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val caps: Map[String, (Double, Double)] =
+      graft.ops.Describe.groupQuantiles(corpus, groupCol, valueCol,
+          Seq("p_lo" -> pLo, "p_hi" -> pHi))
+        .select(col(groupCol).cast("string"), col("p_lo"), col("p_hi"))
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getDouble(1) * 100.0, r.getDouble(2) * 100.0))).toMap
+    val bc = stream.sparkSession.sparkContext.broadcast(caps)
+    val w = udf { (g: String, v: java.lang.Double) =>
+      if (g == null || v == null) null.asInstanceOf[java.lang.Double]
+      else bc.value.get(g) match {
+        case None => null.asInstanceOf[java.lang.Double]
+        case Some((lo, hi)) =>
+          val q = math.floor(v * 100 + 0.5)
+          val c = if (q <= lo) lo else if (q >= hi) hi else q
+          java.lang.Double.valueOf(c / 100.0)
+      }
+    }
+    stream.withColumn("winsorized",
+      w(col(groupCol).cast("string"), col(valueCol).cast("double")))
+  }
+
   /** Streaming retrieval against the persisted IVF+PQ index
     * ([[graft.ann.IvfPqIndex]]) — "build the index on the standing
     * corpus once, serve every incoming query forever". Structured

@@ -318,9 +318,12 @@ class PlanAuditSpec extends SparkSpec {
       "q_dsir_sample", // composes q_dsir_weights' bucket-bounded model broadcast
       "q_padding_waste", // composes q_length_batches' (len × 256 hex)-bucket offsets
       "q_js_divergence", // per-group token totals — the q_corpus_kl argument verbatim
-      "q_iqr_outliers") // quartile-fence table grouped by the event-type
-                        // domain — |groups| rows by the same contract as
-                        // groupQuantiles (a language/source/type domain)
+      "q_iqr_outliers",  // quartile-fence table grouped by the event-type
+                         // domain — |groups| rows by the same contract as
+                         // groupQuantiles (a language/source/type domain)
+      "q_winsorized_mean") // p05/p95 caps table grouped by the same
+                           // bounded event-type domain — the
+                           // q_iqr_outliers argument verbatim
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

@@ -571,6 +571,36 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winsorizeStream clips with the batch caps; streamed sum reproduces the batch numerator") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 20 values 1..20 in one group: p05 cap 1.95, p95 cap 19.05
+    val corpus = (1 to 20).map(i => (i.toLong, "g", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val input = MemoryStream[(Long, String, Double)]
+    val out = StreamOps.winsorizeStream(
+      input.toDF().toDF("event_id", "event_type", "value"),
+      corpus, "event_type", "value")
+    val q = out.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      // stream the corpus itself plus an unknown group
+      input.addData((1 to 20).map(i => (i.toLong, "g", i.toDouble)): _*)
+      input.addData((99L, "other", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out").collect()
+        .map(r => r.getLong(0) ->
+          Option(r.getAs[java.lang.Double]("winsorized")).map(_.doubleValue)).toMap
+      rows(99L) shouldBe None
+      rows(1L) shouldBe Some(1.95)   // clipped up to the p05 cap
+      rows(20L) shouldBe Some(19.05) // clipped down to the p95 cap
+      rows(10L) shouldBe Some(10.0)  // mid value passes through
+      val streamedMean = (1 to 20).map(i => rows(i.toLong).get).sum / 20.0
+      val batch = graft.ops.Describe.winsorizedMeans(corpus, "event_type", "value")
+        .collect().head
+      streamedMean shouldBe batch.getAs[Double]("mean_winsor") +- 1e-4
+    } finally q.stop()
+  }
+
   test("quantileNormalizeStream: seen values match the batch op, unseen interpolate") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val corpus = Seq(
