@@ -71,6 +71,21 @@ object Cli {
           val w = math.max((hi - lo) / nb, Double.MinPositiveValue)
           emit(opts, out, new graft.api.Collection("t", df)
             .histogram(c, lo, w, nb).orderBy("bucket"))
+        case "moments" =>
+          val df = load(spark, opts)
+          def need(k: String) = opts.getOrElse(k,
+            throw new IllegalArgumentException(s"moments needs --$k"))
+          emit(opts, out, new graft.api.Collection("t", df)
+            .groupMoments(need("group"), need("column"),
+              opts.getOrElse("scale", "100").toLong))
+        case "winsorize" =>
+          val df = load(spark, opts)
+          def need(k: String) = opts.getOrElse(k,
+            throw new IllegalArgumentException(s"winsorize needs --$k"))
+          emit(opts, out, new graft.api.Collection("t", df)
+            .winsorizedMeans(need("group"), need("column"),
+              opts.getOrElse("plo", "0.05").toDouble,
+              opts.getOrElse("phi", "0.95").toDouble))
         case "pivot" =>
           val df = load(spark, opts)
           def need(k: String) = opts.getOrElse(k,
@@ -526,6 +541,8 @@ object Cli {
     """usage: graft.Cli <command> --path <data> [options]
       |commands: query fq groupby describe pivot enrichment infer search schema
       |          validate diff apply insert update export peek
+      |          histogram moments winsorize (distribution profiling:
+      |            --group g --column c [--scale n | --plo p --phi p])
       |          index indexes find-matches (collection/matcher)
       |          store import collections drop-collection sql (database-level: --db <dir>)
       |          config (attach a YAML client config: --path config.yaml)

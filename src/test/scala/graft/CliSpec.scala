@@ -472,6 +472,19 @@ class CliSpec extends SparkSpec {
     runCli("config")._1 shouldBe 2
   }
 
+  test("moments and winsorize commands profile a grouped column") {
+    val (code, out) = runCli("moments", "--path", dataPath,
+      "--group", "city", "--column", "score")
+    code shouldBe 0
+    out.head shouldBe "city\tn\tmean\tskew\tex_kurtosis"
+    out.length shouldBe 3 // header + two cities
+    val (code2, out2) = runCli("winsorize", "--path", dataPath,
+      "--group", "city", "--column", "score")
+    code2 shouldBe 0
+    out2.head should startWith("city\tn\tmean_raw")
+    out2.length shouldBe 3
+  }
+
   test("bad usage returns exit code 2 with a message") {
     runCli("query")._1 shouldBe 2
     runCli("frobnicate", "--path", dataPath)._1 shouldBe 2
