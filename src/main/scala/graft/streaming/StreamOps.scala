@@ -508,6 +508,57 @@ object StreamOps {
       }
   }
 
+  /** Streaming twin of [[graft.ops.Moments]]: per-key RUNNING skewness
+    * and excess kurtosis via the one-pass central-moment update
+    * (Pébay's M2/M3/M4 recurrences — the Welford state of
+    * [[anomalyStream]] extended two moments up; five doubles per key,
+    * bounded). Each event folds in id order and emits the shape of the
+    * prefix INCLUDING itself once `minN` events have arrived — the
+    * live tail-drift monitor (a kurtosis trending up under a flat
+    * std is the fraud/outage signature the batch q_moments reports
+    * after the fact). Replaying a corpus reproduces the batch op's
+    * final values (spec-pinned at 4dp; the recurrences are
+    * algebraically the power-sum moments, differing only in float
+    * path).
+    */
+  def momentsStream(ds: Dataset[(Long, Long, Double)],
+      minN: Int = 4): Dataset[(Long, Long, Double, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Long, Double, Double, Double, Double)]) =>
+          var (n, mean, m2, m3, m4) =
+            state.getOption.getOrElse((0L, 0.0, 0.0, 0.0, 0.0))
+          val out = scala.collection.mutable.ListBuffer[(Long, Long, Double, Double)]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            val n1 = n + 1
+            val delta = v - mean
+            val dn = delta / n1
+            val term1 = delta * dn * n
+            m4 += term1 * dn * dn * (n1.toDouble * n1 - 3.0 * n1 + 3.0) +
+              6.0 * dn * dn * m2 - 4.0 * dn * m3
+            m3 += term1 * dn * (n1 - 2.0) - 3.0 * dn * m2
+            m2 += term1
+            mean += dn
+            n = n1
+            if (n >= minN && m2 > 0) {
+              val nd = n.toDouble
+              val skew = BigDecimal.decimal(
+                  math.sqrt(nd) * m3 / math.pow(m2, 1.5))
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              val kurt = BigDecimal.decimal(nd * m4 / (m2 * m2) - 3.0)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+              out += ((key, id, skew, kurt))
+            }
+          }
+          state.update((n, mean, m2, m3, m4))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Ewma]]: truncated `lags`-term EWMA
     * per key on a live event stream. State is the last (lags−1)
     * values per key — BOUNDED (seven doubles at the default), unlike

@@ -571,6 +571,35 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("momentsStream's final running shape reproduces the batch moments") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // right-skewed fixture with exact 2dp values (batch cent
+    // quantization is lossless, so only the float path differs)
+    val vals = Seq(1.25, 2.5, 2.75, 3.0, 3.25, 4.0, 4.5, 5.0, 12.75, 30.5)
+    val input = MemoryStream[(Long, Long, Double)]
+    val out = StreamOps.momentsStream(input.toDS(), minN = 4)
+    val q = out.toDF("key", "id", "skew", "ex_kurt")
+      .writeStream.format("memory").queryName("mom_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches exercise the state carry
+      input.addData(vals.take(5).zipWithIndex.map { case (v, i) => (7L, i.toLong, v) }: _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(5).zipWithIndex.map { case (v, i) => (7L, (i + 5).toLong, v) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("mom_out").collect()
+        .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+      rows.size shouldBe 7 // ids 3..9 (minN = 4)
+      val batch = graft.ops.Moments.groupMoments(
+        vals.map(("g", _)).toDF("g", "v"), "g", "v").collect().head
+      val (skew, kurt) = rows(9L)
+      skew shouldBe batch.getAs[Double]("skew") +- 2e-4
+      kurt shouldBe batch.getAs[Double]("ex_kurtosis") +- 2e-4
+      // running skew grows as the tail values arrive
+      rows(4L)._1 should be < rows(9L)._1
+    } finally q.stop()
+  }
+
   test("winsorizeStream clips with the batch caps; streamed sum reproduces the batch numerator") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // 20 values 1..20 in one group: p05 cap 1.95, p95 cap 19.05
