@@ -180,10 +180,15 @@ object CoreQueries extends QuerySet {
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum("o_totalprice"), 4).as("revenue"))
+          // EXACT decimal sum: at sf1 a 1.6e10 double sum's 4th decimal
+          // sits at the summation-order noise floor, so partial-agg
+          // order vs DuckDB's fold flips it — 2dp money is exact in
+          // DECIMAL at any scale (the CorrMatrix rule)
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+            .as("revenue"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(*) AS n_orders,
-             |  round(sum(o_totalprice), 4) AS revenue
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
              |FROM orders
              |WHERE EXISTS (SELECT 1 FROM lineitem
              |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
@@ -221,11 +226,15 @@ object CoreQueries extends QuerySet {
           saltOn = struct(col("l_orderkey"), col("l_linenumber")), s = 8)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_lines"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
-            .as("revenue"))
+          // exact DECIMAL money arithmetic (2dp price × 2dp discount =
+          // 4dp product, exact sum at any scale — see q_join_semi)
+          round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1) - col("l_discount").cast("decimal(12,2)")))
+            .cast("double"), 4).as("revenue"))
         .orderBy("o_orderpriority"),
       Some("""SELECT o_orderpriority, count(*) AS n_lines,
-             |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+             |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
@@ -244,14 +253,39 @@ object CoreQueries extends QuerySet {
             "o_custkey", "c_custkey", expectedRightKeys = 100000L)
           .groupBy("o_orderpriority")
           .agg(count(lit(1)).as("n_orders"),
-            round(sum("o_totalprice"), 4).as("revenue"))
+            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 4)
+              .as("revenue"))
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, count(*) AS n_orders,
-             |  round(sum(o_totalprice), 4) AS revenue
+             |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 4) AS revenue
              |FROM orders JOIN customer ON o_custkey = c_custkey
              |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Per-group argmax WITHOUT a window: max(struct(ord, tie, payload))
+    // is a partial (map-side) aggregate — one scan, no per-group sort,
+    // the top-1 fast path q_window_topn's two-phase salted sort exists
+    // to generalize (k > 1). Deterministic tie-break rides the struct's
+    // lexicographic order (acctbal, then custkey). At 100 TB this is
+    // the difference between a combiner and a shuffle-sort.
+    Q("q_argmax",
+      (s, d) => Tables.df(s, d, "customer")
+        .groupBy("c_mktsegment")
+        .agg(max(struct(col("c_acctbal"), col("c_custkey"))).as("m"))
+        .select(col("c_mktsegment"),
+          col("m.c_acctbal").as("top_acctbal"),
+          col("m.c_custkey").as("top_custkey"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, c_acctbal AS top_acctbal,
+             |  c_custkey AS top_custkey
+             |FROM (
+             |  SELECT c_mktsegment, c_acctbal, c_custkey,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |      ORDER BY c_acctbal DESC, c_custkey DESC) AS rn
+             |  FROM customer) t
+             |WHERE rn = 1
+             |ORDER BY c_mktsegment""".stripMargin)),
 
     // TPC-H Q13 shape: orders-per-customer count INCLUDING the
     // zero-order customers (the left join keeps them; an inner join
