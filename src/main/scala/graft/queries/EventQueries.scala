@@ -491,6 +491,35 @@ object EventQueries extends QuerySet {
              |FROM c
              |ORDER BY event_type, hour""".stripMargin)),
 
+    // Day-of-week × type seasonality profile — q_hour_profile's weekly
+    // companion (weekday/weekend shape drives staffing + anomaly
+    // baselines; a flat weekly profile is the same bot signal as a
+    // flat hourly one). Pure integer bucketing: dow = (epoch_day + 4)
+    // mod 7 with 0 = Sunday (1970-01-01 was a Thursday) — identical
+    // floor-div/mod arithmetic in both engines; bounded 7 × |types|
+    // aggregate.
+    Q("q_dow_profile",
+      (s, d) => Tables.df(s, d, "events")
+        .select(col("event_type"),
+          expr("((unix_micros(ts) div 86400000000) + 4) % 7").cast("int").as("dow"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("share", graft.ops.PortableRound.intRound4(col("n"),
+          sum("n").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("event_type"))))
+        .orderBy("event_type", "dow"),
+      Some(s"""WITH h AS (
+             |  SELECT event_type,
+             |    CAST(((epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) + 4) % 7 AS INT) AS dow
+             |  FROM events),
+             |c AS (
+             |  SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n
+             |  FROM h GROUP BY event_type, dow)
+             |SELECT event_type, dow, n,
+             |  ${graft.ops.PortableRound.intRound4Duck("n", "sum(n) OVER (PARTITION BY event_type)")} AS share
+             |FROM c
+             |ORDER BY event_type, dow""".stripMargin)),
+
     // Event-type transition matrix (first-order Markov counts + rates):
     // what users do NEXT after each event type — the funnel-discovery /
     // navigation-analysis query. lead() windows partition on the
