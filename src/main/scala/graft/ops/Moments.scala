@@ -24,11 +24,18 @@ object Moments {
 
   def groupMoments(df: DataFrame, groupCol: String, valCol: String,
       scale: Long = 100L): DataFrame = {
-    val q = round(col(valCol) * lit(scale), 0).cast("long")
+    // floor(x·s + 0.5), not round(x·s): the portable half-up quantizer
+    // (PortableRound's rule — Spark's round works on the shortest
+    // decimal string, DuckDB's on the binary value; floor agrees
+    // everywhere, including for negative inputs, where it rounds
+    // half-toward-+∞ in both engines). Same form as winsorizedMeans.
+    val q = floor(col(valCol).cast("double") * lit(scale) + lit(0.5)).cast("long")
     // decimal(19)·decimal(10/19) keeps every product precision ≤ 38
     // (exact); q² itself is long-safe
     val q2d = (q * q).cast("decimal(19,0)")
-    val agg = df.groupBy(groupCol).agg(
+    // NULL values must not inflate n: the power sums skip NULLs, so the
+    // count must too (the winsorizedMeans/groupQuantiles convention)
+    val agg = df.filter(col(valCol).isNotNull).groupBy(groupCol).agg(
       count(lit(1)).as("n"),
       sum(q.cast("decimal(38,0)")).as("s1"),
       sum((q * q).cast("decimal(38,0)")).as("s2"),
@@ -60,14 +67,14 @@ object Moments {
     */
   def groupMomentsDuckSql(table: String, groupCol: String, valCol: String,
       scale: Long = 100L): String = {
-    val q = s"CAST(round($valCol * $scale) AS BIGINT)"
+    val q = s"CAST(floor(CAST($valCol AS DOUBLE) * $scale + 0.5) AS BIGINT)"
     s"""WITH agg AS MATERIALIZED (
        |  SELECT $groupCol, CAST(count(*) AS BIGINT) AS n,
        |    sum(CAST($q AS HUGEINT)) AS s1,
        |    sum(CAST($q * $q AS HUGEINT)) AS s2,
        |    sum(CAST($q * $q AS HUGEINT) * $q) AS s3,
        |    sum(CAST($q * $q AS HUGEINT) * CAST($q * $q AS HUGEINT)) AS s4
-       |  FROM $table GROUP BY $groupCol),
+       |  FROM $table WHERE $valCol IS NOT NULL GROUP BY $groupCol),
        |t1 AS (
        |  SELECT *, CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu FROM agg),
        |t2 AS (

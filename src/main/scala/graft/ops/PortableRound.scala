@@ -28,7 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object PortableRound {
 
-  /** round4(p/q) for non-negative integral columns; 0.0 when q = 0. */
+  /** round4(p/q) for integral columns (q > 0); 0.0 when q = 0. Sign-
+    * safe: the floor-divide is a true FLOOR in both engines (Spark via
+    * pmod, DuckDB via an explicit positive-mod — its bare `//`
+    * truncates toward zero, which would diverge from Spark on negative
+    * numerators). Negative ratios round half-toward-+∞ (-0.00005 → 0),
+    * the same direction positives round, in both engines.
+    */
   def intRound4(p: Column, q: Column): Column = {
     val num = lit(20000L) * p.cast("long") + q.cast("long")
     val den = lit(2L) * q.cast("long")
@@ -36,12 +42,19 @@ object PortableRound {
       .otherwise(((num - pmod(num, den)) / den) / lit(10000.0))
   }
 
-  /** DuckDB twin — same integer formula (`//` floors like the Spark
-    * form on the non-negative values this is specified for).
+  /** DuckDB twin — same integer formula with an explicit floor-mod
+    * (`((x % d) + d) % d`), because DuckDB's `%` follows the dividend
+    * sign and `//` truncates: bare `num // den` is NOT a floor for
+    * negative numerators. After subtracting the positive mod the
+    * numerator is an exact multiple of den, so `//` is exact division
+    * regardless of its rounding mode.
     */
-  def intRound4Duck(p: String, q: String): String =
+  def intRound4Duck(p: String, q: String): String = {
+    val num = s"(20000 * ($p) + ($q))"
+    val den = s"(2 * ($q))"
     s"CASE WHEN ($q) = 0 THEN 0.0 " +
-      s"ELSE ((20000 * ($p) + ($q)) // (2 * ($q))) / 10000.0 END"
+      s"ELSE (($num - ((($num % $den) + $den) % $den)) // $den) / 10000.0 END"
+  }
 
   /** round(scale · p/q) as an exact LONG — the fixed-point quantizer
     * (`round(ratio * 10000)` is the same boundary hazard in disguise).
@@ -53,7 +66,10 @@ object PortableRound {
       .otherwise(((num - pmod(num, den)) / den).cast("long"))
   }
 
-  def intScaledDuck(p: String, q: String, scale: Long = 10000L): String =
+  def intScaledDuck(p: String, q: String, scale: Long = 10000L): String = {
+    val num = s"(${2 * scale} * ($p) + ($q))"
+    val den = s"(2 * ($q))"
     s"CASE WHEN ($q) = 0 THEN 0 " +
-      s"ELSE (${2 * scale} * ($p) + ($q)) // (2 * ($q)) END"
+      s"ELSE ($num - ((($num % $den) + $den) % $den)) // $den END"
+  }
 }

@@ -154,11 +154,30 @@ object Sketches {
     * rate `fpp`, never false-negative) — usable as a pre-filter that
     * keeps ALL true matches and drops ~(1-fpp) of true negatives
     * before an exact verify join.
+    *
+    * The probe MUST hash the same representation [[buildBloom]]
+    * inserted: `df.stat.bloomFilter` puts longs for integral columns
+    * and UTF-8 strings for string columns, so the probe path is chosen
+    * from the expression's resolved type. A silent cast (the old
+    * long-only path applied to a string key) would produce FALSE
+    * NEGATIVES and drop matching rows — the one failure mode a Bloom
+    * pre-filter must never have. Unsupported key types fail fast.
     */
   def mightContain(df: DataFrame, bloom: BloomFilter, expr: Column): Column = {
+    import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
-    val f = udf((v: Long) => bc.value.mightContainLong(v))
-    f(expr.cast("long"))
+    df.select(expr).schema.head.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val f = udf((v: Long) => bc.value.mightContainLong(v))
+        f(expr.cast("long"))
+      case StringType =>
+        val f = udf((v: String) => v != null && bc.value.mightContainString(v))
+        f(expr)
+      case other => throw new IllegalArgumentException(
+        s"Bloom membership supports integral and string keys (buildBloom's " +
+          s"insertion types); got $other — cast the key explicitly on BOTH " +
+          s"the build and probe sides")
+    }
   }
 }

@@ -47,6 +47,12 @@ object SkewJoin {
     * manual twin of Catalyst's runtime row-group filter, usable where
     * that doesn't fire (non-parquet sources, pre-shuffled frames).
     * Output is row-identical to the plain join (spec-pinned).
+    *
+    * Key types: integral and string keys are supported — the probe
+    * hashes the same representation the build inserted
+    * ([[Sketches.mightContain]] dispatches on the resolved type and
+    * fails fast on anything else), so the never-false-negative
+    * contract holds for both.
     */
   def bloomInner(left: DataFrame, right: DataFrame,
       leftKey: String, rightKey: String,

@@ -35,6 +35,15 @@ class PortableRoundSpec extends SparkSpec {
     r4((333333333L, 1000000000L)) shouldBe Seq(0.3333)
   }
 
+  test("negative ratios floor-divide (half-toward-+inf), matching the Duck twin") {
+    // -57/800 = -0.07125 → -0.0712 (half toward +inf); -7/2 = -3.5
+    // exactly; -1/20000 = -0.00005 → 0.0. The DuckDB twin's explicit
+    // positive-mod floor was verified to agree on these cases — its
+    // bare `//` truncates toward zero and would NOT
+    r4((-57L, 800L), (-7L, 2L), (-1L, 20000L), (-2L, 3L)) shouldBe
+      Seq(-0.0712, -3.5, 0.0, -0.6667)
+  }
+
   test("intScaled quantizes on the same exact-boundary rule") {
     scaled((57L, 800L), (1L, 3L), (0L, 7L), (3L, 0L)) shouldBe
       Seq(713L, 3333L, 0L, 0L)

@@ -48,6 +48,31 @@ class SkewJoinSpec extends SparkSpec {
     bloomed shouldBe plain
   }
 
+  test("bloom-prefiltered join on a STRING key is row-identical (no false negatives)") {
+    // the regression this pins: a string key probed through the old
+    // cast-to-long path hashed a different representation than the
+    // build inserted and silently dropped matching rows
+    val sFact = fact.select(concat(lit("k"), col("fk")).as("fk"), col("row_id"))
+    val sDim = dim.filter(col("dk") < 5)
+      .select(concat(lit("k"), col("dk")).as("dk"), col("name"))
+    val plain = sFact.join(sDim, col("fk") === col("dk"))
+      .select("fk", "row_id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    val bloomed = SkewJoin.bloomInner(sFact, sDim, "fk", "dk",
+        expectedRightKeys = 100L)
+      .select("fk", "row_id").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    bloomed shouldBe plain
+    plain.size should be > 0
+  }
+
+  test("bloom membership fails fast on an unsupported key type") {
+    val d = dim.select(col("dk").cast("double").as("dk"))
+    val bloom = Sketches.buildBloom(dim, col("dk"), 100L)
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.mightContain(d, bloom, col("dk"))
+  }
+
   test("bloom prefilter drops most non-matching fact rows before the join") {
     val selective = dim.filter(col("dk") < 5)
     val bloom = Sketches.buildBloom(selective, col("dk"), 100L, fpp = 0.01)
