@@ -362,7 +362,10 @@ object VectorQueries extends QuerySet {
 
     // Near-dup detection needs near-dups: pair the corpus with an
     // id-shifted copy of itself so every vector has one exact duplicate
-    // (cosine 1.0) the LSH banding must recover.
+    // (cosine 1.0) the LSH banding must recover. The banding's chunk
+    // width scales with the corpus count (Knn.widthForCount, mirrored
+    // in the oracle), so the bucket domain grows with the data instead
+    // of saturating a fixed 1024-key space.
     Q("q_dedup_embed",
       (s, d) => {
         val e = Tables.df(s, d, "embeddings").select("vec_id", "embedding")
@@ -373,6 +376,91 @@ object VectorQueries extends QuerySet {
       Some(Knn.nearDupPairsDuckSql(
         "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",
         "vec_id", "embedding", threshold = 0.95, dim = Dim))),
+
+    // Recall audit of the embedding banding vs EXACT brute-force pairs
+    // at the same threshold (the q_lsh_recall convention, extended to
+    // the vector pair finder): a bounded slice (vec_id < 1000 — the
+    // q_ann_recall sampled-truth rule, so the audit costs the same at
+    // any SF) is tripled with an exact id-shifted copy (cosine 1.0,
+    // must ALWAYS pair — exact dups share every sign bit at any width)
+    // and a deterministic integer-formula jitter copy (±2% per dim,
+    // cosine ≈0.996 — pairs that must survive the banding's sign
+    // flips). n_banded_only must be 0 by construction: the banded
+    // finder cosine-verifies candidates with the identical rounded
+    // score, so its pairs are a subset of the exact set — recall is
+    // the ONLY approximation, and this query measures it.
+    Q("q_embed_dedup_recall",
+      (s, d) => {
+        val base = Tables.df(s, d, "embeddings")
+          .filter(col("vec_id") < 1000)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        val exactCopy = base.select(
+          (col("vec_id") + lit(10000L)).as("vec_id"), col("embedding"))
+        // jitter from the ORIGINAL vec_id and 1-based dim index — pure
+        // integer arithmetic both engines replay bit-identically
+        val jitterCopy = base.select(
+          (col("vec_id") + lit(20000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            x + ((col("vec_id") * lit(131L) + (i + lit(1)) * lit(17L)) % lit(101L)
+              - lit(50L)).cast("double") / lit(2500.0)).as("embedding"))
+        val corpus = graft.api.CacheScope.global.persist(
+          base.unionByName(exactCopy).unionByName(jitterCopy))
+        val banded = Knn.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)
+          .select("id_a", "id_b")
+        val e = corpus.select(col("vec_id"), col("embedding").as("__v"))
+          .withColumn("__nrm", graft.functions.VectorFunctions.norm(col("__v")))
+        val exact = e.select(col("vec_id").as("id_a"),
+            col("__v").as("__va"), col("__nrm").as("__na"))
+          .crossJoin(broadcast(e.select(col("vec_id").as("id_b"),
+            col("__v").as("__vb"), col("__nrm").as("__nb"))))
+          .filter(col("id_a") < col("id_b"))
+          .filter(round(graft.functions.VectorFunctions.dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb")), 4) >= 0.95)
+          .select("id_a", "id_b")
+        val tp = exact.join(banded, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("n_tp"))
+        val ne = exact.agg(count(lit(1)).as("n_exact"))
+        val nb = banded.agg(count(lit(1)).as("n_banded"))
+        ne.crossJoin(nb).crossJoin(tp)
+          .select(col("n_exact"), col("n_banded"), col("n_tp"),
+            (col("n_banded") - col("n_tp")).as("n_banded_only"),
+            graft.ops.PortableRound.intRound4(col("n_tp"), col("n_exact"))
+              .as("recall"))
+      },
+      {
+        val corpusSql =
+          s"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+             |  FROM embeddings WHERE vec_id < 1000
+             |UNION ALL
+             |SELECT vec_id + 10000, CAST(embedding AS DOUBLE[])
+             |  FROM embeddings WHERE vec_id < 1000
+             |UNION ALL
+             |SELECT vec_id + 20000,
+             |  list_transform(range(1, ${Dim + 1}), i ->
+             |    CAST(embedding AS DOUBLE[])[i] +
+             |    (((vec_id * 131 + i * 17) % 101) - 50) / 2500.0)
+             |  FROM embeddings WHERE vec_id < 1000""".stripMargin
+        def dot(x: String, y: String) =
+          s"list_sum(list_transform(range(1, ${Dim + 1}), i -> $x[i] * $y[i]))"
+        Some(
+          s"""WITH bnd AS (
+             |  SELECT id_a, id_b
+             |  FROM (${Knn.nearDupPairsDuckSql(corpusSql, "vec_id", "embedding",
+                          threshold = 0.95, dim = Dim)}) bsub),
+             |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             |        sqrt(${dot("v", "v")}) AS nrm FROM ($corpusSql) csub),
+             |ex AS (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+             |  WHERE round(${dot("a.v", "b.v")} / (a.nrm * b.nrm), 4) >= 0.95),
+             |tp AS (SELECT CAST(count(*) AS BIGINT) AS n_tp
+             |       FROM ex JOIN bnd USING (id_a, id_b)),
+             |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+             |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_banded FROM bnd)
+             |SELECT n_exact, n_banded, n_tp, n_banded - n_tp AS n_banded_only,
+             |  ${graft.ops.PortableRound.intRound4Duck("n_tp", "n_exact")} AS recall
+             |FROM ne, nb, tp""".stripMargin)
+      }),
 
     // SemDeDup: cluster the embedding space (distributed Lloyd's),
     // prune near-duplicates WITHIN clusters only — every 5th vector has

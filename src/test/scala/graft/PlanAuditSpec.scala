@@ -130,8 +130,13 @@ class PlanAuditSpec extends SparkSpec {
                            // normalizer n_sess)
     "q_churn_weekly",      // 1-row max-week crossJoin (excludes the
                            // final, churn-undefined week)
-    "q_lsh_recall"         // three 1-row pair-count crossJoins (the
+    "q_lsh_recall",        // three 1-row pair-count crossJoins (the
                            // q_dedup_rate totals shape)
+    "q_embed_dedup_recall" // brute-force TRUTH side of the recall
+                           // audit: bounded slice (vec_id < 1000, the
+                           // q_ann_recall sampled-truth rule)
+                           // crossJoined against its broadcast self +
+                           // three 1-row count crossJoins
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {

@@ -106,12 +106,55 @@ class KnnSpec extends SparkSpec {
 
   test("embedding near-dup pairs finds the duplicate pair via banding") {
     val pairs = Knn.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.95,
-      nBits = 4, bands = 2)
+      bands = 2, maxWidth = 2, dims = 4)
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
     pairs.map(p => (p._1, p._2)) should contain(1L, 5L)
     pairs.find(p => p._1 == 1L && p._2 == 5L).get._3 shouldBe 1.0
     // orthogonal/opposite vectors never pair at 0.95
     pairs.map(p => (p._1, p._2)) should not contain ((1L, 4L))
+  }
+
+  test("near-dup banding width scales with the corpus count") {
+    // one bit per doubling past 2^10, clamped to [8, 16] — the fix for
+    // the fixed-1024-bucket domain that saturated at scale
+    Knn.widthForCount(0L) shouldBe 8
+    Knn.widthForCount(1024L) shouldBe 8
+    Knn.widthForCount(1025L) shouldBe 9
+    Knn.widthForCount(40000L) shouldBe 14     // the sf1 q_dedup_embed regime
+    Knn.widthForCount(131072L) shouldBe 15
+    Knn.widthForCount(131073L) shouldBe 16
+    Knn.widthForCount(Long.MaxValue / 2) shouldBe 16
+  }
+
+  test("band planes are deterministic, distinct within a band, in range") {
+    val p1 = Knn.bandPlanes(64, 8, 16)
+    val p2 = Knn.bandPlanes(64, 8, 16)
+    p1.map(_.toSeq).toSeq shouldBe p2.map(_.toSeq).toSeq
+    p1.length shouldBe 8
+    p1.foreach { band =>
+      band.length shouldBe 16
+      band.toSet.size shouldBe 16             // no duplicate dim in a band
+      all(band.toSeq) should (be >= 1 and be <= 64)
+    }
+    // bands differ from each other (sampling actually varies per band)
+    p1.map(_.toSeq).toSet.size shouldBe 8
+    // dims < width: the band caps at dims distinct indices
+    Knn.bandPlanes(4, 2, 16).foreach(_.toSet.size shouldBe 4)
+  }
+
+  test("exact duplicates pair at EVERY width (they share all sign bits)") {
+    import spark.implicits._
+    val base = (0L until 40L).map { i =>
+      (i, Seq.tabulate(64)(d => (math.sin(i * 13.7 + d * 0.91) * 2).toFloat))
+    }
+    val dup = base.map { case (i, v) => (i + 1000L, v) }
+    val df = (base ++ dup).toDF("vec_id", "embedding")
+    for (w <- Seq(8, 12, 16)) {
+      val pairs = Knn.nearDupPairs(df, "vec_id", "embedding", threshold = 0.999,
+        widthOverride = Some(w))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      base.foreach { case (i, _) => pairs should contain((i, i + 1000L)) }
+    }
   }
 
   test("knn classification takes the majority label of the neighbors") {
