@@ -214,29 +214,46 @@ object CoreQueries extends QuerySet {
              |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
 
-    // Skew-salted fact-fact join (SkewJoin.saltedInner): lineitem's
-    // salt spreads any hot orderkey over 8 shuffle tasks; orders
-    // replicates 8x. Row-identical to the plain join — the oracle IS
-    // the plain join, so correctness of the salting is oracle-proven,
-    // not just spec-asserted.
+    // Skew-salted fact-fact join (SkewJoin.saltedInner) in the regime
+    // the op documents: the right side is a NARROW slice (urgent
+    // orders, ~20% — representative of "much smaller than the fact but
+    // too big to broadcast" at 100 TB) and the salt fan-out is s=4, so
+    // replication costs ~0.8x the full dim instead of the 8x full-table
+    // replication the earlier demo paid (9.4x sf1 growth for no skew
+    // benefit). The fact side composes the Bloom tier BEFORE the salted
+    // shuffle — with a selective right side that's how the two tiers
+    // stack at 100 TB (drop ~80% of the fact map-side, then salt what
+    // remains). lineitem's salt still spreads any hot orderkey over 4
+    // shuffle tasks. Row-identical to the plain join — the oracle IS
+    // the plain join, so correctness of the salting AND the prefilter
+    // is oracle-proven, not just spec-asserted.
     Q("q_join_salted",
-      (s, d) => graft.ops.SkewJoin.saltedInner(
-          Tables.df(s, d, "lineitem"), Tables.df(s, d, "orders"),
+      (s, d) => {
+        val urgent = Tables.df(s, d, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+        val bloom = graft.ops.Sketches.buildBloom(
+          urgent, col("o_orderkey"), expectedItems = 400000L)
+        val fact = Tables.df(s, d, "lineitem")
+        val pre = fact.filter(
+          graft.ops.Sketches.mightContain(fact, bloom, col("l_orderkey")))
+        graft.ops.SkewJoin.saltedInner(pre, urgent,
           "l_orderkey", "o_orderkey",
-          saltOn = struct(col("l_orderkey"), col("l_linenumber")), s = 8)
-        .groupBy("o_orderpriority")
+          saltOn = struct(col("l_orderkey"), col("l_linenumber")), s = 4)
+        .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_lines"),
           // exact DECIMAL money arithmetic (2dp price × 2dp discount =
           // 4dp product, exact sum at any scale — see q_join_semi)
           round(sum(col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1) - col("l_discount").cast("decimal(12,2)")))
             .cast("double"), 4).as("revenue"))
-        .orderBy("o_orderpriority"),
-      Some("""SELECT o_orderpriority, count(*) AS n_lines,
+        .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_lines,
              |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
              |    * (1 - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE), 4) AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+             |WHERE o_orderpriority = '1-URGENT'
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
 
     // Bloom-prefiltered join (SkewJoin.bloomInner): the selective dim
     // (top-balance BUILDING customers) compiles to a ~KB Bloom that
