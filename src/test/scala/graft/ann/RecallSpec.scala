@@ -67,6 +67,63 @@ class RecallSpec extends SparkSpec {
     rIvf should be >= 0.5
   }
 
+  // ---- the same floors at sf1 (10x corpus density) ----------------
+  // Recall of a fixed banding/probing config DRIFTS with corpus
+  // density: more vectors per bucket means the verified candidate set
+  // holds more near-ties, and a floor pinned only at 500 rows says
+  // nothing about the 20k-row regime. sf1 is generated
+  // (graft.GenScale) and gitignored, so these cancel (assume) rather
+  // than fail when it hasn't been generated in this checkout.
+  private val sf1Dir = "/root/repo/testdata/sf1/embeddings.parquet"
+  private def sf1Present = java.nio.file.Files.exists(java.nio.file.Paths.get(sf1Dir))
+  private lazy val emb1: DataFrame =
+    spark.read.parquet(sf1Dir).select(col("vec_id"), col("embedding"))
+  // every 100th vector: 200 sources against 20k targets keeps the
+  // brute-force truth sample test-sized at 10x data
+  private lazy val srcSample1: DataFrame = emb1.filter(col("vec_id") % 100 === 0)
+
+  test("sf1: matcher LSH tier holds its recall@10 floor at 10x density") {
+    assume(sf1Present, s"$sf1Dir not generated (run graft.GenScale)")
+    val cfg = MatchConfig(metric = "cosine", topN = 10)
+    val truth = Matcher.findMatchesTopN(srcSample1, emb1, "vec_id", "embedding", cfg)
+    val approx = Matcher.findMatchesLshTopN(srcSample1, emb1, "vec_id", "embedding", cfg,
+      nBits = 32, bands = 8)
+    val r = Matcher.recallAtK(truth, approx, 10)
+    info(f"sf1 matcher LSH recall@10 = $r%.3f (nBits=32, bands=8)")
+    r should be >= 0.5
+  }
+
+  test("sf1: single-query tiers hold their floors at 10x density") {
+    assume(sf1Present, s"$sf1Dir not generated (run graft.GenScale)")
+    val qid = 0L
+    def ids(df: DataFrame): Set[Long] = df.collect().map(_.getLong(0)).toSet
+    val truth = ids(Knn.bruteForceTopK(emb1, "vec_id", "embedding", qid, k = 10))
+    val multi = ids(Knn.lshTopKMultiProbe(emb1, "vec_id", "embedding", qid, k = 10,
+      nBits = 32, bands = 4))
+    val ivf = ids(Knn.ivfTopK(emb1, "vec_id", "embedding", qid, k = 10,
+      nCells = 16, nProbe = 4))
+    val rMulti = (truth & multi).size / 10.0
+    val rIvf = (truth & ivf).size / 10.0
+    info(f"sf1 single-query recall@10: multiprobe=$rMulti%.2f ivf=$rIvf%.2f")
+    rIvf should be >= 0.5
+  }
+
+  test("sf1: embedding near-dup banding holds recall vs exact pairs at 10x density") {
+    assume(sf1Present, s"$sf1Dir not generated (run graft.GenScale)")
+    // the q_embed_dedup_recall shape, inlined at spec scale: a bounded
+    // slice + exact copy; banded pairs must recover ~all exact-dup
+    // pairs even though widthForCount picks a wider chunk here
+    val slice = emb1.filter(col("vec_id") < 500)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dup = slice.select((col("vec_id") + lit(100000L)).as("vec_id"), col("embedding"))
+    val corpus = slice.unionByName(dup)
+    val pairs = Knn.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = slice.select("vec_id").collect().map(_.getLong(0))
+      .map(i => (i, i + 100000L)).toSet
+    (expected -- pairs) shouldBe empty
+  }
+
   test("recallAtK is 1.0 against itself and handles empty approx") {
     val cfg = MatchConfig(metric = "cosine", topN = 5)
     val truth = Matcher.findMatchesTopN(srcSample, emb, "vec_id", "embedding", cfg)
