@@ -82,8 +82,9 @@ object Bench {
       .mkString("{", ",", "}")
     def lineJson(dp: Int) =
       s"""{"metric":"total","unit":"sec","queries":${qsJson(dp)},"r1_subset_total":${fmt(r1Subtotal, 3)},"n_queries":${results.size},"errors":$errJson,"sf":"$sfDir","total_s":${fmt(total, 3)},"value":${fmt(total, 3)}}"""
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), lineJson(6) + "\n")
-    catch { case e: Exception => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), lineJson(6) + "\n")
+    catch { case e: Exception => System.err.println(s"[bench] $outFile write failed: ${e.getMessage}") }
     println(lineJson(2))
     spark.stop()
   }

@@ -60,10 +60,16 @@ object BenchCrud {
     val speedup = tFull / math.max(tBucketed, 1e-9)
     System.err.println(
       f"[crud] bucketed 10-key upsert $tBucketed%.2f s vs full rewrite $tFull%.2f s (${speedup}%.1fx)")
-    println(
+    val line =
       s"""{"metric":"crud_bucketed_upsert","unit":"sec","n_rows":$nRows,""" +
       s""""n_buckets":$nBuckets,"bucketed_upsert_s":$tBucketed,""" +
-      s""""full_rewrite_upsert_s":$tFull,"speedup":$speedup,"sf":"$sfDir"}""")
+      s""""full_rewrite_upsert_s":$tFull,"speedup":$speedup,"sf":"$sfDir"}"""
+    // committed-evidence file, same convention as Bench -> BENCH_FULL.json
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_CRUD.json"), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[crud] BENCH_CRUD.json write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }

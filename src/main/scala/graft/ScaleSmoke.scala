@@ -311,7 +311,14 @@ object ScaleSmoke {
       System.err.println(f"[scale] $name%-14s 1x=$t1%.2f s ${copies}x=$tk%.2f s ratio=$ratio%.1f (warm $warm%.2f)")
       s""""$name":{"t1":$t1,"tk":$tk,"ratio":$ratio}"""
     }
-    println(s"""{"metric":"scale_smoke","copies":$copies,"max_ratio":$MaxRatio,"finders":{${results.mkString(",")}},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"scale_smoke","copies":$copies,"max_ratio":$MaxRatio,"finders":{${results.mkString(",")}},"sf":"$sfDir"}"""
+    // committed-evidence file, same convention as Bench -> BENCH_FULL.json;
+    // name carries the sf so the sf0.01 and sf1 runs don't clobber each other
+    val out = "SCALE_SMOKE_" + sfDir.split('/').last.replace('.', '_') + ".json"
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    catch { case e: Exception =>
+      System.err.println(s"[scale] $out write failed: ${e.getMessage}") }
+    println(line)
     spark.stop()
     if (failed) sys.exit(1)
   }
