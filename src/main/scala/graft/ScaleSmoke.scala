@@ -130,6 +130,17 @@ object ScaleSmoke {
         // corpus-linear; the salted copies share no shingles so the
         // duplicated-gram density stays constant
         graft.dedup.SpanDedup.duplicatedSpans(docsX(k), "doc_id", "text")),
+      "line_dedup" -> (k => {
+        // every doc carries the same footer line (a hot line at
+        // corpus-wide df): the first-occurrence table is a PARTIAL
+        // aggregate (min of (doc, pos)), so the hot group combines
+        // map-side and growth stays ~linear — the skew regime a
+        // per-hash window formulation would fail
+        val lined = docsX(k).withColumn("text",
+          concat(regexp_replace(col("text"), "(([^ ]+ ){9}[^ ]+) ", "$1.|"),
+            lit("|all rights reserved footer line")))
+        graft.dedup.LineDedup.dedupLines(lined, "doc_id", "text", sep = "|")
+      }),
       "corpus_kl" -> (k =>
         // pairwise KL over GLOBAL vocab: groups stay constant, vocab
         // grows ~k-fold — linear iff the absent-absent remainder stays

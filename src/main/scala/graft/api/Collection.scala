@@ -295,6 +295,13 @@ class Collection(val name: String, val df: DataFrame) {
     df.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Corpus-wide exact LINE dedup (keep the global first occurrence of
+    * every distinct line, drop later repeats); see
+    * [[graft.dedup.LineDedup.dedupLines]].
+    */
+  def dedupLines(idCol: String, textCol: String, sep: String = "\n"): DataFrame =
+    graft.dedup.LineDedup.dedupLines(df, idCol, textCol, sep)
+
   /** Deterministic train/val/test split column (`split`) — pure
     * function of (idCol, salt); see [[graft.ops.Sampling.splitAssign]].
     */

@@ -277,6 +277,52 @@ class ParquetCollection(
     graft.ann.IvfIndex.probe(spark, s"$root/_vindex_$vecCol", queryVec, k, nProbe)
   }
 
+  /** Materialize a persisted BM25 inverted index over `textCol`
+    * ([[graft.index.Bm25Index]]): postings land partitioned by term
+    * bucket, so [[searchBm25Indexed]] probes are PARTITION-PRUNED
+    * reads of the query terms' buckets — never the corpus scan
+    * [[Collection.searchBm25]] pays per call. Call again after
+    * mutations (or ingest via [[insertBm25Indexed]]).
+    */
+  def attachBm25Index(idCol: String, textCol: String, nBuckets: Int = 64): Unit = {
+    graft.index.Bm25Index.build(df, idCol, textCol,
+      s"$root/_bm25index_$textCol", nBuckets)
+    stampSrcVersion(s"$root/_bm25index_$textCol")
+  }
+
+  /** Top-k by BM25 against the materialized inverted index —
+    * bit-identical scores to the scan-time [[Collection.searchBm25]]
+    * (Bm25IndexSpec pins the parity).
+    */
+  def searchBm25Indexed(textCol: String, query: String, k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    val dir = s"$root/_bm25index_$textCol"
+    require(Files.exists(Paths.get(dir)),
+      s"no BM25 index on '$textCol' — call attachBm25Index first")
+    require(indexFresh(dir),
+      s"BM25 index on '$textCol' is STALE (the collection mutated since " +
+        "the build) — call attachBm25Index again")
+    graft.index.Bm25Index.search(spark, dir, query, k, k1, b)
+  }
+
+  /** Ingest `delta` into the collection AND its standing BM25 index in
+    * one step (the [[insertIndexed]] contract for the lexical index):
+    * the delta's postings append as new files under their term
+    * buckets, the standing postings are never read or rewritten, and
+    * corpus stats accumulate as one appended meta row.
+    */
+  def insertBm25Indexed(delta: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val dir = s"$root/_bm25index_$textCol"
+    require(Files.exists(Paths.get(dir)),
+      s"no BM25 index on '$textCol' — call attachBm25Index first")
+    require(indexFresh(dir),
+      s"BM25 index on '$textCol' is STALE — rebuild before incremental ingest")
+    insert(delta)
+    graft.index.Bm25Index.append(delta, idCol, textCol, dir)
+    stampSrcVersion(dir)
+  }
+
   /** Shadow-index key for a multi-attribute rendering: the '+'-joined
     * attribute list PLUS a template fingerprint — an index materialized
     * for one rendering must never serve a search that asked for a

@@ -311,6 +311,37 @@ object PipelineQueries extends QuerySet {
             sep = "|", minDocs = 30).stripPrefix("WITH ")
         + "\nORDER BY doc_id")),
 
+    // Corpus-wide exact line dedup (RefinedWeb-style): keep the global
+    // FIRST occurrence of every distinct line, drop every later repeat
+    // — across documents and within them. Same lineify preamble as
+    // q_c4_clean (the corpus is token-stream text, so lines are
+    // synthesized every 10 tokens), plus a shared footer on every doc
+    // and a promo line on every 3rd doc: the footer must survive in
+    // exactly ONE document (the lowest doc_id) and vanish everywhere
+    // else — the semantics that distinguish this from q_boilerplate,
+    // which drops every copy above a df threshold.
+    Q("q_line_dedup",
+      (s, d) => {
+        val lined = Tables.df(s, d, "documents").withColumn("text",
+          concat(regexp_replace(col("text"), "(([^ ]+ ){9}[^ ]+) ", "$1.|"),
+            lit("|all rights reserved footer."),
+            when(col("doc_id") % 3 === 0,
+              lit("|subscribe to our newsletter.")).otherwise(lit(""))))
+        graft.dedup.LineDedup.dedupLines(lined, "doc_id", "text", sep = "|")
+          .orderBy("doc_id")
+      },
+      Some("""WITH documents2 AS (
+             |  SELECT doc_id,
+             |    regexp_replace(text, '(([^ ]+ ){9}[^ ]+) ', '\1.|', 'g') ||
+             |    '|all rights reserved footer.' ||
+             |    CASE WHEN doc_id % 3 = 0
+             |      THEN '|subscribe to our newsletter.' ELSE '' END AS text
+             |  FROM documents),
+             |""".stripMargin
+        + graft.dedup.LineDedup.dedupLinesDuckSql("documents2", "doc_id", "text",
+            sep = "|").stripPrefix("WITH ")
+        + "\nORDER BY doc_id")),
+
     // The composed corpus-build pass: quality gate -> exact dedup
     // (keep-first) -> decontaminate vs the doc_id%10 eval slice ->
     // per-source token budget, end-to-end as ONE plan; the oracle
