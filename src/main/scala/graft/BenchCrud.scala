@@ -4,20 +4,36 @@ import org.apache.spark.sql.functions._
 
 /** CRUD-at-scale bench: measures the bucketed collection's core
   * contract — "an upsert of k keys rewrites ≤ k buckets, not the
-  * table" — as WALL TIME, not just the spec-pinned bucket count
-  * (BucketedParquetCollectionSpec). Loads the sf1 orders table
-  * (~1.5M rows) into both collection layouts, upserts the same 10
-  * modified rows into each, and reports the two times plus the
-  * speedup. At 100 TB the ratio is the point: the versioned
-  * ParquetCollection rewrites the full snapshot per mutation (the
-  * reference semantics, fine for small curated collections), while
-  * the bucketed layout rewrites touched buckets only — a handful of
-  * keys touch ≤ 10/64 of the data here and ~0.001% at 1000 buckets.
+  * table" — as BYTES REWRITTEN and wall time. Loads the sf1 orders
+  * table (~1.5M rows) into both collection layouts, upserts the same
+  * 10 modified rows into each, and reports what each layout wrote.
+  *
+  * Bytes are the 100 TB metric: the versioned ParquetCollection
+  * rewrites the full snapshot per mutation (the reference semantics,
+  * fine for small curated collections) while the bucketed layout
+  * rewrites touched buckets only — ≤ 10/64 of the data here, ~0.001%
+  * at 1000 buckets. Wall time at THIS scale (a ~20 MB table) is
+  * dominated by fixed per-job cost, not I/O, so the bytes ratio — not
+  * the seconds ratio — is what extrapolates: the full rewrite's cost
+  * grows with the table, the bucketed upsert's with k buckets.
   *
   * Run: SPARK_GRAFT_SF_DIR=/root/repo/testdata/sf1 sbt "runMain graft.BenchCrud"
-  * Prints ONE JSON line (BENCH_CRUD.json evidence).
+  * Prints ONE JSON line and writes it to BENCH_CRUD.json.
   */
 object BenchCrud {
+
+  private def filesUnder(p: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(p)
+    if (!java.nio.file.Files.exists(root)) return Map.empty
+    val w = java.nio.file.Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      w.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(f => f.toString -> java.nio.file.Files.size(f)).toMap
+    } finally w.close()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata/sf1")
     val nBuckets = sys.env.getOrElse("SPARK_GRAFT_CRUD_BUCKETS", "64").toInt
@@ -33,6 +49,7 @@ object BenchCrud {
     bucketed.replace(src)
     val full = new api.ParquetCollection(spark, s"$work/full", "orders")
     full.replace(src)
+    val tableBytes = filesUnder(s"$work/full").values.sum
 
     // 10 existing keys, one column modified — the "fix a handful of
     // rows" mutation a curation workflow issues constantly
@@ -48,8 +65,12 @@ object BenchCrud {
     // warm both paths once (JIT + committed v1), then measure v2
     bucketed.upsert(deltaDf)
     full.upsert(deltaDf, Seq("o_orderkey"))
+    val bBefore = filesUnder(s"$work/bucketed")
     val tBucketed = time(bucketed.upsert(deltaDf))
+    val bucketedBytes = (filesUnder(s"$work/bucketed") -- bBefore.keySet).values.sum
+    val fBefore = filesUnder(s"$work/full")
     val tFull = time(full.upsert(deltaDf, Seq("o_orderkey")))
+    val fullBytes = (filesUnder(s"$work/full") -- fBefore.keySet).values.sum
 
     // sanity: same logical content after both mutation chains
     val nB = bucketed.count()
@@ -57,13 +78,16 @@ object BenchCrud {
     require(nB == nRows && nF == nRows,
       s"row drift after upserts: bucketed=$nB full=$nF expected=$nRows")
 
-    val speedup = tFull / math.max(tBucketed, 1e-9)
+    val bytesRatio = fullBytes.toDouble / math.max(bucketedBytes, 1L)
     System.err.println(
-      f"[crud] bucketed 10-key upsert $tBucketed%.2f s vs full rewrite $tFull%.2f s (${speedup}%.1fx)")
+      f"[crud] 10-key upsert: bucketed wrote $bucketedBytes%,d B in $tBucketed%.2f s, " +
+      f"full rewrite wrote $fullBytes%,d B in $tFull%.2f s (bytes ratio $bytesRatio%.1fx)")
     val line =
-      s"""{"metric":"crud_bucketed_upsert","unit":"sec","n_rows":$nRows,""" +
-      s""""n_buckets":$nBuckets,"bucketed_upsert_s":$tBucketed,""" +
-      s""""full_rewrite_upsert_s":$tFull,"speedup":$speedup,"sf":"$sfDir"}"""
+      s"""{"metric":"crud_bucketed_upsert","unit":"bytes","n_rows":$nRows,""" +
+      s""""n_buckets":$nBuckets,"table_bytes":$tableBytes,""" +
+      s""""bucketed_upsert_bytes":$bucketedBytes,"full_rewrite_bytes":$fullBytes,""" +
+      s""""bytes_ratio":$bytesRatio,"bucketed_upsert_s":$tBucketed,""" +
+      s""""full_rewrite_upsert_s":$tFull,"sf":"$sfDir"}"""
     // committed-evidence file, same convention as Bench -> BENCH_FULL.json
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_CRUD.json"), line + "\n")

@@ -72,13 +72,18 @@ class BucketedParquetCollection(
     Seq(0).toDF("x").select(bucketCol(typedLit(value).cast(pkType))).head().getInt(0)
   }
 
-  /** The active snapshot: union of every bucket's pinned version. */
+  /** The active snapshot: every bucket's pinned version as ONE
+    * multi-path scan relation — not a union of per-bucket reads, which
+    * costs O(nBuckets) schema reads and an nBuckets-way union in every
+    * plan (at 1000 buckets the plan itself becomes the bottleneck).
+    * `mergeSchema` keeps the old union-by-name tolerance: a bucket
+    * version written before a column existed reads as null for it.
+    */
   def df: DataFrame = {
     val m = manifest(currentVersion)
     require(m.nonEmpty, s"collection $name has no data at $root")
-    m.toSeq.sortBy(_._1)
-      .map { case (b, bv) => spark.read.parquet(bucketDir(b, bv)) }
-      .reduce(_ unionByName _)
+    val paths = m.toSeq.sortBy(_._1).map { case (b, bv) => bucketDir(b, bv) }
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
   }
 
   def count(): Long = df.count()
@@ -156,7 +161,14 @@ class BucketedParquetCollection(
     */
   private def alignPk(rows: DataFrame): DataFrame =
     if (currentVersion < 0) rows
-    else rows.withColumn(pk, col(pk).cast(df.schema(pk).dataType))
+    else {
+      // pk type from ONE bucket's footer — constructing the full
+      // snapshot relation just to read a column type would list every
+      // bucket directory
+      val m = manifest(currentVersion)
+      val t = spark.read.parquet(bucketDir(m.head._1, m.head._2)).schema(pk).dataType
+      rows.withColumn(pk, col(pk).cast(t))
+    }
 
   private def withBucket(rows: DataFrame): DataFrame =
     rows.withColumn("__b", bucketCol(col(pk)))
@@ -167,12 +179,15 @@ class BucketedParquetCollection(
   private def touchedBuckets(rows: DataFrame): Seq[Int] =
     withBucket(rows).select("__b").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
-  /** Current content of the given buckets only. */
+  /** Current content of the given buckets only — one multi-path scan
+    * (same rationale as [[df]]).
+    */
   private def bucketsDf(bs: Seq[Int]): DataFrame = {
     val m = manifest(currentVersion)
     val present = bs.filter(m.contains)
     if (present.isEmpty) df.limit(0)
-    else present.map(b => spark.read.parquet(bucketDir(b, m(b)))).reduce(_ unionByName _)
+    else spark.read.option("mergeSchema", "true")
+      .parquet(present.sorted.map(b => bucketDir(b, m(b))): _*)
   }
 
   /** Replace the whole collection (rewrites every bucket). */
