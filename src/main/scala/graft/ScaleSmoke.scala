@@ -28,6 +28,10 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    // comma-separated finder filter for targeted re-measurement; a
+    // filtered run never writes the evidence file (partial results
+    // must not masquerade as a full sweep)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(',').toSet)
     val spark = LocalSession.build()
 
     val docs = Tables.df(spark, sfDir, "documents").select("doc_id", "lang", "text")
@@ -313,7 +317,8 @@ object ScaleSmoke {
     // smoked by embed_neardup)
 
     var failed = false
-    val results = finders.map { case (name, f) =>
+    val results = finders.filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, f) =>
       val warm = time(f(1)) // JIT/classload warm-up, untimed
       val t1 = time(f(1))
       val tk = time(f(copies))
@@ -326,9 +331,10 @@ object ScaleSmoke {
     // committed-evidence file, same convention as Bench -> BENCH_FULL.json;
     // name carries the sf so the sf0.01 and sf1 runs don't clobber each other
     val out = "SCALE_SMOKE_" + sfDir.split('/').last.replace('.', '_') + ".json"
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case e: Exception =>
-      System.err.println(s"[scale] $out write failed: ${e.getMessage}") }
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[scale] $out write failed: ${e.getMessage}") }
     println(line)
     spark.stop()
     if (failed) sys.exit(1)

@@ -419,18 +419,25 @@ object Knn {
     }
 
   /** Chunk width from a corpus-count estimate: one bit per doubling
-    * past 2^10 rows, clamped to [8, 16] — the bucket key space tracks
-    * the corpus (avg occupancy stays O(1)) instead of saturating a
-    * fixed domain. Integer threshold ladder, NOT ceil(log2(n/4)):
-    * float log boundaries are the kind of cross-engine hazard
-    * PortableRound exists for, and the DuckDB twin replays these exact
-    * comparisons.
+    * past 2^8 rows, clamped to [8, 24] — the bucket key space tracks
+    * the corpus with average band-bucket occupancy ≈ 1 instead of
+    * saturating a fixed domain. The ladder starts at 2^8 (not 2^10,
+    * the first version of this fix): real embedding corpora hash their
+    * sign patterns SKEWED, and at occupancy ~3-4 the hot buckets'
+    * Σc² grew ~30× across the sf1→sf10 decade (measured by the
+    * embed_neardup ScaleSmoke finder) — sub-1 average occupancy keeps
+    * the hot-bucket mass bounded by the actual near-dup structure.
+    * Saturation at 24 means ~16M buckets per band; beyond ~10^7 rows
+    * raise `maxWidth`/`bands` explicitly or use the cluster-bounded
+    * SemDeDup tier. Integer threshold ladder, NOT ceil(log2 n): float
+    * log boundaries are the kind of cross-engine hazard PortableRound
+    * exists for, and the DuckDB twin replays these exact comparisons.
     */
   def widthForCount(n: Long): Int =
-    8 + (10 to 17).count(k => n > (1L << k))
+    8 + (8 to 23).count(k => n > (1L << k))
 
   def widthForCountDuckSql(nExpr: String): String =
-    "8 + " + (10 to 17).map(k => s"(CASE WHEN ($nExpr) > ${1L << k} THEN 1 ELSE 0 END)")
+    "8 + " + (8 to 23).map(k => s"(CASE WHEN ($nExpr) > ${1L << k} THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
   /** Embedding-cosine near-duplicate pairs via banded sign-bit LSH +
@@ -438,14 +445,15 @@ object Knn {
     *
     * Scale shape (the round-9 weak mark, fixed): the chunk width — and
     * with it the bucket key space — SCALES WITH THE CORPUS
-    * ([[widthForCount]]: 2^8 buckets per band at ≤1k rows up to 2^16
-    * at ≥131k), so candidate counts stay ~linear instead of going
-    * quadratic inside a constant 4×256-bucket domain, and the
-    * `maxBucket` cap stays a skew guard instead of becoming the main
-    * path (where it silently deletes recall). Recall is held up by
-    * 8 bands of sampled planes (more bands ⇒ more chances to collide;
-    * the S-curve 1-(1-p^w)^b at w=14, b=8 gives ≈0.87 for
-    * cosine-0.95 pairs and ≈1.0 for near-exact ones) and AUDITED
+    * ([[widthForCount]]: 2^8 buckets per band at ≤256 rows up to 2^24
+    * past ~8M, average band-bucket occupancy ≈ 1), so candidate counts
+    * stay ~linear instead of going quadratic inside a constant
+    * 4×256-bucket domain, and the `maxBucket` cap stays a skew guard
+    * instead of becoming the main path (where it silently deletes
+    * recall). Recall is held up by 8 bands of sampled planes (more
+    * bands ⇒ more chances to collide; the S-curve 1-(1-p^w)^b at
+    * w=16, b=8 gives ≈0.75 for cosine-0.95 pairs and ≈1.0 for
+    * near-exact ones — the regime the op is named for) and AUDITED
     * against exact brute-force pairs by `q_embed_dedup_recall`.
     * Exact duplicates share every sign bit, hence every band, at any
     * width. Norms are precomputed PER VECTOR before the pair join, so
@@ -458,7 +466,7 @@ object Knn {
     * estimate; pass `widthOverride` to skip it entirely.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                   bands: Int = 8, maxWidth: Int = 16, dims: Int = 64,
+                   bands: Int = 8, maxWidth: Int = 24, dims: Int = 64,
                    maxBucket: Int = 10000, seed: Long = 41L,
                    widthOverride: Option[Int] = None): DataFrame = {
     val width = math.min(math.min(maxWidth, dims),
@@ -497,7 +505,7 @@ object Knn {
   }
 
   def nearDupPairsDuckSql(fromSql: String, idCol: String, vecCol: String, threshold: Double,
-                          dim: Int, bands: Int = 8, maxWidth: Int = 16,
+                          dim: Int, bands: Int = 8, maxWidth: Int = 24,
                           maxBucket: Int = 10000, seed: Long = 41L): String = {
     val effMax = math.min(maxWidth, dim)
     val planes = bandPlanes(dim, bands, effMax, seed)

@@ -397,12 +397,19 @@ object VectorQueries extends QuerySet {
         val exactCopy = base.select(
           (col("vec_id") + lit(10000L)).as("vec_id"), col("embedding"))
         // jitter from the ORIGINAL vec_id and 1-based dim index — pure
-        // integer arithmetic both engines replay bit-identically
+        // integer arithmetic both engines replay bit-identically. The
+        // jitter is applied in its OWN select, THEN the id shifts:
+        // aliasing `vec_id + 20000 AS vec_id` in the same select would
+        // make the lambda's col("vec_id") resolve to the SHIFTED value
+        // (Spark lateral column aliasing) and silently diverge from
+        // the oracle's original-id formula — caught when the widened
+        // chunk ladder exposed the differing sign flips.
         val jitterCopy = base.select(
-          (col("vec_id") + lit(20000L)).as("vec_id"),
+          col("vec_id"),
           transform(col("embedding"), (x, i) =>
             x + ((col("vec_id") * lit(131L) + (i + lit(1)) * lit(17L)) % lit(101L)
               - lit(50L)).cast("double") / lit(2500.0)).as("embedding"))
+          .select((col("vec_id") + lit(20000L)).as("vec_id"), col("embedding"))
         val corpus = graft.api.CacheScope.global.persist(
           base.unionByName(exactCopy).unionByName(jitterCopy))
         val banded = Knn.nearDupPairs(corpus, "vec_id", "embedding", threshold = 0.95)

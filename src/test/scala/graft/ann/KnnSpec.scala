@@ -115,15 +115,17 @@ class KnnSpec extends SparkSpec {
   }
 
   test("near-dup banding width scales with the corpus count") {
-    // one bit per doubling past 2^10, clamped to [8, 16] — the fix for
-    // the fixed-1024-bucket domain that saturated at scale
+    // one bit per doubling past 2^8, clamped to [8, 24]: average
+    // band-bucket occupancy ≈ 1 at every decade (the occupancy-3
+    // version of this ladder still grew ~30x across the sf1→sf10
+    // decade on skewed real-embedding sign patterns)
     Knn.widthForCount(0L) shouldBe 8
-    Knn.widthForCount(1024L) shouldBe 8
-    Knn.widthForCount(1025L) shouldBe 9
-    Knn.widthForCount(40000L) shouldBe 14     // the sf1 q_dedup_embed regime
-    Knn.widthForCount(131072L) shouldBe 15
-    Knn.widthForCount(131073L) shouldBe 16
-    Knn.widthForCount(Long.MaxValue / 2) shouldBe 16
+    Knn.widthForCount(256L) shouldBe 8
+    Knn.widthForCount(257L) shouldBe 9
+    Knn.widthForCount(1024L) shouldBe 10
+    Knn.widthForCount(40000L) shouldBe 16     // the sf1 q_dedup_embed regime
+    Knn.widthForCount(200000L) shouldBe 18    // the sf1→sf10 smoke regime
+    Knn.widthForCount(Long.MaxValue / 2) shouldBe 24
   }
 
   test("band planes are deterministic, distinct within a band, in range") {
