@@ -321,19 +321,31 @@ object Knn {
     * any target produce no row — the approximation the banding buys;
     * the oracle replays the identical banding, so results stay
     * deterministic. `maxBucket` caps each side's (band, chunk) postings
-    * so a degenerate corpus cannot turn one bucket quadratic. Defaults:
-    * 32 sign bits in 4 bands = 8-bit chunks (256 values per band) —
-    * wide enough that ordinary corpora spread across buckets instead
-    * of tripping the cap.
+    * so a degenerate corpus cannot turn one bucket quadratic. Default
+    * banding is the corpus-scaled sampled-planes one
+    * ([[scaledBandChunks]] at [[widthForCount]] of the larger side) —
+    * the fixed 8-bit slicing this op shipped with melted the sf1→sf10
+    * smoke decade (200k rows into 4×256 buckets ≈ 780/bucket ≈ 640M
+    * candidate pairs spilling past the disk).
     */
   def findMatchesLsh(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
-                     nBits: Int = 32, bands: Int = 4,
+                     nBits: Int = -1, bands: Int = 4,
                      maxBucket: Int = 10000): DataFrame = {
     def withNorm(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
         .withColumn(s"__n_$id", VectorFunctions.norm(col(s"__v_$id")))
+    // default (nBits = -1): the corpus-scaled sampled-planes banding —
+    // chunk width from the LARGER side's count, identical on both
+    // sides so the bucket keys align. An explicit nBits pins the
+    // legacy fixed slicing (bands×width ≤ the 64-bit signature), the
+    // domain that saturated at the sf1→sf10 decade — keep it for
+    // recall tuning at known corpus sizes, not as the default.
+    lazy val scaledWidth = widthForCount(math.max(src.count(), tgt.count()))
+    def bandsOf(df: DataFrame) =
+      if (nBits > 0) bandedSignBits(df, idCol, vecCol, nBits, bands)
+      else scaledBandChunks(df, idCol, vecCol, scaledWidth)
     def cappedBands(df: DataFrame, id: String) =
-      bandedSignBits(df, idCol, vecCol, nBits, bands)
+      bandsOf(df)
         .withColumn("__bsz", count(lit(1)).over(
           Window.partitionBy("band", "chunk")))
         .filter(col("__bsz") <= maxBucket)
@@ -354,23 +366,44 @@ object Knn {
       .select(col("src_id"), col("tgt_id"), round(col("__score"), 4).as("score"))
   }
 
+  /** Shared twin fragment: the `bk` CTE chain (e must already exist)
+    * for either banding — scaled sampled planes (nBits = -1, the
+    * Spark default) or legacy fixed slicing. Yields rows
+    * (idCol, is_src, is_tgt, band, chunk).
+    */
+  private[ann] def lshBkDuck(idCol: String, dim: Int, nBits: Int, bands: Int): String =
+    if (nBits > 0) {
+      val width = nBits / bands
+      val mask = (1L << width) - 1
+      val bandSelects = (0 until bands).map { b =>
+        s"SELECT $idCol, is_src, is_tgt, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
+      }.mkString("\nUNION ALL\n")
+      s"""sigs AS (SELECT $idCol, is_src, is_tgt, ${signBitsDuck("v", nBits)} AS sig FROM e),
+         |bk AS ($bandSelects),""".stripMargin
+    } else {
+      val bandSelects = scaledChunk0Duck(dim).zipWithIndex
+        .map { case (ce, b) => s"SELECT $idCol, is_src, is_tgt, $b AS band, $ce AS chunk0 FROM e" }
+        .mkString("\nUNION ALL\n")
+      s"""w AS (SELECT LEAST(${math.min(24, dim)}, ${widthForCountDuckSql("n")}) AS width FROM (
+         |  SELECT greatest((SELECT count(*) FROM e WHERE is_src),
+         |                  (SELECT count(*) FROM e WHERE is_tgt)) AS n) cnt),
+         |bk AS (
+         |  SELECT $idCol, is_src, is_tgt, band,
+         |         chunk0 & ((CAST(1 AS BIGINT) << width) - 1) AS chunk
+         |  FROM ($bandSelects) raw, w),""".stripMargin
+    }
+
   def findMatchesLshDuckSql(table: String, idCol: String, vecCol: String,
                             srcPred: String, tgtPred: String, dim: Int,
-                            nBits: Int = 32, bands: Int = 4,
+                            nBits: Int = -1, bands: Int = 4,
                             maxBucket: Int = 10000): String = {
-    val width = nBits / bands
-    val mask = (1L << width) - 1
-    val bandSelects = (0 until bands).map { b =>
-      s"SELECT $idCol, is_src, is_tgt, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
-    }.mkString("\nUNION ALL\n")
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
     val cos = s"${dot("ea.v", "eb.v")} / (ea.nrm * eb.nrm)"
     s"""WITH e AS (SELECT $idCol, ($srcPred) AS is_src, ($tgtPred) AS is_tgt,
        |             CAST($vecCol AS DOUBLE[]) AS v,
        |             sqrt(${dot("v", "v")}) AS nrm FROM $table),
-       |sigs AS (SELECT $idCol, is_src, is_tgt, ${signBitsDuck("v", nBits)} AS sig FROM e),
-       |bk AS ($bandSelects),
+       |${lshBkDuck(idCol, dim, nBits, bands)}
        |bka AS (
        |  SELECT $idCol AS src_id, band, chunk FROM bk WHERE is_src
        |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $maxBucket),
@@ -383,7 +416,7 @@ object Knn {
        |    row_number() OVER (PARTITION BY src_id ORDER BY $cos DESC, tgt_id ASC) AS rn
        |  FROM cand JOIN e ea ON cand.src_id = ea.$idCol
        |            JOIN e eb ON cand.tgt_id = eb.$idCol)
-       |SELECT src_id, tgt_id, round(c, 4) AS score FROM scored WHERE rn = 1
+       |SELECT src_id, tgt_id, round(c, 4) + 0 AS score FROM scored WHERE rn = 1
        |ORDER BY src_id""".stripMargin
   }
 
@@ -440,6 +473,31 @@ object Knn {
     "8 + " + (8 to 23).map(k => s"(CASE WHEN ($nExpr) > ${1L << k} THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
+  /** (id, band, chunk) keys from the corpus-scaled sampled sign planes
+    * — the banding [[nearDupPairs]] pairs on, factored out so every
+    * two-sided matcher shares ONE scaled candidate generator instead
+    * of the fixed-domain [[bandedSignBits]] slicing (whose bands×width
+    * is capped at the 64-bit signature — the domain that saturated at
+    * the sf1→sf10 decade). Both sides of a join must pass the SAME
+    * `width` (derive it from the larger side's count) or their chunk
+    * keys will not align.
+    */
+  def scaledBandChunks(df: DataFrame, idCol: String, vecCol: String, width: Int,
+                       bands: Int = 8, dims: Int = 64, maxWidth: Int = 24,
+                       seed: Long = 41L): DataFrame = {
+    val w = math.min(math.min(maxWidth, dims), width)
+    val planes = bandPlanes(dims, bands, math.min(maxWidth, dims), seed)
+    val v = col(vecCol).cast("array<double>")
+    val chunks = planes.zipWithIndex.map { case (idxs, b) =>
+      struct(lit(b).as("band"),
+        idxs.take(w).zipWithIndex.map { case (idx, j) =>
+          when(try_element_at(v, lit(idx)) > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _).as("chunk"))
+    }
+    df.select(col(idCol), explode(array(chunks.toSeq: _*)).as("bc"))
+      .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded sign-bit LSH +
     * cosine verify. Pairs only form inside (band, chunk) buckets.
     *
@@ -471,22 +529,14 @@ object Knn {
                    widthOverride: Option[Int] = None): DataFrame = {
     val width = math.min(math.min(maxWidth, dims),
       widthOverride.getOrElse(widthForCount(df.count())))
-    val planes = bandPlanes(dims, bands, math.min(maxWidth, dims), seed)
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nrm", VectorFunctions.norm(col("__v")))
     // chunk for band b = bits of planes(b).take(width): identical to
     // the Duck twin's full-width chunk masked to `width`, since bit j
-    // comes from plane j in both engines
-    val chunks = planes.zipWithIndex.map { case (idxs, b) =>
-      struct(lit(b).as("band"),
-        idxs.take(width).zipWithIndex.map { case (idx, j) =>
-          when(try_element_at(col("__v"), lit(idx)) > 0, lit(1L << j)).otherwise(lit(0L))
-        }.reduce(_ + _).as("chunk"))
-    }
+    // comes from plane j in both engines.
     // skew guard (same-keyed window, exchange reused by the join): a
     // degenerate embedding corpus cannot turn one bucket quadratic
-    val bk = e.select(col(idCol), explode(array(chunks.toSeq: _*)).as("bc"))
-      .select(col(idCol), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val bk = scaledBandChunks(e, idCol, "__v", width, bands, dims, maxWidth, seed)
       .withColumn("__bsz", count(lit(1)).over(
         Window.partitionBy("band", "chunk")))
       .filter(col("__bsz") <= maxBucket)
@@ -504,19 +554,26 @@ object Knn {
       .select(col("id_a"), col("id_b"), col("score"))
   }
 
+  /** DuckDB full-width (pre-mask) chunk0 expressions over an alias `v`,
+    * one per band — the twin of [[scaledBandChunks]]'s plane bits; the
+    * runtime width masks them down with `chunk0 & ((1 << width) - 1)`.
+    */
+  def scaledChunk0Duck(dim: Int, bands: Int = 8, maxWidth: Int = 24,
+                       seed: Long = 41L): Seq[String] =
+    bandPlanes(dim, bands, math.min(maxWidth, dim), seed).toSeq.map { idxs =>
+      idxs.zipWithIndex.map { case (idx, j) =>
+        s"(CASE WHEN v[$idx] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+      }.mkString("(", " + ", ")")
+    }
+
   def nearDupPairsDuckSql(fromSql: String, idCol: String, vecCol: String, threshold: Double,
                           dim: Int, bands: Int = 8, maxWidth: Int = 24,
                           maxBucket: Int = 10000, seed: Long = 41L): String = {
     val effMax = math.min(maxWidth, dim)
-    val planes = bandPlanes(dim, bands, effMax, seed)
     // full-width chunk per band; the runtime width masks it down
-    def chunkExpr(idxs: Array[Int]): String =
-      idxs.zipWithIndex.map { case (idx, j) =>
-        s"(CASE WHEN v[$idx] > 0 THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
-      }.mkString("(", " + ", ")")
-    val bandSelects = planes.zipWithIndex.map { case (idxs, b) =>
-      s"SELECT $idCol, $b AS band, ${chunkExpr(idxs)} AS chunk0 FROM e"
-    }.mkString("\nUNION ALL\n")
+    val bandSelects = scaledChunk0Duck(dim, bands, maxWidth, seed).zipWithIndex
+      .map { case (ce, b) => s"SELECT $idCol, $b AS band, $ce AS chunk0 FROM e" }
+      .mkString("\nUNION ALL\n")
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"
     s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v,

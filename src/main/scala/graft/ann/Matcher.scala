@@ -137,15 +137,22 @@ object Matcher {
   /** LSH tier: shared sign-bit band candidates on both sides (no data
     * broadcast, no nested loop — see [[Knn.findMatchesLsh]]); exact
     * metric re-rank within candidates. max_dist for the normalized
-    * metrics ranges over candidate pairs.
+    * metrics ranges over candidate pairs. Default banding (nBits = -1)
+    * is the corpus-scaled sampled-planes one ([[Knn.scaledBandChunks]]
+    * at [[Knn.widthForCount]] of the larger side); an explicit nBits
+    * pins the legacy fixed slicing for recall tuning at known sizes.
     */
   def findMatchesLshTopN(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
                          cfg: MatchConfig = MatchConfig(),
-                         nBits: Int = 32, bands: Int = 4,
+                         nBits: Int = -1, bands: Int = 4,
                          maxBucket: Int = 10000,
                          scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    lazy val scaledWidth = Knn.widthForCount(math.max(src.count(), tgt.count()))
+    def bandsOf(df: DataFrame) =
+      if (nBits > 0) Knn.bandedSignBits(df, idCol, vecCol, nBits, bands)
+      else Knn.scaledBandChunks(df, idCol, vecCol, scaledWidth)
     def cappedBands(df: DataFrame, id: String) =
-      Knn.bandedSignBits(df, idCol, vecCol, nBits, bands)
+      bandsOf(df)
         .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("band", "chunk")))
         .filter(col("__bsz") <= maxBucket)
         .select(col("band"), col("chunk"), col(idCol).as(id))
@@ -216,7 +223,7 @@ object Matcher {
        |  SELECT src_id, tgt_id, sim, dist,
        |    row_number() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id ASC) AS match_rank
        |  FROM scored $where)
-       |SELECT src_id, tgt_id, round(sim, 4) AS similarity, round(dist, 4) AS distance, match_rank
+       |SELECT src_id, tgt_id, round(sim, 4) + 0 AS similarity, round(dist, 4) + 0 AS distance, match_rank
        |FROM ranked WHERE match_rank <= ${cfg.topN}
        |ORDER BY src_id, match_rank""".stripMargin
   }
@@ -248,13 +255,8 @@ object Matcher {
   def findMatchesLshTopNDuckSql(table: String, idCol: String, vecCol: String,
                                 srcPred: String, tgtPred: String, dim: Int,
                                 cfg: MatchConfig = MatchConfig(),
-                                nBits: Int = 32, bands: Int = 4,
+                                nBits: Int = -1, bands: Int = 4,
                                 maxBucket: Int = 10000): String = {
-    val width = nBits / bands
-    val mask = (1L << width) - 1
-    val bandSelects = (0 until bands).map { b =>
-      s"SELECT $idCol, is_src, is_tgt, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
-    }.mkString("\nUNION ALL\n")
     val sideCols = cfg.metric match {
       case "cosine" => s", sqrt(${duckDot("v", "v", dim)}) AS nrm"
       case "euclidean" | "l2" => s", ${duckDot("v", "v", dim)} AS sq"
@@ -263,8 +265,7 @@ object Matcher {
     val maxd = if (cfg.needsMaxDist) ",\nmaxd AS (SELECT max(dist) AS m FROM pairs)" else ""
     s"""WITH e AS (SELECT $idCol, ($srcPred) AS is_src, ($tgtPred) AS is_tgt,
        |             CAST($vecCol AS DOUBLE[]) AS v$sideCols FROM $table),
-       |sigs AS (SELECT $idCol, is_src, is_tgt, ${Knn.signBitsDuck("v", nBits)} AS sig FROM e),
-       |bk AS ($bandSelects),
+       |${Knn.lshBkDuck(idCol, dim, nBits, bands)}
        |bka AS (
        |  SELECT $idCol AS src_id, band, chunk FROM bk WHERE is_src
        |  QUALIFY count(*) OVER (PARTITION BY band, chunk) <= $maxBucket),
