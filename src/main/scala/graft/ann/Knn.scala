@@ -329,8 +329,8 @@ object Knn {
     * candidate pairs spilling past the disk).
     */
   def findMatchesLsh(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
-                     nBits: Int = -1, bands: Int = 4,
-                     maxBucket: Int = 10000): DataFrame = {
+                     nBits: Int = -1, bands: Int = -1,
+                     maxBucket: Int = 10000, dims: Int = -1): DataFrame = {
     def withNorm(df: DataFrame, id: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(s"__v_$id"))
         .withColumn(s"__n_$id", VectorFunctions.norm(col(s"__v_$id")))
@@ -340,10 +340,16 @@ object Knn {
     // legacy fixed slicing (bands×width ≤ the 64-bit signature), the
     // domain that saturated at the sf1→sf10 decade — keep it for
     // recall tuning at known corpus sizes, not as the default.
+    // `bands` defaults per tier (4 fixed / 8 scaled) and is honored on
+    // BOTH paths; `dims` defaults to the data's own vector length so
+    // the plane index set matches the Duck twin's caller-supplied dim
+    // for any corpus, not only 64-dim ones.
     lazy val scaledWidth = widthForCount(math.max(src.count(), tgt.count()))
+    lazy val scaledDims = if (dims > 0) dims else inferDims(src, tgt, vecCol)
     def bandsOf(df: DataFrame) =
-      if (nBits > 0) bandedSignBits(df, idCol, vecCol, nBits, bands)
-      else scaledBandChunks(df, idCol, vecCol, scaledWidth)
+      if (nBits > 0) bandedSignBits(df, idCol, vecCol, nBits, if (bands > 0) bands else 4)
+      else scaledBandChunks(df, idCol, vecCol, scaledWidth,
+        bands = if (bands > 0) bands else 8, dims = scaledDims)
     def cappedBands(df: DataFrame, id: String) =
       bandsOf(df)
         .withColumn("__bsz", count(lit(1)).over(
@@ -366,22 +372,39 @@ object Knn {
       .select(col("src_id"), col("tgt_id"), round(col("__score"), 4).as("score"))
   }
 
+  /** Vector dimensionality read off the data itself (first non-empty
+    * vector of either side; src wins) — the default for the scaled
+    * match tiers so the sampled plane index set always matches the
+    * Duck twins' caller-supplied `dim`. One 1-row collect of plan-time
+    * metadata, the `bucketOfValue` pattern. Empty inputs fall back to
+    * 64 (the result is empty either way — the planes never see a row).
+    */
+  private[ann] def inferDims(src: DataFrame, tgt: DataFrame, vecCol: String): Int = {
+    def head1(df: DataFrame) = df
+      .select(size(col(vecCol).cast("array<double>")).as("__d"))
+      .filter(col("__d") > 0).limit(1).collect()
+    val rows = { val r = head1(src); if (r.nonEmpty) r else head1(tgt) }
+    if (rows.nonEmpty) rows.head.getInt(0) else 64
+  }
+
   /** Shared twin fragment: the `bk` CTE chain (e must already exist)
     * for either banding — scaled sampled planes (nBits = -1, the
     * Spark default) or legacy fixed slicing. Yields rows
-    * (idCol, is_src, is_tgt, band, chunk).
+    * (idCol, is_src, is_tgt, band, chunk). `bands = -1` picks the
+    * tier default (4 fixed / 8 scaled), mirroring the Spark side.
     */
   private[ann] def lshBkDuck(idCol: String, dim: Int, nBits: Int, bands: Int): String =
     if (nBits > 0) {
-      val width = nBits / bands
+      val nb = if (bands > 0) bands else 4
+      val width = nBits / nb
       val mask = (1L << width) - 1
-      val bandSelects = (0 until bands).map { b =>
+      val bandSelects = (0 until nb).map { b =>
         s"SELECT $idCol, is_src, is_tgt, $b AS band, (sig >> ${b * width}) & $mask AS chunk FROM sigs"
       }.mkString("\nUNION ALL\n")
       s"""sigs AS (SELECT $idCol, is_src, is_tgt, ${signBitsDuck("v", nBits)} AS sig FROM e),
          |bk AS ($bandSelects),""".stripMargin
     } else {
-      val bandSelects = scaledChunk0Duck(dim).zipWithIndex
+      val bandSelects = scaledChunk0Duck(dim, bands = if (bands > 0) bands else 8).zipWithIndex
         .map { case (ce, b) => s"SELECT $idCol, is_src, is_tgt, $b AS band, $ce AS chunk0 FROM e" }
         .mkString("\nUNION ALL\n")
       s"""w AS (SELECT LEAST(${math.min(24, dim)}, ${widthForCountDuckSql("n")}) AS width FROM (
@@ -395,7 +418,7 @@ object Knn {
 
   def findMatchesLshDuckSql(table: String, idCol: String, vecCol: String,
                             srcPred: String, tgtPred: String, dim: Int,
-                            nBits: Int = -1, bands: Int = 4,
+                            nBits: Int = -1, bands: Int = -1,
                             maxBucket: Int = 10000): String = {
     def dot(x: String, y: String) =
       s"list_sum(list_transform(range(1, ${dim + 1}), i -> $x[i] * $y[i]))"

@@ -144,13 +144,19 @@ object Matcher {
     */
   def findMatchesLshTopN(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
                          cfg: MatchConfig = MatchConfig(),
-                         nBits: Int = -1, bands: Int = 4,
+                         nBits: Int = -1, bands: Int = -1,
                          maxBucket: Int = 10000,
-                         scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+                         scope: graft.api.CacheScope = graft.api.CacheScope.global,
+                         dims: Int = -1): DataFrame = {
+    // bands defaults per tier (4 fixed / 8 scaled) and is honored on
+    // both paths; dims defaults to the data's own vector length so the
+    // sampled plane set matches the Duck twin's caller-supplied dim.
     lazy val scaledWidth = Knn.widthForCount(math.max(src.count(), tgt.count()))
+    lazy val scaledDims = if (dims > 0) dims else Knn.inferDims(src, tgt, vecCol)
     def bandsOf(df: DataFrame) =
-      if (nBits > 0) Knn.bandedSignBits(df, idCol, vecCol, nBits, bands)
-      else Knn.scaledBandChunks(df, idCol, vecCol, scaledWidth)
+      if (nBits > 0) Knn.bandedSignBits(df, idCol, vecCol, nBits, if (bands > 0) bands else 4)
+      else Knn.scaledBandChunks(df, idCol, vecCol, scaledWidth,
+        bands = if (bands > 0) bands else 8, dims = scaledDims)
     def cappedBands(df: DataFrame, id: String) =
       bandsOf(df)
         .withColumn("__bsz", count(lit(1)).over(Window.partitionBy("band", "chunk")))
@@ -255,7 +261,7 @@ object Matcher {
   def findMatchesLshTopNDuckSql(table: String, idCol: String, vecCol: String,
                                 srcPred: String, tgtPred: String, dim: Int,
                                 cfg: MatchConfig = MatchConfig(),
-                                nBits: Int = -1, bands: Int = 4,
+                                nBits: Int = -1, bands: Int = -1,
                                 maxBucket: Int = 10000): String = {
     val sideCols = cfg.metric match {
       case "cosine" => s", sqrt(${duckDot("v", "v", dim)}) AS nrm"

@@ -76,8 +76,10 @@ class BucketedParquetCollection(
     * multi-path scan relation — not a union of per-bucket reads, which
     * costs O(nBuckets) schema reads and an nBuckets-way union in every
     * plan (at 1000 buckets the plan itself becomes the bottleneck).
-    * `mergeSchema` keeps the old union-by-name tolerance: a bucket
-    * version written before a column existed reads as null for it.
+    * `mergeSchema` WIDENS tolerance relative to the strict
+    * unionByName this replaced: a bucket version written before a
+    * column existed now reads as null for it instead of failing the
+    * union — schema drift surfaces as nulls, not as a loud error.
     */
   def df: DataFrame = {
     val m = manifest(currentVersion)

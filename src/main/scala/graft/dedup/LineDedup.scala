@@ -44,8 +44,11 @@ object LineDedup {
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
+    // null text coalesces to '' (one empty line) so n_lines matches the
+    // Duck twin instead of size(split(null)) = -1 vs len(NULL) = NULL
+    val txt = coalesce(col(textCol), lit(""))
     val lined = df.select(col(idCol).as("__id"),
-      posexplode(split(col(textCol), sepRe)).as(Seq("__pos", "__line")))
+      posexplode(split(txt, sepRe)).as(Seq("__pos", "__line")))
       .withColumn("__h", TextFunctions.portableHash60(col("__line")))
     // global first occurrence per line hash — struct ordering compares
     // __id then __pos, so the min IS "earliest document, then earliest
@@ -59,7 +62,7 @@ object LineDedup {
       array_join(
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
           s => s.getField("__line")), sep).as("clean_text"))
-    df.select(col(idCol), size(split(col(textCol), sepRe)).as("n_lines"))
+    df.select(col(idCol), size(split(txt, sepRe)).as("n_lines"))
       .join(re, col(idCol) === re("__id"), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
@@ -78,7 +81,7 @@ object LineDedup {
     val s0 = esc(sep)
     val h = "CAST(concat('0x', substr(md5(line), 1, 15)) AS UBIGINT)"
     s"""WITH lined AS (
-       |  SELECT $idCol, string_split($textCol, '$s0') AS lines FROM $table),
+       |  SELECT $idCol, string_split(coalesce($textCol, ''), '$s0') AS lines FROM $table),
        |pos AS (
        |  SELECT $idCol, lines[i] AS line, i FROM lined,
        |       unnest(range(1, len(lines) + 1)) AS u(i)),

@@ -122,7 +122,11 @@ object Bm25Index {
       .agg(max(col("dl")).cast("double").as("__dl"), tfAggs: _*)
     val contributions: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
       val dfi = dfByTerm.getOrElse(t, 0L).toDouble
-      val idf = math.log(1.0 + (nDocs - dfi + 0.5) / (dfi + 0.5))
+      // StrictMath, not math.log: Spark's Log expression evaluates via
+      // StrictMath, and an intrinsic java.lang.Math.log may differ in
+      // the last ULP — this keeps the bit-identical contract with the
+      // scan-time Bm25.scoreAndTake exact, not just 4dp-rounded
+      val idf = StrictMath.log(1.0 + (nDocs - dfi + 0.5) / (dfi + 0.5))
       val tf = col(s"__tf$i")
       lit(idf) * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") * lit(nDocs) / lit(sumDl)))

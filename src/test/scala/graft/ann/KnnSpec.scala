@@ -104,6 +104,49 @@ class KnnSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("scaled match banding draws planes from the data's own dim (duck-twin parity)") {
+    // 4-dim corpus: before the round-10 ADVICE fix the Spark side
+    // sampled planes from a hardcoded 64-dim domain (out-of-range
+    // indices read as constant-0 bits) while the Duck twin sampled
+    // from the caller's dim — buckets diverged for any dim != 64.
+    // Expected chunks replay scaledChunk0Duck's arithmetic in Scala
+    // from the SAME bandPlanes(dim, ...) the twin inlines.
+    Knn.inferDims(vecs, vecs, "embedding") shouldBe 4
+    val width = Knn.widthForCount(vecs.count())
+    val w = math.min(4, width) // min(maxWidth, dims) clamp at dims = 4
+    val planes = Knn.bandPlanes(4, 8, 4)
+    val expected = (for {
+      r <- vecs.collect()
+      (idxs, b) <- planes.zipWithIndex
+    } yield {
+      val v = r.getSeq[Float](1)
+      val chunk = idxs.take(w).zipWithIndex.map { case (idx, j) =>
+        if (v(idx - 1) > 0) 1L << j else 0L
+      }.sum
+      (r.getLong(0), b, chunk)
+    }).toSet
+    val got = Knn.scaledBandChunks(vecs, "vec_id", "embedding", width,
+      bands = 8, dims = Knn.inferDims(vecs, vecs, "embedding"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    got shouldBe expected
+  }
+
+  test("findMatchesLsh/findMatchesLshTopN default scaled path on a non-64-dim corpus") {
+    // end-to-end through inferDims: the exact duplicate shares every
+    // sampled-plane band at the data's own dim and wins the re-rank
+    val src = vecs.filter($"vec_id" <= 2)
+    val tgt = vecs.filter($"vec_id" >= 3)
+    val m1 = Knn.findMatchesLsh(src, tgt, "vec_id", "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .find(_._1 == 1L).get
+    m1._2 shouldBe 5L
+    m1._3 shouldBe 1.0
+    val l1 = Matcher.findMatchesLshTopN(src, tgt, "vec_id", "embedding")
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+      .find(_._1 == 1L).get
+    l1._2 shouldBe 5L
+  }
+
   test("embedding near-dup pairs finds the duplicate pair via banding") {
     val pairs = Knn.nearDupPairs(vecs, "vec_id", "embedding", threshold = 0.95,
       bands = 2, maxWidth = 2, dims = 4)

@@ -53,6 +53,17 @@ class LineDedupSpec extends SparkSpec {
       (2L, 2, 1L, "c"))
   }
 
+  test("a null document behaves as the empty string (duck-twin parity)") {
+    // round-10 ADVICE: size(split(null)) = -1 diverged from the Duck
+    // twin's len(NULL) = NULL; both sides now coalesce text to ''
+    val out = run(Seq(1L -> "a", 2L -> null.asInstanceOf[String], 3L -> ""))
+    // '' splits to one empty line; doc 2's (null → '') owns it first
+    out shouldBe Seq(
+      (1L, 1, 1L, "a"),
+      (2L, 1, 1L, ""),
+      (3L, 1, 0L, ""))
+  }
+
   test("matches a brute-force reimplementation on a random corpus") {
     val rng = new scala.util.Random(7)
     val vocab = Vector("a", "b", "c", "d")
