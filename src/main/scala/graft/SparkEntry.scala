@@ -17,7 +17,8 @@ object SparkEntry {
     VectorQueries,
     SchemaQueries,
     EventQueries,
-    PipelineQueries)
+    PipelineQueries,
+    SketchQueries)
 
   // def, not lazy val: oracle SQL may embed model state captured while
   // the queries ran (Pca.lastFit) — Verify calls oracleSql AFTER the

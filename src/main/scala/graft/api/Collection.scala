@@ -209,6 +209,21 @@ class Collection(val name: String, val df: DataFrame) {
   def distinctValues(cols: Seq[String]): DataFrame =
     df.select(cols.map(col): _*).distinct()
 
+  /** Per-group approximate distinct with the exact audit beside it —
+    * the deterministic HLL tier of [[distinctValues]] cardinality
+    * checks; see [[graft.ops.Sketches.hllDistinct]].
+    */
+  def distinctSketch(keyCol: String, groupCol: String, p: Int = 8): DataFrame =
+    graft.ops.Sketches.hllDistinct(df, keyCol, groupCol, p)
+
+  /** All-pairs group similarity from KMV bottom-k shingle sketches
+    * (exact Jaccard audited beside the estimate); see
+    * [[graft.ops.Sketches.kmvJaccard]].
+    */
+  def similaritySketch(groupCol: String, textCol: String,
+      w: Int = 3, k: Int = 256): DataFrame =
+    graft.ops.Sketches.kmvJaccard(df, groupCol, textCol, w, k)
+
   /** Facet counts for a single column; see [[Facets.facetCounts]]. */
   def facet(facetCol: String, where: Filter = Filter.True, limit: Int = 100): DataFrame =
     Facets.facetCounts(df, where, facetCol, limit)

@@ -150,6 +150,401 @@ object Sketches {
   def buildBloom(df: DataFrame, expr: Column, expectedItems: Long, fpp: Double = 0.01): BloomFilter =
     df.stat.bloomFilter(expr, expectedItems, fpp)
 
+  // --------------------------------------------------------------------
+  // Deterministic HLL / KMV — the oracle-REPLAYABLE sketch tier.
+  //
+  // Spark's own approx_count_distinct (HLL++) is correct but its hash
+  // is engine-internal, so DuckDB can only check it rows-only. The
+  // estimators below rebuild the classic sketches from the engine's
+  // portable md5-60bit hash (Flajolet et al. 2007 HyperLogLog;
+  // Bar-Yossef et al. 2002 / Beyer et al. 2007 KMV "k-minimum-values"),
+  // so the oracle replays the REGISTERS themselves, not just the
+  // answer. Determinism discipline (the q_cms_topk convention):
+  //  - every per-row quantity is integer arithmetic on the 60-bit hash
+  //    (register index = top p bits, rank = leading-zero count via
+  //    length(bin(rest)) — identical minimal-width bin() in both
+  //    engines);
+  //  - the HLL denominator Σ 2^(-rank) is summed as the EXACT integer
+  //    Σ 2^(maxRank - rank) (max 2^61, fits a long), so the sum is
+  //    order-free — no float-accumulation drift across partitionings;
+  //  - the only floats are one final division, one optional ln() in
+  //    the standard small-range linear-counting correction, and the
+  //    4dp output rounding.
+  //
+  // Scale shape: a register table is ONE partial-aggregating groupBy
+  // into (groups × m) rows of bytes — no shuffle of raw values, and
+  // registers MERGE by per-index max (the property [[hllUnionMerge]]
+  // proves cross-engine): per-partition sketches union without rescan,
+  // the whole point of sketching 100 TB.
+  // --------------------------------------------------------------------
+
+  /** Hash width of [[graft.text.TextFunctions.portableHash60]]. */
+  private val HashBits = 60
+
+  /** Standard HLL bias-correction constant for m = 2^p registers. */
+  private def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Per-(group, register) max-rank table: idx = top `p` hash bits,
+    * rank = leading zeros of the remaining (60-p) bits + 1. Duplicate
+    * keys collapse for free (same (idx, rank) → max) — HLL insertion
+    * is idempotent, no distinct pass needed.
+    */
+  private def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String], p: Int): DataFrame = {
+    val restBits = HashBits - p
+    val restMod = 1L << restBits
+    val maxRank = restBits + 1
+    df.select(groupCols.map(col) :+
+        graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"): _*)
+      .withColumn("idx", shiftright(col("h"), restBits))
+      .withColumn("rst", col("h") % restMod)
+      .withColumn("r",
+        when(col("rst") === 0, lit(maxRank))
+          .otherwise(lit(maxRank) - length(bin(col("rst")))))
+      .groupBy((groupCols.map(col) :+ col("idx")): _*)
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** Estimate column bundle from a register table: groups → (nreg, v,
+    * raw, est). The raw estimate αm²/Σ2^(-M_j) divides two exact
+    * integers (see the header note), so it is bit-identical across
+    * engines and partitionings; the ≤2.5m small-range branch applies
+    * the standard linear-counting correction m·ln(m/V).
+    */
+  private def hllEstimate(regs: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    val m = 1 << p
+    val maxRank = HashBits - p + 1
+    val twoS = math.pow(2.0, maxRank) // exact power of two
+    val alphaMM = hllAlpha(m) * m * m
+    val grouped =
+      if (groupCols.isEmpty) regs.groupBy()
+      else regs.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(count(lit(1)).as("nreg"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $maxRank - r)")).as("dh"))
+      .withColumn("v", lit(m.toLong) - col("nreg"))
+      .withColumn("denom", col("v") * lit(1L << maxRank) + col("dh"))
+      .withColumn("raw", (lit(alphaMM) * lit(twoS)) / col("denom").cast("double"))
+      .withColumn("est",
+        when(col("raw") <= lit(2.5 * m) && col("v") > 0,
+          lit(m.toDouble) * log(lit(m.toDouble) / col("v").cast("double")))
+          .otherwise(col("raw")))
+  }
+
+  /** DuckDB CTE fragment: `rows_<tag>` + `regs_<tag>` (per-g register
+    * table) over a `h_<tag>(g, h)` CTE the caller supplies.
+    */
+  private def hllRegsDuck(tag: String, p: Int): String = {
+    val restBits = HashBits - p
+    val restMod = 1L << restBits
+    val maxRank = restBits + 1
+    s"""rows_$tag AS (
+       |  SELECT g, (h >> $restBits) AS idx,
+       |    CASE WHEN (h % $restMod) = 0 THEN $maxRank
+       |         ELSE $maxRank - length(bin(h % $restMod)) END AS r
+       |  FROM h_$tag),
+       |regs_$tag AS (
+       |  SELECT g, idx, max(r) AS r FROM rows_$tag GROUP BY g, idx)""".stripMargin
+  }
+
+  /** DuckDB CTE fragment: `agg_<tag>` + `fin_<tag>(g, v, est)` over an
+    * arbitrary register relation `regsRel(g, idx, r)` — the exact
+    * mirror of [[hllEstimate]]'s integer-denominator arithmetic.
+    */
+  private def hllFinDuck(tag: String, regsRel: String, p: Int): String = {
+    val m = 1 << p
+    val maxRank = HashBits - p + 1
+    val twoS = math.pow(2.0, maxRank)
+    val alphaMM = hllAlpha(m) * m * m
+    // string-cast double literals: a bare decimal literal is DECIMAL in
+    // DuckDB and the register sum would overflow DECIMAL(18) multiply
+    val raw = s"((CAST('$alphaMM' AS DOUBLE) * CAST('$twoS' AS DOUBLE)) / " +
+      s"CAST((($m - nreg) * ${1L << maxRank} + dh) AS DOUBLE))"
+    s"""agg_$tag AS (
+       |  SELECT g, count(*) AS nreg,
+       |    sum((CAST(1 AS BIGINT) << ($maxRank - r))) AS dh
+       |  FROM $regsRel GROUP BY g),
+       |fin_$tag AS (
+       |  SELECT g, ($m - nreg) AS v,
+       |    CASE WHEN $raw <= ${2.5 * m} AND ($m - nreg) > 0
+       |         THEN $m.0 * ln($m.0 / CAST(($m - nreg) AS DOUBLE))
+       |         ELSE $raw END AS est
+       |  FROM agg_$tag)""".stripMargin
+  }
+
+  /** The portable 60-bit hash as DuckDB SQL over a key expression. */
+  private def hash60Duck(keySql: String): String =
+    s"CAST(CAST(concat('0x', substr(md5(CAST($keySql AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  /** Per-group HLL distinct-count estimate AUDITED against the exact
+    * count: (group, exact_distinct, hll_est, rel_err). `p` register
+    * bits → m = 2^p registers, standard error ≈ 1.04/√m (p=8 → 6.5%).
+    * The exact side is the audit; at 100 TB only the register pass
+    * runs (one bounded partial agg, mergeable across days/shards).
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
+    val est = hllEstimate(
+      hllRegisters(df.withColumnRenamed(groupCol, "g"), keyCol, Seq("g"), p), Seq("g"), p)
+    val exact = df.groupBy(col(groupCol).as("g"))
+      .agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    exact.join(est, "g")
+      .select(col("g").as(groupCol), col("exact_distinct"),
+        round(col("est"), 4).as("hll_est"),
+        round(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 4).as("rel_err"))
+  }
+
+  /** DuckDB twin of [[hllDistinct]]. */
+  def hllDistinctDuckSql(table: String, keyCol: String, groupCol: String, p: Int = 8): String =
+    s"""WITH h_d AS (
+       |  SELECT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table),
+       |${hllRegsDuck("d", p)},
+       |${hllFinDuck("d", "regs_d", p)},
+       |ex AS (
+       |  SELECT $groupCol AS g, count(DISTINCT $keyCol) AS exact_distinct
+       |  FROM $table GROUP BY 1)
+       |SELECT ex.g AS $groupCol, ex.exact_distinct,
+       |  round(f.est, 4) AS hll_est,
+       |  round(abs(f.est - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+       |FROM ex JOIN fin_d f ON ex.g = f.g""".stripMargin
+
+  /** The HLL MERGE proof, oracle-checked: per-group register tables
+    * merged by per-index max estimate the distinct count of the UNION
+    * — and the merged estimate is BIT-IDENTICAL to sketching the whole
+    * input directly (max is associative; every downstream quantity is
+    * integer until one final division). One row: (exact_distinct,
+    * direct_est, merged_est, merge_exact=1). This is the property that
+    * makes HLL the 100 TB path: per-shard/per-day sketches union
+    * without rescanning raw data.
+    */
+  def hllUnionMerge(df: DataFrame, keyCol: String, groupCol: String, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
+    val perGroup = hllRegisters(df.withColumnRenamed(groupCol, "g"), keyCol, Seq("g"), p)
+    val merged = hllEstimate(
+      perGroup.groupBy("idx").agg(max(col("r")).as("r")), Nil, p)
+      .select(col("est").as("merged_est_raw"))
+    val direct = hllEstimate(hllRegisters(df, keyCol, Nil, p), Nil, p)
+      .select(col("est").as("direct_est_raw"))
+    val exact = df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
+    // 1-row global aggregates on every side: broadcast crossJoin is the
+    // registry's totals idiom (never a CartesianProductExec)
+    exact.crossJoin(broadcast(direct)).crossJoin(broadcast(merged))
+      .select(col("exact_distinct"),
+        round(col("direct_est_raw"), 4).as("direct_est"),
+        round(col("merged_est_raw"), 4).as("merged_est"),
+        (col("merged_est_raw") === col("direct_est_raw")).cast("int").as("merge_exact"))
+  }
+
+  /** DuckDB twin of [[hllUnionMerge]]. */
+  def hllUnionMergeDuckSql(table: String, keyCol: String, groupCol: String, p: Int = 8): String =
+    s"""WITH h_g AS (
+       |  SELECT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table),
+       |${hllRegsDuck("g", p)},
+       |h_u AS (SELECT 1 AS g, h FROM h_g),
+       |${hllRegsDuck("u", p)},
+       |regs_m AS (SELECT 1 AS g, idx, max(r) AS r FROM regs_g GROUP BY idx),
+       |${hllFinDuck("u", "regs_u", p)},
+       |${hllFinDuck("m", "regs_m", p)},
+       |ex AS (SELECT count(DISTINCT $keyCol) AS exact_distinct FROM $table)
+       |SELECT ex.exact_distinct,
+       |  round(d.est, 4) AS direct_est,
+       |  round(m.est, 4) AS merged_est,
+       |  CAST(m.est = d.est AS INTEGER) AS merge_exact
+       |FROM ex, fin_u d, fin_m m""".stripMargin
+
+  /** Executor-side fold of one key into an HLL register array — the
+    * Scala twin of [[hllRegisters]]'s per-row arithmetic (same 60-bit
+    * hash, same idx/rank split; bitlen via numberOfLeadingZeros ==
+    * `length(bin(x))`). Used by the streaming tier, whose state is
+    * exactly this m-byte array per group.
+    */
+  def hllFold(registers: Array[Byte], key: String, p: Int): Unit = {
+    val restBits = HashBits - p
+    val h = graft.index.TrigramIndexer.hash60(key)
+    val idx = (h >>> restBits).toInt
+    val rest = h & ((1L << restBits) - 1)
+    val rank =
+      if (rest == 0) restBits + 1
+      else restBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+    if (rank > registers(idx)) registers(idx) = rank.toByte
+  }
+
+  /** Estimate from a register array — the Scala twin of
+    * [[hllEstimate]], mirrored operation-for-operation (exact integer
+    * denominator; `StrictMath.log` matches Spark's Log codegen — the
+    * Bm25Index convention), so a streamed register state reproduces
+    * the batch estimate BIT-for-bit on the same data.
+    */
+  def hllEstimateScala(registers: Array[Byte], p: Int): Double = {
+    val m = 1 << p
+    val maxRank = HashBits - p + 1
+    val twoS = math.pow(2.0, maxRank)
+    val alphaMM = hllAlpha(m) * m * m
+    var nreg = 0L
+    var dh = 0L
+    var i = 0
+    while (i < m) {
+      val r = registers(i)
+      if (r > 0) {
+        nreg += 1
+        dh += 1L << (maxRank - r)
+      }
+      i += 1
+    }
+    val v = m - nreg
+    val denom = v * (1L << maxRank) + dh
+    val raw = (alphaMM * twoS) / denom.toDouble
+    if (raw <= 2.5 * m && v > 0) m.toDouble * StrictMath.log(m.toDouble / v.toDouble)
+    else raw
+  }
+
+  /** Per-group KMV (k-minimum-values / bottom-k) distinct estimate
+    * AUDITED against the exact count: (group, exact_distinct, kmv_est,
+    * rel_err). Estimator: (k-1) / U(k) with U(k) = (k-th smallest
+    * 60-bit hash + 1) / 2^60 — pure integer arithmetic until one final
+    * division, so both engines agree bit-for-bit before the 4dp round.
+    * Groups with fewer than k distinct values report exactly.
+    *
+    * `exact_distinct` counts distinct HASHES (collision odds n²/2^61 —
+    * the decontaminate argument), so the audit measures the ESTIMATOR,
+    * not hash luck, and the oracle replays it exactly.
+    *
+    * Scale shape: the bottom-k per group needs only a per-partition
+    * bottom-k then a k-sized merge (a bounded partial aggregate —
+    * never a global sort of the hash set); the window form here is the
+    * oracle-matched reference, partitioned on the group key.
+    */
+  def kmvDistinct(df: DataFrame, keyCol: String, groupCol: String, k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val d = df.select(col(groupCol).as("g"),
+        graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"))
+      .distinct()
+    val w = Window.partitionBy("g").orderBy("h")
+    // (k-1) * 2^60 as ONE exact double literal, shared with the twin
+    val num = (k - 1).toDouble * math.pow(2.0, HashBits)
+    d.withColumn("rn", row_number().over(w))
+      .groupBy("g")
+      .agg(count(lit(1)).as("exact_distinct"),
+        max(when(col("rn") === k, col("h"))).as("kth"))
+      .withColumn("est",
+        when(col("exact_distinct") < k, col("exact_distinct").cast("double"))
+          .otherwise(lit(num) / (col("kth") + lit(1L)).cast("double")))
+      .select(col("g").as(groupCol), col("exact_distinct"),
+        round(col("est"), 4).as("kmv_est"),
+        round(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 4).as("rel_err"))
+  }
+
+  /** DuckDB twin of [[kmvDistinct]]. */
+  def kmvDistinctDuckSql(table: String, keyCol: String, groupCol: String, k: Int = 64): String = {
+    val num = (k - 1).toDouble * math.pow(2.0, HashBits)
+    s"""WITH d AS (
+       |  SELECT DISTINCT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table),
+       |rn AS (
+       |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
+       |agg AS (
+       |  SELECT g, count(*) AS exact_distinct,
+       |    max(CASE WHEN rn = $k THEN h END) AS kth
+       |  FROM rn GROUP BY g),
+       |est AS (
+       |  SELECT g, exact_distinct,
+       |    CASE WHEN exact_distinct < $k THEN CAST(exact_distinct AS DOUBLE)
+       |         ELSE CAST('$num' AS DOUBLE) / CAST(kth + 1 AS DOUBLE) END AS est
+       |  FROM agg)
+       |SELECT g AS $groupCol, exact_distinct,
+       |  round(est, 4) AS kmv_est,
+       |  round(abs(est - exact_distinct) / exact_distinct, 4) AS rel_err
+       |FROM est""".stripMargin
+  }
+
+  /** All-pairs set-similarity between GROUPS via KMV signatures,
+    * audited against the exact Jaccard: one row per unordered group
+    * pair (source_a, source_b, exact_j, kmv_j, abs_err). Sets are the
+    * groups' distinct w-gram shingle hashes; the KMV estimate is the
+    * classic bottom-k-of-the-union form |K(A∪B) ∩ A ∩ B| / |K(A∪B)|
+    * (Beyer et al. 2007) — on the union's k smallest hashes, a
+    * uniform sample of A∪B, both engines integer-identical; ratios
+    * round via the exact-rational [[PortableRound]].
+    *
+    * Scale shape: group membership rides TWO equi-joins of the bounded
+    * pair list (|groups|² rows — a source/language domain, dozens by
+    * contract) against the distinct-(group, hash) postings — never an
+    * all-pairs join of the postings themselves; at 100 TB only the
+    * per-group bottom-k SIGNATURES (k hashes each) need materializing,
+    * and signatures merge like any bottom-k. The exact side is the
+    * test-scale audit.
+    */
+  def kmvJaccard(df: DataFrame, groupCol: String, textCol: String,
+      w: Int = 3, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(groupCol).as("g"),
+        explode(graft.text.Repetition.ngrams(lower(col(textCol)), w)).as("gram"))
+      .select(col("g"), graft.text.TextFunctions.portableHash60(col("gram")).as("h"))
+      .distinct()
+    val groups = toks.select("g").distinct()
+    val pairs = groups.select(col("g").as("g1"))
+      .join(groups.select(col("g").as("g2")), col("g1") < col("g2"))
+    val memA = pairs.join(toks, col("g") === col("g1"))
+      .select(col("g1"), col("g2"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val memB = pairs.join(toks, col("g") === col("g2"))
+      .select(col("g1"), col("g2"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val mem = memA.unionByName(memB)
+      .groupBy("g1", "g2", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+    val win = Window.partitionBy("g1", "g2").orderBy("h")
+    mem.withColumn("rn", row_number().over(win))
+      .groupBy("g1", "g2")
+      .agg(
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("inter_n"),
+        count(lit(1)).as("union_n"),
+        sum((col("rn") <= k && col("in_a") === 1 && col("in_b") === 1).cast("long")).as("kmv_inter"),
+        sum((col("rn") <= k).cast("long")).as("kmv_n"))
+      .select(col("g1").as("source_a"), col("g2").as("source_b"),
+        PortableRound.intRound4(col("inter_n"), col("union_n")).as("exact_j"),
+        PortableRound.intRound4(col("kmv_inter"), col("kmv_n")).as("kmv_j"))
+      .withColumn("abs_err", round(abs(col("exact_j") - col("kmv_j")), 4))
+  }
+
+  /** DuckDB twin of [[kmvJaccard]]. */
+  def kmvJaccardDuckSql(table: String, groupCol: String, textCol: String,
+      w: Int = 3, k: Int = 256): String =
+    s"""WITH toks AS (
+       |  SELECT DISTINCT $groupCol AS g,
+       |    ${hash60Duck("gram")} AS h
+       |  FROM (SELECT $groupCol, unnest(${graft.text.Repetition.ngramsDuck(s"lower($textCol)", w)}) AS gram
+       |        FROM $table)),
+       |grps AS (SELECT DISTINCT g FROM toks),
+       |pairs AS (
+       |  SELECT a.g AS g1, b.g AS g2 FROM grps a JOIN grps b ON a.g < b.g),
+       |mem AS (
+       |  SELECT g1, g2, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT p.g1, p.g2, t.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN toks t ON t.g = p.g1
+       |    UNION ALL
+       |    SELECT p.g1, p.g2, t.h, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN toks t ON t.g = p.g2)
+       |  GROUP BY g1, g2, h),
+       |rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn FROM mem),
+       |agg AS (
+       |  SELECT g1, g2,
+       |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS inter_n,
+       |    count(*) AS union_n,
+       |    sum(CASE WHEN rn <= $k AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS kmv_inter,
+       |    sum(CASE WHEN rn <= $k THEN 1 ELSE 0 END) AS kmv_n
+       |  FROM rn GROUP BY g1, g2)
+       |SELECT g1 AS source_a, g2 AS source_b,
+       |  ${PortableRound.intRound4Duck("inter_n", "union_n")} AS exact_j,
+       |  ${PortableRound.intRound4Duck("kmv_inter", "kmv_n")} AS kmv_j,
+       |  round(abs((${PortableRound.intRound4Duck("inter_n", "union_n")})
+       |          - (${PortableRound.intRound4Duck("kmv_inter", "kmv_n")})), 4) AS abs_err
+       |FROM agg""".stripMargin
+
   /** Membership-test column for a built Bloom filter (false-positive
     * rate `fpp`, never false-negative) — usable as a pre-filter that
     * keeps ALL true matches and drops ~(1-fpp) of true negatives

@@ -604,6 +604,33 @@ object StreamOps {
       }
   }
 
+  /** Streaming HLL distinct-count — the live tier of
+    * [[graft.ops.Sketches.hllDistinct]]: per-group state is exactly
+    * the m-byte register array (m = 2^p — BOUNDED regardless of how
+    * many distinct keys the stream ever carries, the property that
+    * makes running COUNT(DISTINCT) feasible at all: exact streaming
+    * distinct state grows with cardinality). Each micro-batch folds
+    * its keys into the registers ([[graft.ops.Sketches.hllFold]], the
+    * same hash/idx/rank arithmetic as the batch op) and emits the
+    * group's updated estimate. Replaying a corpus reproduces the
+    * batch `hll_est` BIT-for-bit (integer registers are
+    * order/batching-insensitive; the estimate arithmetic is mirrored
+    * op-for-op incl. StrictMath.log) — spec-pinned, including across
+    * micro-batch state carry. Input tuples: (group, key).
+    */
+  def hllDistinctStream(ds: Dataset[(String, String)], p: Int = 8): Dataset[(String, Double)] = {
+    import ds.sparkSession.implicits._
+    val m = 1 << p
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Byte]]) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          rows.foreach { case (_, key) => graft.ops.Sketches.hllFold(regs, key, p) }
+          state.update(regs)
+          (g, graft.ops.Sketches.hllEstimateScala(regs, p))
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: cumulative (count, sum)
     * per key, emitted on every update.
     */

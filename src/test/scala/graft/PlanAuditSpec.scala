@@ -132,11 +132,18 @@ class PlanAuditSpec extends SparkSpec {
                            // final, churn-undefined week)
     "q_lsh_recall",        // three 1-row pair-count crossJoins (the
                            // q_dedup_rate totals shape)
-    "q_embed_dedup_recall" // brute-force TRUTH side of the recall
+    "q_embed_dedup_recall", // brute-force TRUTH side of the recall
                            // audit: bounded slice (vec_id < 1000, the
                            // q_ann_recall sampled-truth rule)
                            // crossJoined against its broadcast self +
                            // three 1-row count crossJoins
+    "q_hll_union",         // three 1-row frames (global exact count ×
+                           // two global HLL estimates) crossJoined into
+                           // the single merge-proof row
+    "q_kmv_jaccard"        // pair GENERATION only: |groups|² triangular
+                           // join of the source domain (dozens by
+                           // contract, the q_corpus_kl argument) —
+                           // posting membership itself rides equi-joins
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {

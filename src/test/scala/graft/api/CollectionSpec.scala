@@ -197,6 +197,24 @@ class CollectionSpec extends SparkSpec {
     graft.api.CacheScope.global.release(blocking = true)
   }
 
+  test("sketch accessors compose: distinctSketch, similaritySketch") {
+    import spark.implicits._
+    val nums = (0 until 9000).map(i => ((i % 3).toString, i.toLong)).toDF("g", "k")
+    val ds = new Collection("nums", nums).distinctSketch("k", "g")
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("exact_distinct"), r.getAs[Double]("rel_err"))).toMap
+    ds.keySet shouldBe Set("0", "1", "2")
+    ds.values.foreach { case (exact, err) => exact shouldBe 3000L; err should be < 0.26 }
+    val docs = Seq(
+      ("a", (1 to 30).map(i => s"w$i").mkString(" ")),
+      ("b", (1 to 30).map(i => s"w$i").mkString(" ")),
+      ("c", (1 to 30).map(i => s"v$i").mkString(" "))).toDF("source", "text")
+    val sim = new Collection("docs", docs).similaritySketch("source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_j")).toMap
+    sim(("a", "b")) shouldBe 1.0
+    sim(("a", "c")) shouldBe 0.0
+  }
+
   test("behavioral/lexical accessors compose: userFeatures, sessionStats, " +
       "quantileNormalize, valueDrift, lexicalDiversity, burstiness, sourceGini") {
     import spark.implicits._

@@ -63,6 +63,80 @@ class SketchesSpec extends SparkSpec {
     out.head._2 shouldBe 100L
   }
 
+  private lazy val manyKeys = spark.range(0, 12000)
+    .select(col("id"), (col("id") % 3).cast("string").as("g"))
+
+  test("hllDistinct: per-group estimate within the m=256 error envelope") {
+    val rows = Sketches.hllDistinct(manyKeys, "id", "g", p = 8)
+      .collect().map(r => r.getAs[String]("g") ->
+        (r.getAs[Long]("exact_distinct"), r.getAs[Double]("rel_err"))).toMap
+    rows.keySet shouldBe Set("0", "1", "2")
+    rows.values.foreach { case (exact, relErr) =>
+      exact shouldBe 4000L
+      // stderr 1.04/sqrt(256) = 6.5%; 4 sigma = 26%
+      relErr should be < 0.26
+    }
+  }
+
+  test("hllDistinct: invariant under repartitioning (order-free integer registers)") {
+    val a = Sketches.hllDistinct(manyKeys, "id", "g", p = 8).collect().toSet
+    val b = Sketches.hllDistinct(manyKeys.repartition(7), "id", "g", p = 8).collect().toSet
+    a shouldBe b
+  }
+
+  test("hllUnionMerge: merged per-group registers estimate the union BIT-identically") {
+    val r = Sketches.hllUnionMerge(manyKeys, "id", "g", p = 8).collect().head
+    r.getAs[Long]("exact_distinct") shouldBe 12000L
+    r.getAs[Int]("merge_exact") shouldBe 1
+    r.getAs[Double]("merged_est") shouldBe r.getAs[Double]("direct_est")
+    math.abs(r.getAs[Double]("direct_est") - 12000.0) / 12000.0 should be < 0.26
+  }
+
+  test("kmvDistinct: exact below k, tail-estimates above k within 4 sigma") {
+    // small group (n < k) reports exactly
+    val small = spark.range(0, 30).select(col("id"), lit("s").as("g"))
+    val sr = Sketches.kmvDistinct(small, "id", "g", k = 64).collect().head
+    sr.getAs[Long]("exact_distinct") shouldBe 30L
+    sr.getAs[Double]("kmv_est") shouldBe 30.0
+    sr.getAs[Double]("rel_err") shouldBe 0.0
+    // large groups engage (k-1)/U(k); stderr ~ 1/sqrt(k-2) = 12.7%
+    val rows = Sketches.kmvDistinct(manyKeys, "id", "g", k = 64)
+      .collect().map(r => r.getAs[String]("g") -> r.getAs[Double]("rel_err")).toMap
+    rows.keySet shouldBe Set("0", "1", "2")
+    rows.values.foreach(_ should be < 0.51)
+  }
+
+  test("kmvDistinct: invariant under repartitioning") {
+    val a = Sketches.kmvDistinct(manyKeys, "id", "g", k = 64).collect().toSet
+    val b = Sketches.kmvDistinct(manyKeys.repartition(5), "id", "g", k = 64).collect().toSet
+    a shouldBe b
+  }
+
+  test("kmvJaccard: exact extremes and a sane mid-range estimate") {
+    import spark.implicits._
+    // two identical corpora, one disjoint
+    val base = (1 to 40).map(i => s"w${i} w${i + 1} w${i + 2} w${i + 3} w${i + 4}")
+    val docs = (base.map(("ga", _)) ++ base.map(("gb", _)) ++
+      (1 to 40).map(i => ("gc", s"z${i} z${i + 1} z${i + 2} z${i + 3} z${i + 4}")))
+      .toDF("source", "text")
+    val rows = Sketches.kmvJaccard(docs, "source", "text", w = 3, k = 16)
+      .collect().map(r => (r.getAs[String]("source_a"), r.getAs[String]("source_b")) ->
+        (r.getAs[Double]("exact_j"), r.getAs[Double]("kmv_j"))).toMap
+    rows.keySet shouldBe Set(("ga", "gb"), ("ga", "gc"), ("gb", "gc"))
+    rows(("ga", "gb")) shouldBe ((1.0, 1.0)) // identical sets: both exact
+    rows(("ga", "gc"))._1 shouldBe 0.0
+    rows(("ga", "gc"))._2 shouldBe 0.0 // disjoint: no shared hash can enter K
+    // half-overlapping corpora: estimate lands within the k=16 noise of exact
+    val half = (1 to 40).map(i => ("gx", s"w${i} w${i + 1} w${i + 2}")) ++
+      (21 to 60).map(i => ("gy", s"w${i} w${i + 1} w${i + 2}"))
+    val hr = Sketches.kmvJaccard(half.toDF("source", "text"), "source", "text", w = 3, k = 16)
+      .collect().head
+    math.abs(hr.getAs[Double]("exact_j") - hr.getAs[Double]("kmv_j")) should be < 0.35
+    hr.getAs[Double]("abs_err") shouldBe
+      BigDecimal(math.abs(hr.getAs[Double]("exact_j") - hr.getAs[Double]("kmv_j")).toString)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   test("bloom filter: never a false negative; fpp in range") {
     val members = spark.range(0, 5000).toDF("v")
     val bloom = Sketches.buildBloom(members, col("v"), 5000, fpp = 0.01)
