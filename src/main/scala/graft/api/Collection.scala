@@ -216,6 +216,14 @@ class Collection(val name: String, val df: DataFrame) {
   def distinctSketch(keyCol: String, groupCol: String, p: Int = 8): DataFrame =
     graft.ops.Sketches.hllDistinct(df, keyCol, groupCol, p)
 
+  /** Per-group quantile estimates from a deterministic bottom-n hash
+    * sample with the exact audit beside them — the sketch tier of
+    * [[groupQuantiles]]; see [[graft.ops.Sketches.quantileSketch]].
+    */
+  def quantileSketch(groupCol: String, valCol: String, idCol: String,
+      n: Int = 512): DataFrame =
+    graft.ops.Sketches.quantileSketch(df, groupCol, valCol, idCol, n)
+
   /** All-pairs group similarity from KMV bottom-k shingle sketches
     * (exact Jaccard audited beside the estimate); see
     * [[graft.ops.Sketches.kmvJaccard]].

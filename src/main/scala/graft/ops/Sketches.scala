@@ -545,6 +545,82 @@ object Sketches {
        |          - (${PortableRound.intRound4Duck("kmv_inter", "kmv_n")})), 4) AS abs_err
        |FROM agg""".stripMargin
 
+  /** Per-group quantile estimates from a DETERMINISTIC bottom-n hash
+    * sample, audited against the exact quantiles: (group, n,
+    * n_sample, <p>_exact, <p>_est, <p>_err per requested quantile).
+    * The sample is the n rows with the smallest portable row-key
+    * hashes per group (ties broken on the key) — a coordinated,
+    * rerun/engine-identical uniform sample (the [[Sampling]] hash
+    * discipline), so the oracle replays the SAMPLE itself; both the
+    * sample and full-data quantiles ride [[Describe.groupQuantiles]]'s
+    * proven interpolation parity. This completes the sketch family's
+    * quantile axis beside percentile_approx (whose KLL buffer is
+    * engine-internal, rows-only checkable).
+    *
+    * Scale shape: bottom-n-by-hash is the same bounded partial
+    * aggregate as KMV (per-partition bottom-n, n-sized merge — the
+    * window form here is the oracle-matched reference, partitioned on
+    * the group key); the exact side is the test-scale audit, dropped
+    * at 100 TB where the sample IS the answer. Sample error ~
+    * 1/(2√n)·1/f(q) — n=512 → ~2-3 value-percentile points.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, valCol: String, idCol: String,
+      n: Int = 512, ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
+    require(n >= 8, s"sample size too small: $n")
+    import org.apache.spark.sql.expressions.Window
+    val keyed = df.select(col(groupCol), col(valCol),
+      graft.text.TextFunctions.portableHash60(col(idCol).cast("string")).as("__h"),
+      col(idCol).as("__id"))
+    val srn = row_number().over(
+      Window.partitionBy(groupCol).orderBy(col("__h").asc, col("__id").asc))
+    val sample = keyed.withColumn("__srn", srn).filter(col("__srn") <= n)
+    val est = Describe.groupQuantiles(sample, groupCol, valCol,
+        ps.map { case (name, p) => s"${name}_est" -> p })
+      .withColumnRenamed("n", "n_sample")
+    val exact = Describe.groupQuantiles(df, groupCol, valCol,
+      ps.map { case (name, p) => s"${name}_exact" -> p })
+    val errCols = ps.map { case (name, _) =>
+      round(abs(col(s"${name}_est") - col(s"${name}_exact")), 4).as(s"${name}_err")
+    }
+    exact.join(est, groupCol)
+      .select(col(groupCol) +: col("n") +: col("n_sample") +:
+        (ps.flatMap { case (name, _) =>
+          Seq(col(s"${name}_exact"), col(s"${name}_est"))
+        } ++ errCols): _*)
+  }
+
+  /** DuckDB twin of [[quantileSketch]] — the sample CTE replays the
+    * identical hash ranking, then both quantile passes reuse
+    * [[Describe.groupQuantilesDuckSql]] over subquery "tables".
+    */
+  def quantileSketchDuckSql(table: String, groupCol: String, valCol: String, idCol: String,
+      n: Int = 512, ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): String = {
+    val estSub =
+      s"""(SELECT $groupCol, $valCol FROM (
+         |  SELECT $groupCol, $valCol,
+         |    row_number() OVER (PARTITION BY $groupCol
+         |      ORDER BY ${hash60Duck(idCol)} ASC, $idCol ASC) AS srn
+         |  FROM $table) ranked WHERE srn <= $n) smp""".stripMargin
+    val est = Describe.groupQuantilesDuckSql(estSub, groupCol, valCol,
+      ps.map { case (name, p) => s"${name}_est" -> p })
+    val exact = Describe.groupQuantilesDuckSql(table, groupCol, valCol,
+      ps.map { case (name, p) => s"${name}_exact" -> p })
+    val errCols = ps.map { case (name, _) =>
+      s"round(abs(e.${name}_est - x.${name}_exact), 4) AS ${name}_err"
+    }.mkString(",\n  ")
+    val valCols = ps.map { case (name, _) =>
+      s"x.${name}_exact, e.${name}_est"
+    }.mkString(",\n  ")
+    s"""WITH est_q AS (
+       |$est),
+       |exact_q AS (
+       |$exact)
+       |SELECT x.$groupCol, x.n, e.n AS n_sample,
+       |  $valCols,
+       |  $errCols
+       |FROM exact_q x JOIN est_q e ON x.$groupCol = e.$groupCol""".stripMargin
+  }
+
   /** Membership-test column for a built Bloom filter (false-positive
     * rate `fpp`, never false-negative) — usable as a pre-filter that
     * keeps ALL true matches and drops ~(1-fpp) of true negatives

@@ -39,5 +39,10 @@ object SketchQueries extends QuerySet {
     Q("q_kmv_jaccard",
       (s, d) => Sketches.kmvJaccard(
         Tables.df(s, d, "documents"), "source", "text", w = 3, k = 256),
-      Some(Sketches.kmvJaccardDuckSql("documents", "source", "text", w = 3, k = 256))))
+      Some(Sketches.kmvJaccardDuckSql("documents", "source", "text", w = 3, k = 256))),
+
+    Q("q_quantile_sketch",
+      (s, d) => Sketches.quantileSketch(
+        Tables.df(s, d, "events"), "event_type", "value", "event_id", n = 512),
+      Some(Sketches.quantileSketchDuckSql("events", "event_type", "value", "event_id", n = 512))))
 }

@@ -137,6 +137,37 @@ class SketchesSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("quantileSketch: bottom-n hash sample tracks exact quantiles; small groups are exact") {
+    import spark.implicits._
+    // uniform [0, 10000): sample-p50 error ~ 1/(2 sqrt(256)) of the range
+    val vals = (0 until 8000).map(i => ((i % 2).toString, ((i * 37) % 10000).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val rows = Sketches.quantileSketch(vals, "g", "v", "id", n = 256)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    rows.keySet shouldBe Set("0", "1")
+    rows.values.foreach { r =>
+      r.getAs[Long]("n") shouldBe 4000L
+      r.getAs[Long]("n_sample") shouldBe 256L
+      r.getAs[Double]("p50_err") should be < 1000.0 // 4 sigma on the value scale
+      r.getAs[Double]("p90_err") should be < 1000.0
+    }
+    // a group smaller than n: the "sample" is the whole group -> exact
+    val tiny = (0 until 50).map(i => ("t", i.toDouble, i.toLong)).toDF("g", "v", "id")
+    val t = Sketches.quantileSketch(tiny, "g", "v", "id", n = 256).collect().head
+    t.getAs[Long]("n_sample") shouldBe 50L
+    t.getAs[Double]("p50_err") shouldBe 0.0
+    t.getAs[Double]("p90_err") shouldBe 0.0
+  }
+
+  test("quantileSketch: invariant under repartitioning (hash sample, not RNG)") {
+    import spark.implicits._
+    val vals = (0 until 3000).map(i => ("a", (i * 7 % 977).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val a = Sketches.quantileSketch(vals, "g", "v", "id", n = 128).collect().toSet
+    val b = Sketches.quantileSketch(vals.repartition(9), "g", "v", "id", n = 128).collect().toSet
+    a shouldBe b
+  }
+
   test("bloom filter: never a false negative; fpp in range") {
     val members = spark.range(0, 5000).toDF("v")
     val bloom = Sketches.buildBloom(members, col("v"), 5000, fpp = 0.01)
