@@ -479,31 +479,53 @@ object Sketches {
     * test-scale audit.
     */
   def kmvJaccard(df: DataFrame, groupCol: String, textCol: String,
-      w: Int = 3, k: Int = 256): DataFrame = {
+      w: Int = 3, k: Int = 256,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(groupCol).as("g"),
-        explode(graft.text.Repetition.ngrams(lower(col(textCol)), w)).as("gram"))
-      .select(col("g"), graft.text.TextFunctions.portableHash60(col("gram")).as("h"))
-      .distinct()
-    val groups = toks.select("g").distinct()
-    val pairs = groups.select(col("g").as("g1"))
-      .join(groups.select(col("g").as("g2")), col("g1") < col("g2"))
-    val memA = pairs.join(toks, col("g") === col("g1"))
+    // persisted: sizes, the co-occurrence self-join (both sides), and
+    // the signature window all read the distinct postings
+    val toks = scope.persist(
+      df.select(col(groupCol).as("g"),
+          explode(graft.text.Repetition.ngrams(lower(col(textCol)), w)).as("gram"))
+        .select(col("g"), graft.text.TextFunctions.portableHash60(col("gram")).as("h"))
+        .distinct())
+    val sizes = toks.groupBy("g").agg(count(lit(1)).as("sz"))
+    // EXACT side: inverted-index co-occurrence — pairs form only where
+    // a hash is SHARED (per-hash fan-out ≤ |groups|², typically far
+    // sparser), never |pairs| × |postings|; |A∪B| = |A|+|B|−|A∩B|
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("inter_n"))
+    // KMV side: per-group bottom-k SIGNATURES are sufficient — every
+    // element of the union's bottom-k is inside its own side's
+    // bottom-k, and membership h∈A is decidable from K(A) for exactly
+    // those elements (the property that lets 100 TB corpora compare by
+    // shipping k hashes per group)
+    val sigs = toks
+      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("h")))
+      .filter(col("rn") <= k).drop("rn")
+    val pairs = sizes.select(col("g").as("g1"), col("sz").as("sz1"))
+      .join(sizes.select(col("g").as("g2"), col("sz").as("sz2")), col("g1") < col("g2"))
+    val sigA = pairs.join(sigs, col("g") === col("g1"))
       .select(col("g1"), col("g2"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
-    val memB = pairs.join(toks, col("g") === col("g2"))
+    val sigB = pairs.join(sigs, col("g") === col("g2"))
       .select(col("g1"), col("g2"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
-    val mem = memA.unionByName(memB)
+    val sigU = sigA.unionByName(sigB)
       .groupBy("g1", "g2", "h")
       .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
     val win = Window.partitionBy("g1", "g2").orderBy("h")
-    mem.withColumn("rn", row_number().over(win))
+    val kmv = sigU.withColumn("rn", row_number().over(win))
+      .filter(col("rn") <= k)
       .groupBy("g1", "g2")
       .agg(
-        sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("inter_n"),
-        count(lit(1)).as("union_n"),
-        sum((col("rn") <= k && col("in_a") === 1 && col("in_b") === 1).cast("long")).as("kmv_inter"),
-        sum((col("rn") <= k).cast("long")).as("kmv_n"))
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("kmv_inter"),
+        count(lit(1)).as("kmv_n"))
+    pairs.join(inter, Seq("g1", "g2"), "left")
+      .join(kmv, Seq("g1", "g2"))
+      .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
+      .withColumn("union_n", col("sz1") + col("sz2") - col("inter_n"))
       .select(col("g1").as("source_a"), col("g2").as("source_b"),
         PortableRound.intRound4(col("inter_n"), col("union_n")).as("exact_j"),
         PortableRound.intRound4(col("kmv_inter"), col("kmv_n")).as("kmv_j"))
