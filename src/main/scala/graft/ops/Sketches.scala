@@ -100,6 +100,19 @@ object Sketches {
        |ORDER BY exact_n DESC, token ASC""".stripMargin
   }
 
+  /** Scala twin of [[cmsTopK]]'s bucket arithmetic (md5-32bit base
+    * hash + the MinHash multiply-shift permutation, products < 2^62)
+    * — the streaming tier folds tokens into its Count-Min state with
+    * exactly the buckets the batch sketch uses.
+    */
+  def cmsBucket(tok: String, d: Int, width: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    val (a, b) = graft.dedup.MinHash.permConsts(d)
+    (((a * h + b) % graft.dedup.MinHash.Mersenne61.toLong) % width).toInt
+  }
+
   /** Approximate distinct count per column in ONE aggregation
     * (HLL++, `rsd` relative error) — the scale path for
     * `Collection.distinctValues` cardinality checks.
@@ -279,6 +292,26 @@ object Sketches {
   /** The portable 60-bit hash as DuckDB SQL over a key expression. */
   private def hash60Duck(keySql: String): String =
     s"CAST(CAST(concat('0x', substr(md5(CAST($keySql AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
+
+  /** Public register-table builder for PERSISTED sketch rollups: one
+    * row per (groupCols…, idx, r). Write this per day/shard/partition;
+    * any subset later merges by max(r) per (group, idx) and estimates
+    * WITHOUT rescanning raw data — [[hllUnionMerge]] proves the merge
+    * is bit-exact, SketchesSpec pins the parquet round-trip. This is
+    * the day-over-day distinct-users rollup at 100 TB: bytes per
+    * (day, group) instead of a rescan of every day in the window.
+    */
+  def hllRegisterTable(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      p: Int = 8): DataFrame =
+    hllRegisters(df, keyCol, groupCols, p)
+
+  /** Estimates from a (possibly merged, possibly reloaded) register
+    * table — the read side of [[hllRegisterTable]]. Returns
+    * (groupCols…, est).
+    */
+  def hllEstimateTable(regs: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame =
+    hllEstimate(regs, groupCols, p)
+      .select((groupCols.map(col) :+ col("est")): _*)
 
   /** Per-group HLL distinct-count estimate AUDITED against the exact
     * count: (group, exact_distinct, hll_est, rel_err). `p` register

@@ -631,6 +631,79 @@ object StreamOps {
       }
   }
 
+  /** Streaming KMV distinct-count — the bottom-k companion of
+    * [[hllDistinctStream]] (error bound 1/√(k−2) INDEPENDENT of
+    * cardinality, and the same state answers set-similarity):
+    * per-group state is the k smallest distinct 60-bit hashes seen (a
+    * sorted array, ≤ 8k bytes). Each micro-batch merges its keys'
+    * hashes in and emits (group, est) with the batch op's exact
+    * estimator arithmetic — groups under k distinct report exactly,
+    * (k−1)·2^60/(h_k+1) above. Replaying a corpus reproduces
+    * [[graft.ops.Sketches.kmvDistinct]]'s kmv_est bit-for-bit
+    * (spec-pinned, incl. micro-batch state carry). Input: (group, key).
+    */
+  def kmvDistinctStream(ds: Dataset[(String, String)], k: Int = 64): Dataset[(String, Double)] = {
+    import ds.sparkSession.implicits._
+    require(k >= 2, s"k must be >= 2: $k")
+    ds.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val prev = state.getOption.getOrElse(Array.empty[Long])
+          val merged = (prev.toSet ++
+            rows.map(r => graft.index.TrigramIndexer.hash60(r._2)))
+            .toArray.sorted.take(k)
+          state.update(merged)
+          val est =
+            if (merged.length < k) merged.length.toDouble
+            else ((k - 1).toDouble * math.pow(2.0, 60)) / (merged(k - 1) + 1L).toDouble
+          (g, est)
+      }
+  }
+
+  /** Streaming Count-Min tracked-term monitor — the live tier of
+    * [[graft.ops.Sketches.cmsTopK]]: per-group state is the
+    * (depth × width) Count-Min table (literal-bounded ints — never
+    * per-term state, the sketch's whole point), probes are a FIXED
+    * broadcast-sized term list. Each micro-batch folds its tokens in
+    * and emits (group, term, cms_est) for every probe, using the batch
+    * op's exact hash family (md5-32bit + the MinHash multiply-shift
+    * permutations), so replaying a corpus reproduces the batch
+    * estimates exactly (spec-pinned) with the est ≥ exact CMS
+    * guarantee. Input: (group, token).
+    */
+  def cmsTrackStream(ds: Dataset[(String, String)], probes: Seq[String],
+      depth: Int = 4, width: Int = 1024): Dataset[(String, String, Long)] = {
+    import ds.sparkSession.implicits._
+    require(depth >= 1 && width >= 1, s"bad CMS shape ($depth x $width)")
+    require(probes.nonEmpty, "cmsTrackStream needs at least one probe term")
+    val probeList = probes.distinct
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
+          val cms = state.getOption.getOrElse(new Array[Long](depth * width))
+          rows.foreach { case (_, tok) =>
+            var d = 0
+            while (d < depth) {
+              cms(d * width + graft.ops.Sketches.cmsBucket(tok, d, width)) += 1L
+              d += 1
+            }
+          }
+          state.update(cms)
+          probeList.iterator.map { term =>
+            var est = Long.MaxValue
+            var d = 0
+            while (d < depth) {
+              val c = cms(d * width + graft.ops.Sketches.cmsBucket(term, d, width))
+              if (c < est) est = c
+              d += 1
+            }
+            (g, term, est)
+          }
+      }
+  }
+
   /** Custom keyed state via mapGroupsWithState: cumulative (count, sum)
     * per key, emitted on every update.
     */

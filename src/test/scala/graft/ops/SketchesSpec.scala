@@ -137,6 +137,27 @@ class SketchesSpec extends SparkSpec {
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
   }
 
+  test("hllRegisterTable: parquet round-trip + max-merge of day shards equals direct sketching") {
+    import spark.implicits._
+    // two "days" with overlapping users
+    val day1 = (0 until 5000).map(i => ("d", s"u${i % 1500}")).toDF("g", "u")
+    val day2 = (0 until 5000).map(i => ("d", s"u${i % 2300 + 700}")).toDF("g", "u")
+    val dir = java.nio.file.Files.createTempDirectory("hllregs").toString
+    Sketches.hllRegisterTable(day1, "u", Seq("g")).write.parquet(s"$dir/day=1")
+    Sketches.hllRegisterTable(day2, "u", Seq("g")).write.parquet(s"$dir/day=2")
+    // reload BOTH shards, merge by max(r), estimate — no raw rescan
+    val merged = spark.read.parquet(s"$dir/day=1").unionByName(spark.read.parquet(s"$dir/day=2"))
+      .groupBy("g", "idx").agg(max("r").as("r"))
+    val rollup = Sketches.hllEstimateTable(merged, Seq("g"))
+      .collect().head.getAs[Double]("est")
+    val direct = Sketches.hllEstimateTable(
+      Sketches.hllRegisterTable(day1.unionByName(day2), "u", Seq("g")), Seq("g"))
+      .collect().head.getAs[Double]("est")
+    rollup shouldBe direct // bit-exact: max-merge == direct registers
+    // true union distinct = u0..u2999 = 3000
+    math.abs(rollup - 3000.0) / 3000.0 should be < 0.26
+  }
+
   test("quantileSketch: bottom-n hash sample tracks exact quantiles; small groups are exact") {
     import spark.implicits._
     // uniform [0, 10000): sample-p50 error ~ 1/(2 sqrt(256)) of the range

@@ -318,6 +318,70 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("kmvDistinctStream: bottom-k state carries across batches and reproduces the batch estimator") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = (0 until 2400).map(i => (s"g${i % 2}", s"u${i % 500}"))
+    val (b1, b2) = keys.splitAt(700)
+    val input = MemoryStream[(String, String)]
+    val est = StreamOps.kmvDistinctStream(input.toDS(), k = 64)
+    val q = est.toDF("g", "est").writeStream.format("memory")
+      .queryName("kmv_out").outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("kmv_out").collect()
+        .map(r => (r.getString(0), r.getDouble(1)))
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      // batch op on the same corpus: kmv_est is the 4dp round of the
+      // same (k-1)*2^60/(h_k+1) arithmetic
+      import spark.implicits._
+      val batch = graft.ops.Sketches.kmvDistinct(keys.toDF("g", "u"), "u", "g", k = 64)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("kmv_est")).toMap
+      streamed.keySet shouldBe Set("g0", "g1")
+      streamed.foreach { case (g, e) =>
+        batch(g) shouldBe BigDecimal(e.toString)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        // 250 true distinct per group (parity-locked %500 cycle)
+        math.abs(e - 250.0) / 250.0 should be < 0.55
+      }
+    } finally q.stop()
+  }
+
+  test("cmsTrackStream: CMS state carries across batches; estimates match the batch sketch and dominate exact") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = Seq.fill(40)("hot") ++ Seq.fill(15)("warm") ++ (1 to 30).map(i => s"tail$i")
+    val toks = text.map(("all", _))
+    val (b1, b2) = toks.splitAt(33)
+    val input = MemoryStream[(String, String)]
+    val est = StreamOps.cmsTrackStream(input.toDS(), probes = Seq("hot", "warm"),
+      depth = 2, width = 8)
+    val q = est.toDF("g", "term", "est").writeStream.format("memory")
+      .queryName("cms_out").outputMode("append").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      val last = spark.table("cms_out").collect()
+        .map(r => (r.getString(1), r.getLong(2)))
+        .groupBy(_._1).map { case (t, rows) => t -> rows.last._2 }
+      // batch sketch over the same corpus at the same shape
+      import spark.implicits._
+      val batch = graft.ops.Sketches.cmsTopK(
+        text.map(t => t).toDF("text"), "text", k = 2, depth = 2, width = 8)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      graft.api.CacheScope.global.release()
+      val batchEst = batch.map(t => t._1 -> t._3).toMap
+      val batchExact = batch.map(t => t._1 -> t._2).toMap
+      last("hot") shouldBe batchEst("hot")
+      last("warm") shouldBe batchEst("warm")
+      last("hot") should be >= batchExact("hot") // CMS guarantee
+      last("warm") should be >= batchExact("warm")
+    } finally q.stop()
+  }
+
   test("stateless pipeline ops (quality gate, chunking) run unchanged on a stream") {
     // the training-data operators are plain Column plans, so the SAME
     // code drives readStream — batch/stream parity for the corpus-prep
