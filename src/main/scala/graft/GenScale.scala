@@ -64,7 +64,15 @@ object GenScale {
 
     def writeOne(df: DataFrame, name: String): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // ONE file (the driver layout) but MANY row groups: a 110 MB
+      // single-row-group parquet is unsplittable — every sf1 scan ran
+      // as ONE task regardless of maxPartitionBytes (measured: 14 s
+      // for scan+hash of lineitem on a 32-core box). 4 MB groups give
+      // byte-range splits real row-group boundaries to bind to;
+      // LocalSession pairs this with files.maxPartitionBytes=8m.
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", 4L * 1024 * 1024)
+        .parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.endsWith(".parquet")).get
       java.nio.file.Files.move(part.toPath,

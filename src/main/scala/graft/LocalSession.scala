@@ -21,6 +21,11 @@ object LocalSession {
     val spark = SparkSession.builder()
       .master(s"local[$n]")
       .config("spark.sql.shuffle.partitions", n)
+      // pair of GenScale's 4 MB row groups: without this a 110 MB sf1
+      // table is one 128 MB split = one task; 8 MB splits spread the
+      // scan across the box. Driver-provided sf0.1 files are single
+      // row groups (~11 MB) — they keep their one task either way.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

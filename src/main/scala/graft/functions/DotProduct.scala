@@ -120,6 +120,8 @@ object GraftFunctions {
       .registerFunction(AudioRms.info._1, AudioRms.info._2, AudioRms.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(DeflateLen.info._1, DeflateLen.info._2, DeflateLen.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(BottomKLongAgg.info._1, BottomKLongAgg.info._2, BottomKLongAgg.info._3)
   }
 }
 
@@ -147,5 +149,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(BpeApply.info)
     ext.injectFunction(AudioRms.info)
     ext.injectFunction(DeflateLen.info)
+    ext.injectFunction(BottomKLongAgg.info)
   }
 }

@@ -446,24 +446,44 @@ object Sketches {
     * the decontaminate argument), so the audit measures the ESTIMATOR,
     * not hash luck, and the oracle replays it exactly.
     *
-    * Scale shape: the bottom-k per group needs only a per-partition
-    * bottom-k then a k-sized merge (a bounded partial aggregate —
-    * never a global sort of the hash set); the window form here is the
-    * oracle-matched reference, partitioned on the group key.
+    * Scale shape: the bottom-k rides
+    * [[graft.functions.BottomKLongAgg]] — a k-capped sorted buffer per
+    * group that partial-aggregates (each partition reduces to ≤ k
+    * longs per key, duplicates collapse on insert), so NO distinct
+    * shuffle of the hash set and NO per-group sort window ever run;
+    * the exact_distinct audit is the only distinct aggregate left (it
+    * drops at 100 TB where the sketch is the answer — or rides HLL).
+    * Measured at sf1: 14.0 s (distinct + sort-window form) → the
+    * one-pass agg; bottom-k is merge-associative, so the result is
+    * partitioning-invariant (spec-pinned). The DuckDB twin keeps its
+    * independent row_number formulation — two algorithms, one answer.
     */
-  def kmvDistinct(df: DataFrame, keyCol: String, groupCol: String, k: Int = 64): DataFrame = {
+  def kmvDistinct(df: DataFrame, keyCol: String, groupCol: String, k: Int = 64,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    import org.apache.spark.sql.expressions.Window
-    val d = df.select(col(groupCol).as("g"),
-        graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"))
-      .distinct()
-    val w = Window.partitionBy("g").orderBy("h")
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // (k-1) * 2^60 as ONE exact double literal, shared with the twin
     val num = (k - 1).toDouble * math.pow(2.0, HashBits)
-    d.withColumn("rn", row_number().over(w))
-      .groupBy("g")
-      .agg(count(lit(1)).as("exact_distinct"),
-        max(when(col("rn") === k, col("h"))).as("kth"))
+    // NULL keys hash to NULL and the engines would RANK nulls
+    // differently (Spark nulls-first, DuckDB nulls-last) — dropped
+    // identically on both sides. Persisted: the md5-60bit projection
+    // is the expensive per-row kernel and both aggregations read it.
+    val hashed = scope.persist(
+      df.select(col(groupCol).as("g"),
+          graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"))
+        .filter(col("h").isNotNull))
+    // TWO separate aggregations joined on the bounded group domain —
+    // NOT one groupBy: mixing countDistinct with the typed-imperative
+    // bottom-k triggers Catalyst's distinct-rewrite Expand (row
+    // duplication + (g, h)-keyed first stage whose cardinality blows
+    // the ObjectHashAggregate map into its sort-based fallback) —
+    // measured 35 s vs 3.2 s at sf1
+    val bk = hashed.groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("bk"))
+      .select(col("g"),
+        when(size(col("bk")) === k, element_at(col("bk"), k)).as("kth"),
+        size(col("bk")).as("bk_n"))
+    val ex = hashed.groupBy("g").agg(countDistinct(col("h")).as("exact_distinct"))
+    ex.join(bk, "g")
       .withColumn("est",
         when(col("exact_distinct") < k, col("exact_distinct").cast("double"))
           .otherwise(lit(num) / (col("kth") + lit(1L)).cast("double")))
@@ -476,7 +496,8 @@ object Sketches {
   def kmvDistinctDuckSql(table: String, keyCol: String, groupCol: String, k: Int = 64): String = {
     val num = (k - 1).toDouble * math.pow(2.0, HashBits)
     s"""WITH d AS (
-       |  SELECT DISTINCT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table),
+       |  SELECT DISTINCT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table
+       |  WHERE $keyCol IS NOT NULL),
        |rn AS (
        |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM d),
        |agg AS (
@@ -623,9 +644,12 @@ object Sketches {
       n: Int = 512, ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
     require(n >= 8, s"sample size too small: $n")
     import org.apache.spark.sql.expressions.Window
-    val keyed = df.select(col(groupCol), col(valCol),
-      graft.text.TextFunctions.portableHash60(col(idCol).cast("string")).as("__h"),
-      col(idCol).as("__id"))
+    // NULL row keys would rank differently across engines (Spark
+    // nulls-first vs DuckDB nulls-last) — excluded identically
+    val keyed = df.filter(col(idCol).isNotNull)
+      .select(col(groupCol), col(valCol),
+        graft.text.TextFunctions.portableHash60(col(idCol).cast("string")).as("__h"),
+        col(idCol).as("__id"))
     val srn = row_number().over(
       Window.partitionBy(groupCol).orderBy(col("__h").asc, col("__id").asc))
     val sample = keyed.withColumn("__srn", srn).filter(col("__srn") <= n)
@@ -655,7 +679,7 @@ object Sketches {
          |  SELECT $groupCol, $valCol,
          |    row_number() OVER (PARTITION BY $groupCol
          |      ORDER BY ${hash60Duck(idCol)} ASC, $idCol ASC) AS srn
-         |  FROM $table) ranked WHERE srn <= $n) smp""".stripMargin
+         |  FROM $table WHERE $idCol IS NOT NULL) ranked WHERE srn <= $n) smp""".stripMargin
     val est = Describe.groupQuantilesDuckSql(estSub, groupCol, valCol,
       ps.map { case (name, p) => s"${name}_est" -> p })
     val exact = Describe.groupQuantilesDuckSql(table, groupCol, valCol,

@@ -106,6 +106,20 @@ class SketchesSpec extends SparkSpec {
     rows.values.foreach(_ should be < 0.51)
   }
 
+  test("kmvDistinct / quantileSketch: NULL keys are dropped, not ranked (engine null-order hazard)") {
+    import spark.implicits._
+    val withNulls = spark.range(0, 40).select(
+      lit("g").as("g"),
+      when(col("id") % 4 === 0, lit(null)).otherwise(col("id")).cast("string").as("k"),
+      col("id").cast("double").as("v"),
+      when(col("id") % 4 === 0, lit(null)).otherwise(col("id")).as("id2"))
+    val kd = Sketches.kmvDistinct(withNulls, "k", "g", k = 64).collect().head
+    kd.getAs[Long]("exact_distinct") shouldBe 30L // 10 null keys excluded
+    val qs = Sketches.quantileSketch(withNulls, "g", "v", "id2", n = 256).collect().head
+    qs.getAs[Long]("n_sample") shouldBe 30L // sample keyed on non-null ids only
+    qs.getAs[Long]("n") shouldBe 40L // exact audit still covers every value
+  }
+
   test("kmvDistinct: invariant under repartitioning") {
     val a = Sketches.kmvDistinct(manyKeys, "id", "g", k = 64).collect().toSet
     val b = Sketches.kmvDistinct(manyKeys.repartition(5), "id", "g", k = 64).collect().toSet
