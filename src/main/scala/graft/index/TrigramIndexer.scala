@@ -65,11 +65,24 @@ object TrigramIndexer {
       .map { case (b, g) => b -> g.size.toLong }
   }
 
-  /** Scala twin of [[graft.text.TextFunctions.portableHash60]]. */
+  private val digestLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Scala twin of [[graft.text.TextFunctions.portableHash60]]
+    * (thread-cached digest, no per-call hex-string build: the first 15
+    * hex chars are the top 60 bits of the first 8 digest bytes).
+    */
   def hash60(s: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val md = digestLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes("UTF-8"))
+    // 15 hex chars = 60 bits = first 7.5 bytes, big-endian
+    var h = 0L
+    var i = 0
+    while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    (h << 4) | ((d(7) & 0xf0L) >> 4)
   }
 
   // --- DuckDB oracle fragments -------------------------------------

@@ -100,18 +100,37 @@ object Sketches {
        |ORDER BY exact_n DESC, token ASC""".stripMargin
   }
 
-  /** Scala twin of [[cmsTopK]]'s bucket arithmetic (md5-32bit base
-    * hash + the MinHash multiply-shift permutation, products < 2^62)
-    * — the streaming tier folds tokens into its Count-Min state with
-    * exactly the buckets the batch sketch uses.
+  /** Scala twins of [[cmsTopK]]'s bucket arithmetic for the streaming
+    * tier: md5 runs ONCE per token ([[cmsBaseHash]], thread-local
+    * digest — the TokenHashes60 discipline), the per-depth buckets are
+    * pure multiply-shift arithmetic over that cached base
+    * ([[cmsBucketFromHash]]) — the same "1 hash, k permutations"
+    * envelope the batch sketch documents.
     */
-  def cmsBucket(tok: String, d: Int, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    val h = java.lang.Long.parseLong(hex.substring(0, 8), 16)
+  private val cmsDigest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 8 md5 hex chars of the token as a 32-bit base hash. */
+  def cmsBaseHash(tok: String): Long = {
+    val md = cmsDigest.get()
+    md.reset()
+    val dg = md.digest(tok.getBytes("UTF-8"))
+    // first 8 hex chars == first 4 bytes, big-endian, unsigned
+    ((dg(0) & 0xffL) << 24) | ((dg(1) & 0xffL) << 16) |
+      ((dg(2) & 0xffL) << 8) | (dg(3) & 0xffL)
+  }
+
+  /** Bucket for depth `d` from a [[cmsBaseHash]] value. */
+  def cmsBucketFromHash(h: Long, d: Int, width: Int): Int = {
     val (a, b) = graft.dedup.MinHash.permConsts(d)
     (((a * h + b) % graft.dedup.MinHash.Mersenne61.toLong) % width).toInt
   }
+
+  /** Composition of the two (one fresh md5) — test/reference form. */
+  def cmsBucket(tok: String, d: Int, width: Int): Int =
+    cmsBucketFromHash(cmsBaseHash(tok), d, width)
 
   /** Approximate distinct count per column in ONE aggregation
     * (HLL++, `rsd` relative error) — the scale path for
@@ -213,6 +232,11 @@ object Sketches {
     val maxRank = restBits + 1
     df.select(groupCols.map(col) :+
         graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"): _*)
+      // a NULL key would otherwise become a phantom (idx=NULL, r=NULL)
+      // register: counted in nreg but skipped by the rank sum, biasing
+      // v against an exact side that ignores nulls — dropped here and
+      // in the Duck twins' WHERE identically
+      .filter(col("h").isNotNull)
       .withColumn("idx", shiftright(col("h"), restBits))
       .withColumn("rst", col("h") % restMod)
       .withColumn("r",
@@ -321,8 +345,11 @@ object Sketches {
     */
   def hllDistinct(df: DataFrame, keyCol: String, groupCol: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
+    // explicit projection, not withColumnRenamed: an input that already
+    // carries a column named "g"/"k" would otherwise go ambiguous
     val est = hllEstimate(
-      hllRegisters(df.withColumnRenamed(groupCol, "g"), keyCol, Seq("g"), p), Seq("g"), p)
+      hllRegisters(df.select(col(groupCol).as("g"), col(keyCol).as("k")),
+        "k", Seq("g"), p), Seq("g"), p)
     val exact = df.groupBy(col(groupCol).as("g"))
       .agg(countDistinct(col(keyCol)).as("exact_distinct"))
     exact.join(est, "g")
@@ -334,7 +361,8 @@ object Sketches {
   /** DuckDB twin of [[hllDistinct]]. */
   def hllDistinctDuckSql(table: String, keyCol: String, groupCol: String, p: Int = 8): String =
     s"""WITH h_d AS (
-       |  SELECT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table),
+       |  SELECT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table
+       |  WHERE $keyCol IS NOT NULL),
        |${hllRegsDuck("d", p)},
        |${hllFinDuck("d", "regs_d", p)},
        |ex AS (
@@ -356,11 +384,12 @@ object Sketches {
     */
   def hllUnionMerge(df: DataFrame, keyCol: String, groupCol: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
-    val perGroup = hllRegisters(df.withColumnRenamed(groupCol, "g"), keyCol, Seq("g"), p)
+    val projected = df.select(col(groupCol).as("g"), col(keyCol).as("k"))
+    val perGroup = hllRegisters(projected, "k", Seq("g"), p)
     val merged = hllEstimate(
       perGroup.groupBy("idx").agg(max(col("r")).as("r")), Nil, p)
       .select(col("est").as("merged_est_raw"))
-    val direct = hllEstimate(hllRegisters(df, keyCol, Nil, p), Nil, p)
+    val direct = hllEstimate(hllRegisters(projected.select("k"), "k", Nil, p), Nil, p)
       .select(col("est").as("direct_est_raw"))
     val exact = df.agg(countDistinct(col(keyCol)).as("exact_distinct"))
     // 1-row global aggregates on every side: broadcast crossJoin is the
@@ -375,7 +404,8 @@ object Sketches {
   /** DuckDB twin of [[hllUnionMerge]]. */
   def hllUnionMergeDuckSql(table: String, keyCol: String, groupCol: String, p: Int = 8): String =
     s"""WITH h_g AS (
-       |  SELECT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table),
+       |  SELECT $groupCol AS g, ${hash60Duck(keyCol)} AS h FROM $table
+       |  WHERE $keyCol IS NOT NULL),
        |${hllRegsDuck("g", p)},
        |h_u AS (SELECT 1 AS g, h FROM h_g),
        |${hllRegsDuck("u", p)},

@@ -625,7 +625,11 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Byte]]) =>
           val regs = state.getOption.getOrElse(new Array[Byte](m))
-          rows.foreach { case (_, key) => graft.ops.Sketches.hllFold(regs, key, p) }
+          // null keys are dropped, matching the batch op's guard —
+          // never an NPE that kills the streaming query
+          rows.foreach { case (_, key) =>
+            if (key != null) graft.ops.Sketches.hllFold(regs, key, p)
+          }
           state.update(regs)
           (g, graft.ops.Sketches.hllEstimateScala(regs, p))
       }
@@ -649,8 +653,9 @@ object StreamOps {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
           val prev = state.getOption.getOrElse(Array.empty[Long])
+          // null keys dropped, matching kmvDistinct's h IS NOT NULL
           val merged = (prev.toSet ++
-            rows.map(r => graft.index.TrigramIndexer.hash60(r._2)))
+            rows.filter(_._2 != null).map(r => graft.index.TrigramIndexer.hash60(r._2)))
             .toArray.sorted.take(k)
           state.update(merged)
           val est =
@@ -677,25 +682,36 @@ object StreamOps {
     require(depth >= 1 && width >= 1, s"bad CMS shape ($depth x $width)")
     require(probes.nonEmpty, "cmsTrackStream needs at least one probe term")
     val probeList = probes.distinct
+    // probe buckets are constants of the operator — computed once at
+    // build time, never per batch
+    val probeBuckets: Seq[(String, Array[Int])] = probeList.map { term =>
+      val h = graft.ops.Sketches.cmsBaseHash(term)
+      term -> Array.tabulate(depth)(d => graft.ops.Sketches.cmsBucketFromHash(h, d, width))
+    }
     ds.groupByKey(_._1)
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append(),
         GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
           val cms = state.getOption.getOrElse(new Array[Long](depth * width))
+          // md5 ONCE per token; per-depth buckets are pure arithmetic
+          // (null tokens dropped, matching the batch explode semantics)
           rows.foreach { case (_, tok) =>
-            var d = 0
-            while (d < depth) {
-              cms(d * width + graft.ops.Sketches.cmsBucket(tok, d, width)) += 1L
-              d += 1
+            if (tok != null) {
+              val h = graft.ops.Sketches.cmsBaseHash(tok)
+              var d = 0
+              while (d < depth) {
+                cms(d * width + graft.ops.Sketches.cmsBucketFromHash(h, d, width)) += 1L
+                d += 1
+              }
             }
           }
           state.update(cms)
-          probeList.iterator.map { term =>
+          probeBuckets.iterator.map { case (term, buckets) =>
             var est = Long.MaxValue
             var d = 0
             while (d < depth) {
-              val c = cms(d * width + graft.ops.Sketches.cmsBucket(term, d, width))
+              val c = cms(d * width + buckets(d))
               if (c < est) est = c
               d += 1
             }

@@ -213,6 +213,7 @@ class CollectionSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_j")).toMap
     sim(("a", "b")) shouldBe 1.0
     sim(("a", "c")) shouldBe 0.0
+    graft.api.CacheScope.global.release(blocking = true)
   }
 
   test("behavioral/lexical accessors compose: userFeatures, sessionStats, " +

@@ -203,6 +203,17 @@ class SketchesSpec extends SparkSpec {
     a shouldBe b
   }
 
+  test("scala hash twins equal their md5-hex-parse definitions (byte-math regression pin)") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (s <- Seq("hello", "a", "", "token42", "日本語", "u1234567")) {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      graft.index.TrigramIndexer.hash60(s) shouldBe
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      Sketches.cmsBaseHash(s) shouldBe
+        java.lang.Long.parseLong(hex.substring(0, 8), 16)
+    }
+  }
+
   test("bloom filter: never a false negative; fpp in range") {
     val members = spark.range(0, 5000).toDF("v")
     val bloom = Sketches.buildBloom(members, col("v"), 5000, fpp = 0.01)
