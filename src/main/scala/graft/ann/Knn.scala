@@ -620,6 +620,66 @@ object Knn {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Per-band bucket-load audit of [[nearDupPairs]]'s banding — the
+    * quadratic-pair FUEL, measured instead of guessed (the
+    * q_shingle_df_hist convention on the vector side): for each band,
+    * the occupied-bucket count, corpus rows, the hottest bucket's
+    * occupancy, Σc² and Σ c·(c−1)/2 over bucket occupancies c (the
+    * candidate-pair count the band would feed the verify join BEFORE
+    * the maxBucket cap). This is the number whose growth across
+    * decades decides whether the [[widthForCount]] ladder holds at the
+    * next 10× — sub-linear n_cand_pairs growth means occupancy stays
+    * ~1; super-linear flags hot sign-pattern buckets before they
+    * become the bottleneck (re-widen the ladder, raise bands, or drop
+    * to the SemDeDup tier).
+    *
+    * Runs the IDENTICAL banding as the finder (same planes, same
+    * corpus-scaled width): audit numbers transfer 1:1.
+    */
+  def bucketLoadAudit(df: DataFrame, idCol: String, vecCol: String,
+                      bands: Int = 8, maxWidth: Int = 24, dims: Int = 64,
+                      seed: Long = 41L,
+                      widthOverride: Option[Int] = None): DataFrame = {
+    val width = math.min(math.min(maxWidth, dims),
+      widthOverride.getOrElse(widthForCount(df.count())))
+    val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
+    scaledBandChunks(e, idCol, "__v", width, bands, dims, maxWidth, seed)
+      .groupBy("band", "chunk").agg(count(lit(1)).as("c"))
+      .groupBy("band").agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("n_rows"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        // c·(c−1) is even and non-negative: shiftright IS the exact /2
+        // (Column./ is double division — a schema drift vs the BIGINT twin)
+        sum(shiftright(col("c") * (col("c") - 1), 1)).as("n_cand_pairs"))
+      .orderBy("band")
+  }
+
+  /** DuckDB twin of [[bucketLoadAudit]]. */
+  def bucketLoadAuditDuckSql(fromSql: String, idCol: String, vecCol: String,
+                             dim: Int, bands: Int = 8, maxWidth: Int = 24,
+                             seed: Long = 41L): String = {
+    val effMax = math.min(maxWidth, dim)
+    val bandSelects = scaledChunk0Duck(dim, bands, maxWidth, seed).zipWithIndex
+      .map { case (ce, b) => s"SELECT $idCol, $b AS band, $ce AS chunk0 FROM e" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT $idCol, CAST($vecCol AS DOUBLE[]) AS v FROM ($fromSql) src),
+       |w AS (SELECT LEAST($effMax, ${widthForCountDuckSql("count(*)")}) AS width FROM e),
+       |bk AS (
+       |  SELECT $idCol, band,
+       |         chunk0 & ((CAST(1 AS BIGINT) << width) - 1) AS chunk
+       |  FROM ($bandSelects) raw, w),
+       |cb AS (SELECT band, chunk, CAST(count(*) AS BIGINT) AS c
+       |       FROM bk GROUP BY band, chunk)
+       |SELECT band, CAST(count(*) AS BIGINT) AS n_buckets,
+       |  CAST(sum(c) AS BIGINT) AS n_rows,
+       |  CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+       |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+       |FROM cb GROUP BY band ORDER BY band""".stripMargin
+  }
+
   /** Semantic train/eval decontamination: flag every train row whose
     * embedding is within cosine `threshold` of ANY eval embedding — the
     * embedding-space analog of the n-gram `Corpus.decontaminate`

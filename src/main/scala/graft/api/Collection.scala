@@ -232,6 +232,25 @@ class Collection(val name: String, val df: DataFrame) {
       w: Int = 3, k: Int = 256): DataFrame =
     graft.ops.Sketches.kmvJaccard(df, groupCol, textCol, w, k)
 
+  /** Persisted bottom-k signature of each group's shingle set — the
+    * write side of the similarity sketch: write per day/shard, merge
+    * with [[graft.ops.Sketches.kmvMergeSignatures]], and compare any
+    * two snapshots with [[graft.ops.Sketches.kmvJaccardFromSignatures]]
+    * without rescanning raw data.
+    */
+  def signatureSketch(groupCol: String, textCol: String,
+      w: Int = 3, k: Int = 256): DataFrame =
+    graft.ops.Sketches.kmvShingleSignatureTable(df, groupCol, textCol, w, k)
+
+  /** est-vs-exact accuracy sweep over HLL register (p) and KMV
+    * signature (k) grids on this collection's key column — pick sketch
+    * parameters from measured error; see
+    * [[graft.ops.Sketches.sketchTuning]].
+    */
+  def sketchTuning(keyCol: String, hllPs: Seq[Int] = Seq(8, 12),
+      kmvKs: Seq[Int] = Seq(64, 256)): DataFrame =
+    graft.ops.Sketches.sketchTuning(df, keyCol, hllPs, kmvKs)
+
   /** Facet counts for a single column; see [[Facets.facetCounts]]. */
   def facet(facetCol: String, where: Filter = Filter.True, limit: Int = 100): DataFrame =
     Facets.facetCounts(df, where, facetCol, limit)

@@ -59,23 +59,8 @@ case class BottomKLongAgg(
 
   override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
 
-  /** Insert `v` into the sorted ≤k buffer (no-op on duplicate or when
-    * the buffer is full and v ≥ its max).
-    */
-  private def insert(buffer: Array[Long], v: Long): Array[Long] = {
-    val n = buffer.length
-    if (n == k && v >= buffer(n - 1)) return buffer
-    val pos = {
-      val i = java.util.Arrays.binarySearch(buffer, v)
-      if (i >= 0) return buffer // duplicate
-      -(i + 1)
-    }
-    val out = new Array[Long](math.min(n + 1, k))
-    System.arraycopy(buffer, 0, out, 0, pos)
-    out(pos) = v
-    System.arraycopy(buffer, pos, out, pos + 1, out.length - pos - 1)
-    out
-  }
+  private def insert(buffer: Array[Long], v: Long): Array[Long] =
+    BottomKLongAgg.insertSorted(buffer, k, v)
 
   override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
@@ -113,6 +98,28 @@ case class BottomKLongAgg(
 }
 
 object BottomKLongAgg {
+
+  /** Insert `v` into a sorted ≤k distinct-longs buffer (no-op on
+    * duplicate or when the buffer is full and v ≥ its max) — the
+    * aggregate's update/merge kernel, shared with the streaming KMV
+    * state fold so live sketch state pays the same O(log k +
+    * arraycopy) per key instead of a boxed set rebuild.
+    */
+  def insertSorted(buffer: Array[Long], k: Int, v: Long): Array[Long] = {
+    val n = buffer.length
+    if (n == k && v >= buffer(n - 1)) return buffer
+    val pos = {
+      val i = java.util.Arrays.binarySearch(buffer, v)
+      if (i >= 0) return buffer // duplicate
+      -(i + 1)
+    }
+    val out = new Array[Long](math.min(n + 1, k))
+    System.arraycopy(buffer, 0, out, 0, pos)
+    out(pos) = v
+    System.arraycopy(buffer, pos, out, pos + 1, out.length - pos - 1)
+    out
+  }
+
   val info = (
     FunctionIdentifier("graft_bottom_k"),
     new ExpressionInfo(classOf[BottomKLongAgg].getName, "graft_bottom_k"),

@@ -122,6 +122,8 @@ object GraftFunctions {
       .registerFunction(DeflateLen.info._1, DeflateLen.info._2, DeflateLen.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(BottomKLongAgg.info._1, BottomKLongAgg.info._2, BottomKLongAgg.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(BottomKStructAgg.info._1, BottomKStructAgg.info._2, BottomKStructAgg.info._3)
   }
 }
 
@@ -150,5 +152,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(AudioRms.info)
     ext.injectFunction(DeflateLen.info)
     ext.injectFunction(BottomKLongAgg.info)
+    ext.injectFunction(BottomKStructAgg.info)
   }
 }

@@ -226,17 +226,25 @@ object Sketches {
     * keys collapse for free (same (idx, rank) → max) — HLL insertion
     * is idempotent, no distinct pass needed.
     */
-  private def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String], p: Int): DataFrame = {
+  private def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String], p: Int): DataFrame =
+    hllRegistersFromHashes(
+      df.select(groupCols.map(col) :+
+          graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"): _*)
+        // a NULL key would otherwise become a phantom (idx=NULL, r=NULL)
+        // register: counted in nreg but skipped by the rank sum, biasing
+        // v against an exact side that ignores nulls — dropped here and
+        // in the Duck twins' WHERE identically
+        .filter(col("h").isNotNull),
+      groupCols, p)
+
+  /** [[hllRegisters]] over an already-hashed frame carrying `h` — lets
+    * a multi-p sweep ([[sketchTuning]]) hash the corpus ONCE.
+    */
+  private def hllRegistersFromHashes(hashed: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
     val restBits = HashBits - p
     val restMod = 1L << restBits
     val maxRank = restBits + 1
-    df.select(groupCols.map(col) :+
-        graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"): _*)
-      // a NULL key would otherwise become a phantom (idx=NULL, r=NULL)
-      // register: counted in nreg but skipped by the rank sum, biasing
-      // v against an exact side that ignores nulls — dropped here and
-      // in the Duck twins' WHERE identically
-      .filter(col("h").isNotNull)
+    hashed
       .withColumn("idx", shiftright(col("h"), restBits))
       .withColumn("rst", col("h") % restMod)
       .withColumn("r",
@@ -318,24 +326,47 @@ object Sketches {
     s"CAST(CAST(concat('0x', substr(md5(CAST($keySql AS VARCHAR)), 1, 15)) AS UBIGINT) AS BIGINT)"
 
   /** Public register-table builder for PERSISTED sketch rollups: one
-    * row per (groupCols…, idx, r). Write this per day/shard/partition;
-    * any subset later merges by max(r) per (group, idx) and estimates
-    * WITHOUT rescanning raw data — [[hllUnionMerge]] proves the merge
-    * is bit-exact, SketchesSpec pins the parquet round-trip. This is
-    * the day-over-day distinct-users rollup at 100 TB: bytes per
-    * (day, group) instead of a rescan of every day in the window.
+    * row per (groupCols…, idx, r, hll_p). Write this per day/shard/
+    * partition; any subset later merges by max(r) per (group, idx) and
+    * estimates WITHOUT rescanning raw data — [[hllUnionMerge]] proves
+    * the merge is bit-exact, SketchesSpec pins the parquet round-trip.
+    * This is the day-over-day distinct-users rollup at 100 TB: bytes
+    * per (day, group) instead of a rescan of every day in the window.
+    *
+    * `hll_p` persists the register width alongside the shards so the
+    * read side can fail fast on a write/estimate p mismatch (a silent
+    * mismatch would mis-split every hash into idx/rank and produce
+    * confidently wrong estimates).
     */
   def hllRegisterTable(df: DataFrame, keyCol: String, groupCols: Seq[String],
-      p: Int = 8): DataFrame =
-    hllRegisters(df, keyCol, groupCols, p)
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
+    hllRegisters(df, keyCol, groupCols, p).withColumn("hll_p", lit(p))
+  }
 
   /** Estimates from a (possibly merged, possibly reloaded) register
     * table — the read side of [[hllRegisterTable]]. Returns
-    * (groupCols…, est).
+    * (groupCols…, est). If the table still carries the `hll_p` column
+    * (a max-merge that grouped it away loses it — acceptable, the
+    * shards were validated at write time), any row whose recorded p
+    * disagrees with this call's `p` raises at execution rather than
+    * silently folding registers of the wrong width.
     */
-  def hllEstimateTable(regs: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame =
-    hllEstimate(regs, groupCols, p)
+  def hllEstimateTable(regs: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
+    val checked =
+      if (regs.columns.contains("hll_p")) {
+        // the guard rides the r column itself so column pruning can
+        // never optimize the check away
+        regs.withColumn("r",
+          when(col("hll_p") === lit(p), col("r"))
+            .otherwise(raise_error(concat(
+              lit("hll_p mismatch: register table written at p="),
+              col("hll_p").cast("string"), lit(s", estimated at p=$p")))))
+      } else regs
+    hllEstimate(checked, groupCols, p)
       .select((groupCols.map(col) :+ col("est")): _*)
+  }
 
   /** Per-group HLL distinct-count estimate AUDITED against the exact
     * count: (group, exact_distinct, hll_est, rel_err). `p` register
@@ -426,6 +457,8 @@ object Sketches {
     * exactly this m-byte array per group.
     */
   def hllFold(registers: Array[Byte], key: String, p: Int): Unit = {
+    require(registers.length == (1 << p),
+      s"register array length ${registers.length} != 2^$p — p mismatch")
     val restBits = HashBits - p
     val h = graft.index.TrigramIndexer.hash60(key)
     val idx = (h >>> restBits).toInt
@@ -545,6 +578,245 @@ object Sketches {
        |FROM est""".stripMargin
   }
 
+  /** Shared KMV pair estimator over signature ROWS (g, h) — h distinct
+    * within each g, each group's rows its bottom-k signature. Returns
+    * (g1, g2, kmv_inter, kmv_n) per unordered group pair: the union's
+    * bottom-k cut (|K(A∪B) ∩ A ∩ B|, |K(A∪B)|) from Beyer et al.
+    * 2007. Every ranking rides [[graft.functions.BottomKLongAgg]] —
+    * no rank window; the per-pair k-th union hash is a broadcast
+    * filter.
+    */
+  private def kmvPairStats(sigRows: DataFrame, k: Int,
+      scope: graft.api.CacheScope): DataFrame = {
+    val grps = sigRows.select("g").distinct()
+    val pairs = grps.select(col("g").as("g1"))
+      .join(grps.select(col("g").as("g2")), col("g1") < col("g2"))
+    val sigA = pairs.join(sigRows, col("g") === col("g1"))
+      .select(col("g1"), col("g2"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
+    val sigB = pairs.join(sigRows, col("g") === col("g2"))
+      .select(col("g1"), col("g2"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
+    val sigU = scope.persist(sigA.unionByName(sigB)
+      .groupBy("g1", "g2", "h")
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b")))
+    // the union's k-th smallest hash per pair, again via the bounded
+    // aggregate (sigU hashes are distinct per pair by the groupBy);
+    // the cut is then a broadcast filter — no per-pair rank window
+    val uk = sigU.groupBy("g1", "g2")
+      .agg(expr(s"graft_bottom_k(h, $k)").as("__bk"))
+      .select(col("g1"), col("g2"),
+        element_at(col("__bk"), size(col("__bk"))).as("kth"))
+    sigU.join(broadcast(uk), Seq("g1", "g2"))
+      .filter(col("h") <= col("kth"))
+      .groupBy("g1", "g2")
+      .agg(
+        sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("kmv_inter"),
+        count(lit(1)).as("kmv_n"))
+  }
+
+  /** Public KMV signature-table builder for PERSISTED sketch rollups —
+    * the bottom-k counterpart of [[hllRegisterTable]]: one row per
+    * group, (groupCols…, sig: sorted array of the k smallest distinct
+    * key hashes, kmv_k = k). Write this per day/shard/partition; any
+    * subset later merges by bottom-k of the concatenated signatures
+    * ([[kmvMergeSignatures]] — merged == direct is the
+    * [[graft.functions.BottomKLongAgg]] merge-associativity property,
+    * spec-pinned incl. the parquet round-trip) and estimates
+    * ([[kmvEstimateTable]]) or compares ([[kmvJaccardFromSignatures]])
+    * WITHOUT rescanning raw data. `kmv_k` persists the signature width
+    * so a later merge/estimate at a LARGER k (which a k-signature
+    * cannot answer) fails fast instead of silently under-estimating.
+    */
+  def kmvSignatureTable(df: DataFrame, keyCol: String, groupCols: Seq[String],
+      k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(groupCols.map(col) :+
+        graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("__h"): _*)
+      .filter(col("__h").isNotNull)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"graft_bottom_k(__h, $k)").as("sig"))
+      .withColumn("kmv_k", lit(k))
+  }
+
+  /** Guard: every signature row must have been written at kmv_k ≥ the
+    * requested k — a narrower shard cannot answer a wider bottom-k.
+    * The check rides the sig column itself so pruning can't drop it;
+    * tables without the kmv_k column pass through (the caller owns the
+    * contract, as with a max-merged register table).
+    */
+  private def kmvCheckK(sigs: DataFrame, k: Int): DataFrame =
+    if (sigs.columns.contains("kmv_k")) {
+      sigs.withColumn("sig",
+        when(col("kmv_k") >= lit(k), col("sig"))
+          .otherwise(raise_error(concat(
+            lit("kmv_k mismatch: signature written at k="),
+            col("kmv_k").cast("string"),
+            lit(s", read at k=$k — rebuild or lower k")))))
+    } else sigs
+
+  /** Merge signature shards: bottom-k of the concatenation, per group.
+    * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)), so merging
+    * shard signatures equals sketching the union directly — the
+    * rollup never rescans raw data. Output schema matches
+    * [[kmvSignatureTable]].
+    */
+  def kmvMergeSignatures(sigs: DataFrame, groupCols: Seq[String], k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    graft.functions.GraftFunctions.register(sigs.sparkSession)
+    kmvCheckK(sigs, k)
+      .select(groupCols.map(col) :+ explode(col("sig")).as("__h"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"graft_bottom_k(__h, $k)").as("sig"))
+      .withColumn("kmv_k", lit(k))
+  }
+
+  /** Distinct-count estimates from a (possibly merged, possibly
+    * reloaded) signature table — the read side of
+    * [[kmvSignatureTable]]: (groupCols…, kmv_est), exact below k,
+    * (k−1)·2^60/(h_k+1) at k — the same arithmetic as [[kmvDistinct]],
+    * whose audit pins it against exact counts.
+    */
+  def kmvEstimateTable(sigs: DataFrame, groupCols: Seq[String], k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    val num = (k - 1).toDouble * math.pow(2.0, HashBits)
+    // a wider-than-k signature still answers k: its first k entries
+    // ARE the k-signature (sorted ascending)
+    kmvCheckK(sigs, k)
+      .select(groupCols.map(col) :+ slice(col("sig"), 1, k).as("__sig"): _*)
+      .select(groupCols.map(col) :+
+        when(size(col("__sig")) < k, size(col("__sig")).cast("double"))
+          .otherwise(lit(num) / (element_at(col("__sig"), k) + lit(1L)).cast("double"))
+          .as("__est"): _*)
+      .select(groupCols.map(col) :+ round(col("__est"), 4).as("kmv_est"): _*)
+  }
+
+  /** [[kmvSignatureTable]] over a text column's w-gram shingle sets —
+    * the exact signature [[kmvJaccard]] builds live, persisted: one
+    * row per group, sig = bottom-k of the group's distinct shingle
+    * hashes. [[kmvJaccardFromSignatures]] over this table reproduces
+    * kmvJaccard's kmv_j column bit-for-bit (spec-pinned).
+    */
+  def kmvShingleSignatureTable(df: DataFrame, groupCol: String, textCol: String,
+      w: Int = 3, k: Int = 256): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(groupCol),
+        explode(graft.text.Repetition.ngrams(lower(col(textCol)), w)).as("__gram"))
+      .select(col(groupCol),
+        graft.text.TextFunctions.portableHash60(col("__gram")).as("__h"))
+      .filter(col("__h").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"graft_bottom_k(__h, $k)").as("sig"))
+      .withColumn("kmv_k", lit(k))
+  }
+
+  /** All-pairs KMV set-similarity straight from a PERSISTED signature
+    * table — the similarity path that never touches raw data: one row
+    * per unordered group pair (source_a, source_b, kmv_j). At 100 TB
+    * the corpus ships as k hashes per group; comparing two days/shards
+    * is a join of kilobyte signatures. Estimates match the live
+    * [[kmvJaccard]]'s kmv_j exactly when the table was built at the
+    * same shingle definition and k' ≥ k (each signature is re-cut to
+    * its first k entries).
+    */
+  def kmvJaccardFromSignatures(sigTable: DataFrame, groupCol: String, k: Int = 256,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    graft.functions.GraftFunctions.register(sigTable.sparkSession)
+    val rows = kmvCheckK(sigTable, k)
+      .select(col(groupCol).as("g"), explode(slice(col("sig"), 1, k)).as("h"))
+    kmvPairStats(rows, k, scope)
+      .select(col("g1").as("source_a"), col("g2").as("source_b"),
+        PortableRound.intRound4(col("kmv_inter"), col("kmv_n")).as("kmv_j"))
+  }
+
+  /** Sketch-accuracy tuning table: est-vs-exact for a grid of sketch
+    * parameters over the SAME corpus — one row per (sketch, param):
+    * (sketch ∈ {hll, kmv}, param = p or k, exact_distinct, est,
+    * rel_err). The q_ann_recall convention for sketches: a user picks
+    * p/k from measured error on their own key distribution, not from
+    * docstring stderr formulas (1.04/√2^p for HLL, 1/√(k−2) for KMV —
+    * real corpora sit anywhere inside those envelopes).
+    *
+    * `exact_distinct` counts distinct HASHES (the kmvDistinct
+    * convention — both sketches estimate the hash set, and collision
+    * odds are n²/2^61), so every row shares ONE truth column and the
+    * oracle replays it. Scale shape: the corpus hashes ONCE
+    * (persisted); each HLL cell is a bounded register aggregate, each
+    * KMV cell one bottom-k partial aggregate — the sweep costs
+    * |grid| bounded aggregations over the cached hash column, and the
+    * exact side is the test-scale audit (at 100 TB, sweep a sampled
+    * slice against its own exact count).
+    */
+  def sketchTuning(df: DataFrame, keyCol: String,
+      hllPs: Seq[Int] = Seq(8, 12), kmvKs: Seq[Int] = Seq(64, 256),
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    hllPs.foreach(p => require(p >= 4 && p <= 16, s"p out of range [4,16]: $p"))
+    kmvKs.foreach(k => require(k >= 2, s"k must be >= 2: $k"))
+    require(hllPs.nonEmpty || kmvKs.nonEmpty, "empty parameter grid")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashed = scope.persist(
+      df.select(graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"))
+        .filter(col("h").isNotNull))
+    val exact = hashed.agg(countDistinct(col("h")).as("exact_distinct"))
+    val hllRows = hllPs.map { p =>
+      hllEstimate(hllRegistersFromHashes(hashed, Nil, p), Nil, p)
+        .select(lit("hll").as("sketch"), lit(p).as("param"), col("est"))
+    }
+    val kmvRows = kmvKs.map { k =>
+      val num = (k - 1).toDouble * math.pow(2.0, HashBits)
+      hashed.agg(expr(s"graft_bottom_k(h, $k)").as("__bk"))
+        .select(lit("kmv").as("sketch"), lit(k).as("param"),
+          when(size(col("__bk")) < k, size(col("__bk")).cast("double"))
+            .otherwise(lit(num) / (element_at(col("__bk"), k) + lit(1L)).cast("double"))
+            .as("est"))
+    }
+    // 1-row frames throughout: the broadcast-crossJoin totals idiom
+    (hllRows ++ kmvRows).reduce(_ unionByName _)
+      .crossJoin(broadcast(exact))
+      .select(col("sketch"), col("param"), col("exact_distinct"),
+        round(col("est"), 4).as("est"),
+        round(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 4).as("rel_err"))
+      .orderBy("sketch", "param")
+  }
+
+  /** DuckDB twin of [[sketchTuning]]. */
+  def sketchTuningDuckSql(table: String, keyCol: String,
+      hllPs: Seq[Int] = Seq(8, 12), kmvKs: Seq[Int] = Seq(64, 256)): String = {
+    val hllCtes = hllPs.map { p =>
+      s"""h_p$p AS (SELECT 1 AS g, h FROM ht),
+         |${hllRegsDuck(s"p$p", p)},
+         |${hllFinDuck(s"p$p", s"regs_p$p", p)}""".stripMargin
+    }
+    val kmvCtes = kmvKs.map { k =>
+      val num = (k - 1).toDouble * math.pow(2.0, HashBits)
+      s"""kmv_k$k AS (
+         |  SELECT CASE WHEN ex.exact_distinct < $k THEN CAST(ex.exact_distinct AS DOUBLE)
+         |    ELSE CAST('$num' AS DOUBLE) / CAST(
+         |      (SELECT max(h) FROM (SELECT h FROM ht ORDER BY h LIMIT $k)) + 1 AS DOUBLE)
+         |    END AS est
+         |  FROM ex)""".stripMargin
+    }
+    val rows =
+      hllPs.map(p =>
+        s"""SELECT 'hll' AS sketch, $p AS param, ex.exact_distinct,
+           |  round(f.est, 4) AS est,
+           |  round(abs(f.est - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+           |FROM ex, fin_p$p f""".stripMargin) ++
+      kmvKs.map(k =>
+        s"""SELECT 'kmv' AS sketch, $k AS param, ex.exact_distinct,
+           |  round(m.est, 4) AS est,
+           |  round(abs(m.est - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+           |FROM ex, kmv_k$k m""".stripMargin)
+    s"""WITH ht AS (
+       |  SELECT DISTINCT ${hash60Duck(keyCol)} AS h FROM $table
+       |  WHERE $keyCol IS NOT NULL),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_distinct FROM ht),
+       |${(hllCtes ++ kmvCtes).mkString(",\n")}
+       |${rows.mkString("\nUNION ALL\n")}
+       |ORDER BY sketch, param""".stripMargin
+  }
+
   /** All-pairs set-similarity between GROUPS via KMV signatures,
     * audited against the exact Jaccard: one row per unordered group
     * pair (source_a, source_b, exact_j, kmv_j, abs_err). Sets are the
@@ -556,19 +828,24 @@ object Sketches {
     *
     * Scale shape: group membership rides TWO equi-joins of the bounded
     * pair list (|groups|² rows — a source/language domain, dozens by
-    * contract) against the distinct-(group, hash) postings — never an
-    * all-pairs join of the postings themselves; at 100 TB only the
-    * per-group bottom-k SIGNATURES (k hashes each) need materializing,
-    * and signatures merge like any bottom-k. The exact side is the
-    * test-scale audit.
+    * contract) against the per-group bottom-k SIGNATURES — never an
+    * all-pairs join of the postings themselves. Both bottom-k's (the
+    * per-group signatures and the per-pair union cut) ride
+    * [[graft.functions.BottomKLongAgg]]'s k-capped partial aggregate:
+    * no rank window ever touches the postings (the kmvDistinct
+    * lesson — the window form shuffles the full distinct postings),
+    * and at 100 TB only the signatures (k hashes each) need
+    * materializing; signatures merge like any bottom-k
+    * ([[kmvSignatureTable]] is the persisted form). The exact side is
+    * the test-scale audit.
     */
   def kmvJaccard(df: DataFrame, groupCol: String, textCol: String,
       w: Int = 3, k: Int = 256,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // persisted: sizes, the co-occurrence self-join (both sides), and
-    // the signature window all read the distinct postings
+    // the signature aggregate all read the distinct postings
     val toks = scope.persist(
       df.select(col(groupCol).as("g"),
           explode(graft.text.Repetition.ngrams(lower(col(textCol)), w)).as("gram"))
@@ -587,25 +864,11 @@ object Sketches {
     // bottom-k, and membership h∈A is decidable from K(A) for exactly
     // those elements (the property that lets 100 TB corpora compare by
     // shipping k hashes per group)
-    val sigs = toks
-      .withColumn("rn", row_number().over(Window.partitionBy("g").orderBy("h")))
-      .filter(col("rn") <= k).drop("rn")
+    val sigs = toks.groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("__bk"))
+      .select(col("g"), explode(col("__bk")).as("h"))
     val pairs = sizes.select(col("g").as("g1"), col("sz").as("sz1"))
       .join(sizes.select(col("g").as("g2"), col("sz").as("sz2")), col("g1") < col("g2"))
-    val sigA = pairs.join(sigs, col("g") === col("g1"))
-      .select(col("g1"), col("g2"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
-    val sigB = pairs.join(sigs, col("g") === col("g2"))
-      .select(col("g1"), col("g2"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
-    val sigU = sigA.unionByName(sigB)
-      .groupBy("g1", "g2", "h")
-      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
-    val win = Window.partitionBy("g1", "g2").orderBy("h")
-    val kmv = sigU.withColumn("rn", row_number().over(win))
-      .filter(col("rn") <= k)
-      .groupBy("g1", "g2")
-      .agg(
-        sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("kmv_inter"),
-        count(lit(1)).as("kmv_n"))
+    val kmv = kmvPairStats(sigs, k, scope)
     pairs.join(inter, Seq("g1", "g2"), "left")
       .join(kmv, Seq("g1", "g2"))
       .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
@@ -655,34 +918,44 @@ object Sketches {
     * sample, audited against the exact quantiles: (group, n,
     * n_sample, <p>_exact, <p>_est, <p>_err per requested quantile).
     * The sample is the n rows with the smallest portable row-key
-    * hashes per group (ties broken on the key) — a coordinated,
-    * rerun/engine-identical uniform sample (the [[Sampling]] hash
-    * discipline), so the oracle replays the SAMPLE itself; both the
-    * sample and full-data quantiles ride [[Describe.groupQuantiles]]'s
-    * proven interpolation parity. This completes the sketch family's
-    * quantile axis beside percentile_approx (whose KLL buffer is
-    * engine-internal, rows-only checkable).
+    * hashes per group (ties broken on the key, then the value — a
+    * TOTAL order over everything the sample emits, so the sample
+    * multiset is engine-identical even if `idCol` violates the
+    * unique-row-key contract) — a coordinated, rerun/engine-identical
+    * uniform sample (the [[Sampling]] hash discipline), so the oracle
+    * replays the SAMPLE itself; both the sample and full-data
+    * quantiles ride [[Describe.groupQuantiles]]'s proven interpolation
+    * parity. This completes the sketch family's quantile axis beside
+    * percentile_approx (whose KLL buffer is engine-internal, rows-only
+    * checkable).
     *
-    * Scale shape: bottom-n-by-hash is the same bounded partial
-    * aggregate as KMV (per-partition bottom-n, n-sized merge — the
-    * window form here is the oracle-matched reference, partitioned on
-    * the group key); the exact side is the test-scale audit, dropped
-    * at 100 TB where the sample IS the answer. Sample error ~
-    * 1/(2√n)·1/f(q) — n=512 → ~2-3 value-percentile points.
+    * Scale shape: the sample rides
+    * [[graft.functions.BottomKStructAgg]] — a n-capped sorted buffer
+    * of (hash, id, value) rows per group that partial-aggregates
+    * (each partition reduces to ≤ n rows per key; bottom-k is
+    * merge-associative, so the sample is partitioning-invariant,
+    * spec-pinned) — NEVER a rank window over the raw relation (the
+    * kmvDistinct lesson: the window form shuffles and sorts every
+    * row). The exact side is the test-scale audit, dropped at 100 TB
+    * where the sample IS the answer. Sample error ~ 1/(2√n)·1/f(q) —
+    * n=512 → ~2-3 value-percentile points. The DuckDB twin keeps its
+    * independent row_number formulation — two algorithms, one answer.
     */
   def quantileSketch(df: DataFrame, groupCol: String, valCol: String, idCol: String,
       n: Int = 512, ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
     require(n >= 8, s"sample size too small: $n")
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // NULL row keys would rank differently across engines (Spark
     // nulls-first vs DuckDB nulls-last) — excluded identically
     val keyed = df.filter(col(idCol).isNotNull)
-      .select(col(groupCol), col(valCol),
+      .select(col(groupCol),
         graft.text.TextFunctions.portableHash60(col(idCol).cast("string")).as("__h"),
-        col(idCol).as("__id"))
-    val srn = row_number().over(
-      Window.partitionBy(groupCol).orderBy(col("__h").asc, col("__id").asc))
-    val sample = keyed.withColumn("__srn", srn).filter(col("__srn") <= n)
+        col(idCol).as("__id"),
+        col(valCol).as("__v"))
+    val sample = keyed.groupBy(groupCol)
+      .agg(expr(s"graft_bottom_k_struct(struct(__h, __id, __v), $n)").as("__bk"))
+      .select(col(groupCol), explode(col("__bk")).as("__s"))
+      .select(col(groupCol), col("__s.__v").as(valCol))
     val est = Describe.groupQuantiles(sample, groupCol, valCol,
         ps.map { case (name, p) => s"${name}_est" -> p })
       .withColumnRenamed("n", "n_sample")
@@ -699,8 +972,10 @@ object Sketches {
   }
 
   /** DuckDB twin of [[quantileSketch]] — the sample CTE replays the
-    * identical hash ranking, then both quantile passes reuse
-    * [[Describe.groupQuantilesDuckSql]] over subquery "tables".
+    * identical hash ranking (value as the final tie-break, NULLS FIRST
+    * to match Spark's nulls-first struct ordering), then both quantile
+    * passes reuse [[Describe.groupQuantilesDuckSql]] over subquery
+    * "tables".
     */
   def quantileSketchDuckSql(table: String, groupCol: String, valCol: String, idCol: String,
       n: Int = 512, ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): String = {
@@ -708,7 +983,7 @@ object Sketches {
       s"""(SELECT $groupCol, $valCol FROM (
          |  SELECT $groupCol, $valCol,
          |    row_number() OVER (PARTITION BY $groupCol
-         |      ORDER BY ${hash60Duck(idCol)} ASC, $idCol ASC) AS srn
+         |      ORDER BY ${hash60Duck(idCol)} ASC, $idCol ASC, $valCol ASC NULLS FIRST) AS srn
          |  FROM $table WHERE $idCol IS NOT NULL) ranked WHERE srn <= $n) smp""".stripMargin
     val est = Describe.groupQuantilesDuckSql(estSub, groupCol, valCol,
       ps.map { case (name, p) => s"${name}_est" -> p })

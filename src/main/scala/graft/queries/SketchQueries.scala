@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.ops.Sketches
 
-/** Deterministic-sketch tier (SURVEY §2 rows 70a-70d): HLL distinct
+/** Deterministic-sketch tier (SURVEY §2 rows 61c-61h): HLL distinct
   * estimation + the register-merge proof, and KMV bottom-k distinct /
   * set-similarity estimation — every estimate audited in-query against
   * its exact counterpart, and every hash portable, so the DuckDB
@@ -44,5 +44,16 @@ object SketchQueries extends QuerySet {
     Q("q_quantile_sketch",
       (s, d) => Sketches.quantileSketch(
         Tables.df(s, d, "events"), "event_type", "value", "event_id", n = 512),
-      Some(Sketches.quantileSketchDuckSql("events", "event_type", "value", "event_id", n = 512))))
+      Some(Sketches.quantileSketchDuckSql("events", "event_type", "value", "event_id", n = 512))),
+
+    // Parameter-accuracy sweep: the same corpus measured at p∈{8,12}
+    // and k∈{64,256} so HLL's register count and KMV's signature size
+    // are picked from DATA (the q_ann_recall convention for sketches).
+    // The corpus hashes once; each grid cell is one bounded aggregate.
+    Q("q_sketch_tuning",
+      (s, d) => Sketches.sketchTuning(
+        Tables.df(s, d, "lineitem"), "l_orderkey",
+        hllPs = Seq(8, 12), kmvKs = Seq(64, 256)),
+      Some(Sketches.sketchTuningDuckSql("lineitem", "l_orderkey",
+        hllPs = Seq(8, 12), kmvKs = Seq(64, 256)))))
 }

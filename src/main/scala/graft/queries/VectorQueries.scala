@@ -377,6 +377,24 @@ object VectorQueries extends QuerySet {
         "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",
         "vec_id", "embedding", threshold = 0.95, dim = Dim))),
 
+    // Hot-bucket Σc² audit of q_dedup_embed's banding — the
+    // quadratic-pair fuel per band, measured on the IDENTICAL corpus
+    // and ladder width the finder runs (the q_shingle_df_hist
+    // convention on the vector side): n_cand_pairs is exactly the
+    // candidate count each band feeds the verify join before the
+    // maxBucket cap, so its decade-over-decade growth is the evidence
+    // that decides when to re-widen Knn.widthForCount's ladder (the
+    // embed_neardup ScaleSmoke watch item, made a standing query).
+    Q("q_embed_bucket_load",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings").select("vec_id", "embedding")
+        val shifted = e.withColumn("vec_id", col("vec_id") + lit(10000L))
+        Knn.bucketLoadAudit(e.unionByName(shifted), "vec_id", "embedding")
+      },
+      Some(Knn.bucketLoadAuditDuckSql(
+        "SELECT vec_id, embedding FROM embeddings UNION ALL SELECT vec_id + 10000, embedding FROM embeddings",
+        "vec_id", "embedding", dim = Dim))),
+
     // Recall audit of the embedding banding vs EXACT brute-force pairs
     // at the same threshold (the q_lsh_recall convention, extended to
     // the vector pair finder): a bounded slice (vec_id < 1000 — the

@@ -652,11 +652,18 @@ object StreamOps {
     ds.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (g: String, rows: Iterator[(String, String)], state: GroupState[Array[Long]]) =>
-          val prev = state.getOption.getOrElse(Array.empty[Long])
+          // fold each hash into the k-capped sorted state with the
+          // batch aggregate's own binary-search insert (duplicates and
+          // values above the k-th rejected without allocation) — never
+          // a boxed-set rebuild of state ∪ batch per micro-batch
+          var merged = state.getOption.getOrElse(Array.empty[Long])
           // null keys dropped, matching kmvDistinct's h IS NOT NULL
-          val merged = (prev.toSet ++
-            rows.filter(_._2 != null).map(r => graft.index.TrigramIndexer.hash60(r._2)))
-            .toArray.sorted.take(k)
+          rows.foreach { r =>
+            if (r._2 != null) {
+              merged = graft.functions.BottomKLongAgg.insertSorted(
+                merged, k, graft.index.TrigramIndexer.hash60(r._2))
+            }
+          }
           state.update(merged)
           val est =
             if (merged.length < k) merged.length.toDouble

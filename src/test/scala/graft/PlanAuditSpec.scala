@@ -65,6 +65,22 @@ class PlanAuditSpec extends SparkSpec {
     offenders shouldBe empty
   }
 
+  test("sketch-tier bottom-k queries plan NO rank window over the postings / raw relation") {
+    // the kmvDistinct lesson (14.0 s → 2.6 s at sf1): a per-group
+    // row_number window shuffles + sorts the FULL relation just to
+    // read off k rows. The bottom-k aggregates keep ≤k per key and
+    // partial-aggregate. kmvJaccard's plan must carry no window at
+    // all; quantileSketch's SAMPLE must ride graft_bottom_k_struct
+    // (its remaining windows are the group-partitioned exact-quantile
+    // interpolation: the test-scale audit side + the ≤n-row sample).
+    flattenPlan(plan("q_kmv_jaccard")).collect { case w: WindowExec => w } shouldBe empty
+    val qs = plan("q_quantile_sketch")
+    qs.toString should include("graft_bottom_k_struct")
+    // every remaining window is partitioned on the group key (bounded
+    // per-group work), never a global sort
+    flattenPlan(qs).collect { case w: WindowExec if w.partitionSpec.isEmpty => w } shouldBe empty
+  }
+
   // Queries whose BroadcastNestedLoopJoin is a BOUNDED side by
   // construction — the KMeans-centers pattern, not a data-sized
   // broadcast. Every entry is justified; anything NOT listed that
@@ -140,10 +156,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_hll_union",         // three 1-row frames (global exact count ×
                            // two global HLL estimates) crossJoined into
                            // the single merge-proof row
-    "q_kmv_jaccard"        // pair GENERATION only: |groups|² triangular
+    "q_kmv_jaccard",       // pair GENERATION only: |groups|² triangular
                            // join of the source domain (dozens by
                            // contract, the q_corpus_kl argument) —
                            // posting membership itself rides equi-joins
+    "q_sketch_tuning"      // the |grid| one-row estimate frames
+                           // crossJoined with the 1-row exact total —
+                           // the q_hll_union totals shape
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
@@ -333,9 +352,14 @@ class PlanAuditSpec extends SparkSpec {
       "q_iqr_outliers",  // quartile-fence table grouped by the event-type
                          // domain — |groups| rows by the same contract as
                          // groupQuantiles (a language/source/type domain)
-      "q_winsorized_mean") // p05/p95 caps table grouped by the same
+      "q_winsorized_mean", // p05/p95 caps table grouped by the same
                            // bounded event-type domain — the
                            // q_iqr_outliers argument verbatim
+      "q_kmv_jaccard") // the per-pair k-th union hash grouped by the
+                       // GROUP-PAIR domain (|sources|², dozens by the
+                       // same contract as q_mix_temperature) and
+                       // capped at one long per pair — the bottom-k
+                       // cut that replaced the per-pair rank window
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

@@ -214,6 +214,84 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("kmvSignatureTable: parquet round-trip + bottom-k merge of day shards equals direct sketching") {
+    import spark.implicits._
+    val day1 = (0 until 5000).map(i => ("d", s"u${i % 1500}")).toDF("g", "u")
+    val day2 = (0 until 5000).map(i => ("d", s"u${i % 2300 + 700}")).toDF("g", "u")
+    val dir = java.nio.file.Files.createTempDirectory("kmvsigs").toString
+    Sketches.kmvSignatureTable(day1, "u", Seq("g"), k = 64).write.parquet(s"$dir/day=1")
+    Sketches.kmvSignatureTable(day2, "u", Seq("g"), k = 64).write.parquet(s"$dir/day=2")
+    // reload BOTH shards, merge by bottom-k of the concatenation — no raw rescan
+    val shards = spark.read.parquet(s"$dir/day=1").unionByName(spark.read.parquet(s"$dir/day=2"))
+    val merged = Sketches.kmvMergeSignatures(shards, Seq("g"), k = 64)
+    val direct = Sketches.kmvSignatureTable(day1.unionByName(day2), "u", Seq("g"), k = 64)
+    val mSig = merged.collect().head.getAs[scala.collection.Seq[Long]]("sig").toSeq
+    val dSig = direct.collect().head.getAs[scala.collection.Seq[Long]]("sig").toSeq
+    mSig shouldBe dSig // bit-exact: bottomK(bottomK(A) ∪ bottomK(B)) == bottomK(A ∪ B)
+    // estimate from the merged rollup equals kmvDistinct's kmv_est on the union
+    val rollupEst = Sketches.kmvEstimateTable(merged, Seq("g"), k = 64)
+      .collect().head.getAs[Double]("kmv_est")
+    val live = Sketches.kmvDistinct(day1.unionByName(day2), "u", "g", k = 64)
+      .collect().head.getAs[Double]("kmv_est")
+    rollupEst shouldBe live
+    // true union distinct = u0..u2999 = 3000; k=64 → stderr ~1/√62
+    math.abs(rollupEst - 3000.0) / 3000.0 should be < 0.55
+  }
+
+  test("kmvEstimateTable: a wider signature answers a narrower k (prefix cut); below-k groups are exact") {
+    import spark.implicits._
+    val df = (0 until 4000).map(i => ("big", s"k${i % 800}")).toDF("g", "u")
+      .unionByName((0 until 20).map(i => ("tiny", s"k$i")).toDF("g", "u"))
+    val wide = Sketches.kmvSignatureTable(df, "u", Seq("g"), k = 256)
+    val atNarrow = Sketches.kmvEstimateTable(wide, Seq("g"), k = 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kmv_est")).toMap
+    val direct = Sketches.kmvDistinct(df, "u", "g", k = 64)
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("kmv_est")).toMap
+    atNarrow shouldBe direct
+    atNarrow("tiny") shouldBe 20.0 // below k: exact
+  }
+
+  test("kmv_k / hll_p provenance guards fail fast on a width mismatch") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => ("g", s"u$i")).toDF("g", "u")
+    // KMV: a k=32 shard cannot answer a k=64 read
+    val narrow = Sketches.kmvSignatureTable(df, "u", Seq("g"), k = 32)
+    an[Exception] should be thrownBy
+      Sketches.kmvMergeSignatures(narrow, Seq("g"), k = 64).collect()
+    an[Exception] should be thrownBy
+      Sketches.kmvEstimateTable(narrow, Seq("g"), k = 64).collect()
+    // but re-reading at the written width (or narrower) is fine
+    Sketches.kmvEstimateTable(narrow, Seq("g"), k = 32).collect().length shouldBe 1
+    // HLL: registers written at p=8 refuse a p=10 estimate
+    val regs = Sketches.hllRegisterTable(df, "u", Seq("g"), p = 8)
+    an[Exception] should be thrownBy
+      Sketches.hllEstimateTable(regs, Seq("g"), p = 10).collect()
+    Sketches.hllEstimateTable(regs, Seq("g"), p = 8).collect().length shouldBe 1
+    // hllFold enforces the same contract on the streaming state array
+    an[IllegalArgumentException] should be thrownBy
+      Sketches.hllFold(new Array[Byte](128), "k", p = 8)
+  }
+
+  test("kmvJaccardFromSignatures over a persisted shingle-signature table reproduces the live kmv_j") {
+    import spark.implicits._
+    val docs = (0 until 60).map { i =>
+      val src = s"s${i % 3}"
+      val shared = "the quick brown fox jumps over the lazy dog near the river bank"
+      val own = s"unique token run $src ${i / 3} " * 3
+      (src, if (i % 3 == 2) own else s"$shared $own")
+    }.toDF("source", "text")
+    val dir = java.nio.file.Files.createTempDirectory("kmvshingle").toString + "/sigs"
+    Sketches.kmvShingleSignatureTable(docs, "source", "text", w = 3, k = 64)
+      .write.parquet(dir)
+    val fromSigs = Sketches.kmvJaccardFromSignatures(
+        spark.read.parquet(dir), "source", k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_j")).toMap
+    val live = Sketches.kmvJaccard(docs, "source", "text", w = 3, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_j")).toMap
+    fromSigs shouldBe live
+    fromSigs.keySet shouldBe Set(("s0", "s1"), ("s0", "s2"), ("s1", "s2"))
+  }
+
   test("bloom filter: never a false negative; fpp in range") {
     val members = spark.range(0, 5000).toDF("v")
     val bloom = Sketches.buildBloom(members, col("v"), 5000, fpp = 0.01)

@@ -277,6 +277,83 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hllDistinctStream: RESTART from checkpoint mid-corpus reproduces the batch estimate (state-store recovery)") {
+    // micro-batch state carry is pinned below; this pins the harder
+    // property a real deployment needs — the register state survives a
+    // QUERY KILL and a cold restart from the checkpoint (state-store
+    // round-trip), not just in-process batch-to-batch carry
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = (0 until 3000).map(i => (s"g${i % 2}", s"k${i % 700}"))
+    val (b1, b2) = keys.splitAt(1300)
+    val ckpt = java.nio.file.Files.createTempDirectory("hll_ckpt").toString
+    val input = MemoryStream[(String, String)]
+    // foreachBatch sink: the memory sink REFUSES checkpoint recovery
+    // (not fault-tolerant); foreachBatch is the recovery-capable sink a
+    // real deployment would use here
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    def start() =
+      StreamOps.hllDistinctStream(input.toDS(), p = 8)
+        .writeStream.option("checkpointLocation", ckpt).outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Double)], _: Long) =>
+          batch.collect().foreach(emitted.add)
+        }.start()
+    val q1 = start()
+    input.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop() // kill mid-corpus: state lives only in the checkpoint now
+    val q2 = start()
+    try {
+      input.addData(b2: _*)
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val streamed = emitted.asScala.toSeq
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      // driver-side fold over the WHOLE corpus: the restarted stream's
+      // state must be this register array bit-for-bit
+      val expected = keys.groupBy(_._1).map { case (g, rows) =>
+        val regs = new Array[Byte](256)
+        rows.foreach(r => graft.ops.Sketches.hllFold(regs, r._2, 8))
+        g -> graft.ops.Sketches.hllEstimateScala(regs, 8)
+      }
+      streamed shouldBe expected
+    } finally q2.stop()
+  }
+
+  test("kmvDistinctStream: RESTART from checkpoint mid-corpus reproduces the batch estimator") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val keys = (0 until 2400).map(i => (s"g${i % 2}", s"u${i % 500}"))
+    val (b1, b2) = keys.splitAt(900)
+    val ckpt = java.nio.file.Files.createTempDirectory("kmv_ckpt").toString
+    val input = MemoryStream[(String, String)]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+    def start() =
+      StreamOps.kmvDistinctStream(input.toDS(), k = 64)
+        .writeStream.option("checkpointLocation", ckpt).outputMode("update")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, Double)], _: Long) =>
+          batch.collect().foreach(emitted.add)
+        }.start()
+    val q1 = start()
+    input.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      input.addData(b2: _*)
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val streamed = emitted.asScala.toSeq
+        .groupBy(_._1).map { case (g, rows) => g -> rows.last._2 }
+      import spark.implicits._
+      val batch = graft.ops.Sketches.kmvDistinct(keys.toDF("g", "u"), "u", "g", k = 64)
+        .collect().map(r => r.getString(0) -> r.getAs[Double]("kmv_est")).toMap
+      streamed.keySet shouldBe Set("g0", "g1")
+      streamed.foreach { case (g, e) =>
+        batch(g) shouldBe BigDecimal(e.toString)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    } finally q2.stop()
+  }
+
   test("hllDistinctStream: register state carries across micro-batches and reproduces the batch estimate") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val keys = (0 until 3000).map(i => (s"g${i % 2}", s"k${i % 900}"))
