@@ -354,6 +354,48 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("cmsTrackStream: RESTART from checkpoint mid-corpus reproduces the batch sketch estimates") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val text = Seq.fill(40)("hot") ++ Seq.fill(15)("warm") ++ (1 to 30).map(i => s"tail$i")
+    val toks = text.map(("all", _))
+    val (b1, b2) = toks.splitAt(33)
+    val ckpt = java.nio.file.Files.createTempDirectory("cms_ckpt").toString
+    val input = MemoryStream[(String, String)]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(String, String, Long)]()
+    def start() =
+      StreamOps.cmsTrackStream(input.toDS(), probes = Seq("hot", "warm"),
+          depth = 2, width = 8)
+        .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(String, String, Long)], _: Long) =>
+          batch.collect().foreach(emitted.add)
+        }.start()
+    val q1 = start()
+    input.addData(b1: _*)
+    q1.processAllAvailable()
+    q1.stop()
+    val q2 = start()
+    try {
+      input.addData(b2: _*)
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val streamed = emitted.asScala.toSeq
+        .groupBy(t => (t._1, t._2)).map { case (k, rows) => k -> rows.last._3 }
+      // driver replay of the fold over the WHOLE corpus — the restarted
+      // CMS table must be these counters exactly
+      val cms = new Array[Long](2 * 8)
+      text.foreach { tok =>
+        val h = graft.ops.Sketches.cmsBaseHash(tok)
+        for (d <- 0 until 2) cms(d * 8 + graft.ops.Sketches.cmsBucketFromHash(h, d, 8)) += 1L
+      }
+      for (term <- Seq("hot", "warm")) {
+        val h = graft.ops.Sketches.cmsBaseHash(term)
+        val expected = (0 until 2)
+          .map(d => cms(d * 8 + graft.ops.Sketches.cmsBucketFromHash(h, d, 8))).min
+        streamed(("all", term)) shouldBe expected
+      }
+    } finally q2.stop()
+  }
+
   test("hllDistinctStream: register state carries across micro-batches and reproduces the batch estimate") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     val keys = (0 until 3000).map(i => (s"g${i % 2}", s"k${i % 900}"))
