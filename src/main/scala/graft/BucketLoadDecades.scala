@@ -15,10 +15,9 @@ import org.apache.spark.sql.functions._
   * finder's verify-join input size, the quantity whose growth decides
   * whether [[graft.ann.Knn.widthForCount]]'s ladder holds.
   *
-  * The salted-copy construction is ScaleSmoke's `embsX` verbatim
-  * (per-row cosine jitter — a per-copy constant would collapse copies
-  * into a handful of sign buckets and measure that artifact); keep
-  * the two in sync or the decades stop being comparable.
+  * The salted-copy construction is [[ScaleCorpus.embsX]] — the SAME
+  * builder ScaleSmoke's embed_neardup decade uses, so the two
+  * evidence files stay comparable by construction.
   *
   * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf1),
   * SPARK_GRAFT_BUCKET_SCALES (default "1,10,100").
@@ -34,15 +33,7 @@ object BucketLoadDecades {
 
     val embs = Tables.df(spark, sfDir, "embeddings").select("vec_id", "embedding")
 
-    // ScaleSmoke.embsX verbatim — see the scaladoc parity note
-    def embsX(k: Int): DataFrame = (0 until k).map { i =>
-      if (i == 0) embs
-      else embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        transform(col("embedding"),
-          (x, j) => x + lit(0.25f) *
-            cos(j.cast("double") * lit(i.toDouble) + col("vec_id").cast("double"))
-              .cast("float")).as("embedding"))
-    }.reduce(_ unionByName _)
+    def embsX(k: Int): DataFrame = ScaleCorpus.embsX(embs, k)
 
     val results = scales.map { k =>
       val corpus = embsX(k)

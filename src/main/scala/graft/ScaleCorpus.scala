@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Shared salted-copy corpus builders for the scale-evidence mains —
+  * ONE definition so ScaleSmoke's decade smokes and
+  * BucketLoadDecades' fuel audit measure the SAME synthetic corpus
+  * (a silent drift between hand-copied builders would make their
+  * evidence files incomparable with no compiler signal).
+  */
+object ScaleCorpus {
+
+  /** k salted copies of an embeddings frame: copy 0 is the original;
+    * higher copies shift ids and jitter every component. The jitter
+    * must vary PER ROW (vec_id enters the phase): a constant per-copy
+    * offset would shift every row of a copy toward the same direction
+    * and collapse whole copies into a handful of sign-bit buckets —
+    * measuring that artifact, not the operator.
+    */
+  def embsX(embs: DataFrame, k: Int): DataFrame = (0 until k).map { i =>
+    if (i == 0) embs
+    else embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
+      transform(col("embedding"),
+        (x, j) => x + lit(0.25f) *
+          cos(j.cast("double") * lit(i.toDouble) + col("vec_id").cast("double"))
+            .cast("float")).as("embedding"))
+  }.reduce(_ unionByName _)
+}

@@ -64,18 +64,9 @@ object ScaleSmoke {
       }.reduce(_ unionByName _)
     }
 
-    // jitter must vary PER ROW (vec_id enters the phase): a constant
-    // per-copy offset would shift every row of a copy toward the same
-    // direction and collapse whole copies into a handful of sign-bit
-    // buckets — measuring that artifact, not the operator
-    def embsX(k: Int): DataFrame = (0 until k).map { i =>
-      if (i == 0) embs
-      else embs.select((col("vec_id") + lit(i * 10000000L)).as("vec_id"),
-        transform(col("embedding"),
-          (x, j) => x + lit(0.25f) *
-            cos(j.cast("double") * lit(i.toDouble) + col("vec_id").cast("double"))
-              .cast("float")).as("embedding"))
-    }.reduce(_ unionByName _)
+    // shared with BucketLoadDecades (ScaleCorpus) so the decade smokes
+    // and the fuel audit measure the SAME salted corpus
+    def embsX(k: Int): DataFrame = ScaleCorpus.embsX(embs, k)
 
     // letters-only salt for the [a-z]+-tokenizing trainers (BPE / LR):
     // the "_i" salt above would be filtered out of their word stream

@@ -75,29 +75,52 @@ case class BottomKStructAgg(
   override def createAggregationBuffer(): ArrayBuffer[UnsafeRow] =
     new ArrayBuffer[UnsafeRow](math.min(k, 16))
 
-  /** Insert a (copied) row into the sorted ≤k multiset buffer. */
-  private def insert(buf: ArrayBuffer[UnsafeRow], v: UnsafeRow): Unit = {
-    val n = buf.length
-    if (n == k && ordering.compare(v, buf(n - 1)) >= 0) return
-    // upper-bound binary search: first index whose row sorts after v
+  /** True iff the buffer is full and `v` sorts at-or-after its max —
+    * the one-comparison rejection that keeps the full-buffer steady
+    * state allocation-free.
+    */
+  private def rejected(buf: ArrayBuffer[UnsafeRow], v: UnsafeRow): Boolean =
+    buf.length == k && ordering.compare(v, buf(buf.length - 1)) >= 0
+
+  /** Upper-bound binary search: first index whose row sorts after v. */
+  private def insertionPos(buf: ArrayBuffer[UnsafeRow], v: UnsafeRow): Int = {
     var lo = 0
-    var hi = n
+    var hi = buf.length
     while (lo < hi) {
       val mid = (lo + hi) >>> 1
       if (ordering.compare(buf(mid), v) <= 0) lo = mid + 1 else hi = mid
     }
-    buf.insert(lo, v)
+    lo
+  }
+
+  /** Insert an OWNED row (safe to retain) into the sorted ≤k buffer. */
+  private def insert(buf: ArrayBuffer[UnsafeRow], v: UnsafeRow): Unit = {
+    if (rejected(buf, v)) return
+    buf.insert(insertionPos(buf, v), v)
     if (buf.length > k) buf.remove(buf.length - 1)
   }
 
   override def update(buf: ArrayBuffer[UnsafeRow], input: InternalRow): ArrayBuffer[UnsafeRow] = {
     val v = child.eval(input)
-    // copy: the evaluated struct aliases the (reused) input row buffer
-    if (v != null) insert(buf, toUnsafe(v.asInstanceOf[InternalRow]).copy())
+    if (v != null) {
+      // project into the REUSED row first and reject full-buffer
+      // misses before paying the copy — the steady state for almost
+      // every row once buffers fill
+      val row = toUnsafe(v.asInstanceOf[InternalRow])
+      if (!rejected(buf, row)) {
+        // copy: the projection output aliases a reused buffer
+        val owned = row.copy()
+        buf.insert(insertionPos(buf, owned), owned)
+        if (buf.length > k) buf.remove(buf.length - 1)
+      }
+    }
     buf
   }
 
   override def merge(buf: ArrayBuffer[UnsafeRow], other: ArrayBuffer[UnsafeRow]): ArrayBuffer[UnsafeRow] = {
+    // rows in `other` come from deserialize (freshly allocated) — the
+    // TypedImperativeAggregate merge contract — so ownership transfers
+    // without a copy
     other.foreach(insert(buf, _))
     buf
   }

@@ -358,11 +358,16 @@ object Sketches {
       if (regs.columns.contains("hll_p")) {
         // the guard rides the r column itself so column pruning can
         // never optimize the check away
+        // coalesce: a NULL hll_p (legacy shard unioned in with
+        // allowMissingColumns) must raise an INTELLIGIBLE message, not
+        // a concat-with-NULL null message
         regs.withColumn("r",
           when(col("hll_p") === lit(p), col("r"))
             .otherwise(raise_error(concat(
               lit("hll_p mismatch: register table written at p="),
-              col("hll_p").cast("string"), lit(s", estimated at p=$p")))))
+              coalesce(col("hll_p").cast("string"),
+                lit("NULL (legacy shard without provenance)")),
+              lit(s", estimated at p=$p")))))
       } else regs
     hllEstimate(checked, groupCols, p)
       .select((groupCols.map(col) :+ col("est")): _*)
@@ -646,11 +651,14 @@ object Sketches {
     */
   private def kmvCheckK(sigs: DataFrame, k: Int): DataFrame =
     if (sigs.columns.contains("kmv_k")) {
+      // coalesce: NULL kmv_k (legacy shard) raises intelligibly, not
+      // a concat-with-NULL null message
       sigs.withColumn("sig",
         when(col("kmv_k") >= lit(k), col("sig"))
           .otherwise(raise_error(concat(
             lit("kmv_k mismatch: signature written at k="),
-            col("kmv_k").cast("string"),
+            coalesce(col("kmv_k").cast("string"),
+              lit("NULL (legacy shard without provenance)")),
             lit(s", read at k=$k — rebuild or lower k")))))
     } else sigs
 

@@ -644,7 +644,12 @@ object StreamOps {
     * estimator arithmetic — groups under k distinct report exactly,
     * (k−1)·2^60/(h_k+1) above. Replaying a corpus reproduces
     * [[graft.ops.Sketches.kmvDistinct]]'s kmv_est bit-for-bit
-    * (spec-pinned, incl. micro-batch state carry). Input: (group, key).
+    * (spec-pinned, incl. micro-batch state carry and a checkpoint
+    * restart). Restart-k contract: lowering k over an existing
+    * checkpoint re-cuts the state (a wider signature answers any
+    * narrower k); RAISING k requires a fresh checkpoint — a k'-cut
+    * state cannot be widened and would silently under-estimate.
+    * Input: (group, key).
     */
   def kmvDistinctStream(ds: Dataset[(String, String)], k: Int = 64): Dataset[(String, Double)] = {
     import ds.sparkSession.implicits._
@@ -657,6 +662,13 @@ object StreamOps {
           // values above the k-th rejected without allocation) — never
           // a boxed-set rebuild of state ∪ batch per micro-batch
           var merged = state.getOption.getOrElse(Array.empty[Long])
+          // a checkpoint written at a LARGER k restarts cleanly: its
+          // sorted prefix IS the k-signature (the kmvEstimateTable
+          // property) — re-cut instead of overrunning insertSorted's
+          // k-sized buffers. The converse (raising k across a restart)
+          // is undetectable from the state alone and silently
+          // under-estimates — documented: use a fresh checkpoint.
+          if (merged.length > k) merged = java.util.Arrays.copyOf(merged, k)
           // null keys dropped, matching kmvDistinct's h IS NOT NULL
           rows.foreach { r =>
             if (r._2 != null) {
