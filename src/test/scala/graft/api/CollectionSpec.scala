@@ -216,6 +216,31 @@ class CollectionSpec extends SparkSpec {
     graft.api.CacheScope.global.release(blocking = true)
   }
 
+  test("sketch accessors compose: signatureSketch round-trips through kmvJaccardFromSignatures; sketchTuning grid") {
+    import spark.implicits._
+    val docs = Seq(
+      ("a", (1 to 30).map(i => s"w$i").mkString(" ")),
+      ("b", (1 to 30).map(i => s"w$i").mkString(" ")),
+      ("c", (1 to 30).map(i => s"v$i").mkString(" "))).toDF("source", "text")
+    val sigs = new Collection("docs", docs).signatureSketch("source", "text")
+    sigs.columns.toSet shouldBe Set("source", "sig", "kmv_k")
+    val sim = graft.ops.Sketches.kmvJaccardFromSignatures(sigs, "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("kmv_j")).toMap
+    sim(("a", "b")) shouldBe 1.0
+    sim(("a", "c")) shouldBe 0.0
+    val nums = (0 until 9000).map(i => ("r", i.toLong)).toDF("g", "k")
+    val grid = new Collection("nums", nums).sketchTuning("k")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getAs[Long]("exact_distinct"), r.getAs[Double]("rel_err"))).toMap
+    grid.keySet shouldBe Set(("hll", 8), ("hll", 12), ("kmv", 64), ("kmv", 256))
+    grid.values.foreach { case (exact, err) => exact shouldBe 9000L; err should be < 0.3 }
+    // bigger sketches should not be WILDLY worse — and p=12/k=256 sit
+    // inside their tighter theoretical envelopes
+    grid(("hll", 12))._2 should be < 0.08 // 1.04/sqrt(4096) ~ 1.6%, 4 sigma margin
+    grid(("kmv", 256))._2 should be < 0.3
+    graft.api.CacheScope.global.release(blocking = true)
+  }
+
   test("behavioral/lexical accessors compose: userFeatures, sessionStats, " +
       "quantileNormalize, valueDrift, lexicalDiversity, burstiness, sourceGini") {
     import spark.implicits._
