@@ -585,12 +585,24 @@ object Sketches {
 
   /** Shared KMV pair estimator over signature ROWS (g, h) — h distinct
     * within each g, each group's rows its bottom-k signature. Returns
-    * (g1, g2, kmv_inter, kmv_n) per unordered group pair: the union's
-    * bottom-k cut (|K(A∪B) ∩ A ∩ B|, |K(A∪B)|) from Beyer et al.
-    * 2007. Every ranking rides [[graft.functions.BottomKLongAgg]] —
-    * no rank window; the per-pair k-th union hash is a broadcast
-    * filter.
+    * (g1, g2, kmv_inter, kmv_n, kth) per unordered group pair: the
+    * union's bottom-k cut (|K(A∪B) ∩ A ∩ B|, |K(A∪B)|, the k-th union
+    * hash — the union-cardinality estimator's denominator) from Beyer
+    * et al. 2007. Every ranking rides
+    * [[graft.functions.BottomKLongAgg]] — no rank window; the per-pair
+    * k-th union hash is a broadcast filter.
     */
+  /** Persisted distinct (g, h) postings of each group's w-gram shingle
+    * set — the shared input of the KMV set-similarity/set-ops family.
+    */
+  private def shingleToks(df: DataFrame, groupCol: String, textCol: String,
+      w: Int, scope: graft.api.CacheScope): DataFrame =
+    scope.persist(
+      df.select(col(groupCol).as("g"),
+          explode(graft.text.Repetition.ngrams(lower(col(textCol)), w)).as("gram"))
+        .select(col("g"), graft.text.TextFunctions.portableHash60(col("gram")).as("h"))
+        .distinct())
+
   private def kmvPairStats(sigRows: DataFrame, k: Int,
       scope: graft.api.CacheScope): DataFrame = {
     val grps = sigRows.select("g").distinct()
@@ -615,7 +627,8 @@ object Sketches {
       .groupBy("g1", "g2")
       .agg(
         sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("kmv_inter"),
-        count(lit(1)).as("kmv_n"))
+        count(lit(1)).as("kmv_n"),
+        max(col("kth")).as("kth"))
   }
 
   /** Public KMV signature-table builder for PERSISTED sketch rollups —
@@ -738,6 +751,108 @@ object Sketches {
         PortableRound.intRound4(col("kmv_inter"), col("kmv_n")).as("kmv_j"))
   }
 
+  /** KMV set-operation CARDINALITIES between groups, audited against
+    * exact counts — the algebra that makes signatures a full substitute
+    * for raw sets at 100 TB: per unordered group pair, |A∪B| from the
+    * union bottom-k's k-th hash ((k−1)·2^60/(h_(k)+1); exact when the
+    * union has fewer than k hashes) and |A∩B| via Beyer et al. 2007's
+    * composition Ĵ·|A∪B|^ (the ratio estimator over the union sample
+    * times the union estimate). Emits (source_a, source_b,
+    * exact_union, union_est, union_rel_err, exact_inter, inter_est,
+    * inter_err) — inter_err normalized by the exact union (an
+    * intersection can be 0, a relative error on it cannot be defined).
+    * |A\B| follows as |A| − |A∩B|; no separate estimator needed.
+    *
+    * Same scale shape as [[kmvJaccard]]: signatures-only estimate (k
+    * hashes per group cross the wire, every ranking a bottom-k partial
+    * aggregate, zero windows), exact side = the test-scale audit.
+    */
+  def kmvSetOps(df: DataFrame, groupCol: String, textCol: String,
+      w: Int = 3, k: Int = 256,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(k >= 2, s"k must be >= 2: $k")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val num = (k - 1).toDouble * math.pow(2.0, HashBits)
+    val toks = shingleToks(df, groupCol, textCol, w, scope)
+    val sizes = toks.groupBy("g").agg(count(lit(1)).as("sz"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.h") === col("b.h") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
+      .agg(count(lit(1)).as("inter_n"))
+    val sigs = toks.groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("__bk"))
+      .select(col("g"), explode(col("__bk")).as("h"))
+    val pairs = sizes.select(col("g").as("g1"), col("sz").as("sz1"))
+      .join(sizes.select(col("g").as("g2"), col("sz").as("sz2")), col("g1") < col("g2"))
+    val kmv = kmvPairStats(sigs, k, scope)
+    pairs.join(inter, Seq("g1", "g2"), "left")
+      .join(kmv, Seq("g1", "g2"))
+      .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
+      .withColumn("exact_union", col("sz1") + col("sz2") - col("inter_n"))
+      .withColumn("union_raw",
+        when(col("kmv_n") < k, col("kmv_n").cast("double"))
+          .otherwise(lit(num) / (col("kth") + lit(1L)).cast("double")))
+      .withColumn("inter_raw",
+        (col("kmv_inter").cast("double") / col("kmv_n").cast("double")) * col("union_raw"))
+      .select(col("g1").as("source_a"), col("g2").as("source_b"),
+        col("exact_union"),
+        round(col("union_raw"), 4).as("union_est"),
+        round(abs(col("union_raw") - col("exact_union")) / col("exact_union"), 4)
+          .as("union_rel_err"),
+        col("inter_n").as("exact_inter"),
+        round(col("inter_raw"), 4).as("inter_est"),
+        round(abs(col("inter_raw") - col("inter_n")) / col("exact_union"), 4)
+          .as("inter_err"))
+  }
+
+  /** DuckDB twin of [[kmvSetOps]] — the independent pair-expanded
+    * formulation, extending the [[kmvJaccardDuckSql]] CTEs with the
+    * union-kth estimator.
+    */
+  def kmvSetOpsDuckSql(table: String, groupCol: String, textCol: String,
+      w: Int = 3, k: Int = 256): String = {
+    val num = (k - 1).toDouble * math.pow(2.0, HashBits)
+    s"""WITH toks AS (
+       |  SELECT DISTINCT $groupCol AS g,
+       |    ${hash60Duck("gram")} AS h
+       |  FROM (SELECT $groupCol, unnest(${graft.text.Repetition.ngramsDuck(s"lower($textCol)", w)}) AS gram
+       |        FROM $table)),
+       |grps AS (SELECT DISTINCT g FROM toks),
+       |pairs AS (
+       |  SELECT a.g AS g1, b.g AS g2 FROM grps a JOIN grps b ON a.g < b.g),
+       |mem AS (
+       |  SELECT g1, g2, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+       |    SELECT p.g1, p.g2, t.h, 1 AS in_a, 0 AS in_b
+       |    FROM pairs p JOIN toks t ON t.g = p.g1
+       |    UNION ALL
+       |    SELECT p.g1, p.g2, t.h, 0 AS in_a, 1 AS in_b
+       |    FROM pairs p JOIN toks t ON t.g = p.g2)
+       |  GROUP BY g1, g2, h),
+       |rn AS (
+       |  SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn FROM mem),
+       |agg AS (
+       |  SELECT g1, g2,
+       |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS inter_n,
+       |    count(*) AS union_n,
+       |    sum(CASE WHEN rn <= $k AND in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS kmv_inter,
+       |    sum(CASE WHEN rn <= $k THEN 1 ELSE 0 END) AS kmv_n,
+       |    max(CASE WHEN rn <= $k THEN h END) AS kth
+       |  FROM rn GROUP BY g1, g2),
+       |est AS (
+       |  SELECT g1, g2, inter_n, union_n, kmv_inter, kmv_n,
+       |    CASE WHEN kmv_n < $k THEN CAST(kmv_n AS DOUBLE)
+       |         ELSE CAST('$num' AS DOUBLE) / CAST(kth + 1 AS DOUBLE) END AS union_raw
+       |  FROM agg)
+       |SELECT g1 AS source_a, g2 AS source_b,
+       |  CAST(union_n AS BIGINT) AS exact_union,
+       |  round(union_raw, 4) AS union_est,
+       |  round(abs(union_raw - union_n) / union_n, 4) AS union_rel_err,
+       |  CAST(inter_n AS BIGINT) AS exact_inter,
+       |  round((CAST(kmv_inter AS DOUBLE) / CAST(kmv_n AS DOUBLE)) * union_raw, 4) AS inter_est,
+       |  round(abs((CAST(kmv_inter AS DOUBLE) / CAST(kmv_n AS DOUBLE)) * union_raw - inter_n)
+       |        / union_n, 4) AS inter_err
+       |FROM est""".stripMargin
+  }
+
   /** Sketch-accuracy tuning table: est-vs-exact for a grid of sketch
     * parameters over the SAME corpus — one row per (sketch, param):
     * (sketch ∈ {hll, kmv}, param = p or k, exact_distinct, est,
@@ -854,11 +969,7 @@ object Sketches {
     graft.functions.GraftFunctions.register(df.sparkSession)
     // persisted: sizes, the co-occurrence self-join (both sides), and
     // the signature aggregate all read the distinct postings
-    val toks = scope.persist(
-      df.select(col(groupCol).as("g"),
-          explode(graft.text.Repetition.ngrams(lower(col(textCol)), w)).as("gram"))
-        .select(col("g"), graft.text.TextFunctions.portableHash60(col("gram")).as("h"))
-        .distinct())
+    val toks = shingleToks(df, groupCol, textCol, w, scope)
     val sizes = toks.groupBy("g").agg(count(lit(1)).as("sz"))
     // EXACT side: inverted-index co-occurrence — pairs form only where
     // a hash is SHARED (per-hash fan-out ≤ |groups|², typically far

@@ -41,6 +41,15 @@ object SketchQueries extends QuerySet {
         Tables.df(s, d, "documents"), "source", "text", w = 3, k = 256),
       Some(Sketches.kmvJaccardDuckSql("documents", "source", "text", w = 3, k = 256))),
 
+    // Set-operation cardinalities from the same signatures: |A∪B| from
+    // the union-kth estimator, |A∩B| = Ĵ·|A∪B|^ (Beyer 2007), audited
+    // against exact counts — the signature algebra that substitutes for
+    // raw sets at 100 TB (|A\B| follows as |A| − |A∩B|).
+    Q("q_kmv_setops",
+      (s, d) => Sketches.kmvSetOps(
+        Tables.df(s, d, "documents"), "source", "text", w = 3, k = 256),
+      Some(Sketches.kmvSetOpsDuckSql("documents", "source", "text", w = 3, k = 256))),
+
     Q("q_quantile_sketch",
       (s, d) => Sketches.quantileSketch(
         Tables.df(s, d, "events"), "event_type", "value", "event_id", n = 512),

@@ -160,9 +160,11 @@ class PlanAuditSpec extends SparkSpec {
                            // join of the source domain (dozens by
                            // contract, the q_corpus_kl argument) —
                            // posting membership itself rides equi-joins
-    "q_sketch_tuning"      // the |grid| one-row estimate frames
+    "q_sketch_tuning",     // the |grid| one-row estimate frames
                            // crossJoined with the 1-row exact total —
                            // the q_hll_union totals shape
+    "q_kmv_setops"         // q_kmv_jaccard's pair-generation shape
+                           // verbatim (|groups|² triangular source join)
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
@@ -355,11 +357,13 @@ class PlanAuditSpec extends SparkSpec {
       "q_winsorized_mean", // p05/p95 caps table grouped by the same
                            // bounded event-type domain — the
                            // q_iqr_outliers argument verbatim
-      "q_kmv_jaccard") // the per-pair k-th union hash grouped by the
+      "q_kmv_jaccard", // the per-pair k-th union hash grouped by the
                        // GROUP-PAIR domain (|sources|², dozens by the
                        // same contract as q_mix_temperature) and
                        // capped at one long per pair — the bottom-k
                        // cut that replaced the per-pair rank window
+      "q_kmv_setops")  // the identical per-pair kth broadcast
+                       // (kmvPairStats is shared with q_kmv_jaccard)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

@@ -292,6 +292,36 @@ class SketchesSpec extends SparkSpec {
     fromSigs.keySet shouldBe Set(("s0", "s1"), ("s0", "s2"), ("s1", "s2"))
   }
 
+  test("kmvSetOps: exact at the extremes; union/intersection estimates track exact counts mid-range") {
+    import spark.implicits._
+    // identical pair, disjoint pair, half-overlap pair
+    val shared = (1 to 40).map(i => s"w$i").mkString(" ")
+    val other = (1 to 40).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      ("a", shared), ("b", shared), ("c", other),
+      ("d", shared + " " + other)).toDF("source", "text")
+    val r = Sketches.kmvSetOps(docs, "source", "text", w = 3, k = 256)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    // k=256 exceeds every union here -> the sketch is EXACT end to end
+    for (((_, _), row) <- r) {
+      row.getAs[Double]("union_est") shouldBe row.getAs[Long]("exact_union").toDouble
+      row.getAs[Double]("inter_est") shouldBe row.getAs[Long]("exact_inter").toDouble
+      row.getAs[Double]("union_rel_err") shouldBe 0.0
+      row.getAs[Double]("inter_err") shouldBe 0.0
+    }
+    r(("a", "b")).getAs[Long]("exact_inter") shouldBe r(("a", "b")).getAs[Long]("exact_union")
+    r(("a", "c")).getAs[Long]("exact_inter") shouldBe 0L
+    // genuinely-estimating regime: unions far above k
+    val big = (0 until 60).map { i =>
+      val src = s"s${i % 2}"
+      (src, (0 until 80).map(j => s"tok${(i * 80 + j) % 3000} shared${j % 40}").mkString(" "))
+    }.toDF("source", "text")
+    val est = Sketches.kmvSetOps(big, "source", "text", w = 3, k = 128)
+      .collect().head
+    est.getAs[Double]("union_rel_err") should be < 0.3 // ~4 sigma at k=128
+    est.getAs[Double]("inter_err") should be < 0.3
+  }
+
   test("bloom filter: never a false negative; fpp in range") {
     val members = spark.range(0, 5000).toDF("v")
     val bloom = Sketches.buildBloom(members, col("v"), 5000, fpp = 0.01)
