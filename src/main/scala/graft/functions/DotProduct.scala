@@ -124,6 +124,14 @@ object GraftFunctions {
       .registerFunction(BottomKLongAgg.info._1, BottomKLongAgg.info._2, BottomKLongAgg.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(BottomKStructAgg.info._1, BottomKStructAgg.info._2, BottomKStructAgg.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(BloomContains.info._1, BloomContains.info._2, BloomContains.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(TableSum.info._1, TableSum.info._2, TableSum.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(GroupCdfRank.info._1, GroupCdfRank.info._2, GroupCdfRank.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(CosineAnyAbove.info._1, CosineAnyAbove.info._2, CosineAnyAbove.info._3)
   }
 }
 
@@ -153,5 +161,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(DeflateLen.info)
     ext.injectFunction(BottomKLongAgg.info)
     ext.injectFunction(BottomKStructAgg.info)
+    ext.injectFunction(BloomContains.info)
+    ext.injectFunction(TableSum.info)
+    ext.injectFunction(GroupCdfRank.info)
+    ext.injectFunction(CosineAnyAbove.info)
   }
 }

@@ -1139,15 +1139,17 @@ object Sketches {
     */
   def mightContain(df: DataFrame, bloom: BloomFilter, expr: Column): Column = {
     import org.apache.spark.sql.types._
-    val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
+    // native codegen probe (graft.functions.BloomContains) — no boxed
+    // udf on the corpus-wide pre-filter path; the filter rides as a
+    // foldable binary literal. Null keys probe to null (a null key can
+    // never equi-join, so a filter on the probe drops it either way —
+    // the same observable behavior the legacy udfs had post-filter).
+    graft.functions.GraftFunctions.register(df.sparkSession)
     df.select(expr).schema.head.dataType match {
       case ByteType | ShortType | IntegerType | LongType =>
-        val f = udf((v: Long) => bc.value.mightContainLong(v))
-        f(expr.cast("long"))
+        graft.functions.BloomContains.probe(expr.cast("long"), bloom)
       case StringType =>
-        val f = udf((v: String) => v != null && bc.value.mightContainString(v))
-        f(expr)
+        graft.functions.BloomContains.probe(expr, bloom)
       case other => throw new IllegalArgumentException(
         s"Bloom membership supports integral and string keys (buildBloom's " +
           s"insertion types); got $other — cast the key explicitly on BOTH " +

@@ -110,48 +110,25 @@ object StreamOps {
     * misses. The eval matrix (bounded by the eval-suite contract, like
     * the Bloom's gram set) collects once, broadcasts once, and the
     * stream filter is pure map-side — STATELESS: no watermark, no
-    * state store, restart-safe. The per-row check is a udf (like the
-    * Bloom `mightContain` — no public Catalyst expression can wrap a
-    * broadcast vector matrix); cosine rounds to 4dp exactly as the
-    * batch operator does, so parity is bit-for-bit.
+    * state store, restart-safe. The per-row check is the native
+    * [[graft.functions.CosineAnyAbove]] codegen kernel (the eval
+    * matrix rides the plan as a foldable literal — bounded by the
+    * eval-suite contract); cosine rounds to 4dp exactly as the batch
+    * operator does, so parity is bit-for-bit.
     */
   def decontaminateEmbedStream(stream: DataFrame, evalDf: DataFrame,
                                vecCol: String, evalVecCol: String,
                                threshold: Double): DataFrame = {
-    val evalVecs: Array[Array[Double]] = evalDf
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    val evalVecs: Seq[Seq[Double]] = evalDf
       .select(col(evalVecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-      .collect().map(_.getSeq[Double](0).toArray)
-    val evalNorms = evalVecs.map(v => math.sqrt(v.map(x => x * x).sum))
-    val bc = stream.sparkSession.sparkContext.broadcast((evalVecs, evalNorms))
-    val contaminated = udf { (v: Seq[Double]) =>
-      if (v == null) false
-      else {
-        val arr = v.toArray
-        val n = math.sqrt(arr.map(x => x * x).sum)
-        val (evs, ens) = bc.value
-        var i = 0
-        var hit = false
-        while (i < evs.length && !hit) {
-          val ev = evs(i)
-          val en = ens(i)
-          if (n > 0 && en > 0) {
-            var d = 0.0
-            var j = 0
-            val len = math.min(arr.length, ev.length)
-            while (j < len) { d += arr(j) * ev(j); j += 1 }
-            // Spark round() semantics (BigDecimal.valueOf, HALF_UP) so
-            // the batch operator's 4dp-rounded compare is replicated
-            val c = BigDecimal.decimal(d / (n * en))
-              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (c >= threshold) hit = true
-          }
-          i += 1
-        }
-        hit
-      }
-    }
-    stream.filter(!contaminated(col(vecCol).cast("array<double>")))
+      .collect().map(_.getSeq[Double](0))
+    val contaminated = call_function("graft_cosine_any",
+      col(vecCol).cast("array<double>"), typedLit(evalVecs), lit(threshold))
+    // coalesce keeps the legacy false-on-null behavior (null-vector
+    // rows pass the filter)
+    stream.filter(!coalesce(contaminated, lit(false)))
   }
 
   /** Streaming DSIR importance scoring — "fit the domain model on the
@@ -187,18 +164,12 @@ object StreamOps {
         math.log((cr + 1).toDouble / (nr + nBuckets))
     val lw = Array.fill(nBuckets)(lwOf(0L, 0L))
     counts.foreach { case (b, ct, cr) => lw(b.toInt) = lwOf(ct, cr) }
-    val bc = stream.sparkSession.sparkContext.broadcast(lw)
-    val score = udf { (hs: Seq[Long]) =>
-      if (hs == null) null.asInstanceOf[java.lang.Double]
-      else {
-        var s = 0.0
-        hs.foreach(h => s += bc.value((h % nBuckets).toInt))
-        // Spark round() semantics (BigDecimal HALF_UP) for batch parity
-        java.lang.Double.valueOf(BigDecimal.decimal(s)
-          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
-      }
-    }
-    stream.withColumn("log_w", score(expr(TextFunctions.tokenHashesSql(textCol))))
+    // native codegen table-sum kernel (graft.functions.TableSum): the
+    // nBuckets-double model rides the plan as a foldable literal;
+    // round() is Spark's own BigDecimal HALF_UP — batch parity holds
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    stream.withColumn("log_w", round(call_function("graft_table_sum",
+      expr(TextFunctions.tokenHashesSql(textCol)), typedLit(lw.toSeq)), 4))
   }
 
   /** Streaming quantile normalization — the serve-time tier of
@@ -213,10 +184,11 @@ object StreamOps {
     * values strictly below it, cnt = 0 in the same formula) — so the
     * output stays monotone in the value and lands in (0, 1). An
     * unseen GROUP yields null (no distribution to normalize against).
-    * No joins, no state store, any ingest rate. The UDF wraps the
-    * broadcast per-group arrays (binary search per row) — the
-    * documented broadcast-model exception; batch parity asserted in
-    * StreamOpsSpec.
+    * No joins, no state store, any ingest rate. The per-row lookup is
+    * the native [[graft.functions.GroupCdfRank]] codegen kernel (the
+    * fitted per-group arrays ride the plan as a foldable binary
+    * literal; binary search + the exact PortableRound integer
+    * average-rank formula); batch parity asserted in StreamOpsSpec.
     */
   def quantileNormalizeStream(stream: DataFrame, corpus: DataFrame,
       groupCol: String, valueCol: String): DataFrame = {
@@ -225,7 +197,7 @@ object StreamOps {
       .filter(col("g").isNotNull && col("qv").isNotNull)
       .groupBy("g", "qv").agg(count(lit(1)).as("cnt"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val model: Map[String, (Array[Long], Array[Long], Array[Long])] =
+    val model: Map[String, (Array[Long], Array[Long])] =
       fit.groupBy(_._1).map { case (g, rows) =>
         val sorted = rows.sortBy(_._2)
         val qvs = sorted.map(_._2).toArray
@@ -234,25 +206,13 @@ object StreamOps {
         val cum = new Array[Long](qvs.length + 1)
         var i = 0
         while (i < qvs.length) { cum(i + 1) = cum(i) + cnts(i); i += 1 }
-        g -> ((qvs, cum, cnts))
+        g -> ((qvs, cum))
       }
-    val bc = stream.sparkSession.sparkContext.broadcast(model)
-    val qn = udf { (g: String, v: java.lang.Double) =>
-      if (g == null || v == null) null.asInstanceOf[java.lang.Double]
-      else bc.value.get(g) match {
-        case None => null.asInstanceOf[java.lang.Double]
-        case Some((qvs, cum, cnts)) =>
-          val qv = math.floor(v * 100 + 0.5).toLong
-          val idx = java.util.Arrays.binarySearch(qvs, qv)
-          // avg-rank p/q with the exact PortableRound integer formula
-          val p = if (idx >= 0) 2L * cum(idx) + cnts(idx) + 1
-                  else 2L * cum(-idx - 1) + 1
-          val q = 2L * (cum(qvs.length) + 1)
-          java.lang.Double.valueOf(((20000L * p + q) / (2L * q)).toDouble / 10000.0)
-      }
-    }
-    stream.withColumn("qn",
-      qn(col(groupCol).cast("string"), col(valueCol).cast("double")))
+    graft.functions.GraftFunctions.register(stream.sparkSession)
+    stream.withColumn("qn", call_function("graft_cdf_rank",
+      col(groupCol).cast("string"),
+      floor(col(valueCol).cast("double") * 100 + 0.5).cast("long"),
+      lit(graft.functions.GroupCdfRank.encode(model))))
   }
 
   /** Serve-time winsorization: per-group p05/p95 caps fit ONCE on the
@@ -265,8 +225,9 @@ object StreamOps {
     * exactly (q ≤ lo → lo; q ≥ hi AND q > lo → hi; else q), so the
     * sum of streamed clipped values reproduces the batch winsorized
     * numerator — spec-asserted. Unseen group yields null. No joins,
-    * no state store; the UDF wraps the broadcast cap map — the
-    * documented broadcast-model exception.
+    * no state store, no UDF: the caps ride the plan as two foldable
+    * map literals and the clip is pure built-ins (map lookup +
+    * CASE WHEN), fully inside whole-stage codegen.
     */
   def winsorizeStream(stream: DataFrame, corpus: DataFrame,
       groupCol: String, valueCol: String,
@@ -276,21 +237,17 @@ object StreamOps {
           Seq("p_lo" -> pLo, "p_hi" -> pHi))
         .select(col(groupCol).cast("string"), col("p_lo"), col("p_hi"))
         .collect()
+        .filter(!_.isNullAt(0)) // a null corpus group can never be probed (null key lookups are null)
         .map(r => r.getString(0) ->
           ((r.getDouble(1) * 100.0, r.getDouble(2) * 100.0))).toMap
-    val bc = stream.sparkSession.sparkContext.broadcast(caps)
-    val w = udf { (g: String, v: java.lang.Double) =>
-      if (g == null || v == null) null.asInstanceOf[java.lang.Double]
-      else bc.value.get(g) match {
-        case None => null.asInstanceOf[java.lang.Double]
-        case Some((lo, hi)) =>
-          val q = math.floor(v * 100 + 0.5)
-          val c = if (q <= lo) lo else if (q >= hi) hi else q
-          java.lang.Double.valueOf(c / 100.0)
-      }
-    }
+    val lo = try_element_at(typedLit(caps.map { case (g, c) => g -> c._1 }),
+      col(groupCol).cast("string"))
+    val hi = try_element_at(typedLit(caps.map { case (g, c) => g -> c._2 }),
+      col(groupCol).cast("string"))
+    val q = floor(col(valueCol).cast("double") * 100 + 0.5)
+    val clipped = when(q <= lo, lo).when(q >= hi, hi).otherwise(q)
     stream.withColumn("winsorized",
-      w(col(groupCol).cast("string"), col(valueCol).cast("double")))
+      when(lo.isNotNull && hi.isNotNull && q.isNotNull, clipped / 100.0))
   }
 
   /** Streaming retrieval against the persisted IVF+PQ index
@@ -346,11 +303,15 @@ object StreamOps {
       val n = math.max(evalGrams.count(), 1L)
       graft.ops.Sketches.buildBloom(evalGrams, col("gh"), n, fpp)
     } finally evalGrams.unpersist()
-    val bc = stream.sparkSession.sparkContext.broadcast(bloom)
-    val anyHit = udf((hs: Seq[Long]) => hs != null && hs.exists(bc.value.mightContainLong))
+    // native codegen any-hit probe over the doc's gram-hash array (the
+    // array<bigint> arm of graft_bloom_contains) — no boxed udf on the
+    // per-event path; coalesce keeps the legacy null-text behavior
+    // (null grams array probed false → row kept)
+    graft.functions.GraftFunctions.register(stream.sparkSession)
     val gramHashes = transform(Repetition.ngrams(col(textCol), w),
       g => TextFunctions.portableHash60(g))
-    stream.filter(!anyHit(gramHashes))
+    stream.filter(!coalesce(
+      graft.functions.BloomContains.probe(gramHashes, bloom), lit(false)))
   }
 
   /** Streaming ingest with incremental near-dup rejection against the
