@@ -196,20 +196,28 @@ object VectorQueries extends QuerySet {
     // searches at every k.
     Q("q_recall_curve",
       (s, d) => {
+        // TWO jobs, not eight: both searches rank one total order
+        // (score desc, id asc) with k-independent candidate sets (IVF
+        // probes the same nProbe cells at any k), so every smaller k's
+        // top list IS a prefix of the top-20 list — compute brute@20
+        // and IVF@20 once, derive recall@k by driver prefix cuts. The
+        // oracle replays each k independently; identical rows
+        // (round-12 verdict item 4).
         val scope = new graft.api.CacheScope
         val e = scope.persist(Tables.df(s, d, "embeddings"))
-        val ks = Seq(1, 5, 10, 20)
-        val rows = ks.map { k =>
-          val brute = Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, k)
-            .collect().map(_.getLong(0)).toSet
-          val ivf = Knn.ivfTopK(e, "vec_id", "embedding", 0L, k)
-            .collect().map(_.getLong(0))
-          val hit = ivf.count(brute)
+        val kMax = 20
+        val brute20 = Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, kMax)
+          .collect().map(_.getLong(0))
+        val ivf20 = Knn.ivfTopK(e, "vec_id", "embedding", 0L, kMax)
+          .collect().map(_.getLong(0))
+        scope.release()
+        val rows = Seq(1, 5, 10, 20).map { k =>
+          val truth = brute20.take(k).toSet
+          val hit = ivf20.take(k).count(truth)
           (k, hit,
             BigDecimal.decimal(hit.toDouble / k)
               .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
         }
-        scope.release()
         import s.implicits._
         rows.toDF("k", "n_hit", "recall").orderBy("k")
       },
