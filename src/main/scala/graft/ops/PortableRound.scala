@@ -72,4 +72,26 @@ object PortableRound {
     s"CASE WHEN ($q) = 0 THEN 0 " +
       s"ELSE ($num - ((($num % $den) + $den) % $den)) // $den END"
   }
+
+  /** Portable 4dp for NON-NEGATIVE float quantities whose exact
+    * rational does not fit the integer forms above (e.g. the KMV
+    * (k−1)·2^60/(h+1) estimators — the numerator needs 68 bits):
+    * rounds the BINARY double via ⌊x·10⁴ + 0.5⌋/10⁴ — pure IEEE
+    * arithmetic on the same double both engines computed, so the
+    * result is bit-identical cross-engine BY CONSTRUCTION, with no
+    * dependence on either engine's round() tie handling (Spark rounds
+    * the shortest-string decimal, DuckDB the exact binary value — the
+    * q_repetition divergence this object exists for). Magnitudes must
+    * stay under 2^53/10⁴ (≈9·10¹¹) for the scaling to be exact-enough;
+    * sketch estimates are corpus cardinalities, far below that.
+    */
+  def floatRound4(x: Column): Column =
+    floor(x * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** DuckDB twin of [[floatRound4]] — the identical IEEE ops (DuckDB
+    * floor returns DOUBLE, Spark's returns BIGINT; both are exact
+    * integer values below 2^53, so the division agrees).
+    */
+  def floatRound4Duck(x: String): String =
+    s"(floor(($x) * 10000.0 + 0.5) / 10000.0)"
 }

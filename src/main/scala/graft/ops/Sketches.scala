@@ -354,23 +354,54 @@ object Sketches {
     */
   def hllEstimateTable(regs: DataFrame, groupCols: Seq[String], p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
-    val checked =
-      if (regs.columns.contains("hll_p")) {
-        // the guard rides the r column itself so column pruning can
-        // never optimize the check away
-        // coalesce: a NULL hll_p (legacy shard unioned in with
-        // allowMissingColumns) must raise an INTELLIGIBLE message, not
-        // a concat-with-NULL null message
-        regs.withColumn("r",
-          when(col("hll_p") === lit(p), col("r"))
-            .otherwise(raise_error(concat(
-              lit("hll_p mismatch: register table written at p="),
-              coalesce(col("hll_p").cast("string"),
-                lit("NULL (legacy shard without provenance)")),
-              lit(s", estimated at p=$p")))))
-      } else regs
-    hllEstimate(checked, groupCols, p)
+    hllEstimate(hllCheckP(regs, p), groupCols, p)
       .select((groupCols.map(col) :+ col("est")): _*)
+  }
+
+  /** Guard shared by the register-table read paths: any row whose
+    * recorded hll_p disagrees with this call's `p` raises at execution
+    * rather than silently folding registers of the wrong width. The
+    * guard rides the r column itself so column pruning can never
+    * optimize the check away; coalesce makes a NULL hll_p (legacy
+    * shard unioned in with allowMissingColumns) raise an INTELLIGIBLE
+    * message, not a concat-with-NULL null message. Tables without the
+    * column pass through with a stderr warning — the caller owns the
+    * contract, but losing provenance silently was the round-12 ADVICE
+    * asymmetry vs the KMV side.
+    */
+  private def hllCheckP(regs: DataFrame, p: Int): DataFrame =
+    if (regs.columns.contains("hll_p")) {
+      regs.withColumn("r",
+        when(col("hll_p") === lit(p), col("r"))
+          .otherwise(raise_error(concat(
+            lit("hll_p mismatch: register table written at p="),
+            coalesce(col("hll_p").cast("string"),
+              lit("NULL (legacy shard without provenance)")),
+            lit(s", estimated at p=$p")))))
+    } else {
+      System.err.println(s"[graft] hllCheckP: register table has no hll_p " +
+        s"provenance column — cannot verify it was written at p=$p; a " +
+        s"mismatched shard would mis-split every hash into idx/rank")
+      regs
+    }
+
+  /** Merge register-table shards by per-(group, idx) max — the
+    * PROVENANCE-PRESERVING rollup twin of [[kmvMergeSignatures]] (the
+    * round-12 ADVICE asymmetry: an ad-hoc max-merge drops hll_p, after
+    * which [[hllEstimateTable]] can no longer fail fast on a p
+    * mismatch). Validates every shard's hll_p against `p` (riding the
+    * r column, like the read path), merges by max(r), and re-stamps
+    * hll_p. max is associative, so merging shard signatures equals
+    * sketching the union directly ([[hllUnionMerge]] pins the
+    * bit-equality); output schema matches [[hllRegisterTable]].
+    */
+  def hllMergeRegisterTables(regs: DataFrame, groupCols: Seq[String],
+      p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
+    hllCheckP(regs, p)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max(col("r")).as("r"))
+      .withColumn("hll_p", lit(p))
   }
 
   /** Per-group HLL distinct-count estimate AUDITED against the exact
@@ -659,11 +690,18 @@ object Sketches {
   /** Guard: every signature row must have been written at kmv_k ≥ the
     * requested k — a narrower shard cannot answer a wider bottom-k.
     * The check rides the sig column itself so pruning can't drop it;
-    * tables without the kmv_k column pass through (the caller owns the
-    * contract, as with a max-merged register table).
+    * tables without the kmv_k column pass through WITH a stderr
+    * warning (the caller owns the contract, but a shard whose column
+    * was projected away — select("g","sig") — would silently
+    * under-estimate at a wider k, the round-12 ADVICE hazard).
     */
   private def kmvCheckK(sigs: DataFrame, k: Int): DataFrame =
-    if (sigs.columns.contains("kmv_k")) {
+    if (!sigs.columns.contains("kmv_k")) {
+      System.err.println(s"[graft] kmvCheckK: signature table has no kmv_k " +
+        s"provenance column — cannot verify it was written at k >= $k; a " +
+        s"narrower shard would silently under-estimate")
+      sigs
+    } else {
       // coalesce: NULL kmv_k (legacy shard) raises intelligibly, not
       // a concat-with-NULL null message
       sigs.withColumn("sig",
@@ -673,7 +711,7 @@ object Sketches {
             coalesce(col("kmv_k").cast("string"),
               lit("NULL (legacy shard without provenance)")),
             lit(s", read at k=$k — rebuild or lower k")))))
-    } else sigs
+    }
 
   /** Merge signature shards: bottom-k of the concatenation, per group.
     * bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)), so merging
@@ -795,12 +833,19 @@ object Sketches {
         (col("kmv_inter").cast("double") / col("kmv_n").cast("double")) * col("union_raw"))
       .select(col("g1").as("source_a"), col("g2").as("source_b"),
         col("exact_union"),
-        round(col("union_raw"), 4).as("union_est"),
-        round(abs(col("union_raw") - col("exact_union")) / col("exact_union"), 4)
+        // floatRound4, not round(x,4): the estimators' exact rationals
+        // exceed 63 bits ((k−1)·2^60 numerators), so the integer
+        // PortableRound forms don't apply — the portable-float form
+        // rounds the identical IEEE double both engines computed,
+        // independent of either engine's round() tie handling
+        PortableRound.floatRound4(col("union_raw")).as("union_est"),
+        PortableRound.floatRound4(
+          abs(col("union_raw") - col("exact_union")) / col("exact_union"))
           .as("union_rel_err"),
         col("inter_n").as("exact_inter"),
-        round(col("inter_raw"), 4).as("inter_est"),
-        round(abs(col("inter_raw") - col("inter_n")) / col("exact_union"), 4)
+        PortableRound.floatRound4(col("inter_raw")).as("inter_est"),
+        PortableRound.floatRound4(
+          abs(col("inter_raw") - col("inter_n")) / col("exact_union"))
           .as("inter_err"))
   }
 
@@ -844,12 +889,12 @@ object Sketches {
        |  FROM agg)
        |SELECT g1 AS source_a, g2 AS source_b,
        |  CAST(union_n AS BIGINT) AS exact_union,
-       |  round(union_raw, 4) AS union_est,
-       |  round(abs(union_raw - union_n) / union_n, 4) AS union_rel_err,
+       |  ${PortableRound.floatRound4Duck("union_raw")} AS union_est,
+       |  ${PortableRound.floatRound4Duck("abs(union_raw - union_n) / union_n")} AS union_rel_err,
        |  CAST(inter_n AS BIGINT) AS exact_inter,
-       |  round((CAST(kmv_inter AS DOUBLE) / CAST(kmv_n AS DOUBLE)) * union_raw, 4) AS inter_est,
-       |  round(abs((CAST(kmv_inter AS DOUBLE) / CAST(kmv_n AS DOUBLE)) * union_raw - inter_n)
-       |        / union_n, 4) AS inter_err
+       |  ${PortableRound.floatRound4Duck("(CAST(kmv_inter AS DOUBLE) / CAST(kmv_n AS DOUBLE)) * union_raw")} AS inter_est,
+       |  ${PortableRound.floatRound4Duck(
+             "abs((CAST(kmv_inter AS DOUBLE) / CAST(kmv_n AS DOUBLE)) * union_raw - inter_n) / union_n")} AS inter_err
        |FROM est""".stripMargin
   }
 
@@ -881,6 +926,12 @@ object Sketches {
     val hashed = scope.persist(
       df.select(graft.text.TextFunctions.portableHash60(col(keyCol).cast("string")).as("h"))
         .filter(col("h").isNotNull))
+    // fail fast on an empty/all-null-key corpus: the engines would
+    // otherwise DISAGREE on the degenerate input (Spark's global
+    // groupBy() emits one NULL-est row from 0/0; the Duck twin's
+    // per-g aggregate emits zero rows) — round-12 ADVICE
+    require(!hashed.isEmpty,
+      "sketchTuning: empty corpus (no non-null keys) — nothing to tune against")
     val exact = hashed.agg(countDistinct(col("h")).as("exact_distinct"))
     val hllRows = hllPs.map { p =>
       hllEstimate(hllRegistersFromHashes(hashed, Nil, p), Nil, p)
@@ -898,8 +949,11 @@ object Sketches {
     (hllRows ++ kmvRows).reduce(_ unionByName _)
       .crossJoin(broadcast(exact))
       .select(col("sketch"), col("param"), col("exact_distinct"),
-        round(col("est"), 4).as("est"),
-        round(abs(col("est") - col("exact_distinct")) / col("exact_distinct"), 4).as("rel_err"))
+        // floatRound4: the estimators' rationals exceed 63 bits, so
+        // the portable-float form replaces round(x,4) — see kmvSetOps
+        PortableRound.floatRound4(col("est")).as("est"),
+        PortableRound.floatRound4(
+          abs(col("est") - col("exact_distinct")) / col("exact_distinct")).as("rel_err"))
       .orderBy("sketch", "param")
   }
 
@@ -923,13 +977,15 @@ object Sketches {
     val rows =
       hllPs.map(p =>
         s"""SELECT 'hll' AS sketch, $p AS param, ex.exact_distinct,
-           |  round(f.est, 4) AS est,
-           |  round(abs(f.est - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+           |  ${PortableRound.floatRound4Duck("f.est")} AS est,
+           |  ${PortableRound.floatRound4Duck(
+                 "abs(f.est - ex.exact_distinct) / ex.exact_distinct")} AS rel_err
            |FROM ex, fin_p$p f""".stripMargin) ++
       kmvKs.map(k =>
         s"""SELECT 'kmv' AS sketch, $k AS param, ex.exact_distinct,
-           |  round(m.est, 4) AS est,
-           |  round(abs(m.est - ex.exact_distinct) / ex.exact_distinct, 4) AS rel_err
+           |  ${PortableRound.floatRound4Duck("m.est")} AS est,
+           |  ${PortableRound.floatRound4Duck(
+                 "abs(m.est - ex.exact_distinct) / ex.exact_distinct")} AS rel_err
            |FROM ex, kmv_k$k m""".stripMargin)
     s"""WITH ht AS (
        |  SELECT DISTINCT ${hash60Duck(keyCol)} AS h FROM $table

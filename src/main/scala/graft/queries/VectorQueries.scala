@@ -313,6 +313,24 @@ object VectorQueries extends QuerySet {
       Some(Knn.findMatchesLshDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
 
+    // Cross-product Σ cs·ct fuel audit of the matcher banding — the
+    // q_embed_bucket_load treatment for the TWO-SIDED LSH match tiers
+    // (q_find_matches_lsh / findMatchesLshTopN, the round-12 verdict's
+    // worst ScaleSmoke ratio): per band, n_cand_pairs is exactly the
+    // candidate count the band feeds the metric re-rank before the
+    // maxBucket cap, measured on the IDENTICAL corpus split and ladder
+    // width the matcher runs. Decade growth of this number lives in
+    // MATCHER_BUCKET_LOAD_DECADES.json (graft.MatcherBucketLoadDecades).
+    Q("q_matcher_bucket_load",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings")
+        Knn.matcherBucketLoadAudit(
+          e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding")
+      },
+      Some(Knn.matcherBucketLoadAuditDuckSql("embeddings", "vec_id", "embedding",
+        srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
+
     // Generalized matcher (reference embedding_matcher.py MatchingConfig):
     // top-n per source under a similarity threshold, default cosine.
     Q("q_find_matches_topn",

@@ -249,4 +249,47 @@ class KnnSpec extends SparkSpec {
       .as[(Long, Boolean)].collect().sorted
     r shouldBe Array((1L, true), (2L, true), (3L, false), (4L, false))
   }
+
+  test("matcherBucketLoadAudit: sum cs*ct equals the matcher banding's exact pre-cap candidate count") {
+    // seeded random two-sided corpus; the audit's n_cand_pairs must be
+    // the EXACT size of the (band, chunk)-keyed src x tgt join the
+    // matcher would feed its re-rank (before maxBucket and distinct)
+    val rnd = new scala.util.Random(5)
+    def side(ids: Range) = ids.map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val src = side(0 until 40)
+    val tgt = side(1000 until 1060)
+    val width = Knn.widthForCount(60L)
+    val audit = Knn.matcherBucketLoadAudit(src, tgt, "vec_id", "embedding",
+        dims = 8, widthOverride = Some(width))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6))).toMap
+    // reference: the matcher's own banding, joined per band
+    def bandsOf(df: org.apache.spark.sql.DataFrame, id: String) =
+      Knn.scaledBandChunks(df, "vec_id", "embedding", width, bands = 8, dims = 8)
+        .select(col("band"), col("chunk"), col("vec_id").as(id))
+    val pairsPerBand = bandsOf(src, "src_id")
+      .join(bandsOf(tgt, "tgt_id"), Seq("band", "chunk"))
+      .groupBy("band").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (0 until 8).foreach { b =>
+      val (nBuckets, nSrc, nTgt, candPairs) = audit(b)
+      candPairs shouldBe pairsPerBand.getOrElse(b, 0L)
+      nSrc shouldBe 40L
+      nTgt shouldBe 60L
+      nBuckets should be <= candPairs.max(1L) // co-occupied buckets each feed >= 1 pair
+    }
+  }
+
+  test("matcherBucketLoadAudit: an exact cross-side duplicate co-occupies every band") {
+    val src = Seq((1L, Seq(1.0f, 0.5f, -0.25f, 0.75f))).toDF("vec_id", "embedding")
+    val tgt = Seq((2L, Seq(2.0f, 1.0f, -0.5f, 1.5f)),   // same direction: same sign bits
+                  (3L, Seq(-1.0f, -1.0f, 1.0f, -1.0f))).toDF("vec_id", "embedding")
+    val audit = Knn.matcherBucketLoadAudit(src, tgt, "vec_id", "embedding", dims = 4)
+      .collect()
+    audit.length shouldBe 8
+    // the duplicate shares every sign bit, hence every band's bucket:
+    // each band carries at least the one (src, dup) candidate
+    audit.foreach { r => r.getAs[Long]("n_cand_pairs") should be >= 1L }
+  }
 }

@@ -172,6 +172,48 @@ class SketchesSpec extends SparkSpec {
     math.abs(rollup - 3000.0) / 3000.0 should be < 0.26
   }
 
+  test("hllMergeRegisterTables: provenance-preserving merge — re-stamps hll_p, fails fast on a p mismatch") {
+    import spark.implicits._
+    val day1 = (0 until 4000).map(i => ("d", s"u${i % 1200}")).toDF("g", "u")
+    val day2 = (0 until 4000).map(i => ("d", s"u${i % 1900 + 600}")).toDF("g", "u")
+    val shards = Sketches.hllRegisterTable(day1, "u", Seq("g"))
+      .unionByName(Sketches.hllRegisterTable(day2, "u", Seq("g")))
+    val merged = Sketches.hllMergeRegisterTables(shards, Seq("g"))
+    // the merge KEEPS provenance (the round-12 ADVICE asymmetry: an
+    // ad-hoc max-merge drops hll_p and disarms the read-path guard)
+    merged.columns should contain("hll_p")
+    merged.select("hll_p").distinct().collect().map(_.getInt(0)) shouldBe Array(8)
+    // merged estimate == direct sketching of the union, through the
+    // GUARDED read path (hll_p present and validated end to end)
+    val rollup = Sketches.hllEstimateTable(merged, Seq("g"))
+      .collect().head.getAs[Double]("est")
+    val direct = Sketches.hllEstimateTable(
+      Sketches.hllRegisterTable(day1.unionByName(day2), "u", Seq("g")), Seq("g"))
+      .collect().head.getAs[Double]("est")
+    rollup shouldBe direct
+    // a shard written at a different p fails the MERGE, not just the read
+    val wrongP = Sketches.hllRegisterTable(day2, "u", Seq("g"), p = 10)
+    val ex = intercept[Exception] {
+      Sketches.hllMergeRegisterTables(
+        Sketches.hllRegisterTable(day1, "u", Seq("g")).unionByName(wrongP),
+        Seq("g")).collect()
+    }
+    ex.getMessage should include("hll_p mismatch")
+  }
+
+  test("sketchTuning: an empty/all-null-key corpus fails fast (engines would disagree on the degenerate input)") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("g", "k")
+    val ex = intercept[IllegalArgumentException] {
+      Sketches.sketchTuning(empty, "k")
+    }
+    ex.getMessage should include("empty corpus")
+    val allNull = Seq(("a", null: String), ("b", null: String)).toDF("g", "k")
+    intercept[IllegalArgumentException] {
+      Sketches.sketchTuning(allNull, "k")
+    }
+  }
+
   test("quantileSketch: bottom-n hash sample tracks exact quantiles; small groups are exact") {
     import spark.implicits._
     // uniform [0, 10000): sample-p50 error ~ 1/(2 sqrt(256)) of the range
