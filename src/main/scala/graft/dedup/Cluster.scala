@@ -37,7 +37,17 @@ object Cluster {
       aCol: String,
       bCol: String,
       maxIter: Int = 25,
-      driverFoldThreshold: Long = 50000L): DataFrame = {
+      driverFoldThreshold: Long = 50000L,
+      checkpointDir: Option[String] = None): DataFrame = {
+    // opt-in RELIABLE lineage truncation: localCheckpoint blocks are
+    // not rebuilt on executor loss (fine at local[32]; a 100-node run
+    // losing an executor mid-iteration must rerun the job) — pass a
+    // checkpoint dir (HDFS/object store) to substitute fault-tolerant
+    // checkpoint() per round instead. Results are IDENTICAL either way
+    // (spec-pinned); default unchanged.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Unlike the lazy pair-finders, this builder is EAGER (the loop
     // materializes every round), so cache lifetime is internal: a local
     // scope released before returning — callers never accumulate pinned
@@ -85,11 +95,10 @@ object Cluster {
       // (mirrored edges ⇒ every node appears as src) starts at
       // min(self, direct neighbors) — one aggregation instead of a
       // full join round.
-      var labels = edges.groupBy(col("src").as("id"))
+      var labels = truncate(edges.groupBy(col("src").as("id"))
         .agg(min(col("dst")).as("nmin"))
         .select(col("id"), least(col("id"), col("nmin")).as("label"))
-        .coalesce(parts)
-        .localCheckpoint()
+        .coalesce(parts))
       var converged = false
       var iter = 0
       while (!converged && iter < maxIter) {
@@ -102,11 +111,10 @@ object Cluster {
         // Carry the convergence flag INSIDE the checkpointed round: the
         // follow-up "did anything shrink" check is then a bare scan of
         // the materialized blocks, not another join job.
-        val next = labels.join(neighborMin, Seq("id"), "left")
+        val next = truncate(labels.join(neighborMin, Seq("id"), "left")
           .select(col("id"), least(col("label"), col("nlabel")).as("label"),
             coalesce(col("nlabel") < col("label"), lit(false)).as("shrank"))
-          .coalesce(parts)
-          .localCheckpoint()
+          .coalesce(parts))
         val changed = next.filter(col("shrank")).limit(1).count()
         labels = next.drop("shrank")
         converged = changed == 0

@@ -39,7 +39,14 @@ object PageRank {
     * `pairs(aCol, bCol)`. Output: (id, rank_fp) — rank in 1e-8 units.
     */
   def ranks(pairs: DataFrame, aCol: String, bCol: String,
-            iters: Int = 5): DataFrame = {
+            iters: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+    // opt-in RELIABLE lineage truncation (the Cluster.connectedComponents
+    // contract): pass a checkpoint dir to substitute fault-tolerant
+    // checkpoint() for localCheckpoint() per round — identical results
+    // (spec-pinned), default unchanged.
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     // Eager iterative builder — the Cluster.connectedComponents cache
     // discipline: persist the (typically expensive) pair-finding
     // lineage ONCE in a local scope, truncate the rank table's lineage
@@ -62,20 +69,18 @@ object PageRank {
           .distinct().coalesce(parts))
       val deg = scope.persist(
         edges.groupBy("src").agg(count(lit(1)).as("deg")))
-      var r = deg.select(col("src").as("id"), lit(Scale).as("r"))
-        .localCheckpoint()
+      var r = truncate(deg.select(col("src").as("id"), lit(Scale).as("r")))
       for (_ <- 1 to iters) {
         // share = r div deg per source, summed at each destination:
         // the per-edge contribution is computed ONCE per source (join
         // rank+degree first), then fanned out along the edge list
         val share = r.join(deg.withColumnRenamed("src", "id"), "id")
           .select(col("id").as("src"), expr("r div deg").as("share"))
-        r = edges.join(share, "src")
+        r = truncate(edges.join(share, "src")
           .groupBy(col("dst").as("id"))
           .agg(sum("share").as("acc"))
           .select(col("id"), (lit(15000000L) + expr("(85 * acc) div 100")).as("r"))
-          .coalesce(parts)
-          .localCheckpoint()
+          .coalesce(parts))
       }
       r.select(col("id"), col("r").as("rank_fp"))
     } finally scope.release()

@@ -55,4 +55,26 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     fast shouldBe dist
   }
+
+  test("opt-in reliable checkpoint dir substitutes checkpoint() with identical output (default unchanged)") {
+    // the round-12 roadmap item: localCheckpoint blocks are not rebuilt
+    // on executor loss — a real cluster run opts into a fault-tolerant
+    // dir; results must be IDENTICAL either way
+    val rnd = new scala.util.Random(31)
+    val pairs = (1 to 300).map(_ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }.toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val local = Cluster.connectedComponents(pairs, "id_a", "id_b",
+      driverFoldThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Cluster.connectedComponents(pairs, "id_a", "id_b",
+      driverFoldThreshold = 0L, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reliable shouldBe local
+    // the reliable path actually wrote checkpoint data to the dir
+    def countFiles(p: java.io.File): Int =
+      if (p.isFile) 1 else Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+    countFiles(new java.io.File(dir)) should be > 0
+  }
 }

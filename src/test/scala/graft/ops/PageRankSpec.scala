@@ -44,4 +44,20 @@ class PageRankSpec extends SparkSpec {
     val pairs = for (i <- 1L to 30L; j <- (i + 1) to math.min(i + 3, 30L)) yield (i, j)
     ranksOf(pairs, iters = 5) shouldBe ranksOf(pairs, iters = 5)
   }
+
+  test("opt-in reliable checkpoint dir yields identical ranks (default unchanged)") {
+    import spark.implicits._
+    val pairs = (for (i <- 1L to 40L; j <- (i + 1) to math.min(i + 4, 40L)) yield (i, j))
+      .toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
+    val local = PageRank.ranks(pairs, "id_a", "id_b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = PageRank.ranks(pairs, "id_a", "id_b", iters = 5,
+      checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reliable shouldBe local
+    def countFiles(p: java.io.File): Int =
+      if (p.isFile) 1 else Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
+    countFiles(new java.io.File(dir)) should be > 0
+  }
 }
