@@ -90,6 +90,61 @@ object Sampling {
        |  < (CASE $cases ELSE -1 END)""".stripMargin
   }
 
+  // ------------------------------------------------- diversity sampling
+
+  /** Cluster-balanced diversity sample (the DataComp/SemDeDup-style
+    * "cluster, then take an equal quota per cluster" subset builder):
+    * per k-means cluster, keep the `quota` rows with the smallest
+    * deterministic membership hash — a uniform draw WITHIN each
+    * cluster, so the subset preserves the corpus's cluster structure
+    * instead of its cluster-size skew (a uniform corpus sample is
+    * dominated by the head clusters; this one is diverse by
+    * construction). Selection is the same pure-function-of-key
+    * discipline as [[sampleByKey]] (rerun/engine stable, salt draws an
+    * independent sample).
+    *
+    * Scale shape: assignment is the map-only codegen argmin
+    * ([[graft.ann.KMeans.assign]] against literal centroids); the
+    * per-cluster quota cut is ONE bottom-k partial aggregate over the
+    * bounded cluster key (`graft_bottom_k_struct`, (hash, id) total
+    * order — the kmvDistinct lesson: no rank window ever shuffles the
+    * full corpus, and the aggregate state is k·quota rows). Output:
+    * (idCol, cluster), the kept rows.
+    */
+  def diverseSample(emb: DataFrame, idCol: String, vecCol: String,
+      model: graft.ann.KMeans.Model, quota: Int,
+      salt: String = ""): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1: $quota")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.ann.KMeans.assign(emb, idCol, vecCol, model)
+      .select(col("cluster"),
+        struct(
+          TextFunctions.portableHash60(
+            concat(col(idCol).cast("string"), lit(salt))).as("h"),
+          col(idCol).cast("long").as("id")).as("__s"))
+      .filter(col("__s.h").isNotNull) // NULL keys are never sampled (hashMod contract)
+      .groupBy("cluster")
+      .agg(expr(s"graft_bottom_k_struct(__s, $quota)").as("__bk"))
+      .select(col("cluster"), explode(col("__bk")).as("__e"))
+      .select(col("__e.id").as(idCol), col("cluster"))
+  }
+
+  /** DuckDB twin of [[diverseSample]] over an assignment CTE/table
+    * exposing (`idCol`, cluster) — the quota cut as a per-cluster rank
+    * on the identical (hash, id) total order.
+    */
+  def diverseSampleDuckSql(assignedTable: String, idCol: String,
+      quota: Int, salt: String = ""): String = {
+    val s = salt.replace("'", "''")
+    val h = s"CAST(concat('0x', substr(md5(CAST($idCol AS VARCHAR) || '$s'), 1, 15)) AS UBIGINT)"
+    s"""SELECT $idCol, cluster FROM (
+       |  SELECT $idCol, cluster,
+       |    row_number() OVER (PARTITION BY cluster ORDER BY $h ASC, $idCol ASC) AS rn
+       |  FROM $assignedTable
+       |  WHERE $idCol IS NOT NULL) t
+       |WHERE rn <= $quota""".stripMargin
+  }
+
   // ------------------------------------------------- train/val/test split
 
   /** Deterministic train/val/test split assignment from the SAME

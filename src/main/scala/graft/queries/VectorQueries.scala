@@ -920,6 +920,33 @@ object VectorQueries extends QuerySet {
         + graft.ann.KMeans.assignDuckSql("hv", "doc_id", "vec",
             k = 6, iters = 2, dim = 16).stripPrefix("WITH "))),
 
+    // Cluster-balanced diversity sample: equal per-cluster quota over
+    // the SAME fitted clustering as q_topic_cluster (fitCached shares
+    // the model) — the DataComp-style "cluster then sample evenly"
+    // subset builder. Assignment is the map-only argmin; the quota cut
+    // is one bottom-k-struct partial aggregate on the bounded cluster
+    // key (no corpus-wide rank window); the oracle replays the full
+    // training loop + the identical (hash, id) quota order.
+    Q("q_diverse_sample",
+      (s, d) => {
+        val emb = graft.text.HashEmbed.embed(
+          Tables.df(s, d, "documents"), "doc_id", "text", dim = 16)
+          .select(col("doc_id"), col("vec").cast("array<double>").as("vec"))
+        graft.ops.Sampling.diverseSample(emb, "doc_id", "vec",
+          graft.ann.KMeans.fitCached(emb, "doc_id", "vec", k = 6,
+            maxIters = 2, corpusKey = s"$d:hashembed16"),
+          quota = 20)
+          .orderBy("doc_id")
+      },
+      Some("WITH hv AS (SELECT doc_id, vec FROM ("
+        + graft.text.HashEmbed.embedDuckSql("documents", "doc_id", "text", dim = 16)
+        + ") t0),\n"
+        + graft.ann.KMeans.assignCtesDuckSql("hv", "doc_id", "vec",
+            k = 6, iters = 2, dim = 16)
+        + ",\nassigned AS (SELECT id AS doc_id, cid AS cluster FROM afinal)\n"
+        + graft.ops.Sampling.diverseSampleDuckSql("assigned", "doc_id", quota = 20)
+        + "\nORDER BY doc_id")),
+
     // Topic labeling: top-5 tokens per discovered cluster — the human-
     // readable face of q_topic_cluster. (cluster, token) counts are a
     // keyed partial agg; the rank window partitions on the bounded

@@ -48,6 +48,34 @@ class SamplingSpec extends SparkSpec {
     dropped.map(_.getString(1)).toSet shouldBe Set("en")
   }
 
+  test("diverseSample takes an exact per-cluster quota, deterministically; salt redraws") {
+    import org.apache.spark.sql.functions._
+    // three well-separated blobs of very different sizes: a uniform
+    // sample would mirror the 10/100/400 skew; the diverse sample
+    // must flatten it to min(quota, |cluster|)
+    val vecs = ((1L to 10L).map(i => (i, Seq(10.0, 0.0))) ++
+        (101L to 200L).map(i => (i, Seq(0.0, 10.0))) ++
+        (1001L to 1400L).map(i => (i, Seq(-10.0, -10.0))))
+      .toDF("id", "vec").select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val model = graft.ann.KMeans.fit(vecs, "id", "vec", k = 3, maxIters = 5)
+    val kept = Sampling.diverseSample(vecs, "id", "vec", model, quota = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // per-cluster counts: min(quota, cluster size)
+    val byCluster = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    byCluster.values.toSeq.sorted shouldBe Seq(10, 25, 25)
+    kept.map(_._1).distinct.length shouldBe kept.length
+    // deterministic rerun
+    val again = Sampling.diverseSample(vecs, "id", "vec", model, quota = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    again.sorted shouldBe kept.sorted
+    // a different salt draws a different (but same-shape) subset
+    val salted = Sampling.diverseSample(vecs, "id", "vec", model, quota = 25, salt = "v2")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    salted.groupBy(_._2).view.mapValues(_.length).toMap.values.toSeq.sorted shouldBe
+      Seq(10, 25, 25)
+    (salted.map(_._1).toSet == kept.map(_._1).toSet) shouldBe false
+  }
+
   test("splitAssign is exhaustive, near the target shares, and stable under growth") {
     val out = Sampling.splitAssign(rows, "id", valPm = 100, testPm = 200, salt = "s")
       .select("id", "split").as[(Long, String)].collect()
