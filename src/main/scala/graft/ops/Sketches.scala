@@ -1180,6 +1180,94 @@ object Sketches {
        |FROM exact_q x JOIN est_q e ON x.$groupCol = e.$groupCol""".stripMargin
   }
 
+  // ------------------------------------------------------------------
+  // Persisted quantile-sample rollup — the bottom-n twin of
+  // hllRegisterTable/kmvSignatureTable: per-day/shard sample tables
+  // merge WITHOUT rescanning raw data (bottom-n by a total order is
+  // merge-associative: bottomN(A ∪ B) = bottomN(bottomN(A) ∪
+  // bottomN(B))), completing the persisted tier for all three sketch
+  // families. `qs_n` persists the sample width so a read/merge at a
+  // WIDER n (which an n-sample cannot answer) fails fast.
+  // ------------------------------------------------------------------
+
+  /** Persisted per-group bottom-n (hash, id, value) sample: one row per
+    * group, `sample` = the sorted struct array [[quantileSketch]] ranks
+    * on (hash-ordered uniform row sample, value as final tie-break),
+    * plus the `qs_n` provenance column. Write per day/shard; any subset
+    * later merges ([[quantileMergeSamples]]) and estimates
+    * ([[quantileEstimateFromSamples]]) without touching raw data.
+    */
+  def quantileSampleTable(df: DataFrame, groupCol: String, valCol: String,
+      idCol: String, n: Int = 512): DataFrame = {
+    require(n >= 8, s"sample size too small: $n")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.filter(col(idCol).isNotNull)
+      .select(col(groupCol),
+        graft.text.TextFunctions.portableHash60(col(idCol).cast("string")).as("__h"),
+        col(idCol).as("__id"),
+        col(valCol).as("__v"))
+      .groupBy(groupCol)
+      .agg(expr(s"graft_bottom_k_struct(struct(__h, __id, __v), $n)").as("sample"))
+      .withColumn("qs_n", lit(n))
+  }
+
+  /** Guard: every sample row must have been written at qs_n ≥ the
+    * requested n (a narrower shard cannot answer a wider sample) —
+    * the [[kmvCheckK]] contract for the quantile tier.
+    */
+  private def quantileCheckN(samples: DataFrame, n: Int): DataFrame =
+    if (!samples.columns.contains("qs_n")) {
+      System.err.println(s"[graft] quantileCheckN: sample table has no qs_n " +
+        s"provenance column — cannot verify it was written at n >= $n; a " +
+        s"narrower shard would bias the sample")
+      samples
+    } else {
+      samples.withColumn("sample",
+        when(col("qs_n") >= lit(n), col("sample"))
+          .otherwise(raise_error(concat(
+            lit("qs_n mismatch: sample written at n="),
+            coalesce(col("qs_n").cast("string"),
+              lit("NULL (legacy shard without provenance)")),
+            lit(s", read at n=$n — rebuild or lower n")))))
+    }
+
+  /** Merge sample shards: bottom-n of the concatenated samples, per
+    * group — equals sampling the union directly (merge-associativity
+    * of bottom-k by the total (hash, id, value) order; spec-pinned
+    * bit-equality incl. the parquet round-trip). Output schema matches
+    * [[quantileSampleTable]].
+    */
+  def quantileMergeSamples(samples: DataFrame, groupCols: Seq[String],
+      n: Int = 512): DataFrame = {
+    require(n >= 8, s"sample size too small: $n")
+    graft.functions.GraftFunctions.register(samples.sparkSession)
+    quantileCheckN(samples, n)
+      .select(groupCols.map(col) :+ explode(col("sample")).as("__s"): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(expr(s"graft_bottom_k_struct(__s, $n)").as("sample"))
+      .withColumn("qs_n", lit(n))
+  }
+
+  /** Per-group quantile estimates from a (possibly merged, possibly
+    * reloaded) sample table — the read side of [[quantileSampleTable]]:
+    * (groupCol, n_sample, <name>_est…). A wider-than-n sample answers
+    * n by prefix (the array is sorted ascending by the ranking order,
+    * so its first n entries ARE the n-sample). Estimates are exactly
+    * [[quantileSketch]]'s `_est` columns when built at the same n
+    * (spec-pinned).
+    */
+  def quantileEstimateFromSamples(samples: DataFrame, groupCol: String,
+      n: Int = 512,
+      ps: Seq[(String, Double)] = Seq("p50" -> 0.5, "p90" -> 0.9)): DataFrame = {
+    require(n >= 8, s"sample size too small: $n")
+    val vals = quantileCheckN(samples, n)
+      .select(col(groupCol), explode(slice(col("sample"), 1, n)).as("__s"))
+      .select(col(groupCol), col("__s.__v").as("__v"))
+    Describe.groupQuantiles(vals, groupCol, "__v",
+        ps.map { case (name, p) => s"${name}_est" -> p })
+      .withColumnRenamed("n", "n_sample")
+  }
+
   /** Membership-test column for a built Bloom filter (false-positive
     * rate `fpp`, never false-negative) — usable as a pre-filter that
     * keeps ALL true matches and drops ~(1-fpp) of true negatives

@@ -280,6 +280,45 @@ class SketchesSpec extends SparkSpec {
     math.abs(rollupEst - 3000.0) / 3000.0 should be < 0.55
   }
 
+  test("quantileSampleTable: parquet round-trip + bottom-n merge of day shards equals direct sampling") {
+    import spark.implicits._
+    // two "days" of (group, value, id) rows — ids disjoint across days
+    val day1 = (0 until 4000).map(i => ("d", ((i * 37) % 10000).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val day2 = (0 until 4000).map(i => ("d", ((i * 53) % 10000).toDouble, (i + 100000).toLong))
+      .toDF("g", "v", "id")
+    val dir = java.nio.file.Files.createTempDirectory("qsamples").toString
+    Sketches.quantileSampleTable(day1, "g", "v", "id", n = 256).write.parquet(s"$dir/day=1")
+    Sketches.quantileSampleTable(day2, "g", "v", "id", n = 256).write.parquet(s"$dir/day=2")
+    val shards = spark.read.parquet(s"$dir/day=1").unionByName(spark.read.parquet(s"$dir/day=2"))
+    val merged = Sketches.quantileMergeSamples(shards, Seq("g"), n = 256)
+    // provenance survives the merge
+    merged.columns should contain("qs_n")
+    val direct = Sketches.quantileSampleTable(day1.unionByName(day2), "g", "v", "id", n = 256)
+    val mS = merged.collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sample").toSeq
+    val dS = direct.collect().head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("sample").toSeq
+    mS shouldBe dS // bit-exact: bottomN(bottomN(A) ∪ bottomN(B)) == bottomN(A ∪ B)
+    // estimates from the merged rollup equal quantileSketch's est columns on the union
+    val est = Sketches.quantileEstimateFromSamples(merged, "g", n = 256)
+      .collect().head
+    val live = Sketches.quantileSketch(day1.unionByName(day2), "g", "v", "id", n = 256)
+      .collect().head
+    est.getAs[Long]("n_sample") shouldBe live.getAs[Long]("n_sample")
+    est.getAs[Double]("p50_est") shouldBe live.getAs[Double]("p50_est")
+    est.getAs[Double]("p90_est") shouldBe live.getAs[Double]("p90_est")
+    // a WIDER sample answers a narrower n by prefix, bit-exactly
+    val wide = Sketches.quantileSampleTable(day1.unionByName(day2), "g", "v", "id", n = 512)
+    val narrowFromWide = Sketches.quantileEstimateFromSamples(wide, "g", n = 256)
+      .collect().head
+    narrowFromWide.getAs[Double]("p50_est") shouldBe live.getAs[Double]("p50_est")
+    // reading WIDER than written fails fast on provenance
+    val ex = intercept[Exception] {
+      Sketches.quantileEstimateFromSamples(
+        Sketches.quantileSampleTable(day1, "g", "v", "id", n = 64), "g", n = 256).collect()
+    }
+    ex.getMessage should include("qs_n mismatch")
+  }
+
   test("kmvEstimateTable: a wider signature answers a narrower k (prefix cut); below-k groups are exact") {
     import spark.implicits._
     val df = (0 until 4000).map(i => ("big", s"k${i % 800}")).toDF("g", "u")
