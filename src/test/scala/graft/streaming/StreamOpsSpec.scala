@@ -824,6 +824,37 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("momentsStream: RESTART from checkpoint recovers the five-moment state mid-corpus") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals = Seq(1.25, 2.5, 2.75, 3.0, 3.25, 4.0, 4.5, 5.0, 12.75, 30.5)
+    val ckpt = java.nio.file.Files.createTempDirectory("mom_ckpt").toString
+    val input = MemoryStream[(Long, Long, Double)]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double)]()
+    def start() =
+      StreamOps.momentsStream(input.toDS(), minN = 4)
+        .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double, Double)], _: Long) =>
+          batch.collect().foreach(t => emitted.add((t._2, t._3, t._4)))
+        }.start()
+    val q1 = start()
+    input.addData(vals.take(5).zipWithIndex.map { case (v, i) => (7L, i.toLong, v) }: _*)
+    q1.processAllAvailable()
+    q1.stop() // (n, mean, M2, M3, M4) lives only in the checkpoint now
+    val q2 = start()
+    try {
+      input.addData(vals.drop(5).zipWithIndex.map { case (v, i) => (7L, (i + 5).toLong, v) }: _*)
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = emitted.asScala.toSeq.map(t => t._1 -> ((t._2, t._3))).toMap
+      rows.size shouldBe 7 // ids 3..9 survive minN across the restart
+      // final shape equals the uninterrupted batch replay
+      val batch = graft.ops.Moments.groupMoments(
+        vals.map(("g", _)).toDF("g", "v"), "g", "v").collect().head
+      rows(9L)._1 shouldBe batch.getAs[Double]("skew") +- 2e-4
+      rows(9L)._2 shouldBe batch.getAs[Double]("ex_kurtosis") +- 2e-4
+    } finally q2.stop()
+  }
+
   test("winsorizeStream clips with the batch caps; streamed sum reproduces the batch numerator") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // 20 values 1..20 in one group: p05 cap 1.95, p95 cap 19.05
