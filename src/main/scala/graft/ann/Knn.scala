@@ -407,7 +407,7 @@ object Knn {
       val bandSelects = scaledChunk0Duck(dim, bands = if (bands > 0) bands else 8).zipWithIndex
         .map { case (ce, b) => s"SELECT $idCol, is_src, is_tgt, $b AS band, $ce AS chunk0 FROM e" }
         .mkString("\nUNION ALL\n")
-      s"""w AS (SELECT LEAST(${math.min(24, dim)}, ${widthForCountDuckSql("n")}) AS width FROM (
+      s"""w AS (SELECT LEAST(${math.min(28, dim)}, ${widthForCountDuckSql("n")}) AS width FROM (
          |  SELECT greatest((SELECT count(*) FROM e WHERE is_src),
          |                  (SELECT count(*) FROM e WHERE is_tgt)) AS n) cnt),
          |bk AS (
@@ -475,7 +475,7 @@ object Knn {
     }
 
   /** Chunk width from a corpus-count estimate: one bit per doubling
-    * past 2^8 rows, clamped to [8, 24] — the bucket key space tracks
+    * past 2^8 rows, clamped to [8, 28] — the bucket key space tracks
     * the corpus with average band-bucket occupancy ≈ 1 instead of
     * saturating a fixed domain. The ladder starts at 2^8 (not 2^10,
     * the first version of this fix): real embedding corpora hash their
@@ -483,17 +483,26 @@ object Knn {
     * Σc² grew ~30× across the sf1→sf10 decade (measured by the
     * embed_neardup ScaleSmoke finder) — sub-1 average occupancy keeps
     * the hot-bucket mass bounded by the actual near-dup structure.
-    * Saturation at 24 means ~16M buckets per band; beyond ~10^7 rows
-    * raise `maxWidth`/`bands` explicitly or use the cluster-bounded
-    * SemDeDup tier. Integer threshold ladder, NOT ceil(log2 n): float
-    * log boundaries are the kind of cross-engine hazard PortableRound
-    * exists for, and the DuckDB twin replays these exact comparisons.
+    * The 28 cap replaced the original 24 after the FOURTH measured
+    * bucket-load decade (round 13, BUCKET_LOAD_DECADES.json x1000 =
+    * 20M vectors): at the 24-bit clamp the key domain stopped growing
+    * while rows kept coming — per-row fuel jumped 179 → 502
+    * candidates/row and the hottest bucket (16,067) blew past the
+    * 10,000 skew cap, i.e. the cap started deleting recall. At 28 the
+    * ladder stays occupancy-≈1 to ~2.7·10^8 rows (the widths at every
+    * test SF are identical — the extra rungs only engage past 2^24
+    * rows, so every oracle/bench number below 16.7M rows is
+    * unchanged). Beyond ~10^8 rows raise `maxWidth`/`bands`
+    * explicitly or use the cluster-bounded SemDeDup tier. Integer
+    * threshold ladder, NOT ceil(log2 n): float log boundaries are the
+    * kind of cross-engine hazard PortableRound exists for, and the
+    * DuckDB twin replays these exact comparisons.
     */
   def widthForCount(n: Long): Int =
-    8 + (8 to 23).count(k => n > (1L << k))
+    8 + (8 to 27).count(k => n > (1L << k))
 
   def widthForCountDuckSql(nExpr: String): String =
-    "8 + " + (8 to 23).map(k => s"(CASE WHEN ($nExpr) > ${1L << k} THEN 1 ELSE 0 END)")
+    "8 + " + (8 to 27).map(k => s"(CASE WHEN ($nExpr) > ${1L << k} THEN 1 ELSE 0 END)")
       .mkString(" + ")
 
   /** (id, band, chunk) keys from the corpus-scaled sampled sign planes
@@ -506,7 +515,7 @@ object Knn {
     * keys will not align.
     */
   def scaledBandChunks(df: DataFrame, idCol: String, vecCol: String, width: Int,
-                       bands: Int = 8, dims: Int = 64, maxWidth: Int = 24,
+                       bands: Int = 8, dims: Int = 64, maxWidth: Int = 28,
                        seed: Long = 41L): DataFrame = {
     val w = math.min(math.min(maxWidth, dims), width)
     val planes = bandPlanes(dims, bands, math.min(maxWidth, dims), seed)
@@ -547,7 +556,7 @@ object Knn {
     * estimate; pass `widthOverride` to skip it entirely.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, threshold: Double,
-                   bands: Int = 8, maxWidth: Int = 24, dims: Int = 64,
+                   bands: Int = 8, maxWidth: Int = 28, dims: Int = 64,
                    maxBucket: Int = 10000, seed: Long = 41L,
                    widthOverride: Option[Int] = None): DataFrame = {
     val width = math.min(math.min(maxWidth, dims),
@@ -581,7 +590,7 @@ object Knn {
     * one per band — the twin of [[scaledBandChunks]]'s plane bits; the
     * runtime width masks them down with `chunk0 & ((1 << width) - 1)`.
     */
-  def scaledChunk0Duck(dim: Int, bands: Int = 8, maxWidth: Int = 24,
+  def scaledChunk0Duck(dim: Int, bands: Int = 8, maxWidth: Int = 28,
                        seed: Long = 41L): Seq[String] =
     bandPlanes(dim, bands, math.min(maxWidth, dim), seed).toSeq.map { idxs =>
       idxs.zipWithIndex.map { case (idx, j) =>
@@ -590,7 +599,7 @@ object Knn {
     }
 
   def nearDupPairsDuckSql(fromSql: String, idCol: String, vecCol: String, threshold: Double,
-                          dim: Int, bands: Int = 8, maxWidth: Int = 24,
+                          dim: Int, bands: Int = 8, maxWidth: Int = 28,
                           maxBucket: Int = 10000, seed: Long = 41L): String = {
     val effMax = math.min(maxWidth, dim)
     // full-width chunk per band; the runtime width masks it down
@@ -637,7 +646,7 @@ object Knn {
     * corpus-scaled width): audit numbers transfer 1:1.
     */
   def bucketLoadAudit(df: DataFrame, idCol: String, vecCol: String,
-                      bands: Int = 8, maxWidth: Int = 24, dims: Int = 64,
+                      bands: Int = 8, maxWidth: Int = 28, dims: Int = 64,
                       seed: Long = 41L,
                       widthOverride: Option[Int] = None): DataFrame = {
     val width = math.min(math.min(maxWidth, dims),
@@ -658,7 +667,7 @@ object Knn {
 
   /** DuckDB twin of [[bucketLoadAudit]]. */
   def bucketLoadAuditDuckSql(fromSql: String, idCol: String, vecCol: String,
-                             dim: Int, bands: Int = 8, maxWidth: Int = 24,
+                             dim: Int, bands: Int = 8, maxWidth: Int = 28,
                              seed: Long = 41L): String = {
     val effMax = math.min(maxWidth, dim)
     val bandSelects = scaledChunk0Duck(dim, bands, maxWidth, seed).zipWithIndex
@@ -701,7 +710,7 @@ object Knn {
     * evidence that the ladder holds for the matcher shape too.
     */
   def matcherBucketLoadAudit(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
-                             bands: Int = 8, maxWidth: Int = 24, dims: Int = -1,
+                             bands: Int = 8, maxWidth: Int = 28, dims: Int = -1,
                              seed: Long = 41L,
                              widthOverride: Option[Int] = None): DataFrame = {
     val width = widthOverride.getOrElse(

@@ -158,17 +158,21 @@ class KnnSpec extends SparkSpec {
   }
 
   test("near-dup banding width scales with the corpus count") {
-    // one bit per doubling past 2^8, clamped to [8, 24]: average
+    // one bit per doubling past 2^8, clamped to [8, 28]: average
     // band-bucket occupancy ≈ 1 at every decade (the occupancy-3
     // version of this ladder still grew ~30x across the sf1→sf10
-    // decade on skewed real-embedding sign patterns)
+    // decade on skewed real-embedding sign patterns; the 24-bit clamp
+    // measurably saturated at the x1000 = 20M-vector decade — hottest
+    // bucket 16k > the 10k cap — hence 28)
     Knn.widthForCount(0L) shouldBe 8
     Knn.widthForCount(256L) shouldBe 8
     Knn.widthForCount(257L) shouldBe 9
     Knn.widthForCount(1024L) shouldBe 10
     Knn.widthForCount(40000L) shouldBe 16     // the sf1 q_dedup_embed regime
     Knn.widthForCount(200000L) shouldBe 18    // the sf1→sf10 smoke regime
-    Knn.widthForCount(Long.MaxValue / 2) shouldBe 24
+    Knn.widthForCount(2000000L) shouldBe 21   // x100 audit regime — unchanged by the 28 re-widen
+    Knn.widthForCount(20000000L) shouldBe 25  // x1000: was clamped to 24 (occupancy > 1, cap-breaking)
+    Knn.widthForCount(Long.MaxValue / 2) shouldBe 28
   }
 
   test("band planes are deterministic, distinct within a band, in range") {
