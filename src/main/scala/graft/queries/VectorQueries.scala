@@ -331,6 +331,74 @@ object VectorQueries extends QuerySet {
       Some(Knn.matcherBucketLoadAuditDuckSql("embeddings", "vec_id", "embedding",
         srcPred = "label = 0", tgtPred = "label = 1", dim = Dim))),
 
+    // Matcher recall as DATA (the q_ann_recall convention on the
+    // matcher surface): the LSH tier vs the brute tier's exact truth
+    // on a bounded slice (vec_id < 1000 — the sampled-truth rule), in
+    // the banding S-curve's TWO regimes: 'exact_dup' (targets are
+    // id-shifted copies, cosine 1.0 — exact dups share every sign
+    // bit, recall must be 1.0 at any width) and 'weak_top3'
+    // (cross-label top-3 on near-orthogonal synthetic vectors,
+    // cosine ~0.3 — the regime the banded tier is NOT for; the
+    // measured single-digit recall is the documented price that sends
+    // weak-similarity workloads to the brute/IVF tiers). RecallSpec
+    // pins floors in tests; this makes both endpoints standing
+    // oracle-checked rows at every SF the driver sweeps.
+    Q("q_matcher_recall",
+      (s, d) => {
+        val e = Tables.df(s, d, "embeddings").filter(col("vec_id") < 1000)
+        def regime(name: String, src: org.apache.spark.sql.DataFrame,
+                   tgt: org.apache.spark.sql.DataFrame, topN: Int) = {
+          val cfg = MatchConfig(metric = "cosine", topN = topN)
+          val truth = Matcher.findMatchesTopN(src, tgt, "vec_id", "embedding", cfg)
+            .select("src_id", "tgt_id")
+          val approx = Matcher.findMatchesLshTopN(src, tgt, "vec_id", "embedding", cfg)
+            .select(col("src_id"), col("tgt_id"), lit(1L).as("__hit"))
+          truth.join(approx, Seq("src_id", "tgt_id"), "left")
+            .agg(count(lit(1)).as("n_truth"),
+              sum(coalesce(col("__hit"), lit(0L))).as("n_hit"))
+            .select(lit(name).as("regime"), col("n_truth"), col("n_hit"),
+              graft.ops.PortableRound.intRound4(col("n_hit"), col("n_truth")).as("recall"))
+        }
+        val src = e.filter(col("label") === 0).select("vec_id", "embedding")
+        val weak = regime("weak_top3", src,
+          e.filter(col("label") === 1).select("vec_id", "embedding"), topN = 3)
+        val dup = regime("exact_dup", src,
+          src.select((col("vec_id") + lit(10000L)).as("vec_id"), col("embedding")),
+          topN = 1)
+        dup.unionByName(weak).orderBy("regime")
+      },
+      Some {
+        val bounded = "(SELECT * FROM embeddings WHERE vec_id < 1000) bounded"
+        val dupTable = ("(SELECT vec_id, embedding, 0 AS side FROM embeddings " +
+          "WHERE vec_id < 1000 AND label = 0 UNION ALL " +
+          "SELECT vec_id + 10000, embedding, 1 FROM embeddings " +
+          "WHERE vec_id < 1000 AND label = 0) b2")
+        def regimeSql(name: String, truth: String, approx: String) =
+          s"""SELECT '$name' AS regime, CAST(count(*) AS BIGINT) AS n_truth,
+             |  CAST(sum(hit) AS BIGINT) AS n_hit,
+             |  ${graft.ops.PortableRound.intRound4Duck("sum(hit)", "count(*)")} AS recall
+             |FROM (
+             |  SELECT t.src_id, t.tgt_id,
+             |    CASE WHEN a.src_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+             |  FROM ($truth) t
+             |  LEFT JOIN ($approx) a
+             |    ON t.src_id = a.src_id AND t.tgt_id = a.tgt_id)""".stripMargin
+        val weakCfg = MatchConfig(metric = "cosine", topN = 3)
+        val dupCfg = MatchConfig(metric = "cosine", topN = 1)
+        regimeSql("exact_dup",
+          Matcher.findMatchesTopNDuckSql(dupTable, "vec_id", "embedding",
+            srcPred = "side = 0", tgtPred = "side = 1", dim = Dim, dupCfg),
+          Matcher.findMatchesLshTopNDuckSql(dupTable, "vec_id", "embedding",
+            srcPred = "side = 0", tgtPred = "side = 1", dim = Dim, dupCfg)) +
+          "\nUNION ALL\n" +
+          regimeSql("weak_top3",
+            Matcher.findMatchesTopNDuckSql(bounded, "vec_id", "embedding",
+              srcPred = "label = 0", tgtPred = "label = 1", dim = Dim, weakCfg),
+            Matcher.findMatchesLshTopNDuckSql(bounded, "vec_id", "embedding",
+              srcPred = "label = 0", tgtPred = "label = 1", dim = Dim, weakCfg)) +
+          "\nORDER BY regime"
+      }),
+
     // Generalized matcher (reference embedding_matcher.py MatchingConfig):
     // top-n per source under a similarity threshold, default cosine.
     Q("q_find_matches_topn",

@@ -163,8 +163,13 @@ class PlanAuditSpec extends SparkSpec {
     "q_sketch_tuning",     // the |grid| one-row estimate frames
                            // crossJoined with the 1-row exact total —
                            // the q_hll_union totals shape
-    "q_kmv_setops"         // q_kmv_jaccard's pair-generation shape
+    "q_kmv_setops",        // q_kmv_jaccard's pair-generation shape
                            // verbatim (|groups|² triangular source join)
+    "q_matcher_recall"     // brute-force TRUTH side of the matcher
+                           // recall audit: bounded slice (vec_id <
+                           // 1000, the q_ann_recall sampled-truth
+                           // rule) broadcast per regime; the audited
+                           // LSH side plans only equi-joins
   )
 
   test("BroadcastNestedLoopJoin appears only where one side is bounded by construction") {
