@@ -61,4 +61,83 @@ object SkewJoin {
     val pre = left.filter(Sketches.mightContain(left, bloom, col(leftKey)))
     pre.join(right, pre(leftKey) === right(rightKey))
   }
+
+  /** Join-key skew diagnostic — the measurement BEHIND the tier choice
+    * the operators above implement. One row per profiled key:
+    *
+    *  - `n_rows` / `n_keys` / `max_cnt`: corpus size, key cardinality,
+    *    hottest key's row count — the raw shuffle-task load facts.
+    *  - `imbalance`: max_cnt / (n_rows / n_keys), the hot key's load
+    *    relative to the average key. ~1 means uniform; a join on this
+    *    key skews exactly this factor past the ideal task.
+    *  - `top_share_ppm`: hottest key's share of all rows, in parts per
+    *    million (integer — portable across engines without float ties).
+    *  - `n_hot_keys`: keys above 2× the average count (the census AQE's
+    *    skew-split would have to handle).
+    *  - `salt_reco`: ceil(max_cnt · partitions / n_rows) — the minimum
+    *    salt fan-out `s` for [[saltedInner]] that spreads the hottest
+    *    key down to one ideal partition's load. 1 = don't salt.
+    *
+    * Shape: one map-side-combined groupBy(key).count() (the canonical
+    * skew probe — combiner output is ≤ |keys| per task regardless of
+    * row count), then two bounded aggregates over the persisted count
+    * frame. At 100 TB run it on a sampled slice or per partition-key
+    * day: the per-key counts scale with key cardinality, not rows, and
+    * relative skew is what the salt decision needs. All derived columns
+    * are integer-exact ([[PortableRound]]) so the DuckDB twin matches
+    * bit-for-bit; the intermediate products (max_cnt·n_keys,
+    * 2·10^6·max_cnt) stay far under Long range at any per-slice
+    * cardinality a diagnostic would profile.
+    */
+  def keySkew(df: DataFrame, keyCol: String, label: String,
+      partitions: Int = 32,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(partitions > 0, s"partitions must be > 0, got $partitions")
+    val cnts = scope.persist(
+      df.groupBy(col(keyCol).as("__k")).agg(count(lit(1)).as("cnt")))
+    val tot = cnts.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    // single-row totals broadcast over the per-key counts: the hot-key
+    // census compares cnt·n_keys > 2·n_rows (⇔ cnt > 2·avg) in exact
+    // integer arithmetic, no float threshold
+    val row = cnts.crossJoin(broadcast(tot)).agg(
+      max(col("n_rows")).as("n_rows"),
+      max(col("n_keys")).as("n_keys"),
+      max(col("max_cnt")).as("max_cnt"),
+      sum(when(col("cnt") * col("n_keys") > lit(2L) * col("n_rows"), lit(1L))
+        .otherwise(lit(0L))).as("n_hot_keys"))
+    // ceil(max_cnt·P / n_rows) via the positive-int floor identity
+    // ceil(a/b) = (a + b − 1 − mod) / b — same in both engines
+    val saltNum = col("max_cnt") * lit(partitions.toLong) + col("n_rows") - lit(1L)
+    row.select(
+      lit(label).as("tbl_key"),
+      col("n_rows"), col("n_keys"), col("max_cnt"), col("n_hot_keys"),
+      PortableRound.intRound4(col("max_cnt") * col("n_keys"), col("n_rows"))
+        .as("imbalance"),
+      PortableRound.intScaled(col("max_cnt"), col("n_rows"), 1000000L)
+        .as("top_share_ppm"),
+      ((saltNum - pmod(saltNum, col("n_rows"))) / col("n_rows")).cast("long")
+        .as("salt_reco"))
+  }
+
+  /** DuckDB twin of [[keySkew]] — a self-contained SELECT (derived
+    * tables, no top-level WITH) so callers can UNION ALL several
+    * profiles into one oracle statement.
+    */
+  def keySkewDuckSql(table: String, keyCol: String, label: String,
+      partitions: Int = 32): String = {
+    val saltNum = s"(max_cnt * $partitions + n_rows - 1)"
+    s"""SELECT '$label' AS tbl_key, n_rows, n_keys, max_cnt,
+       |  (SELECT count(*) FROM
+       |     (SELECT count(*) AS cnt FROM $table GROUP BY $keyCol) h
+       |   WHERE h.cnt * t.n_keys > 2 * t.n_rows) AS n_hot_keys,
+       |  ${PortableRound.intRound4Duck("max_cnt * n_keys", "n_rows")} AS imbalance,
+       |  ${PortableRound.intScaledDuck("max_cnt", "n_rows", 1000000L)} AS top_share_ppm,
+       |  ($saltNum - ((($saltNum % n_rows) + n_rows) % n_rows)) // n_rows AS salt_reco
+       |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+       |        count(*) AS n_keys, max(cnt) AS max_cnt
+       |      FROM (SELECT count(*) AS cnt FROM $table GROUP BY $keyCol) c) t""".stripMargin
+  }
 }

@@ -280,6 +280,31 @@ object CoreQueries extends QuerySet {
              |WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 7500
              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
 
+    // Join-key skew report (SkewJoin.keySkew): the diagnostic that
+    // DECIDES between the join tiers above — per candidate key, the
+    // hot-key load facts (max_cnt, imbalance vs the average key,
+    // top-share ppm, >2x-average census) and the derived minimum salt
+    // fan-out for saltedInner. Four profiled keys in one pass each
+    // (map-side-combined groupBy.count, then two bounded aggregates
+    // over the persisted count frame); all derived columns are
+    // integer-exact PortableRound forms so both engines agree
+    // bit-for-bit. At 100 TB the same probe runs on a sampled slice —
+    // relative skew, the salt input, survives uniform sampling.
+    Q("q_skew_report",
+      (s, d) => Seq(
+          ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+          ("orders", "o_custkey"), ("events", "user_id"))
+        .map { case (t, k) =>
+          graft.ops.SkewJoin.keySkew(Tables.df(s, d, t), k, s"$t.$k") }
+        .reduce(_ unionByName _)
+        .orderBy("tbl_key"),
+      Some(Seq(
+          ("lineitem", "l_orderkey"), ("lineitem", "l_partkey"),
+          ("orders", "o_custkey"), ("events", "user_id"))
+        .map { case (t, k) =>
+          graft.ops.SkewJoin.keySkewDuckSql(t, k, s"$t.$k") }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY tbl_key"))),
+
     // Per-group argmax WITHOUT a window: max(struct(ord, tie, payload))
     // is a partial (map-side) aggregate — one scan, no per-group sort,
     // the top-1 fast path q_window_topn's two-phase salted sort exists

@@ -165,6 +165,10 @@ class PlanAuditSpec extends SparkSpec {
                            // the q_hll_union totals shape
     "q_kmv_setops",        // q_kmv_jaccard's pair-generation shape
                            // verbatim (|groups|² triangular source join)
+    "q_skew_report",       // four 1-row totals crossJoins (the
+                           // n_rows/n_keys/max_cnt facts broadcast over
+                           // each persisted per-key count frame for the
+                           // integer hot-key census)
     "q_matcher_recall"     // brute-force TRUTH side of the matcher
                            // recall audit: bounded slice (vec_id <
                            // 1000, the q_ann_recall sampled-truth

@@ -82,4 +82,37 @@ class SkewJoinSpec extends SparkSpec {
     // fpp 1% on 2000 rows: a handful of false positives at most
     kept.toDouble should be <= matching + 200.0
   }
+
+  test("keySkew reports hand-computable skew facts and salt fan-out") {
+    // 10 keys: key 0 carries 91 rows, keys 1-9 carry 1 each → 100 rows
+    val df = ((1 to 91).map(_ => 0) ++ (1 to 9)).zipWithIndex
+      .toDF("k", "i")
+    val r = SkewJoin.keySkew(df, "k", "t.k", partitions = 4)
+      .collect().head
+    r.getAs[String]("tbl_key") shouldBe "t.k"
+    r.getAs[Long]("n_rows") shouldBe 100L
+    r.getAs[Long]("n_keys") shouldBe 10L
+    r.getAs[Long]("max_cnt") shouldBe 91L
+    // only key 0 exceeds 2x the average of 10
+    r.getAs[Long]("n_hot_keys") shouldBe 1L
+    // 91 / (100/10) = 9.1x the average key
+    r.getAs[Double]("imbalance") shouldBe 9.1
+    r.getAs[Long]("top_share_ppm") shouldBe 910000L
+    // ceil(91 * 4 / 100) = 4: the hot key needs the full fan-out
+    r.getAs[Long]("salt_reco") shouldBe 4L
+  }
+
+  test("keySkew on a uniform low-cardinality key flags the idle-partition case") {
+    val df = (1 to 400).map(i => (i % 8, i)).toDF("k", "i")
+    val r = SkewJoin.keySkew(df, "k", "u.k", partitions = 32)
+      .collect().head
+    r.getAs[Double]("imbalance") shouldBe 1.0
+    r.getAs[Long]("n_hot_keys") shouldBe 0L
+    // ceil(50 * 32 / 400) = 4: even a UNIFORM key wants fan-out when
+    // its cardinality (8) is below the partition count (32) — each
+    // key's rows serialize in one task while 24 partitions idle.
+    // salt_reco measures hot-key load vs the ideal partition load, so
+    // it catches the low-cardinality case imbalance alone misses.
+    r.getAs[Long]("salt_reco") shouldBe 4L
+  }
 }
