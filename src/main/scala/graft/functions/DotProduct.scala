@@ -132,6 +132,8 @@ object GraftFunctions {
       .registerFunction(GroupCdfRank.info._1, GroupCdfRank.info._2, GroupCdfRank.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(CosineAnyAbove.info._1, CosineAnyAbove.info._2, CosineAnyAbove.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(QgramHashes.info._1, QgramHashes.info._2, QgramHashes.info._3)
   }
 }
 
@@ -165,5 +167,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(TableSum.info)
     ext.injectFunction(GroupCdfRank.info)
     ext.injectFunction(CosineAnyAbove.info)
+    ext.injectFunction(QgramHashes.info)
   }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{Cluster, MinHash, NgramJaccard, SimHash}
+import graft.dedup.{Cluster, EdJoin, MinHash, NgramJaccard, SimHash}
 import graft.text.TextFunctions
 import org.apache.spark.sql.functions._
 
@@ -623,6 +623,16 @@ object DedupQueries extends QuerySet {
     Q("q_ngram_ppjoin",
       (s, d) => NgramJaccard.jaccardPairsExact(Tables.df(s, d, "documents"), "doc_id", "text", w = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
-      Some(NgramJaccard.jaccardPairsExactDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5)))
+      Some(NgramJaccard.jaccardPairsExactDuckSql("documents", "doc_id", "text", w = 3, threshold = 0.5))),
+
+    // EXACT edit-distance pairs (Ed-Join): the character-level tier the
+    // set-similarity joins can't express — levenshtein(a,b) <= 8 finds
+    // the one-word-retyped near-identicals that still tie on token
+    // sets. Prefix + length + count filters are each lossless theorems
+    // (see EdJoin scaladoc); verify is Spark's banded levenshtein.
+    Q("q_edjoin",
+      (s, d) => EdJoin.edPairs(Tables.df(s, d, "documents"), "doc_id", "text", q = 3, d = 8)
+        .orderBy("id_a", "id_b"),
+      Some(EdJoin.edPairsDuckSql("documents", "doc_id", "text", q = 3, d = 8)))
   )
 }
