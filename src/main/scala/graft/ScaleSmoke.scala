@@ -91,6 +91,13 @@ object ScaleSmoke {
         graft.dedup.NgramJaccard.jaccardPairs(docsX(k), "doc_id", "text")),
       "ngram_ppjoin" -> (k =>
         graft.dedup.NgramJaccard.jaccardPairsExact(docsX(k), "doc_id", "text")),
+      "edjoin" -> (k =>
+        // exact edit-distance pairs: the salted copies perturb every
+        // word, so cross-copy distances blow past d and per-copy pair
+        // counts stay constant; shared word-interior grams grow k-fold
+        // in df, which the rarest-first prefix order must keep OUT of
+        // the inverted index — the property this finder measures
+        graft.dedup.EdJoin.edPairs(docsX(k), "doc_id", "text", q = 3, d = 8)),
       "minhash_lsh" -> (k =>
         graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text")),
       "minhash_calib" -> (k =>

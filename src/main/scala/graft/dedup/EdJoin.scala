@@ -52,18 +52,18 @@ import org.apache.spark.sql.functions._
   */
 object EdJoin {
 
-  /** Pairs (id_a, id_b, dist) with levenshtein(text_a, text_b) <= d,
-    * id_a < id_b, over all rows of `df` whose `textCol` is non-null.
-    * Exact: the filter chain is lossless for strings of length >=
-    * q*(d+1) and the plan raises on shorter ones.
+  /** Shared front half of every Ed-Join surface: persisted
+    * (id, text, len, tokens) plus the prefix postings under the global
+    * (df ASC, token ASC) order. Returned as a pair so [[edPairs]] and
+    * [[fuelAudit]] measure the IDENTICAL blocking.
     */
-  def edPairs(
+  private def tokensAndPrefix(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      q: Int = 3,
-      d: Int = 8,
-      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+      q: Int,
+      d: Int,
+      scope: graft.api.CacheScope): (DataFrame, DataFrame) = {
     require(q >= 1, s"edPairs: q must be >= 1, got $q")
     require(d >= 0, s"edPairs: d must be >= 0, got $d")
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -92,6 +92,44 @@ object EdJoin {
         Window.partitionBy("__id").orderBy(col("__df").asc, col("__t").asc)))
     val prefix = ranked.filter(col("__r") <= lit(prefixLen))
       .select(col("__id"), col("__len"), col("__ga"), col("__t"))
+    (toks, prefix)
+  }
+
+  /** Shared front half of the DuckDB twin, through the `prefix` CTE. */
+  private def prefixCtesDuckSql(
+      table: String, idCol: String, textCol: String, q: Int, d: Int): String =
+    s"""WITH d0 AS (SELECT $idCol AS id, $textCol AS s, length($textCol) AS len
+       |            FROM $table WHERE $textCol IS NOT NULL),
+       |g AS (SELECT id, len,
+       |        unnest(list_transform(generate_series(1, len - ${q - 1}), i -> substr(s, i, $q))) AS gram,
+       |        unnest(generate_series(1, len - ${q - 1})) AS pos
+       |      FROM d0),
+       |occ AS (SELECT id, len, gram,
+       |          row_number() OVER (PARTITION BY id, gram ORDER BY pos) AS occ
+       |        FROM g),
+       |tok AS (SELECT id, len,
+       |          CAST(concat('0x', substr(md5(gram || chr(1) || CAST(occ AS VARCHAR)), 1, 15)) AS BIGINT) AS tk
+       |        FROM occ),
+       |sizes AS (SELECT id, count(*) AS ga FROM tok GROUP BY id),
+       |dfreq AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+       |ranked AS (SELECT t.id, t.len, t.tk,
+       |             row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.tk) AS r
+       |           FROM tok t JOIN dfreq f USING (tk)),
+       |prefix AS (SELECT * FROM ranked WHERE r <= ${q * d + 1})""".stripMargin
+
+  /** Pairs (id_a, id_b, dist) with levenshtein(text_a, text_b) <= d,
+    * id_a < id_b, over all rows of `df` whose `textCol` is non-null.
+    * Exact: the filter chain is lossless for strings of length >=
+    * q*(d+1) and the plan raises on shorter ones.
+    */
+  def edPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      q: Int = 3,
+      d: Int = 8,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val (toks, prefix) = tokensAndPrefix(df, idCol, textCol, q, d, scope)
     val cand = prefix.select(col("__id").as("id_a"), col("__len").as("__la"),
         col("__ga").as("__gaa"), col("__t"))
       .join(prefix.select(col("__id").as("id_b"), col("__len").as("__lb"),
@@ -123,24 +161,7 @@ object EdJoin {
       textCol: String,
       q: Int = 3,
       d: Int = 8): String =
-    s"""WITH d0 AS (SELECT $idCol AS id, $textCol AS s, length($textCol) AS len
-       |            FROM $table WHERE $textCol IS NOT NULL),
-       |g AS (SELECT id, len,
-       |        unnest(list_transform(generate_series(1, len - ${q - 1}), i -> substr(s, i, $q))) AS gram,
-       |        unnest(generate_series(1, len - ${q - 1})) AS pos
-       |      FROM d0),
-       |occ AS (SELECT id, len, gram,
-       |          row_number() OVER (PARTITION BY id, gram ORDER BY pos) AS occ
-       |        FROM g),
-       |tok AS (SELECT id, len,
-       |          CAST(concat('0x', substr(md5(gram || chr(1) || CAST(occ AS VARCHAR)), 1, 15)) AS BIGINT) AS tk
-       |        FROM occ),
-       |sizes AS (SELECT id, count(*) AS ga FROM tok GROUP BY id),
-       |dfreq AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
-       |ranked AS (SELECT t.id, t.len, t.tk,
-       |             row_number() OVER (PARTITION BY t.id ORDER BY f.df, t.tk) AS r
-       |           FROM tok t JOIN dfreq f USING (tk)),
-       |prefix AS (SELECT * FROM ranked WHERE r <= ${q * d + 1}),
+    s"""${prefixCtesDuckSql(table, idCol, textCol, q, d)},
        |cand AS (SELECT a.id AS ia, b.id AS ib
        |         FROM prefix a JOIN prefix b
        |           ON a.tk = b.tk AND a.id < b.id AND abs(a.len - b.len) <= $d
@@ -159,4 +180,57 @@ object EdJoin {
        |FROM cf JOIN d0 a ON a.id = cf.ia JOIN d0 b ON b.id = cf.ib
        |WHERE levenshtein(a.s, b.s) <= $d
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** Candidate-pair FUEL of the prefix blocking, measured instead of
+    * guessed — the bucket-load-audit convention
+    * ([[graft.ann.Knn.bucketLoadAudit]]) on the Ed-Join surface.
+    * Groups the prefix postings by token (occupancy c = candidate
+    * generator: the inverted-index join emits c·(c−1)/2 raw pairs per
+    * token) and rolls occupancies up by decade (digit count − 1): per
+    * decade the token count, posting count, hottest token, Σc² and
+    * Σ c·(c−1)/2 — exactly the raw pair count the blocking feeds the
+    * length/count filters. Sub-quadratic decade-over-decade growth of
+    * `n_cand_pairs` under corpus scaling is the evidence the prefix
+    * order keeps rare grams rare; fuel concentrating in high decades
+    * flags a vocabulary too small for char-q-gram blocking (raise q,
+    * or fall back to the set-similarity tiers).
+    */
+  def fuelAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      q: Int = 3,
+      d: Int = 8,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val (_, prefix) = tokensAndPrefix(df, idCol, textCol, q, d, scope)
+    prefix.groupBy("__t").agg(count(lit(1)).as("c"))
+      // digit count, not floor(log10): exact in integer space on both
+      // engines (log10(1000) can land under 3.0 in one libm)
+      .withColumn("c_decade", (length(col("c").cast("string")) - 1).cast("long"))
+      .groupBy("c_decade").agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("c")).as("n_postings"),
+        max(col("c")).as("max_bucket"),
+        sum(col("c") * col("c")).as("sum_c2"),
+        // c·(c−1) is even and non-negative: shiftright IS the exact /2
+        sum(shiftright(col("c") * (col("c") - 1), 1)).as("n_cand_pairs"))
+      .orderBy("c_decade")
+  }
+
+  /** DuckDB twin of [[fuelAudit]]. */
+  def fuelAuditDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      q: Int = 3,
+      d: Int = 8): String =
+    s"""${prefixCtesDuckSql(table, idCol, textCol, q, d)},
+       |occp AS (SELECT tk, CAST(count(*) AS BIGINT) AS c FROM prefix GROUP BY tk)
+       |SELECT CAST(length(CAST(c AS VARCHAR)) - 1 AS BIGINT) AS c_decade,
+       |  CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(c) AS BIGINT) AS n_postings,
+       |  CAST(max(c) AS BIGINT) AS max_bucket,
+       |  CAST(sum(c * c) AS BIGINT) AS sum_c2,
+       |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n_cand_pairs
+       |FROM occp GROUP BY c_decade ORDER BY c_decade""".stripMargin
 }

@@ -633,6 +633,16 @@ object DedupQueries extends QuerySet {
     Q("q_edjoin",
       (s, d) => EdJoin.edPairs(Tables.df(s, d, "documents"), "doc_id", "text", q = 3, d = 8)
         .orderBy("id_a", "id_b"),
-      Some(EdJoin.edPairsDuckSql("documents", "doc_id", "text", q = 3, d = 8)))
+      Some(EdJoin.edPairsDuckSql("documents", "doc_id", "text", q = 3, d = 8))),
+
+    // Candidate-pair fuel of the Ed-Join prefix blocking (the
+    // bucket-load-audit convention): Σ c·(c−1)/2 over prefix-token
+    // occupancies by decade — the raw pair count the blocking feeds
+    // the length/count filters, a standing oracle-checked number
+    // instead of a hope. ScaleSmoke's `edjoin` finder measures its
+    // growth under 10× salting.
+    Q("q_edjoin_fuel",
+      (s, d) => EdJoin.fuelAudit(Tables.df(s, d, "documents"), "doc_id", "text", q = 3, d = 8),
+      Some(EdJoin.fuelAuditDuckSql("documents", "doc_id", "text", q = 3, d = 8)))
   )
 }

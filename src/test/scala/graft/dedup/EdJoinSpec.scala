@@ -83,6 +83,25 @@ class EdJoinSpec extends SparkSpec {
     n.count(_._1 == 2L) shouldBe 1
   }
 
+  test("fuelAudit postings and pair fuel tie out against the corpus shape") {
+    val docs = corpus.toDF("id", "s")
+    val scope = new graft.api.CacheScope
+    val rows = try {
+      EdJoin.fuelAudit(docs, "id", "s", q = 3, d = 8, scope = scope).collect()
+    } finally scope.release()
+    // every string has >= q*d+1 grams, so each contributes exactly a
+    // full 25-token prefix
+    rows.map(_.getAs[Long]("n_postings")).sum shouldBe corpus.size * 25L
+    // fuel identity per decade: sum_c2 = 2*n_cand_pairs + n_postings
+    rows.foreach { r =>
+      r.getAs[Long]("sum_c2") shouldBe
+        2L * r.getAs[Long]("n_cand_pairs") + r.getAs[Long]("n_postings")
+    }
+    // duplicate strings share full prefixes: at least one token with
+    // occupancy >= 2 must exist
+    rows.map(_.getAs[Long]("max_bucket")).max should be >= 2L
+  }
+
   test("strings shorter than q*(d+1) raise instead of silently missing pairs") {
     val docs = Seq((1L, "a" * 30), (2L, "b" * 20)).toDF("id", "s")
     val scope = new graft.api.CacheScope
