@@ -181,6 +181,147 @@ object EdJoin {
        |WHERE levenshtein(a.s, b.s) <= $d
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Cross-collection fuzzy-string match — the character-level twin of
+    * the embedding matcher ([[graft.ann.Matcher.findMatchesTopN]],
+    * reference utils/embedding_matcher.py): for each `src` row, the
+    * top-N `tgt` rows within edit distance d, ranked by (dist ASC,
+    * tgt_id ASC). Same lossless filter chain as [[edPairs]], with ONE
+    * global (df, token) order computed over the UNION of both sides —
+    * the prefix theorem needs both prefixes drawn from a single total
+    * order, so per-side df would break completeness. Sides are tagged,
+    * so ids may overlap across collections (a row present on both
+    * sides matches itself at dist 0).
+    *
+    * Output: (src_id, tgt_id, dist, match_rank).
+    */
+  def edMatchTopN(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      textCol: String,
+      q: Int = 3,
+      d: Int = 8,
+      topN: Int = 1,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    require(q >= 1, s"edMatchTopN: q must be >= 1, got $q")
+    require(d >= 0, s"edMatchTopN: d must be >= 0, got $d")
+    require(topN >= 1, s"edMatchTopN: topN must be >= 1, got $topN")
+    graft.functions.GraftFunctions.register(src.sparkSession)
+    val minLen = q * (d + 1)
+    val prefixLen = q * d + 1
+    def sideOf(df: DataFrame, tag: Int): DataFrame = df
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"), lit(tag).as("__side"), col(textCol).as("__s"))
+    val combined = sideOf(src, 0).unionByName(sideOf(tgt, 1))
+    val toks = scope.persist(combined
+      .select(col("__id"), col("__side"), col("__s"),
+        length(col("__s")).as("__len"),
+        when(length(col("__s")) >= minLen,
+          call_function("graft_qgram_hashes", col("__s"), lit(q)))
+          .otherwise(raise_error(concat(
+            lit(s"edMatchTopN: prefix filtering is lossless only for strings of length >= q*(d+1) = $minLen; got "),
+            length(col("__s")).cast("string"), lit(" chars for id "),
+            col("__id").cast("string"))))
+          .as("__tk")))
+    val sh = toks.select(col("__id"), col("__side"), col("__len"),
+      size(col("__tk")).as("__ga"), explode(col("__tk")).as("__t"))
+    // ONE df aggregate over both sides: a single total order
+    val dfreq = sh.groupBy("__t").agg(count(lit(1)).as("__df"))
+    val ranked = sh.join(dfreq, "__t")
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("__id", "__side").orderBy(col("__df").asc, col("__t").asc)))
+    val prefix = ranked.filter(col("__r") <= lit(prefixLen))
+    val cand = prefix.filter(col("__side") === 0)
+      .select(col("__id").as("src_id"), col("__len").as("__la"),
+        col("__ga").as("__gaa"), col("__t"))
+      .join(prefix.filter(col("__side") === 1)
+        .select(col("__id").as("tgt_id"), col("__len").as("__lb"),
+          col("__ga").as("__gab"), col("__t")), Seq("__t"))
+      .filter(abs(col("__la") - col("__lb")) <= lit(d))
+      .select("src_id", "tgt_id", "__gaa", "__gab")
+      .distinct()
+    val verified = cand
+      .join(toks.filter(col("__side") === 0)
+        .select(col("__id").as("src_id"), col("__tk").as("__tka"),
+          col("__s").as("__sa")), "src_id")
+      .join(toks.filter(col("__side") === 1)
+        .select(col("__id").as("tgt_id"), col("__tk").as("__tkb"),
+          col("__s").as("__sb")), "tgt_id")
+      .withColumn("__inter",
+        call_function("graft_contained_count", col("__tka"), col("__tkb")))
+      .filter(col("__inter") >= greatest(col("__gaa"), col("__gab")) - lit(q * d))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d).cast("long"))
+      .filter(col("dist") >= 0)
+    // rank window partitions on src_id — bounded by that source's
+    // verified matches, never the corpus
+    verified
+      .withColumn("match_rank", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("dist").asc, col("tgt_id").asc)))
+      .filter(col("match_rank") <= topN)
+      .select(col("src_id"), col("tgt_id"), col("dist"), col("match_rank"))
+  }
+
+  /** DuckDB twin of [[edMatchTopN]] over one table split by
+    * predicates (the [[graft.ann.Matcher]] twin convention).
+    */
+  def edMatchTopNDuckSql(
+      table: String,
+      idCol: String,
+      textCol: String,
+      srcPred: String,
+      tgtPred: String,
+      q: Int = 3,
+      d: Int = 8,
+      topN: Int = 1): String =
+    s"""WITH d0 AS (
+       |  SELECT $idCol AS id, 0 AS side, $textCol AS s, length($textCol) AS len
+       |  FROM $table WHERE ($srcPred) AND $textCol IS NOT NULL
+       |  UNION ALL
+       |  SELECT $idCol AS id, 1 AS side, $textCol AS s, length($textCol) AS len
+       |  FROM $table WHERE ($tgtPred) AND $textCol IS NOT NULL),
+       |g AS (SELECT id, side, len,
+       |        unnest(list_transform(generate_series(1, len - ${q - 1}), i -> substr(s, i, $q))) AS gram,
+       |        unnest(generate_series(1, len - ${q - 1})) AS pos
+       |      FROM d0),
+       |occ AS (SELECT id, side, len, gram,
+       |          row_number() OVER (PARTITION BY id, side, gram ORDER BY pos) AS occ
+       |        FROM g),
+       |tok AS (SELECT id, side, len,
+       |          CAST(concat('0x', substr(md5(gram || chr(1) || CAST(occ AS VARCHAR)), 1, 15)) AS BIGINT) AS tk
+       |        FROM occ),
+       |sizes AS (SELECT id, side, count(*) AS ga FROM tok GROUP BY id, side),
+       |dfreq AS (SELECT tk, count(*) AS df FROM tok GROUP BY tk),
+       |ranked AS (SELECT t.id, t.side, t.len, t.tk,
+       |             row_number() OVER (PARTITION BY t.id, t.side ORDER BY f.df, t.tk) AS r
+       |           FROM tok t JOIN dfreq f USING (tk)),
+       |prefix AS (SELECT * FROM ranked WHERE r <= ${q * d + 1}),
+       |cand AS (SELECT a.id AS ia, b.id AS ib
+       |         FROM prefix a JOIN prefix b
+       |           ON a.tk = b.tk AND a.side = 0 AND b.side = 1
+       |              AND abs(a.len - b.len) <= $d
+       |         GROUP BY 1, 2),
+       |shared AS (SELECT c.ia, c.ib, count(*) AS inter
+       |           FROM cand c
+       |           JOIN tok ta ON ta.id = c.ia AND ta.side = 0
+       |           JOIN tok tb ON tb.id = c.ib AND tb.side = 1 AND ta.tk = tb.tk
+       |           GROUP BY 1, 2),
+       |cf AS (SELECT s.ia, s.ib FROM shared s
+       |       JOIN sizes za ON za.id = s.ia AND za.side = 0
+       |       JOIN sizes zb ON zb.id = s.ib AND zb.side = 1
+       |       WHERE s.inter >= greatest(za.ga, zb.ga) - ${q * d}),
+       |ver AS (SELECT cf.ia AS src_id, cf.ib AS tgt_id,
+       |          CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+       |        FROM cf
+       |        JOIN d0 a ON a.id = cf.ia AND a.side = 0
+       |        JOIN d0 b ON b.id = cf.ib AND b.side = 1
+       |        WHERE levenshtein(a.s, b.s) <= $d)
+       |SELECT src_id, tgt_id, dist, match_rank FROM (
+       |  SELECT src_id, tgt_id, dist,
+       |    CAST(row_number() OVER (PARTITION BY src_id ORDER BY dist, tgt_id) AS INT) AS match_rank
+       |  FROM ver) t
+       |WHERE match_rank <= $topN
+       |ORDER BY src_id, match_rank""".stripMargin
+
   /** Candidate-pair FUEL of the prefix blocking, measured instead of
     * guessed — the bucket-load-audit convention
     * ([[graft.ann.Knn.bucketLoadAudit]]) on the Ed-Join surface.

@@ -643,6 +643,24 @@ object DedupQueries extends QuerySet {
     // growth under 10× salting.
     Q("q_edjoin_fuel",
       (s, d) => EdJoin.fuelAudit(Tables.df(s, d, "documents"), "doc_id", "text", q = 3, d = 8),
-      Some(EdJoin.fuelAuditDuckSql("documents", "doc_id", "text", q = 3, d = 8)))
+      Some(EdJoin.fuelAuditDuckSql("documents", "doc_id", "text", q = 3, d = 8))),
+
+    // Cross-collection fuzzy-string match: the find_matches surface
+    // (reference embedding_matcher.py) at the CHARACTER level — link
+    // each low-source doc to its closest high-source doc within edit
+    // distance 8, one shared (df, token) order over the union (the
+    // prefix theorem needs a single total order across both sides).
+    Q("q_edjoin_match",
+      (s, d) => {
+        val docs = Tables.df(s, d, "documents")
+        val half = expr("cast(substring(source, 4) as int) < 10")
+        EdJoin.edMatchTopN(docs.filter(half), docs.filter(!half),
+          "doc_id", "text", q = 3, d = 8, topN = 3)
+          .orderBy("src_id", "match_rank")
+      },
+      Some(EdJoin.edMatchTopNDuckSql("documents", "doc_id", "text",
+        srcPred = "CAST(substr(source, 4) AS INT) < 10",
+        tgtPred = "CAST(substr(source, 4) AS INT) >= 10",
+        q = 3, d = 8, topN = 3)))
   )
 }

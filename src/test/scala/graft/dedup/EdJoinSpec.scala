@@ -83,6 +83,29 @@ class EdJoinSpec extends SparkSpec {
     n.count(_._1 == 2L) shouldBe 1
   }
 
+  test("edMatchTopN equals the brute-force cross-match (bases vs variants)") {
+    val docs = corpus.toDF("id", "s")
+    val src = docs.filter($"id" % 10 === 0)
+    val tgt = docs.filter($"id" % 10 =!= 0)
+    val scope = new graft.api.CacheScope
+    val got = try {
+      EdJoin.edMatchTopN(src, tgt, "id", "s", q = 3, d = 8, topN = 3, scope = scope)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    } finally scope.release()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy($"dist".asc, $"tgt_id".asc)
+    val brute = src.select($"id".as("src_id"), $"s".as("sa"))
+      .crossJoin(tgt.select($"id".as("tgt_id"), $"s".as("sb")))
+      .select($"src_id", $"tgt_id", levenshtein($"sa", $"sb").cast("long").as("dist"))
+      .filter($"dist" <= 8)
+      .withColumn("match_rank", row_number().over(w))
+      .filter($"match_rank" <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    // each family's base must rank its exact copy first
+    brute.count(_._4 == 1) shouldBe 12
+    got shouldBe brute
+  }
+
   test("fuelAudit postings and pair fuel tie out against the corpus shape") {
     val docs = corpus.toDF("id", "s")
     val scope = new graft.api.CacheScope
