@@ -867,6 +867,66 @@ object EventQueries extends QuerySet {
              |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_7d
              |FROM daily ORDER BY event_type, day""".stripMargin)),
 
+    // Sample autocorrelation of the daily event-volume series, lags
+    // 1..7 — the seasonality detector behind the dow/hour profiles
+    // (a weekly cycle shows as an acf peak at lag 7). Standard ACF
+    // estimator r_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² over the DENSE
+    // calendar series (missing days are true zeros, not gaps). Exact
+    // integer arithmetic to the last step: deviations are scaled by n
+    // (u_t = n·x_t − Σx, an exact BIGINT — the n² factors cancel in
+    // the ratio), so both engines divide the SAME two integers and
+    // floatRound4 is bit-identical by construction. Overflow bound:
+    // n_days³·max_daily² < 2⁶³ — a year of 15M-events/day fits.
+    // Shuffles are bounded by the CALENDAR (≤ n_days rows after the
+    // first compression), never the raw event log.
+    Q("q_acf",
+      (s, d) => {
+        val daily = Tables.df(s, d, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("x"))
+        val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        val full = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+        val tot = full.agg(count(lit(1)).as("n"), sum("x").as("s"))
+        val u = full.crossJoin(broadcast(tot))
+          .select(col("day"), (col("n") * col("x") - col("s")).as("u"))
+        val den = u.agg(sum(col("u") * col("u")).as("den"))
+        val lagged = u.select(col("day"), col("u").as("ua"),
+            explode(sequence(lit(1), lit(7))).as("lag"))
+          .join(u.select(col("day").as("day2"), col("u").as("ub")),
+            col("day2") === col("day") + col("lag"))
+          .groupBy("lag").agg(sum(col("ua") * col("ub")).as("num"),
+            count(lit(1)).as("n_pairs"))
+        lagged.crossJoin(broadcast(den))
+          .select(col("lag").cast("long").as("lag"), col("n_pairs"),
+            graft.ops.PortableRound.floatRound4(
+              col("num").cast("double") / col("den").cast("double")).as("acf"))
+          .orderBy("lag")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |         count(*) AS x
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+             |dense AS (
+             |  SELECT f.day, coalesce(daily.x, 0) AS x
+             |  FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM b) f
+             |  LEFT JOIN daily USING (day)),
+             |tot AS (SELECT count(*) AS n, sum(x) AS s FROM dense),
+             |u AS (SELECT day, (n * x - s) AS u FROM dense, tot),
+             |den AS (SELECT sum(u * u) AS den FROM u),
+             |lagged AS (
+             |  SELECT l.lag, sum(a.u * bb.u) AS num,
+             |         CAST(count(*) AS BIGINT) AS n_pairs
+             |  FROM u a
+             |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) l
+             |  JOIN u bb ON bb.day = a.day + l.lag
+             |  GROUP BY 1)
+             |SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+             |  ${graft.ops.PortableRound.floatRound4Duck("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")} AS acf
+             |FROM lagged, den ORDER BY lag""".stripMargin)),
+
     // DAU / trailing-WAU stickiness — the engagement ratio product
     // dashboards lead with (stickiness near 1 = users return daily;
     // near 1/7 = weekly visitors). Exact trailing distinct counts

@@ -106,6 +106,8 @@ class PlanAuditSpec extends SparkSpec {
                            // + 1-row vocab-size crossJoins
     "q_event_paths",       // 1-row triple-total crossJoin (the share
                            // normalizer over the |types|^3-bounded table)
+    "q_acf",               // 1-row total/denominator crossJoins over the
+                           // calendar-bounded daily series
     "q_dup_triangles",     // four 1-row graph-census aggregates
                            // crossJoined into the single output row
     "q_concurrency",       // calendar-bounded hourly triangular join
