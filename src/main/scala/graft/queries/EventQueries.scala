@@ -927,6 +927,59 @@ object EventQueries extends QuerySet {
              |  ${graft.ops.PortableRound.floatRound4Duck("CAST(num AS DOUBLE) / CAST(den AS DOUBLE)")} AS acf
              |FROM lagged, den ORDER BY lag""".stripMargin)),
 
+    // CUSUM level-shift detection on the daily volume series: S_t =
+    // Σ_{i<=t}(x_i − x̄), the classic changepoint statistic (a regime
+    // change shows as the |S| peak at the shift day). Same exact
+    // n-scaled integer deviations as q_acf; the cumulative sum rides a
+    // CALENDAR-bounded triangular join (≤ n_days² rows — 365 days =
+    // 133k, at ANY corpus SF) instead of a partition-less window,
+    // so no all-rows-to-one-task collapse exists in the plan. Output
+    // is the full curve (cusum = S_t/n at 4dp via the exact integer
+    // rounder) with the argmax-|S| day(s) flagged.
+    Q("q_cusum",
+      (s, d) => {
+        val daily = Tables.df(s, d, "events")
+          .select(expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("day").agg(count(lit(1)).as("x"))
+        val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        val full = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"))
+          .join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+        val tot = full.agg(count(lit(1)).as("n"), sum("x").as("s"))
+        val u = full.crossJoin(broadcast(tot))
+          .select(col("day"), col("x"), col("n"),
+            (col("n") * col("x") - col("s")).as("u"))
+        val cum = u.select(col("day"), col("x"), col("n"))
+          .join(u.select(col("day").as("day2"), col("u")),
+            col("day2") <= col("day"))
+          .groupBy("day", "x", "n").agg(sum("u").as("sraw"))
+        val mx = cum.agg(max(abs(col("sraw"))).as("m"))
+        cum.crossJoin(broadcast(mx))
+          .select(col("day"), col("x"),
+            graft.ops.PortableRound.intRound4(col("sraw"), col("n")).as("cusum"),
+            (abs(col("sraw")) === col("m")).as("is_change"))
+          .orderBy("day")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |         count(*) AS x
+             |  FROM events GROUP BY 1),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+             |dense AS (
+             |  SELECT f.day, coalesce(daily.x, 0) AS x
+             |  FROM (SELECT unnest(range(d0, d1 + 1)) AS day FROM b) f
+             |  LEFT JOIN daily USING (day)),
+             |tot AS (SELECT count(*) AS n, sum(x) AS s FROM dense),
+             |u AS (SELECT day, x, n, (n * x - s) AS u FROM dense, tot),
+             |cum AS (SELECT a.day, a.x, a.n, sum(bb.u) AS sraw
+             |        FROM u a JOIN u bb ON bb.day <= a.day
+             |        GROUP BY 1, 2, 3),
+             |mx AS (SELECT max(abs(sraw)) AS m FROM cum)
+             |SELECT day, x,
+             |  ${graft.ops.PortableRound.intRound4Duck("sraw", "n")} AS cusum,
+             |  (abs(sraw) = m) AS is_change
+             |FROM cum, mx ORDER BY day""".stripMargin)),
+
     // DAU / trailing-WAU stickiness — the engagement ratio product
     // dashboards lead with (stickiness near 1 = users return daily;
     // near 1/7 = weekly visitors). Exact trailing distinct counts

@@ -108,6 +108,8 @@ class PlanAuditSpec extends SparkSpec {
                            // normalizer over the |types|^3-bounded table)
     "q_acf",               // 1-row total/denominator crossJoins over the
                            // calendar-bounded daily series
+    "q_cusum",             // calendar-bounded triangular join (≤ n_days²
+                           // rows) + 1-row total/max crossJoins
     "q_dup_triangles",     // four 1-row graph-census aggregates
                            // crossJoined into the single output row
     "q_concurrency",       // calendar-bounded hourly triangular join
