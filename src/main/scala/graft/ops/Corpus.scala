@@ -897,4 +897,90 @@ object Corpus {
        |  CAST(count(*) AS BIGINT) AS vocab,
        |  CAST(sum(f) AS BIGINT) AS n_tokens
        |FROM ranked""".stripMargin
+
+  /** RAKE keyword extraction (Rose et al. 2010), corpus-level:
+    * candidate phrases are maximal stopword-free token runs (runs
+    * longer than `maxWords` are DROPPED — the rake-nltk max_length
+    * convention), word scores are deg(w)/freq(w) over all candidate
+    * occurrences (deg sums the lengths of the phrases a word appears
+    * in), a phrase scores the sum of its word scores. Each word score
+    * is fixed-point-quantized to 4dp in EXACT integer arithmetic
+    * (PortableRound.intScaled) BEFORE the sum, so the phrase score is
+    * an exact integer sum in both engines — the float-addition-order
+    * hazard of summing raw rationals never arises. Every stage is
+    * vocabulary- or candidate-bounded: the only corpus-sized shuffles
+    * are the per-doc phrase window (partitioned on the doc id) and
+    * the word-stats aggregate; top-k is TakeOrdered.
+    */
+  def rakeKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxWords: Int = 4,
+      k: Int = 20,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val stop = TextFunctions.stopwords
+    val marked = df.select(col(idCol).as("__id"),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("__pos", "__w")))
+      .withColumn("__is_stop",
+        col("__w").isInCollection(stop) || col("__w") === "")
+    // phrase id = running stopword count: every stopword closes the
+    // current run and opens the next
+    val pid = marked.withColumn("__pid",
+      sum(when(col("__is_stop"), 1).otherwise(0)).over(
+        Window.partitionBy("__id").orderBy("__pos")))
+    // persisted: feeds both the word-stats aggregate and the scoring join
+    val cand = scope.persist(pid.filter(!col("__is_stop"))
+      .groupBy("__id", "__pid")
+      .agg(transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+        x => x.getField("__w")).as("__ws"))
+      .filter(size(col("__ws")) <= maxWords)
+      .select(col("__id"), col("__pid"), col("__ws"),
+        concat_ws(" ", col("__ws")).as("phrase")))
+    val cw = cand.select(col("__id"), col("__pid"), col("phrase"),
+      size(col("__ws")).cast("long").as("__len"), explode(col("__ws")).as("__w"))
+    val fd = cw.groupBy("__w").agg(count(lit(1)).as("__freq"),
+      sum("__len").as("__deg"))
+    val scored = cw.join(fd, "__w")
+      .groupBy("__id", "__pid", "phrase")
+      .agg(sum(PortableRound.intScaled(col("__deg"), col("__freq"))).as("__sc"))
+    scored.groupBy("phrase")
+      // the score depends only on corpus-wide word stats, so every
+      // occurrence of a phrase string carries the identical value —
+      // max is "any"
+      .agg(count(lit(1)).as("n_occ"), max(col("__sc")).as("__sc"))
+      .select(col("phrase"), col("n_occ"),
+        (col("__sc") / lit(10000.0)).as("score"))
+      .orderBy(col("score").desc, col("phrase").asc)
+      .limit(k)
+  }
+
+  /** DuckDB twin of [[rakeKeywords]]. */
+  def rakeKeywordsDuckSql(table: String, idCol: String, textCol: String,
+                          maxWords: Int = 4, k: Int = 20): String = {
+    val stoplist = TextFunctions.stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH tk AS (
+       |  SELECT $idCol AS id, string_split(lower($textCol), ' ') AS ws FROM $table),
+       |t AS (SELECT id, unnest(ws) AS w,
+       |        unnest(generate_series(1, len(ws))) AS pos FROM tk),
+       |p AS (SELECT id, pos, w, (w IN ($stoplist) OR w = '') AS is_stop,
+       |        sum(CASE WHEN (w IN ($stoplist) OR w = '') THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY id ORDER BY pos) AS pid
+       |      FROM t),
+       |cand AS (SELECT id, pid, string_agg(w, ' ' ORDER BY pos) AS phrase,
+       |           CAST(count(*) AS BIGINT) AS len
+       |         FROM p WHERE NOT is_stop GROUP BY id, pid
+       |         HAVING count(*) <= $maxWords),
+       |cw AS (SELECT c.id, c.pid, c.phrase, c.len,
+       |         unnest(string_split(c.phrase, ' ')) AS w FROM cand c),
+       |fd AS (SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         CAST(sum(len) AS BIGINT) AS deg FROM cw GROUP BY w),
+       |sc AS (SELECT cw.id, cw.pid, cw.phrase,
+       |         sum(${PortableRound.intScaledDuck("fd.deg", "fd.freq")}) AS s
+       |       FROM cw JOIN fd USING (w) GROUP BY 1, 2, 3),
+       |outp AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ, max(s) AS s
+       |         FROM sc GROUP BY phrase)
+       |SELECT phrase, n_occ, (s / 10000.0) AS score FROM outp
+       |ORDER BY score DESC, phrase LIMIT $k""".stripMargin
+  }
 }

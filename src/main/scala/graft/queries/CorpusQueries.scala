@@ -57,6 +57,17 @@ object CorpusQueries extends QuerySet {
         Tables.df(s, d, "documents"), "text", minCount = 5, k = 25),
       Some(Corpus.pmiCollocationsDuckSql("documents", "text", minCount = 5, k = 25))),
 
+    // RAKE keyword extraction: stopword-delimited candidate phrases
+    // scored by Σ deg(w)/freq(w) — the multi-word keyword miner that
+    // needs no model (Rose et al. 2010). Word scores fixed-point-
+    // quantized (exact integers) before the phrase sum, so both
+    // engines rank identical values.
+    Q("q_rake",
+      (s, d) => Corpus.rakeKeywords(
+        Tables.df(s, d, "documents"), "doc_id", "text", maxWords = 4, k = 20),
+      Some(Corpus.rakeKeywordsDuckSql("documents", "doc_id", "text",
+        maxWords = 4, k = 20))),
+
     // Per-source shingle NOVELTY — the marginal-value-of-ingest curve
     // (DataComp-style): what fraction of a source's distinct 3-gram
     // shingles appears in NO lexicographically-earlier source. A
