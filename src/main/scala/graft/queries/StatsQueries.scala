@@ -270,6 +270,42 @@ object StatsQueries extends QuerySet {
     // BH correction; the oracle runs the identical folds in DuckDB.
     Q("q_enrichment",
       (s, d) => Enrichment.enrich(Tables.df(s, d, "documents"), "source", "text"),
-      Some(Enrichment.oracleSql("documents", "source", "text")))
+      Some(Enrichment.oracleSql("documents", "source", "text"))),
+
+    // Benford first-significant-digit audit on order totals — the
+    // fabricated-data / broken-ETL smell test: observed digit shares
+    // vs log10(1+1/d) with per-digit chi-square contributions. The
+    // digit comes from the INTEGER cents rendered as a string
+    // (floor(x·100+0.5) is the identical IEEE op in both engines, and
+    // integer→string is exact) — no floor(log10(x)) power-of-ten
+    // boundary hazard. One scan, a 9-row aggregate, a 1-row total.
+    Q("q_benford",
+      (s, d) => {
+        val cents = floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+        val counts = Tables.df(s, d, "orders")
+          .select(substring(cents.cast("string"), 1, 1).cast("long").as("digit"))
+          .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+        val tot = counts.agg(sum("n_obs").as("n"))
+        val p = log10(lit(1.0) + lit(1.0) / col("digit").cast("double"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("digit"), col("n_obs"),
+            graft.ops.PortableRound.intRound4(col("n_obs"), col("n")).as("obs_frac"),
+            graft.ops.PortableRound.floatRound4(p).as("benford_frac"),
+            graft.ops.PortableRound.floatRound4(
+              pow(col("n_obs").cast("double") - col("n").cast("double") * p, 2) /
+                (col("n").cast("double") * p)).as("chi2_term"))
+          .orderBy("digit")
+      },
+      Some(s"""WITH c AS (
+             |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders),
+             |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs FROM c GROUP BY digit),
+             |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM g)
+             |SELECT digit, n_obs,
+             |  ${graft.ops.PortableRound.intRound4Duck("n_obs", "n")} AS obs_frac,
+             |  ${graft.ops.PortableRound.floatRound4Duck("log10(1.0 + 1.0 / digit)")} AS benford_frac,
+             |  ${graft.ops.PortableRound.floatRound4Duck(
+                  "power(n_obs - n * log10(1.0 + 1.0 / digit), 2) / (n * log10(1.0 + 1.0 / digit))")} AS chi2_term
+             |FROM g, t ORDER BY digit""".stripMargin))
   )
 }

@@ -110,6 +110,7 @@ class PlanAuditSpec extends SparkSpec {
                            // calendar-bounded daily series
     "q_cusum",             // calendar-bounded triangular join (≤ n_days²
                            // rows) + 1-row total/max crossJoins
+    "q_benford",           // 1-row total crossJoin over the 9-digit table
     "q_dup_triangles",     // four 1-row graph-census aggregates
                            // crossJoined into the single output row
     "q_concurrency",       // calendar-bounded hourly triangular join
