@@ -980,6 +980,84 @@ object EventQueries extends QuerySet {
              |  (abs(sraw) = m) AS is_change
              |FROM cum, mx ORDER BY day""".stripMargin)),
 
+    // Per-type OLS trend of daily volume — the third leg of the
+    // time-series diagnostic triad (q_acf seasonality, q_cusum level
+    // shift, this one monotone drift): slope/intercept/r² of x_t vs
+    // rebased day index over the DENSE per-type calendar (missing days
+    // are true zeros). Every OLS sum (Σt, Σx, Σtx, Σt², Σx²) is an
+    // exact integer; numerators/denominators are assembled in integer
+    // space, cast to double ONCE, then divided — both engines round
+    // the same values. The intercept uses the UNROUNDED slope
+    // (mirrored in the twin). Overflow bound: n·Σtx ≤ n_days³·max_x,
+    // fine for a decade of 10M-events/day.
+    Q("q_trend",
+      (s, d) => {
+        val daily = Tables.df(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        val cal = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"),
+          col("d0"))
+        val types = daily.select("event_type").distinct()
+        val dense = types.crossJoin(broadcast(cal))
+          .join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), (col("day") - col("d0")).as("t"),
+            coalesce(col("x"), lit(0L)).as("x"))
+        val agg = dense.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum("t").as("st"), sum("x").as("sx"),
+          sum(col("t") * col("x")).as("stx"),
+          sum(col("t") * col("t")).as("stt"),
+          sum(col("x") * col("x")).as("sxx"))
+        val num = (col("n") * col("stx") - col("st") * col("sx")).cast("double")
+        val dent = (col("n") * col("stt") - col("st") * col("st")).cast("double")
+        val denx = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val slope = num / dent
+        agg.select(col("event_type"), col("n").as("n_days"),
+            graft.ops.PortableRound.floatRound4(slope).as("slope"),
+            graft.ops.PortableRound.floatRound4(
+              (col("sx").cast("double") - slope * col("st").cast("double")) /
+                col("n").cast("double")).as("intercept"),
+            when(denx =!= 0.0,
+              graft.ops.PortableRound.floatRound4(num * num / (dent * denx)))
+              .as("r2"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+             |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0 FROM b),
+             |ty AS (SELECT DISTINCT event_type FROM daily),
+             |dense AS (
+             |  SELECT ty.event_type, cal.day - cal.d0 AS t,
+             |    coalesce(daily.x, 0) AS x
+             |  FROM ty CROSS JOIN cal
+             |  LEFT JOIN daily ON daily.event_type = ty.event_type
+             |    AND daily.day = cal.day),
+             |agg AS (
+             |  SELECT event_type, count(*) AS n, sum(t) AS st, sum(x) AS sx,
+             |    sum(t * x) AS stx, sum(t * t) AS stt, sum(x * x) AS sxx
+             |  FROM dense GROUP BY event_type),
+             |f AS (
+             |  SELECT event_type, n,
+             |    CAST(n * stx - st * sx AS DOUBLE) AS num,
+             |    CAST(n * stt - st * st AS DOUBLE) AS dent,
+             |    CAST(n * sxx - sx * sx AS DOUBLE) AS denx,
+             |    CAST(sx AS DOUBLE) AS sxd, CAST(st AS DOUBLE) AS std,
+             |    CAST(n AS DOUBLE) AS nd
+             |  FROM agg)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+             |  ${graft.ops.PortableRound.floatRound4Duck("num / dent")} AS slope,
+             |  ${graft.ops.PortableRound.floatRound4Duck(
+                  "(sxd - (num / dent) * std) / nd")} AS intercept,
+             |  CASE WHEN denx <> 0 THEN
+             |    ${graft.ops.PortableRound.floatRound4Duck("num * num / (dent * denx)")}
+             |  END AS r2
+             |FROM f ORDER BY event_type""".stripMargin)),
+
     // DAU / trailing-WAU stickiness — the engagement ratio product
     // dashboards lead with (stickiness near 1 = users return daily;
     // near 1/7 = weekly visitors). Exact trailing distinct counts

@@ -520,6 +520,47 @@ object StreamOps {
       }
   }
 
+  /** Page's two-sided CUSUM alarm stream (Page 1954) — the ONLINE
+    * changepoint detector (the batch `q_cusum` curve diagnoses a shift
+    * after the fact; this one fires while it happens). Per key:
+    * S⁺ = max(0, S⁺ + (v − μ0 − k)), S⁻ = max(0, S⁻ + (μ0 − k − v));
+    * alarm when either exceeds h, then both reset (the standard
+    * restart-after-alarm protocol). Two doubles of state per key —
+    * bounded forever, no window. μ0/k/h come from the batch tier
+    * (q_describe / q_cusum calibrate the target and the drift
+    * allowance k, typically σ/2). Events inside a micro-batch fold in
+    * id order (the house tie order), so replaying a corpus is
+    * deterministic and a checkpoint kill+restart reproduces the
+    * uninterrupted run (spec-pinned, the momentsStream protocol).
+    * Emits (key, id, s_hi, s_lo, alarm) per event, 4dp HALF_UP like
+    * the other streaming twins.
+    */
+  def cusumStream(ds: Dataset[(Long, Long, Double)],
+      mu0: Double, k: Double, h: Double): Dataset[(Long, Long, Double, Double, Boolean)] = {
+    import ds.sparkSession.implicits._
+    require(h > 0, s"cusumStream: alarm threshold h must be > 0, got $h")
+    def r4(x: Double): Double = BigDecimal.decimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)],
+         state: GroupState[(Double, Double)]) =>
+          var (shi, slo) = state.getOption.getOrElse((0.0, 0.0))
+          val out = scala.collection.mutable.ListBuffer[(Long, Long, Double, Double, Boolean)]()
+          rows.toSeq.sortBy(_._2).foreach { case (_, id, v) =>
+            shi = math.max(0.0, shi + (v - mu0 - k))
+            slo = math.max(0.0, slo + (mu0 - k - v))
+            val alarm = shi > h || slo > h
+            out += ((key, id, r4(shi), r4(slo), alarm))
+            if (alarm) { shi = 0.0; slo = 0.0 }
+          }
+          state.update((shi, slo))
+          out.iterator
+      }
+  }
+
   /** Streaming twin of [[graft.ops.Ewma]]: truncated `lags`-term EWMA
     * per key on a live event stream. State is the last (lags−1)
     * values per key — BOUNDED (seven doubles at the default), unlike

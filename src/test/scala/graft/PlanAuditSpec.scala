@@ -111,6 +111,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_cusum",             // calendar-bounded triangular join (≤ n_days²
                            // rows) + 1-row total/max crossJoins
     "q_benford",           // 1-row total crossJoin over the 9-digit table
+    "q_trend",             // types × calendar crossJoin (both bounded:
+                           // |types| · n_days rows) to densify the series
     "q_dup_triangles",     // four 1-row graph-census aggregates
                            // crossJoined into the single output row
     "q_concurrency",       // calendar-bounded hourly triangular join

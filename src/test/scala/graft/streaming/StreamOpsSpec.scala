@@ -855,6 +855,80 @@ class StreamOpsSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("cusumStream fires on a level shift, resets after the alarm, matches the driver fold") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 8 in-control values around mu0=5 then a +3 shift: S+ accumulates
+    // ~2.5/event past the drift allowance and crosses h=6 on the third
+    // shifted event
+    val vals = Seq(5.0, 4.5, 5.5, 5.0, 4.75, 5.25, 5.0, 5.0,
+      8.0, 8.0, 8.0, 8.0, 5.0)
+    val input = MemoryStream[(Long, Long, Double)]
+    val out = StreamOps.cusumStream(input.toDS(), mu0 = 5.0, k = 0.5, h = 6.0)
+    val q = out.toDF("key", "id", "s_hi", "s_lo", "alarm")
+      .writeStream.format("memory").queryName("cusum_out")
+      .outputMode("append").start()
+    try {
+      // two micro-batches exercise the state carry
+      input.addData(vals.take(9).zipWithIndex.map { case (v, i) => (3L, i.toLong, v) }: _*)
+      q.processAllAvailable()
+      input.addData(vals.drop(9).zipWithIndex.map { case (v, i) => (3L, (i + 9).toLong, v) }: _*)
+      q.processAllAvailable()
+      val rows = spark.table("cusum_out").collect()
+        .map(r => r.getLong(1) -> ((r.getDouble(2), r.getDouble(3), r.getBoolean(4))))
+        .toMap
+      rows.size shouldBe vals.size
+      // driver replay of the identical fold
+      var (shi, slo) = (0.0, 0.0)
+      val expected = vals.zipWithIndex.map { case (v, i) =>
+        shi = math.max(0.0, shi + (v - 5.0 - 0.5))
+        slo = math.max(0.0, slo + (5.0 - 0.5 - v))
+        val alarm = shi > 6.0 || slo > 6.0
+        val row = (i.toLong, (BigDecimal.decimal(shi).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          BigDecimal.decimal(slo).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, alarm))
+        if (alarm) { shi = 0.0; slo = 0.0 }
+        row
+      }.toMap
+      rows shouldBe expected
+      // the shift fires exactly once, on the third shifted event
+      rows.filter(_._2._3).keys.toSeq shouldBe Seq(10L)
+      // post-alarm state restarted: the next in-control value stays calm
+      rows(12L)._3 shouldBe false
+    } finally q.stop()
+  }
+
+  test("cusumStream: RESTART from checkpoint recovers S+/S- and still fires mid-shift") {
+    implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val vals = Seq(5.0, 4.5, 5.5, 5.0, 4.75, 5.25, 5.0, 5.0,
+      8.0, 8.0, 8.0, 8.0, 5.0)
+    val ckpt = java.nio.file.Files.createTempDirectory("cusum_ckpt").toString
+    val input = MemoryStream[(Long, Long, Double)]
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Double, Boolean)]()
+    def start() =
+      StreamOps.cusumStream(input.toDS(), mu0 = 5.0, k = 0.5, h = 6.0)
+        .writeStream.option("checkpointLocation", ckpt).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long, Double, Double, Boolean)], _: Long) =>
+          batch.collect().foreach(t => emitted.add((t._2, t._3, t._4, t._5)))
+        }.start()
+    val q1 = start()
+    // kill mid-shift: one shifted event already folded into S+
+    input.addData(vals.take(9).zipWithIndex.map { case (v, i) => (3L, i.toLong, v) }: _*)
+    q1.processAllAvailable()
+    q1.stop() // (S+, S-) lives only in the checkpoint now
+    val q2 = start()
+    try {
+      input.addData(vals.drop(9).zipWithIndex.map { case (v, i) => (3L, (i + 9).toLong, v) }: _*)
+      q2.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val rows = emitted.asScala.toSeq.map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+      rows.size shouldBe vals.size
+      // the alarm still lands on id 10: S+ = 2.5 recovered from the
+      // checkpoint, +2.5 +2.5 crosses h = 6 two events later
+      rows.filter(_._2._3).keys.toSeq shouldBe Seq(10L)
+      rows(10L)._1 shouldBe 7.5 +- 1e-9
+      rows(12L)._3 shouldBe false
+    } finally q2.stop()
+  }
+
   test("winsorizeStream clips with the batch caps; streamed sum reproduces the batch numerator") {
     implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
     // 20 values 1..20 in one group: p05 cap 1.95, p95 cap 19.05
