@@ -661,6 +661,21 @@ object DedupQueries extends QuerySet {
       Some(EdJoin.edMatchTopNDuckSql("documents", "doc_id", "text",
         srcPred = "CAST(substr(source, 4) AS INT) < 10",
         tgtPred = "CAST(substr(source, 4) AS INT) >= 10",
-        q = 3, d = 8, topN = 3)))
+        q = 3, d = 8, topN = 3))),
+
+    // End-to-end fuzzy entity resolution: Ed-Join pairs → transitive
+    // closure → canonical cluster id (min member) — the q_dedup_cluster
+    // composition on the CHARACTER-level pair finder (typo'd
+    // re-submissions of one record resolve to one golden id even when
+    // A~B~C but A!~C directly). Rides the same distributed min-label
+    // propagation / recursive-CTE twin as the MinHash tier.
+    Q("q_er_resolve",
+      (s, d) => Cluster.connectedComponents(
+        EdJoin.edPairs(Tables.df(s, d, "documents"), "doc_id", "text", q = 3, d = 8)
+          .select("id_a", "id_b"),
+        "id_a", "id_b").orderBy("id"),
+      Some(Cluster.connectedComponentsDuckSql(
+        EdJoin.edPairsDuckSql("documents", "doc_id", "text", q = 3, d = 8),
+        "id_a", "id_b") + "\nORDER BY id"))
   )
 }
