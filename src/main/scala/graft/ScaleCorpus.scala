@@ -26,4 +26,21 @@ object ScaleCorpus {
           cos(j.cast("double") * lit(i.toDouble) + col("vec_id").cast("double"))
             .cast("float")).as("embedding"))
   }.reduce(_ unionByName _)
+
+  /** k salted copies of a documents frame (doc_id, lang, text): copy 0
+    * is the original; higher copies shift ids and suffix every word
+    * with "_i", so cross-copy rows never pair (shingles, signatures
+    * and edit distances all diverge) while per-copy near-dup structure
+    * replicates exactly. Word-INTERIOR char grams stay shared across
+    * copies — their df grows k-fold, which is precisely the hot-token
+    * pressure the Ed-Join prefix order must keep out of the inverted
+    * index.
+    */
+  def docsX(docs: DataFrame, k: Int): DataFrame = (0 until k).map { i =>
+    if (i == 0) docs
+    else docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+      col("lang"),
+      concat_ws(" ", transform(split(col("text"), " "),
+        t => concat(t, lit(s"_$i")))).as("text"))
+  }.reduce(_ unionByName _)
 }

@@ -40,14 +40,10 @@ object ScaleSmoke {
     // k salted copies: copy 0 is the original; higher copies shift ids
     // and perturb content so cross-copy rows never pair (lang passes
     // through unchanged — the KL group count stays constant while the
-    // vocab grows, the regime where the closed-form remainder matters)
-    def docsX(k: Int): DataFrame = (0 until k).map { i =>
-      if (i == 0) docs
-      else docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
-        col("lang"),
-        concat_ws(" ", transform(split(col("text"), " "),
-          t => concat(t, lit(s"_$i")))).as("text"))
-    }.reduce(_ unionByName _)
+    // vocab grows, the regime where the closed-form remainder matters).
+    // Shared with EdJoinFuelDecades (ScaleCorpus) so the decade fuel
+    // audit measures the SAME salted corpus as the edjoin finder here.
+    def docsX(k: Int): DataFrame = ScaleCorpus.docsX(docs, k)
 
     // k-fold users (id-shifted copies) over the SAME time span —
     // constant per-user history, the regime where user-keyed window
