@@ -29,13 +29,18 @@ import org.apache.spark.sql.functions._
   *     sharing zero grams, so the operator raises on them rather than
   *     silently missing pairs (raise_error inside the plan — no extra
   *     driver-side job).
-  *  3. Count filter on candidates: one native
+  *  3. Positional filter (the PPJoin bound, ported): the earliest
+  *     shared token at ranks (ra, rb) caps the intersection at
+  *     1 + min(ga − ra, gb − rb); pairs whose best shared prefix
+  *     token cannot reach the count threshold die inside the same
+  *     aggregation that dedupes candidates.
+  *  4. Count filter on candidates: one native
   *     `graft_contained_count(tokens_a, tokens_b)` per candidate
   *     (occurrence encoding makes the arrays distinct-element, so
   *     contained-count IS the multiset intersection) prunes the
   *     false-positive prefix collisions before any distance is
   *     computed — measured 100:1 on the documents corpus.
-  *  4. Verify: Spark's codegen'd banded `levenshtein(a, b, d)`
+  *  5. Verify: Spark's codegen'd banded `levenshtein(a, b, d)`
   *     (O(d*len) early-exit, returns -1 past the threshold) on the
   *     survivors. DuckDB's unbanded `levenshtein` agrees on every
   *     emitted distance (both classic unit-cost Levenshtein).
@@ -91,7 +96,7 @@ object EdJoin {
       .withColumn("__r", row_number().over(
         Window.partitionBy("__id").orderBy(col("__df").asc, col("__t").asc)))
     val prefix = ranked.filter(col("__r") <= lit(prefixLen))
-      .select(col("__id"), col("__len"), col("__ga"), col("__t"))
+      .select(col("__id"), col("__len"), col("__ga"), col("__t"), col("__r"))
     (toks, prefix)
   }
 
@@ -130,14 +135,24 @@ object EdJoin {
       d: Int = 8,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     val (toks, prefix) = tokensAndPrefix(df, idCol, textCol, q, d, scope)
+    // positional filter (the PPJoin bound, ported): the EARLIEST shared
+    // token at ranks (ra, rb) caps the multiset intersection at
+    // 1 + min(ga − ra, gb − rb); pairs whose best shared prefix token
+    // cannot reach the count-filter threshold max(ga, gb) − q·d are
+    // dropped inside the same aggregation that dedupes candidates —
+    // lossless (EdJoinSpec's brute-force equality re-proves it) and
+    // free of extra shuffles
     val cand = prefix.select(col("__id").as("id_a"), col("__len").as("__la"),
-        col("__ga").as("__gaa"), col("__t"))
+        col("__ga").as("__gaa"), col("__t"), col("__r").as("__ra"))
       .join(prefix.select(col("__id").as("id_b"), col("__len").as("__lb"),
-        col("__ga").as("__gab"), col("__t")), Seq("__t"))
+        col("__ga").as("__gab"), col("__t"), col("__r").as("__rb")), Seq("__t"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("__la") - col("__lb")) <= lit(d))
+      .groupBy("id_a", "id_b", "__gaa", "__gab")
+      .agg(max(lit(1) + least(col("__gaa") - col("__ra"),
+        col("__gab") - col("__rb"))).as("__maxov"))
+      .filter(col("__maxov") >= greatest(col("__gaa"), col("__gab")) - lit(q * d))
       .select("id_a", "id_b", "__gaa", "__gab")
-      .distinct()
     cand
       .join(toks.select(col("__id").as("id_a"), col("__tk").as("__tka"),
         col("__s").as("__sa")), "id_a")
@@ -165,7 +180,11 @@ object EdJoin {
        |cand AS (SELECT a.id AS ia, b.id AS ib
        |         FROM prefix a JOIN prefix b
        |           ON a.tk = b.tk AND a.id < b.id AND abs(a.len - b.len) <= $d
-       |         GROUP BY 1, 2),
+       |         JOIN sizes za ON za.id = a.id
+       |         JOIN sizes zb ON zb.id = b.id
+       |         GROUP BY a.id, b.id, za.ga, zb.ga
+       |         HAVING max(1 + least(za.ga - a.r, zb.ga - b.r))
+       |           >= greatest(za.ga, zb.ga) - ${q * d}),
        |shared AS (SELECT c.ia, c.ib, count(*) AS inter
        |           FROM cand c
        |           JOIN tok ta ON ta.id = c.ia
@@ -231,15 +250,19 @@ object EdJoin {
       .withColumn("__r", row_number().over(
         Window.partitionBy("__id", "__side").orderBy(col("__df").asc, col("__t").asc)))
     val prefix = ranked.filter(col("__r") <= lit(prefixLen))
+    // positional filter: same earliest-shared-token bound as [[edPairs]]
     val cand = prefix.filter(col("__side") === 0)
       .select(col("__id").as("src_id"), col("__len").as("__la"),
-        col("__ga").as("__gaa"), col("__t"))
+        col("__ga").as("__gaa"), col("__t"), col("__r").as("__ra"))
       .join(prefix.filter(col("__side") === 1)
         .select(col("__id").as("tgt_id"), col("__len").as("__lb"),
-          col("__ga").as("__gab"), col("__t")), Seq("__t"))
+          col("__ga").as("__gab"), col("__t"), col("__r").as("__rb")), Seq("__t"))
       .filter(abs(col("__la") - col("__lb")) <= lit(d))
+      .groupBy("src_id", "tgt_id", "__gaa", "__gab")
+      .agg(max(lit(1) + least(col("__gaa") - col("__ra"),
+        col("__gab") - col("__rb"))).as("__maxov"))
+      .filter(col("__maxov") >= greatest(col("__gaa"), col("__gab")) - lit(q * d))
       .select("src_id", "tgt_id", "__gaa", "__gab")
-      .distinct()
     val verified = cand
       .join(toks.filter(col("__side") === 0)
         .select(col("__id").as("src_id"), col("__tk").as("__tka"),
@@ -299,7 +322,11 @@ object EdJoin {
        |         FROM prefix a JOIN prefix b
        |           ON a.tk = b.tk AND a.side = 0 AND b.side = 1
        |              AND abs(a.len - b.len) <= $d
-       |         GROUP BY 1, 2),
+       |         JOIN sizes za ON za.id = a.id AND za.side = 0
+       |         JOIN sizes zb ON zb.id = b.id AND zb.side = 1
+       |         GROUP BY a.id, b.id, za.ga, zb.ga
+       |         HAVING max(1 + least(za.ga - a.r, zb.ga - b.r))
+       |           >= greatest(za.ga, zb.ga) - ${q * d}),
        |shared AS (SELECT c.ia, c.ib, count(*) AS inter
        |           FROM cand c
        |           JOIN tok ta ON ta.id = c.ia AND ta.side = 0
