@@ -360,8 +360,11 @@ object EdJoin {
     * length/count filters. Sub-quadratic decade-over-decade growth of
     * `n_cand_pairs` under corpus scaling is the evidence the prefix
     * order keeps rare grams rare; fuel concentrating in high decades
-    * flags a vocabulary too small for char-q-gram blocking (raise q,
-    * or fall back to the set-similarity tiers).
+    * flags a vocabulary too small for char-q-gram blocking. NOTE:
+    * raising q does NOT help there — the prefix length q·d+1 grows
+    * with q faster than the gram vocabulary dilutes (measured at sf1:
+    * q=3/4/5 → 478M/577M/640M raw fuel) — the honest fallbacks are
+    * the set-similarity tiers or length-sharded runs.
     */
   def fuelAudit(
       df: DataFrame,
