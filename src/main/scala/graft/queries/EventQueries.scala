@@ -746,6 +746,114 @@ object EventQueries extends QuerySet {
              |  round(mean_h2 - mean_h1, 4) AS drift
              |FROM h ORDER BY event_type""".stripMargin)),
 
+    // Population Stability Index per event type (first half vs second
+    // half, q_value_drift's split) — the model-monitoring drift
+    // standard (PSI < 0.1 stable / 0.1–0.25 watch / > 0.25 shift),
+    // complementing the KS sup-statistic with a per-bucket
+    // decomposition that says WHERE the mass moved. Buckets are the
+    // DECILES OF THE FIRST HALF on cent-quantized integers: ntile(10)
+    // ordered by (cent, stream-position) — a deterministic total
+    // order, so both engines cut identical boundaries — then ONE rule
+    // (bucket = #boundaries < x) buckets BOTH halves, so ties straddle
+    // identically. Shares divide exact integers; the ε=1e-4 clamp
+    // (standard PSI practice) keeps empty buckets finite; ln rides
+    // floatRound4 on identical doubles.
+    Q("q_psi",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        val r = Tables.df(s, d, "events")
+          .select(col("event_type"),
+            floor(col("value") * 100 + lit(0.5)).cast("long").as("qv"),
+            unix_micros(col("ts")).as("__us"), col("event_id"))
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("__us").asc, col("event_id").asc)))
+          .withColumn("n", count(lit(1)).over(w))
+        val h1 = r.filter(col("rn") <= expr("n div 2"))
+        val h2 = r.filter(col("rn") > expr("n div 2"))
+        val deciled = h1.withColumn("dec", ntile(10).over(
+          w.orderBy(col("qv").asc, col("rn").asc)))
+        val bcols = (1 to 9).map(i =>
+          max(when(col("dec") === i, col("qv"))).as(s"b$i"))
+        val bounds = deciled.groupBy("event_type")
+          .agg(bcols.head, bcols.tail: _*)
+        def bucketed(h: org.apache.spark.sql.DataFrame) = h
+          .join(broadcast(bounds), "event_type")
+          .withColumn("bucket", (1 to 9).map(i =>
+            (col("qv") > col(s"b$i")).cast("long")).reduce(_ + _))
+          .groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+        val exp = bucketed(h1).select(col("event_type"), col("bucket"),
+          col("c").as("n_expected"))
+        val act = bucketed(h2).select(col("event_type"), col("bucket"),
+          col("c").as("n_actual"))
+        val tot = r.groupBy("event_type").agg(
+          expr("max(n div 2)").as("n1"), (max("n") - expr("max(n div 2)")).as("n2"))
+        // full (type × bucket 0..9) grid so empty buckets appear on
+        // both sides (types-bounded crossJoin)
+        val grid = tot.select(col("event_type"), col("n1"), col("n2"))
+          .crossJoin(broadcast(
+            s.range(0, 10).select(col("id").as("bucket"))))
+        val pe = col("n_expected").cast("double") / col("n1").cast("double")
+        val pa = col("n_actual").cast("double") / col("n2").cast("double")
+        val pec = greatest(pe, lit(1e-4))
+        val pac = greatest(pa, lit(1e-4))
+        grid.join(exp, Seq("event_type", "bucket"), "left")
+          .join(act, Seq("event_type", "bucket"), "left")
+          .na.fill(0L, Seq("n_expected", "n_actual"))
+          .select(col("event_type"), col("bucket"),
+            col("n_expected"), col("n_actual"),
+            graft.ops.PortableRound.intRound4(col("n_expected"), col("n1")).as("expected_share"),
+            graft.ops.PortableRound.intRound4(col("n_actual"), col("n2")).as("actual_share"),
+            graft.ops.PortableRound.floatRound4(
+              (pac - pec) * log(pac / pec)).as("psi_term"))
+          .orderBy("event_type", "bucket")
+      },
+      Some(s"""WITH r AS (
+             |  SELECT event_type,
+             |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS qv,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM events),
+             |h1 AS (SELECT * FROM r WHERE rn <= n // 2),
+             |h2 AS (SELECT * FROM r WHERE rn > n // 2),
+             |dec AS (SELECT event_type, qv,
+             |          ntile(10) OVER (PARTITION BY event_type ORDER BY qv, rn) AS dec
+             |        FROM h1),
+             |bounds AS (SELECT event_type,
+             |    ${(1 to 9).map(i => s"max(CASE WHEN dec = $i THEN qv END) AS b$i").mkString(",\n             |    ")}
+             |  FROM dec GROUP BY event_type),
+             |be AS (SELECT h.event_type,
+             |         ${(1 to 9).map(i => s"CASE WHEN h.qv > b.b$i THEN 1 ELSE 0 END").mkString(" + ")} AS bucket
+             |       FROM h1 h JOIN bounds b ON b.event_type = h.event_type),
+             |ba AS (SELECT h.event_type,
+             |         ${(1 to 9).map(i => s"CASE WHEN h.qv > b.b$i THEN 1 ELSE 0 END").mkString(" + ")} AS bucket
+             |       FROM h2 h JOIN bounds b ON b.event_type = h.event_type),
+             |ce AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_expected
+             |       FROM be GROUP BY 1, 2),
+             |ca AS (SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_actual
+             |       FROM ba GROUP BY 1, 2),
+             |tot AS (SELECT event_type, CAST(max(n) // 2 AS BIGINT) AS n1,
+             |          CAST(max(n) - max(n) // 2 AS BIGINT) AS n2
+             |        FROM r GROUP BY event_type),
+             |grid AS (SELECT t.event_type, t.n1, t.n2, g.bucket
+             |         FROM tot t CROSS JOIN
+             |           (SELECT unnest(range(0, 10)) AS bucket) g),
+             |f AS (
+             |  SELECT g.event_type, CAST(g.bucket AS BIGINT) AS bucket,
+             |    coalesce(ce.n_expected, 0) AS n_expected,
+             |    coalesce(ca.n_actual, 0) AS n_actual, g.n1, g.n2,
+             |    greatest(CAST(coalesce(ce.n_expected, 0) AS DOUBLE) / g.n1, 0.0001) AS pec,
+             |    greatest(CAST(coalesce(ca.n_actual, 0) AS DOUBLE) / g.n2, 0.0001) AS pac
+             |  FROM grid g
+             |  LEFT JOIN ce ON ce.event_type = g.event_type AND ce.bucket = g.bucket
+             |  LEFT JOIN ca ON ca.event_type = g.event_type AND ca.bucket = g.bucket)
+             |SELECT event_type, bucket, n_expected, n_actual,
+             |  ${graft.ops.PortableRound.intRound4Duck("n_expected", "n1")} AS expected_share,
+             |  ${graft.ops.PortableRound.intRound4Duck("n_actual", "n2")} AS actual_share,
+             |  ${graft.ops.PortableRound.floatRound4Duck("(pac - pec) * ln(pac / pec)")} AS psi_term
+             |FROM f ORDER BY event_type, bucket""".stripMargin)),
+
     // Two-sample Kolmogorov–Smirnov drift per event type (first half
     // vs second half of the stream, q_value_drift's split) — the
     // whole-distribution drift test: a variance or tail shift with an

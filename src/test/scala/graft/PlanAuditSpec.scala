@@ -113,6 +113,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_benford",           // 1-row total crossJoin over the 9-digit table
     "q_trend",             // types × calendar crossJoin (both bounded:
                            // |types| · n_days rows) to densify the series
+    "q_psi",               // types × 10-bucket literal grid crossJoin
     "q_dup_triangles",     // four 1-row graph-census aggregates
                            // crossJoined into the single output row
     "q_concurrency",       // calendar-bounded hourly triangular join
