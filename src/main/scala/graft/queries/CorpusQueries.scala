@@ -68,6 +68,60 @@ object CorpusQueries extends QuerySet {
       Some(Corpus.rakeKeywordsDuckSql("documents", "doc_id", "text",
         maxWords = 4, k = 20))),
 
+    // TextRank keywords (Mihalcea & Tarau 2004): PageRank over the
+    // UNWEIGHTED word co-occurrence graph (adjacent non-stopword
+    // pairs, the original paper's keyword configuration) — the
+    // graph-centrality complement to q_rake's frequency scores. Words
+    // hash to the house 60-bit md5 ids; the rank iteration is the
+    // shared integer fixed-point PageRank (bit-exact across engines),
+    // so the only float anywhere is none at all. Vocabulary-bounded
+    // graph (edges ≤ vocab²), top-k TakeOrdered.
+    Q("q_textrank",
+      (s, d) => {
+        val stop = graft.text.TextFunctions.stopwords
+        val f = Tables.df(s, d, "documents")
+          .select(col("doc_id"),
+            posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+          .filter(!col("w").isInCollection(stop) && col("w") =!= "")
+          .withColumn("h",
+            expr("cast(conv(substr(md5(w), 1, 15), 16, 10) as bigint)"))
+        val e = f.select(col("doc_id"), col("pos"), col("h"))
+          .join(f.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("h").as("h2")), Seq("doc_id", "pos"))
+          .filter(col("h") =!= col("h2"))
+          .select(least(col("h"), col("h2")).as("id_a"),
+            greatest(col("h"), col("h2")).as("id_b"))
+          .distinct()
+        val vocab = f.select(col("w").as("word"), col("h").as("id")).distinct()
+        graft.ops.PageRank.ranks(e, "id_a", "id_b")
+          .join(vocab, "id")
+          .select(col("word"), col("rank_fp"))
+          .orderBy(col("rank_fp").desc, col("word").asc)
+          .limit(20)
+      },
+      {
+        val stoplist = graft.text.TextFunctions.stopwords
+          .map(w => s"'$w'").mkString(", ")
+        val tokens =
+          s"""SELECT doc_id, pos, w,
+             |  CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+             |FROM (SELECT doc_id, unnest(ws) AS w,
+             |        unnest(generate_series(1, len(ws))) AS pos
+             |      FROM (SELECT doc_id, string_split(lower(text), ' ') AS ws
+             |            FROM documents))
+             |WHERE w NOT IN ($stoplist) AND w <> ''""".stripMargin
+        val edges =
+          s"""WITH fz AS ($tokens)
+             |SELECT DISTINCT least(a.h, b.h) AS id_a, greatest(a.h, b.h) AS id_b
+             |FROM fz a JOIN fz b
+             |  ON b.doc_id = a.doc_id AND b.pos = a.pos + 1 AND a.h <> b.h""".stripMargin
+        Some(s"""SELECT v.word, pr.rank_fp
+           |FROM (${graft.ops.PageRank.ranksDuckSql(edges, "id_a", "id_b")}) pr
+           |JOIN (WITH fz AS ($tokens)
+           |      SELECT DISTINCT w AS word, h AS id FROM fz) v ON v.id = pr.id
+           |ORDER BY pr.rank_fp DESC, v.word LIMIT 20""".stripMargin)
+      }),
+
     // Per-source shingle NOVELTY — the marginal-value-of-ingest curve
     // (DataComp-style): what fraction of a source's distinct 3-gram
     // shingles appears in NO lexicographically-earlier source. A
