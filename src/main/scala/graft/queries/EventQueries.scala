@@ -1166,6 +1166,78 @@ object EventQueries extends QuerySet {
              |  END AS r2
              |FROM f ORDER BY event_type""".stripMargin)),
 
+    // Theil–Sen slope per event type — the ROBUST trend estimator
+    // (median of all pairwise slopes, ~29% breakdown point): an
+    // outage day or a logging spike that drags q_trend's OLS slope
+    // barely moves this one. Pairwise slopes ride the same
+    // calendar-bounded triangular join as q_cusum (≤ n_days² rows per
+    // type); each slope is one division of exact integers, so both
+    // engines order identical doubles, and the LOWER median (rank
+    // ceil(n/2) under the total order (slope, day_i, day_j)) picks
+    // the identical element — no float averaging of middles.
+    Q("q_theilsen",
+      (s, d) => {
+        val daily = Tables.df(s, d, "events")
+          .select(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("day"))
+          .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
+        val cal = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"),
+          col("d0"))
+        val types = daily.select("event_type").distinct()
+        val dense = types.crossJoin(broadcast(cal))
+          .join(daily, Seq("event_type", "day"), "left")
+          .select(col("event_type"), (col("day") - col("d0")).as("t"),
+            coalesce(col("x"), lit(0L)).as("x"))
+        val slopes = dense.as("a")
+          .join(dense.as("b"),
+            col("a.event_type") === col("b.event_type") && col("a.t") < col("b.t"))
+          .select(col("a.event_type").as("event_type"),
+            col("a.t").as("ti"), col("b.t").as("tj"),
+            ((col("b.x") - col("a.x")).cast("double") /
+              (col("b.t") - col("a.t")).cast("double")).as("slope"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("event_type")
+        slopes
+          .withColumn("rn", row_number().over(
+            w.orderBy(col("slope").asc, col("ti").asc, col("tj").asc)))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter(col("rn") === ceil(col("n").cast("double") / 2).cast("long"))
+          .select(col("event_type"), col("n").as("n_pairs"),
+            graft.ops.PortableRound.floatRound4(col("slope")).as("theilsen_slope"))
+          .orderBy("event_type")
+      },
+      Some(s"""WITH daily AS (
+             |  SELECT event_type,
+             |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             |    count(*) AS x
+             |  FROM events GROUP BY 1, 2),
+             |b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+             |cal AS (SELECT unnest(range(d0, d1 + 1)) AS day, d0 FROM b),
+             |ty AS (SELECT DISTINCT event_type FROM daily),
+             |dense AS (
+             |  SELECT ty.event_type, cal.day - cal.d0 AS t,
+             |    coalesce(daily.x, 0) AS x
+             |  FROM ty CROSS JOIN cal
+             |  LEFT JOIN daily ON daily.event_type = ty.event_type
+             |    AND daily.day = cal.day),
+             |slopes AS (
+             |  SELECT a.event_type, a.t AS ti, bb.t AS tj,
+             |    CAST(bb.x - a.x AS DOUBLE) / CAST(bb.t - a.t AS DOUBLE) AS slope
+             |  FROM dense a JOIN dense bb
+             |    ON bb.event_type = a.event_type AND a.t < bb.t),
+             |ranked AS (
+             |  SELECT event_type, slope,
+             |    row_number() OVER (PARTITION BY event_type
+             |      ORDER BY slope, ti, tj) AS rn,
+             |    count(*) OVER (PARTITION BY event_type) AS n
+             |  FROM slopes)
+             |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+             |  ${graft.ops.PortableRound.floatRound4Duck("slope")} AS theilsen_slope
+             |FROM ranked
+             |WHERE rn = CAST(ceil(n / 2.0) AS BIGINT)
+             |ORDER BY event_type""".stripMargin)),
+
     // DAU / trailing-WAU stickiness — the engagement ratio product
     // dashboards lead with (stickiness near 1 = users return daily;
     // near 1/7 = weekly visitors). Exact trailing distinct counts

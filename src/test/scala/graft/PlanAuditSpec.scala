@@ -114,6 +114,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_trend",             // types × calendar crossJoin (both bounded:
                            // |types| · n_days rows) to densify the series
     "q_psi",               // types × 10-bucket literal grid crossJoin
+    "q_theilsen",          // types × calendar crossJoin to densify +
+                           // calendar-bounded triangular slope join
     "q_dup_triangles",     // four 1-row graph-census aggregates
                            // crossJoined into the single output row
     "q_concurrency",       // calendar-bounded hourly triangular join
