@@ -421,6 +421,32 @@ class Collection(val name: String, val df: DataFrame) {
       graft.dedup.MinHash.nearDupPairs(df, idCol, textCol),
       "id_a", "id_b", iters)
 
+  /** EXACT edit-distance near-dup pairs (levenshtein <= d) via Ed-Join
+    * prefix blocking — see [[graft.dedup.EdJoin.edPairs]].
+    */
+  def fuzzyPairs(idCol: String, textCol: String, q: Int = 3,
+      d: Int = 8): DataFrame =
+    graft.dedup.EdJoin.edPairs(df, idCol, textCol, q, d)
+
+  /** Fuzzy entity resolution: Ed-Join pairs → transitive closure →
+    * canonical cluster id per row (typo'd re-submissions of one record
+    * resolve to one golden id).
+    */
+  def fuzzyResolve(idCol: String, textCol: String, q: Int = 3,
+      d: Int = 8): DataFrame =
+    graft.dedup.Cluster.connectedComponents(
+      graft.dedup.EdJoin.edPairs(df, idCol, textCol, q, d)
+        .select("id_a", "id_b"),
+      "id_a", "id_b")
+
+  /** Cross-collection fuzzy-string match: for each row here, the top-N
+    * `other` rows within edit distance d — see
+    * [[graft.dedup.EdJoin.edMatchTopN]].
+    */
+  def fuzzyMatch(other: Collection, idCol: String, textCol: String,
+      q: Int = 3, d: Int = 8, topN: Int = 1): DataFrame =
+    graft.dedup.EdJoin.edMatchTopN(df, other.df, idCol, textCol, q, d, topN)
+
   /** Per-key behavioral feature vector (volume, type breadth +
     * entropy, exact mean value, active span) — see
     * [[graft.ops.EventFeatures.userFeatures]].

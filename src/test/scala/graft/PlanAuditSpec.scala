@@ -381,8 +381,11 @@ class PlanAuditSpec extends SparkSpec {
                        // same contract as q_mix_temperature) and
                        // capped at one long per pair — the bottom-k
                        // cut that replaced the per-pair rank window
-      "q_kmv_setops")  // the identical per-pair kth broadcast
+      "q_kmv_setops",  // the identical per-pair kth broadcast
                        // (kmvPairStats is shared with q_kmv_jaccard)
+      "q_psi")         // decile-boundary table grouped by the bounded
+                       // event-type domain, 9 longs per type — the
+                       // q_iqr_outliers argument verbatim
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       optimized(name).collect { case j: Join if hintedGroupedAgg(j) => j }.nonEmpty
     }.filterNot(allowed)

@@ -197,6 +197,33 @@ class CollectionSpec extends SparkSpec {
     graft.api.CacheScope.global.release(blocking = true)
   }
 
+  test("fuzzy accessors compose: fuzzyPairs, fuzzyResolve, fuzzyMatch") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy sleeping dog tonight"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "quack")),          // dist 1 of 1
+      (3L, base.replace("tonight", "at night")),     // dist 2 of 1, dist 3 of 2
+      (4L, "completely different text with nothing shared at all here"))
+      .toDF("id", "s")
+    val c = new Collection("docs", docs)
+    val pairs = c.fuzzyPairs("id", "s", q = 3, d = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((1L, 2L), (1L, 3L)) // (2,3) is dist 3 > d
+    // transitive closure: 2 ~ 1 ~ 3 resolve to one golden id even
+    // though 2 !~ 3 directly
+    val clusters = c.fuzzyResolve("id", "s", q = 3, d = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    clusters(2L) shouldBe clusters(3L)
+    clusters(2L) shouldBe 1L
+    val other = new Collection("other",
+      Seq((10L, base.replace("lazy", "hazy"))).toDF("id", "s"))
+    val m = other.fuzzyMatch(c, "id", "s", q = 3, d = 2, topN = 1).collect()
+    m.length shouldBe 1
+    m.head.getLong(1) shouldBe 1L // best match is the base doc
+    graft.api.CacheScope.global.release(blocking = true)
+  }
+
   test("sketch accessors compose: distinctSketch, similaritySketch") {
     import spark.implicits._
     val nums = (0 until 9000).map(i => ((i % 3).toString, i.toLong)).toDF("g", "k")
