@@ -68,7 +68,8 @@ object EdJoin {
       textCol: String,
       q: Int,
       d: Int,
-      scope: graft.api.CacheScope): (DataFrame, DataFrame) = {
+      scope: graft.api.CacheScope,
+      pinPrefix: Boolean = true): (DataFrame, DataFrame) = {
     require(q >= 1, s"edPairs: q must be >= 1, got $q")
     require(d >= 0, s"edPairs: d must be >= 0, got $d")
     graft.functions.GraftFunctions.register(df.sparkSession)
@@ -90,13 +91,31 @@ object EdJoin {
     val sh = toks.select(col("__id"), col("__len"),
       size(col("__tk")).as("__ga"), explode(col("__tk")).as("__t"))
     // global token order: df ASC then token ASC — partial-agg groupBy +
-    // keyed join (vocab-sized right side; AQE broadcasts it when small)
+    // keyed join (vocab-sized right side; AQE broadcasts it when small).
+    // The per-string rank is a BOUNDED per-id aggregate (collect +
+    // array_sort + slice to the q·d+1 prefix), not a rank window: the
+    // window form shuffle-sorts every gram occurrence of the corpus by
+    // (id, df, t) only to throw away everything past rank 25, while
+    // the agg form partial-aggregates and sorts each id's ~len grams
+    // locally. (df, t) is a total order within an id — tokens are
+    // occurrence-encoded distinct — so the slice IS rows r ≤ prefixLen
+    // of the old row_number, bit-identically.
     val dfreq = sh.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val ranked = sh.join(dfreq, "__t")
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("__id").orderBy(col("__df").asc, col("__t").asc)))
-    val prefix = ranked.filter(col("__r") <= lit(prefixLen))
-      .select(col("__id"), col("__len"), col("__ga"), col("__t"), col("__r"))
+    val byId = sh.join(dfreq, "__t")
+      .groupBy("__id", "__len", "__ga")
+      .agg(slice(array_sort(collect_list(struct(col("__df"), col("__t")))),
+        1, prefixLen).as("__ps"))
+    // persisted when the caller reads it more than once (pinPrefix —
+    // edPairs' self-join reads both sides; fuelAudit reads it once and
+    // skips the pin): prefixLen rows per string, the smallest frame in
+    // the pipeline; without the pin each join side re-runs the df
+    // aggregate and the prefix selection.
+    val bare = byId
+      .select(col("__id"), col("__len"), col("__ga"),
+        posexplode(col("__ps")).as(Seq("__r0", "__p")))
+      .select(col("__id"), col("__len"), col("__ga"),
+        col("__p.__t").as("__t"), (col("__r0") + 1).cast("int").as("__r"))
+    val prefix = if (pinPrefix) scope.persist(bare) else bare
     (toks, prefix)
   }
 
@@ -244,12 +263,19 @@ object EdJoin {
           .as("__tk")))
     val sh = toks.select(col("__id"), col("__side"), col("__len"),
       size(col("__tk")).as("__ga"), explode(col("__tk")).as("__t"))
-    // ONE df aggregate over both sides: a single total order
+    // ONE df aggregate over both sides: a single total order. Prefix
+    // selection is the bounded per-(id, side) aggregate + persisted
+    // postings of [[tokensAndPrefix]] — same rewrite, same reasons.
     val dfreq = sh.groupBy("__t").agg(count(lit(1)).as("__df"))
-    val ranked = sh.join(dfreq, "__t")
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("__id", "__side").orderBy(col("__df").asc, col("__t").asc)))
-    val prefix = ranked.filter(col("__r") <= lit(prefixLen))
+    val byId = sh.join(dfreq, "__t")
+      .groupBy("__id", "__side", "__len", "__ga")
+      .agg(slice(array_sort(collect_list(struct(col("__df"), col("__t")))),
+        1, prefixLen).as("__ps"))
+    val prefix = scope.persist(byId
+      .select(col("__id"), col("__side"), col("__len"), col("__ga"),
+        posexplode(col("__ps")).as(Seq("__r0", "__p")))
+      .select(col("__id"), col("__side"), col("__len"), col("__ga"),
+        col("__p.__t").as("__t"), (col("__r0") + 1).cast("int").as("__r")))
     // positional filter: same earliest-shared-token bound as [[edPairs]]
     val cand = prefix.filter(col("__side") === 0)
       .select(col("__id").as("src_id"), col("__len").as("__la"),
@@ -373,7 +399,8 @@ object EdJoin {
       q: Int = 3,
       d: Int = 8,
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
-    val (_, prefix) = tokensAndPrefix(df, idCol, textCol, q, d, scope)
+    val (_, prefix) = tokensAndPrefix(df, idCol, textCol, q, d, scope,
+      pinPrefix = false)
     prefix.groupBy("__t").agg(count(lit(1)).as("c"))
       // digit count, not floor(log10): exact in integer space on both
       // engines (log10(1000) can land under 3.0 in one libm)

@@ -176,15 +176,19 @@ object DedupQueries extends QuerySet {
     Q("q_lsh_recall",
       (s, d) => {
         val docs = Tables.df(s, d, "documents")
+        // ONE evaluation of each pair finder: both sets are unique on
+        // (id_a, id_b), so a full-outer join tagged per side counts
+        // n_exact / n_lsh / n_tp in a single aggregate — the previous
+        // three 1-row aggregates each re-ran their finder subtree
+        // (2x exact + 2x lsh; ~94 Exchanges in the before plan).
         val lsh = MinHash.nearDupPairs(docs, "doc_id", "text")
-          .select("id_a", "id_b")
+          .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
         val exact = NgramJaccard.jaccardPairsExact(docs, "doc_id", "text")
-          .select("id_a", "id_b")
-        val tp = exact.join(lsh, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("n_tp"))
-        val ne = exact.agg(count(lit(1)).as("n_exact"))
-        val nl = lsh.agg(count(lit(1)).as("n_lsh"))
-        ne.crossJoin(nl).crossJoin(tp)
+          .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+        exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
+          .agg(sum(col("__e")).as("n_exact"),
+            sum(col("__l")).as("n_lsh"),
+            sum(col("__e") * col("__l")).as("n_tp"))
           .select(col("n_exact"), col("n_lsh"), col("n_tp"),
             (col("n_lsh") - col("n_tp")).as("n_lsh_only"),
             graft.ops.PortableRound.intRound4(col("n_tp"), col("n_exact"))

@@ -535,12 +535,16 @@ object VectorQueries extends QuerySet {
           .filter(col("id_a") < col("id_b"))
           .filter(round(graft.functions.VectorFunctions.dot(col("__va"), col("__vb")) /
             (col("__na") * col("__nb")), 4) >= 0.95)
-          .select("id_a", "id_b")
-        val tp = exact.join(banded, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("n_tp"))
-        val ne = exact.agg(count(lit(1)).as("n_exact"))
-        val nb = banded.agg(count(lit(1)).as("n_banded"))
-        ne.crossJoin(nb).crossJoin(tp)
+          .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+        // ONE evaluation of each finder (the q_lsh_recall rewrite):
+        // pairs are unique per side, so a tagged full-outer join +
+        // single aggregate replaces the three 1-row aggregates that
+        // re-ran the O(n²) exact matrix and the banded finder twice.
+        exact.join(banded.withColumn("__b", lit(1L)),
+            Seq("id_a", "id_b"), "full_outer")
+          .agg(sum(col("__e")).as("n_exact"),
+            sum(col("__b")).as("n_banded"),
+            sum(col("__e") * col("__b")).as("n_tp"))
           .select(col("n_exact"), col("n_banded"), col("n_tp"),
             (col("n_banded") - col("n_tp")).as("n_banded_only"),
             graft.ops.PortableRound.intRound4(col("n_tp"), col("n_exact"))
