@@ -413,7 +413,13 @@ object Sketches {
   def hllDistinct(df: DataFrame, keyCol: String, groupCol: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
     // explicit projection, not withColumnRenamed: an input that already
-    // carries a column named "g"/"k" would otherwise go ambiguous
+    // carries a column named "g"/"k" would otherwise go ambiguous.
+    // Deliberately TWO raw scans (register pass + exact audit), no
+    // persisted projection: measured at sf0.1 the cache write costs
+    // what the saved rescan saves (±, noise), and at 100 TB
+    // materializing a corpus-sized projection to skip a columnar
+    // rescan is a strictly worse trade (the exact side drops there
+    // anyway — only the register pass runs).
     val est = hllEstimate(
       hllRegisters(df.select(col(groupCol).as("g"), col(keyCol).as("k")),
         "k", Seq("g"), p), Seq("g"), p)
@@ -451,6 +457,11 @@ object Sketches {
     */
   def hllUnionMerge(df: DataFrame, keyCol: String, groupCol: String, p: Int = 8): DataFrame = {
     require(p >= 4 && p <= 16, s"p out of range [4,16]: $p")
+    // Deliberately separate raw scans per side (see hllDistinct's
+    // note): the DIRECT registers must fold raw hashes — deriving them
+    // from perGroup would make the merge proof a tautology — and a
+    // persisted hash projection measured neutral at sf0.1 while being
+    // the wrong shape at 100 TB.
     val projected = df.select(col(groupCol).as("g"), col(keyCol).as("k"))
     val perGroup = hllRegisters(projected, "k", Seq("g"), p)
     val merged = hllEstimate(
@@ -636,12 +647,18 @@ object Sketches {
 
   private def kmvPairStats(sigRows: DataFrame, k: Int,
       scope: graft.api.CacheScope): DataFrame = {
-    val grps = sigRows.select("g").distinct()
+    // pinned: the signature rows (≤ k per group) are read by the group
+    // domain AND both pair-expansion sides; unpersisted, each reference
+    // re-runs the whole upstream bottom-k aggregation — and the grps
+    // self-join doubles the fan-out per level (the 82-Exchange plans
+    // q_kmv_jaccard/q_kmv_setops carried before this pin)
+    val sigs = scope.persist(sigRows)
+    val grps = sigs.select("g").distinct()
     val pairs = grps.select(col("g").as("g1"))
       .join(grps.select(col("g").as("g2")), col("g1") < col("g2"))
-    val sigA = pairs.join(sigRows, col("g") === col("g1"))
+    val sigA = pairs.join(sigs, col("g") === col("g1"))
       .select(col("g1"), col("g2"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
-    val sigB = pairs.join(sigRows, col("g") === col("g2"))
+    val sigB = pairs.join(sigs, col("g") === col("g2"))
       .select(col("g1"), col("g2"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
     val sigU = scope.persist(sigA.unionByName(sigB)
       .groupBy("g1", "g2", "h")
