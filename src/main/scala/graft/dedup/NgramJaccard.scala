@@ -120,12 +120,21 @@ object NgramJaccard {
     // small and keeps a keyed shuffle join at corpus scale — either
     // way the postings shuffle at most once here
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("__df"))
-    val ranked = sh.join(dfreq, "s")
-      .withColumn("__r", row_number().over(
-        Window.partitionBy(col(idCol)).orderBy(col("__df").asc, col("s").asc)))
-    val prefix = ranked
-      .filter(col("__r") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col(idCol), col("sz"), col("s"), col("__r"))
+    // prefix rank as a BOUNDED per-doc aggregate (collect + array_sort
+    // + per-doc slice), not a rank window over the whole postings
+    // stream — (df, s) is a total order within a doc (set semantics),
+    // so the sliced positions ARE the old row_number ranks
+    // bit-identically; and PERSISTED, because both sides of the
+    // inverted-index self-join read it (the EdJoin rewrite).
+    val prefix = scope.persist(sh.join(dfreq, "s")
+      .groupBy(col(idCol), col("sz"))
+      .agg(array_sort(collect_list(struct(col("__df"), col("s")))).as("__ss"))
+      .select(col(idCol), col("sz"),
+        posexplode(slice(col("__ss"), lit(1),
+          (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int")))
+          .as(Seq("__r0", "__p")))
+      .select(col(idCol), col("sz"),
+        col("__p.s").as("s"), (col("__r0") + 1).cast("int").as("__r")))
     // candidate pruning before the (expensive) exact verify:
     //  - length filter: J >= t requires t * max(|A|,|B|) <= min(|A|,|B|)
     //  - positional filter (PPJoin proper): a shared prefix shingle at
