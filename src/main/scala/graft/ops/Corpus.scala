@@ -388,8 +388,11 @@ object Corpus {
     val counts = scope.persist(df
       .select(col(groupCol).as("g"), explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col("g"), col("tok")).agg(count(lit(1)).cast("double").as("c")))
-    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
-    val vRow = counts.agg(countDistinct(col("tok")).cast("double").as("v"))
+    // totals/vRow are group-count-sized 1-job aggregates referenced by
+    // parts 1, 2 AND the final assembly — pinned so each reference
+    // reads the tiny cached frame instead of re-aggregating counts
+    val totals = scope.persist(counts.groupBy(col("g")).agg(sum(col("c")).as("n")))
+    val vRow = scope.persist(counts.agg(countDistinct(col("tok")).cast("double").as("v")))
     val a = counts.select(col("g").as("la"), col("tok"), col("c").as("ca"))
     val b = counts.select(col("g").as("lb"), col("tok"), col("c").as("cb"))
     val ta = totals.select(col("g").as("la"), col("n").as("na"))
@@ -484,8 +487,11 @@ object Corpus {
     val counts = scope.persist(df
       .select(col(groupCol).as("g"), explode(graft.text.TextFunctions.tokens(col(textCol))).as("tok"))
       .groupBy(col("g"), col("tok")).agg(count(lit(1)).cast("double").as("c")))
-    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
-    val vRow = counts.agg(countDistinct(col("tok")).cast("double").as("v"))
+    // totals/vRow are group-count-sized 1-job aggregates referenced by
+    // parts 1, 2 AND the final assembly — pinned so each reference
+    // reads the tiny cached frame instead of re-aggregating counts
+    val totals = scope.persist(counts.groupBy(col("g")).agg(sum(col("c")).as("n")))
+    val vRow = scope.persist(counts.agg(countDistinct(col("tok")).cast("double").as("v")))
     val a = counts.select(col("g").as("la"), col("tok"), col("c").as("ca"))
     val b = counts.select(col("g").as("lb"), col("tok"), col("c").as("cb"))
     val ta = totals.select(col("g").as("la"), col("n").as("na"))

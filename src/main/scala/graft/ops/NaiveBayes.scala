@@ -53,8 +53,11 @@ object NaiveBayes {
     // size AND the probe join — one aggregation, three consumers
     val tokCls = scope.persist(
       trainTok.groupBy("tok", "cls").agg(count(lit(1)).as("cnt")))
-    val clsTot = tokCls.groupBy("cls").agg(sum("cnt").as("ct"))
-    val vocab = tokCls.agg(count_distinct(col("tok")).as("v"))
+    // clsTot/vocab are class-count-sized aggregates each consumed by
+    // two branches (classes + logp) — pinned so the second reference
+    // reads the tiny cache instead of re-aggregating tokCls
+    val clsTot = scope.persist(tokCls.groupBy("cls").agg(sum("cnt").as("ct")))
+    val vocab = scope.persist(tokCls.agg(count_distinct(col("tok")).as("v")))
     val classDocs = train.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("docs"))
     val totDocs = train.agg(count(lit(1)).as("n"))
 
