@@ -39,7 +39,8 @@ object PageRank {
     * `pairs(aCol, bCol)`. Output: (id, rank_fp) — rank in 1e-8 units.
     */
   def ranks(pairs: DataFrame, aCol: String, bCol: String,
-            iters: Int = 5, checkpointDir: Option[String] = None): DataFrame = {
+            iters: Int = 5, checkpointDir: Option[String] = None,
+            driverFoldThreshold: Long = 50000L): DataFrame = {
     // opt-in RELIABLE lineage truncation (the Cluster.connectedComponents
     // contract): pass a checkpoint dir to substitute fault-tolerant
     // checkpoint() for localCheckpoint() per round — identical results
@@ -59,6 +60,34 @@ object PageRank {
       val p0 = scope.persist(
         pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst")))
       val nPairs = p0.count()
+      // BOUNDED-MODEL-STATE fast path (the Cluster.connectedComponents
+      // contract, threshold-checked BEFORE any collect): every quantity
+      // is positive-Long fixed-point with truncating division and
+      // order-independent integer sums, so the driver fold is
+      // BIT-IDENTICAL to the distributed rounds (PageRankSpec pins it)
+      // while replacing ~2·iters join/checkpoint jobs with one collect.
+      if (nPairs <= driverFoldThreshold) {
+        val es = p0.collect().map(row => (row.getLong(0), row.getLong(1)))
+        val edges = scala.collection.mutable.HashSet[(Long, Long)]()
+        es.foreach { case (a, b) => edges += ((a, b)); edges += ((b, a)) }
+        val deg = scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+        edges.foreach { case (s, _) => deg(s) += 1L }
+        var r = deg.keysIterator.map(id => id -> Scale).toMap
+        for (_ <- 1 to iters) {
+          val share = r.map { case (id, rv) => id -> rv / deg(id) }
+          val acc = scala.collection.mutable.HashMap[Long, Long]().withDefaultValue(0L)
+          edges.foreach { case (s, dd) => acc(dd) += share(s) }
+          r = acc.iterator.map { case (id, a) =>
+            id -> (15000000L + (85L * a) / 100L) }.toMap
+        }
+        val spark = pairs.sparkSession
+        return spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            r.toSeq.sortBy(_._1)
+              .map { case (id, rv) => org.apache.spark.sql.Row(id, rv) }, 1),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "id BIGINT NOT NULL, rank_fp BIGINT NOT NULL"))
+      }
       // dup graphs are tiny next to the corpus — full cluster
       // parallelism per round is pure scheduling overhead (same
       // threshold rationale as Cluster)

@@ -50,14 +50,29 @@ class PageRankSpec extends SparkSpec {
     val pairs = (for (i <- 1L to 40L; j <- (i + 1) to math.min(i + 4, 40L)) yield (i, j))
       .toDF("id_a", "id_b")
     val dir = java.nio.file.Files.createTempDirectory("pr_ckpt").toString
-    val local = PageRank.ranks(pairs, "id_a", "id_b", iters = 5)
+    // threshold 0: pin the DISTRIBUTED rounds (the checkpoint surface —
+    // the driver fast path never writes checkpoint files)
+    val local = PageRank.ranks(pairs, "id_a", "id_b", iters = 5,
+      driverFoldThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val reliable = PageRank.ranks(pairs, "id_a", "id_b", iters = 5,
-      checkpointDir = Some(dir))
+      checkpointDir = Some(dir), driverFoldThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     reliable shouldBe local
     def countFiles(p: java.io.File): Int =
       if (p.isFile) 1 else Option(p.listFiles).map(_.map(countFiles).sum).getOrElse(0)
     countFiles(new java.io.File(dir)) should be > 0
+  }
+
+  test("driver fast path and distributed path produce identical ranks") {
+    import spark.implicits._
+    val pairs = (for (i <- 1L to 60L; j <- (i + 1) to math.min(i + 4, 60L)) yield (i, j))
+      .toDF("id_a", "id_b")
+    val driver = PageRank.ranks(pairs, "id_a", "id_b", iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = PageRank.ranks(pairs, "id_a", "id_b", iters = 5,
+      driverFoldThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    distributed shouldBe driver
   }
 }
