@@ -77,6 +77,10 @@ object KMeans {
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           maxIters: Int = 10, tol: Double = 1e-9): Model = {
     graft.functions.GraftFunctions.register(df.sparkSession)
+    // NOT persisted on purpose: measured at sf0.1 the cache
+    // materialization job costs more than the 3-4 columnar rescans it
+    // saves (q_kmeans 1.44->1.74 s, q_embed_outliers 1.44->2.34 s with
+    // a pin here); at larger corpora the caller can persist df itself.
     val e = df.select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<double>").as("__v"))
       .filter(col("__v").isNotNull)

@@ -33,15 +33,19 @@ object SemDedup {
     */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                k: Int, iters: Int, threshold: Double,
-               maxCluster: Int = 10000): DataFrame = {
+               maxCluster: Int = 10000,
+               scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     val model = KMeans.fit(df, idCol, vecCol, k, maxIters = iters)
     val asg = KMeans.assign(df.filter(col(vecCol).isNotNull), idCol, vecCol, model)
     val e = df.select(col(idCol), col(vecCol).cast("array<double>").as("__v"))
       .filter(col("__v").isNotNull)
       .withColumn("__n", VectorFunctions.norm(col("__v")))
-    val m = asg.join(e, idCol)
+    // pinned: BOTH sides of the within-cluster self-join and the final
+    // kept-join read m — unpersisted, each reference re-ran the
+    // k-literal argmin assignment and the cluster-size window
+    val m = scope.persist(asg.join(e, idCol)
       // skew guard: the same-keyed window reuses the join exchange
-      .withColumn("__csz", count(lit(1)).over(Window.partitionBy("cluster")))
+      .withColumn("__csz", count(lit(1)).over(Window.partitionBy("cluster"))))
     val paired = m.filter(col("__csz") <= maxCluster)
     val dropped = paired
       .select(col("cluster"), col(idCol).as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
