@@ -26,6 +26,16 @@ object LocalSession {
       // scan across the box. Driver-provided sf0.1 files are single
       // row groups (~11 MB) — they keep their one task either way.
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // prefer shuffled-hash over sort-merge when the per-partition
+      // build side fits (guide §3.1/§9): skips both sort passes on
+      // every equi-join; scale-independent planner policy (SHJ spills
+      // per-partition at cluster scale), overridable via env
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      // let AQE rewrite planned SMJ to SHJ when every post-shuffle
+      // partition's map output is under this bound (default 0 = off)
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

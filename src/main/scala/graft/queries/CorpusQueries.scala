@@ -134,12 +134,16 @@ object CorpusQueries extends QuerySet {
     // identically in both engines.
     Q("q_novelty",
       (s, d) => {
-        val g = Tables.df(s, d, "documents")
-          .select(col("source"),
-            explode(graft.text.Repetition.ngrams(col("text"), 3)).as("gram"))
-          .select(col("source"),
-            graft.text.TextFunctions.portableHash60(col("gram")).as("gh"))
-          .distinct()
+        // pinned: the first-occurrence aggregate AND the join back both
+        // read the distinct postings — unpersisted, the corpus-wide
+        // explode + md5 + distinct ran twice
+        val g = graft.api.CacheScope.global.persist(
+          Tables.df(s, d, "documents")
+            .select(col("source"),
+              explode(graft.text.Repetition.ngrams(col("text"), 3)).as("gram"))
+            .select(col("source"),
+              graft.text.TextFunctions.portableHash60(col("gram")).as("gh"))
+            .distinct())
         val first = g.groupBy("gh").agg(min("source").as("first_src"))
         g.join(first, "gh")
           .groupBy("source")

@@ -249,8 +249,11 @@ object DedupQueries extends QuerySet {
     // Bounded: both aggregations run over the cap-bounded pair list.
     Q("q_dup_degree",
       (s, d) => {
-        val pairs = MinHash.nearDupPairs(Tables.df(s, d, "documents"),
-          "doc_id", "text")
+        // pinned: both unionAll sides read the pair finder — without
+        // the pin the whole LSH pipeline evaluates twice
+        val pairs = graft.api.CacheScope.global.persist(
+          MinHash.nearDupPairs(Tables.df(s, d, "documents"),
+            "doc_id", "text"))
         pairs.select(col("id_a").as("id"))
           .unionAll(pairs.select(col("id_b").as("id")))
           .groupBy("id").agg(count(lit(1)).as("degree"))

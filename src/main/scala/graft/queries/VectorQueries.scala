@@ -141,19 +141,28 @@ object VectorQueries extends QuerySet {
         val pqModel = graft.ann.Pq.fit(e, "vec_id", "embedding",
           m = 2, ks = 8, maxIters = 0)
         val sqModel = graft.ann.Sq.fit(e, "embedding")
-        val tiers: Seq[(String, Array[Long])] = Seq(
-          "ivf" -> Knn.ivfTopK(e, "vec_id", "embedding", 0L, 10)
-            .collect().map(_.getLong(0)),
-          "lsh" -> Knn.lshTopK(e, "vec_id", "embedding", 0L, 10)
-            .collect().map(_.getLong(0)),
-          "multiprobe" -> Knn.lshTopKMultiProbe(e, "vec_id", "embedding", 0L, 10)
-            .collect().map(_.getLong(0)),
+        // ONE collect for all five tier searches: each branch keeps its
+        // own orderBy+limit top-10 (rows unchanged — cross-branch order
+        // is irrelevant, the driver reads ids into per-tier sets), so
+        // five sequential collect round-trips become one union job
+        val tierDfs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+          "ivf" -> Knn.ivfTopK(e, "vec_id", "embedding", 0L, 10),
+          "lsh" -> Knn.lshTopK(e, "vec_id", "embedding", 0L, 10),
+          "multiprobe" -> Knn.lshTopKMultiProbe(e, "vec_id", "embedding", 0L, 10),
           "pq" -> graft.ann.Pq.search(
             graft.ann.Pq.encode(e, "vec_id", "embedding", pqModel),
-            "vec_id", pqModel, qv, k = 10).collect().map(_.getLong(0)),
+            "vec_id", pqModel, qv, k = 10),
           "sq" -> graft.ann.Sq.search(
             graft.ann.Sq.encode(e, "vec_id", "embedding", sqModel),
-            "vec_id", sqModel, qv, k = 10).collect().map(_.getLong(0)))
+            "vec_id", sqModel, qv, k = 10))
+        val unioned = tierDfs.map { case (name, tdf) =>
+            tdf.select(lit(name).as("__tier"),
+              col(tdf.columns.head).cast("long").as("__id"))
+          }.reduce(_ unionByName _)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val tiers: Seq[(String, Array[Long])] = tierDfs.map { case (name, _) =>
+          name -> unioned.collect { case (t, id) if t == name => id }
+        }
         val rows = tiers.map { case (name, ids) =>
           val hit = ids.count(brute)
           (name, hit,
@@ -345,7 +354,10 @@ object VectorQueries extends QuerySet {
     // oracle-checked rows at every SF the driver sweeps.
     Q("q_matcher_recall",
       (s, d) => {
-        val e = Tables.df(s, d, "embeddings").filter(col("vec_id") < 1000)
+        // pinned: the bounded slice feeds EIGHT matcher-side references
+        // (bands/sides/count/inferDims per tier, two regimes)
+        val e = graft.api.CacheScope.global.persist(
+          Tables.df(s, d, "embeddings").filter(col("vec_id") < 1000))
         def regime(name: String, src: org.apache.spark.sql.DataFrame,
                    tgt: org.apache.spark.sql.DataFrame, topN: Int) = {
           val cfg = MatchConfig(metric = "cosine", topN = topN)
