@@ -18,20 +18,23 @@ object GraphStats {
     */
   def triangleCensus(edges: DataFrame): DataFrame = {
     val e = edges.select(col(edges.columns(0)).as("a"), col(edges.columns(1)).as("b"))
-    val nodes = e.select(col("a").as("id"))
-      .unionAll(e.select(col("b").as("id"))).distinct()
-      .agg(count(lit(1)).as("n_nodes"))
-    val edgeCount = e.agg(count(lit(1)).as("n_edges"))
-    val wedges = e.select(col("a").as("id"))
+    // ONE degree aggregation yields nodes, edges and wedges together
+    // (previously three independent branches over the edge list):
+    // n_nodes = |degree table|, n_edges = Σdeg/2 exactly (each edge
+    // contributes twice; shiftright is the exact halving of an even
+    // non-negative sum), wedges = Σ C(deg, 2) as before.
+    val degStats = e.select(col("a").as("id"))
       .unionAll(e.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("dg"))
-      .agg(sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
+      .agg(count(lit(1)).as("n_nodes"),
+        shiftright(sum(col("dg")), 1).as("n_edges"),
+        sum(expr("(dg * (dg - 1)) div 2")).as("n_wedges"))
     val tri = e.as("e1")
       .join(e.as("e2"), col("e1.b") === col("e2.a"))
       .join(e.as("e3"),
         col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
       .agg(count(lit(1)).as("n_triangles"))
-    nodes.crossJoin(edgeCount).crossJoin(wedges).crossJoin(tri)
+    degStats.crossJoin(tri)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"),
         graft.ops.PortableRound.intRound4(

@@ -223,7 +223,8 @@ object EventFeatures {
     * float ratio chain. Output bounded by the type domain squared.
     */
   def basketPairs(df: DataFrame, keyCol: String, typeCol: String,
-      tsCol: String, tieCol: String, gapSeconds: Long = 1800): DataFrame = {
+      tsCol: String, tieCol: String, gapSeconds: Long = 1800,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     val byTime = Window.partitionBy(keyCol)
       .orderBy(col("__us").asc, col(tieCol).asc)
     val gapUs = gapSeconds * 1000000L
@@ -238,11 +239,14 @@ object EventFeatures {
         byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col(keyCol), col("sid"), col(typeCol).as("t"))
       .distinct()
-    val nSess = st.select(col(keyCol), col("sid")).distinct()
+    // st is read FOUR times (session count, type counts, both pair
+    // sides) — pinned so the sessionization windows + distinct run once
+    val stP = scope.persist(st)
+    val nSess = stP.select(col(keyCol), col("sid")).distinct()
       .agg(count(lit(1)).as("n_sess"))
-    val typeCounts = st.groupBy("t").agg(count(lit(1)).as("na"))
-    val pairs = st.select(col(keyCol), col("sid"), col("t").as("type_a"))
-      .join(st.select(col(keyCol), col("sid"), col("t").as("type_b")),
+    val typeCounts = stP.groupBy("t").agg(count(lit(1)).as("na"))
+    val pairs = stP.select(col(keyCol), col("sid"), col("t").as("type_a"))
+      .join(stP.select(col(keyCol), col("sid"), col("t").as("type_b")),
         Seq(keyCol, "sid"))
       .filter(col("type_a") < col("type_b"))
       .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_ab"))
