@@ -35,6 +35,26 @@ object Pq {
   def fit(df: DataFrame, idCol: String, vecCol: String, m: Int,
           ks: Int = 16, maxIters: Int = 5): Model = {
     val v = col(vecCol).cast("array<double>")
+    if (maxIters == 0) {
+      // INIT-codebook fast path: zero Lloyd's steps means every block's
+      // palette is exactly the per-block slices of the first ks vectors
+      // by id — ONE collect instead of a dim-probe job plus one
+      // KMeans init collect per block (identical centroids: KMeans init
+      // is first-k-by-id, and slicing commutes with taking rows)
+      val firstKs = df.select(col(idCol).cast("long").as("id"), v.as("__v"))
+        .filter(col("__v").isNotNull)
+        .orderBy(col("id").asc).limit(ks).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      require(firstKs.nonEmpty, "cannot fit k-means on an empty collection")
+      val d = firstKs.head._2.length
+      require(d % m == 0, s"dim $d must divide into m=$m blocks")
+      val dsub = d / m
+      val codebooks = (0 until m).map { b =>
+        firstKs.map(_._2.slice(b * dsub, (b + 1) * dsub).toArray)
+      }.toArray
+      return Model(m, ks, dsub, codebooks)
+    }
     val d = df.select(size(v).as("__d")).filter(col("__d") > 0).head().getInt(0)
     require(d % m == 0, s"dim $d must divide into m=$m blocks")
     val dsub = d / m

@@ -829,7 +829,8 @@ object Sketches {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val num = (k - 1).toDouble * math.pow(2.0, HashBits)
     val toks = shingleToks(df, groupCol, textCol, w, scope)
-    val sizes = toks.groupBy("g").agg(count(lit(1)).as("sz"))
+    // sizes is group-count-sized and read by both pair-expansion sides
+    val sizes = scope.persist(toks.groupBy("g").agg(count(lit(1)).as("sz")))
     val inter = toks.as("a").join(toks.as("b"),
         col("a.h") === col("b.h") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
@@ -1043,7 +1044,8 @@ object Sketches {
     // persisted: sizes, the co-occurrence self-join (both sides), and
     // the signature aggregate all read the distinct postings
     val toks = shingleToks(df, groupCol, textCol, w, scope)
-    val sizes = toks.groupBy("g").agg(count(lit(1)).as("sz"))
+    // sizes is group-count-sized and read by both pair-expansion sides
+    val sizes = scope.persist(toks.groupBy("g").agg(count(lit(1)).as("sz")))
     // EXACT side: inverted-index co-occurrence — pairs form only where
     // a hash is SHARED (per-hash fan-out ≤ |groups|², typically far
     // sparser), never |pairs| × |postings|; |A∪B| = |A|+|B|−|A∩B|
