@@ -141,28 +141,25 @@ object VectorQueries extends QuerySet {
         val pqModel = graft.ann.Pq.fit(e, "vec_id", "embedding",
           m = 2, ks = 8, maxIters = 0)
         val sqModel = graft.ann.Sq.fit(e, "embedding")
-        // ONE collect for all five tier searches: each branch keeps its
-        // own orderBy+limit top-10 (rows unchanged — cross-branch order
-        // is irrelevant, the driver reads ids into per-tier sets), so
-        // five sequential collect round-trips become one union job
-        val tierDfs: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
-          "ivf" -> Knn.ivfTopK(e, "vec_id", "embedding", 0L, 10),
-          "lsh" -> Knn.lshTopK(e, "vec_id", "embedding", 0L, 10),
-          "multiprobe" -> Knn.lshTopKMultiProbe(e, "vec_id", "embedding", 0L, 10),
+        // Deliberately one collect PER tier, not a union: each tier
+        // ends in orderBy+limit, which collect plans as
+        // TakeOrderedAndProject (distributed top-k, no global sort);
+        // inside a union branch the same pattern becomes a full
+        // Sort + GlobalLimit — measured 2.8 s -> 6.3 s at sf1 for the
+        // unioned form before this was reverted.
+        val tiers: Seq[(String, Array[Long])] = Seq(
+          "ivf" -> Knn.ivfTopK(e, "vec_id", "embedding", 0L, 10)
+            .collect().map(_.getLong(0)),
+          "lsh" -> Knn.lshTopK(e, "vec_id", "embedding", 0L, 10)
+            .collect().map(_.getLong(0)),
+          "multiprobe" -> Knn.lshTopKMultiProbe(e, "vec_id", "embedding", 0L, 10)
+            .collect().map(_.getLong(0)),
           "pq" -> graft.ann.Pq.search(
             graft.ann.Pq.encode(e, "vec_id", "embedding", pqModel),
-            "vec_id", pqModel, qv, k = 10),
+            "vec_id", pqModel, qv, k = 10).collect().map(_.getLong(0)),
           "sq" -> graft.ann.Sq.search(
             graft.ann.Sq.encode(e, "vec_id", "embedding", sqModel),
-            "vec_id", sqModel, qv, k = 10))
-        val unioned = tierDfs.map { case (name, tdf) =>
-            tdf.select(lit(name).as("__tier"),
-              col(tdf.columns.head).cast("long").as("__id"))
-          }.reduce(_ unionByName _)
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        val tiers: Seq[(String, Array[Long])] = tierDfs.map { case (name, _) =>
-          name -> unioned.collect { case (t, id) if t == name => id }
-        }
+            "vec_id", sqModel, qv, k = 10).collect().map(_.getLong(0)))
         val rows = tiers.map { case (name, ids) =>
           val hit = ids.count(brute)
           (name, hit,
