@@ -279,6 +279,21 @@ object ScaleSmoke {
         graft.ops.PageRank.ranks(
           graft.dedup.MinHash.nearDupPairs(docsX(k), "doc_id", "text"),
           "id_a", "id_b")),
+      "pagerank_dist" -> (k => {
+        // the DISTRIBUTED iterate path, which the bench-scale dup
+        // graphs no longer reach (they sit under the 50k driver-fold
+        // threshold): a deterministic LCG edge list of 60k·k pairs
+        // (> threshold at every k) drives the join-per-round shape —
+        // five rounds of one keyed join + one groupBy each, so cost
+        // should track the edge count ~linearly. PageRankSpec pins
+        // driver==distributed bit-equality; this finder keeps the
+        // distributed path's wall-clock a standing committed number.
+        val n = 60000L * k
+        graft.ops.PageRank.ranks(
+          spark.range(n).select(col("id").as("id_a"),
+            ((col("id") * 48271L + 12345L) % n).as("id_b")),
+          "id_a", "id_b")
+      }),
       "dup_triangles" -> (k =>
         // triangle census on the pair graph: salted copies keep each
         // copy's pair structure intact, so edges AND per-node degrees

@@ -41,8 +41,11 @@ object Pq {
       // by id — ONE collect instead of a dim-probe job plus one
       // KMeans init collect per block (identical centroids: KMeans init
       // is first-k-by-id, and slicing commutes with taking rows)
+      // size > 0, not just non-null: the slow path probes PAST empty
+      // vectors for d (first row with size(v) > 0); taking d from an
+      // empty head row would yield dsub = 0 and empty codebooks
       val firstKs = df.select(col(idCol).cast("long").as("id"), v.as("__v"))
-        .filter(col("__v").isNotNull)
+        .filter(col("__v").isNotNull && size(col("__v")) > 0)
         .orderBy(col("id").asc).limit(ks).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)

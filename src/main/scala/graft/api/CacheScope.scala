@@ -33,6 +33,19 @@ final class CacheScope {
     p
   }
 
+  /** [[persist]] at an explicit storage level — for the rare CORPUS-
+    * sized pin (e.g. q_novelty's distinct postings), where the default
+    * deserialized MEMORY_AND_DISK would hold row objects across the
+    * whole heap; serialized blocks keep the footprint bounded and
+    * spill gracefully (guide §5).
+    */
+  def persist(df: DataFrame, level: org.apache.spark.storage.StorageLevel): DataFrame =
+    synchronized {
+      val p = df.persist(level)
+      dfs += p
+      p
+    }
+
   /** Unpersist everything registered since the last release. */
   def release(blocking: Boolean = false): Unit = synchronized {
     dfs.foreach(_.unpersist(blocking))

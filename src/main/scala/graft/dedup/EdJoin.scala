@@ -51,9 +51,13 @@ import org.apache.spark.sql.functions._
   * Prefixes hold each string's q*d+1 RAREST grams, so hot grams (the
   * corpus' stop-grams) never enter the index unless a string consists
   * of nothing else; candidate fuel is Sum c*(c-1)/2 over prefix-token
-  * groups, sub-quadratic on every corpus where rare grams stay rare.
-  * The verify stage touches only count-filter survivors, each a
-  * banded O(d*len) comparison.
+  * groups, sub-quadratic on every corpus where rare grams stay rare —
+  * and the self-join key is LENGTH-BANDED (token, len div max(d,1)),
+  * so only length-compatible collisions are ever enumerated: the
+  * realized fuel is Sum over (token, band-pair) occupancy products,
+  * <= the token-group bound above whenever lengths spread past d
+  * ([[graft.EdJoinBandAudit]] measures both). The verify stage touches
+  * only count-filter survivors, each a banded O(d*len) comparison.
   */
 object EdJoin {
 
@@ -76,13 +80,17 @@ object EdJoin {
     val minLen = q * (d + 1)
     val prefixLen = q * d + 1
     // tokens + length, persisted: referenced by the df aggregate, the
-    // ranked window, and the candidate verify join
+    // ranked window, and the candidate verify join. SORTED ascending
+    // (array_sort, once per string at tokenization): every consumer is
+    // order-insensitive — the df aggregate and prefix selection treat
+    // __tk as a set, and the count filter's sorted-merge kernel
+    // ([[graft.functions.SortedInterAtLeast]]) REQUIRES the order.
     val toks = scope.persist(df
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), col(textCol).as("__s"),
         length(col(textCol)).as("__len"),
         when(length(col(textCol)) >= minLen,
-          call_function("graft_qgram_hashes", col(textCol), lit(q)))
+          array_sort(call_function("graft_qgram_hashes", col(textCol), lit(q))))
           .otherwise(raise_error(concat(
             lit(s"edPairs: prefix filtering is lossless only for strings of length >= q*(d+1) = $minLen; got "),
             length(col(textCol)).cast("string"), lit(" chars for id "),
@@ -160,11 +168,31 @@ object EdJoin {
     // cannot reach the count-filter threshold max(ga, gb) − q·d are
     // dropped inside the same aggregation that dedupes candidates —
     // lossless (EdJoinSpec's brute-force equality re-proves it) and
-    // free of extra shuffles
+    // free of extra shuffles.
+    //
+    // LENGTH-BANDED self-join (guide §2.3/§3): the raw prefix-collision
+    // fuel is Σ_t c_t² over token occupancies, and most of those pairs
+    // die on the |len_a − len_b| <= d filter AFTER the join enumerates
+    // them. Banding moves that filter INTO the join key: with band =
+    // len div w (w = max(d,1) >= d), |la − lb| <= d implies the bands
+    // differ by at most 1, so joining on (token, band) with the b side
+    // replicated to bands {b−1, b, b+1} emits every length-compatible
+    // collision EXACTLY once (a's single band value occurs once in b's
+    // 3-element replication) and never enumerates a pair from bands
+    // >= 2 apart — those all have |la − lb| > d. Lossless: the length
+    // filter below is unchanged and the candidate set it passes is
+    // identical (EdJoinSpec brute-force equality covers it). The b-side
+    // postings triple (still prefix-sized); hot tokens split across
+    // the corpus' length bands, cutting per-key join fan-out.
+    val bw = math.max(d, 1)
     val cand = prefix.select(col("__id").as("id_a"), col("__len").as("__la"),
-        col("__ga").as("__gaa"), col("__t"), col("__r").as("__ra"))
+        col("__ga").as("__gaa"), col("__t"), col("__r").as("__ra"),
+        expr(s"__len div $bw").as("__bd"))
       .join(prefix.select(col("__id").as("id_b"), col("__len").as("__lb"),
-        col("__ga").as("__gab"), col("__t"), col("__r").as("__rb")), Seq("__t"))
+        col("__ga").as("__gab"), col("__t"), col("__r").as("__rb"))
+        .withColumn("__bd", explode(array(
+          expr(s"__lb div $bw") - 1, expr(s"__lb div $bw"),
+          expr(s"__lb div $bw") + 1))), Seq("__t", "__bd"))
       .filter(col("id_a") < col("id_b"))
       .filter(abs(col("__la") - col("__lb")) <= lit(d))
       .groupBy("id_a", "id_b", "__gaa", "__gab")
@@ -172,14 +200,23 @@ object EdJoin {
         col("__gab") - col("__rb"))).as("__maxov"))
       .filter(col("__maxov") >= greatest(col("__gaa"), col("__gab")) - lit(q * d))
       .select("id_a", "id_b", "__gaa", "__gab")
+    // count filter on the SORTED gram arrays via the thresholded
+    // sorted-merge kernel: the threshold max(ga, gb) − q·d is within
+    // q·d of the whole array, so non-duplicate candidates (the 5.47M →
+    // 1.8k at sf1) abort the walk after ~q·d mismatches instead of
+    // paying ContainedCount's per-pair HashSet build + full probe —
+    // the former dominant stage of this query (EdJoinDiag). Exact
+    // selection: the kernel returns the true count whenever it is >=
+    // the threshold and -1 only when provably below it.
     cand
       .join(toks.select(col("__id").as("id_a"), col("__tk").as("__tka"),
         col("__s").as("__sa")), "id_a")
       .join(toks.select(col("__id").as("id_b"), col("__tk").as("__tkb"),
         col("__s").as("__sb")), "id_b")
-      .withColumn("__inter",
-        call_function("graft_contained_count", col("__tka"), col("__tkb")))
-      .filter(col("__inter") >= greatest(col("__gaa"), col("__gab")) - lit(q * d))
+      .withColumn("__need",
+        (greatest(col("__gaa"), col("__gab")) - lit(q * d)).cast("int"))
+      .filter(call_function("graft_sorted_inter_at_least",
+        col("__tka"), col("__tkb"), col("__need")) >= col("__need"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
@@ -251,11 +288,12 @@ object EdJoin {
       .filter(col(textCol).isNotNull)
       .select(col(idCol).as("__id"), lit(tag).as("__side"), col(textCol).as("__s"))
     val combined = sideOf(src, 0).unionByName(sideOf(tgt, 1))
+    // sorted gram arrays — same reasons as [[edPairs]]' toks pin
     val toks = scope.persist(combined
       .select(col("__id"), col("__side"), col("__s"),
         length(col("__s")).as("__len"),
         when(length(col("__s")) >= minLen,
-          call_function("graft_qgram_hashes", col("__s"), lit(q)))
+          array_sort(call_function("graft_qgram_hashes", col("__s"), lit(q))))
           .otherwise(raise_error(concat(
             lit(s"edMatchTopN: prefix filtering is lossless only for strings of length >= q*(d+1) = $minLen; got "),
             length(col("__s")).cast("string"), lit(" chars for id "),
@@ -276,19 +314,28 @@ object EdJoin {
         posexplode(col("__ps")).as(Seq("__r0", "__p")))
       .select(col("__id"), col("__side"), col("__len"), col("__ga"),
         col("__p.__t").as("__t"), (col("__r0") + 1).cast("int").as("__r")))
-    // positional filter: same earliest-shared-token bound as [[edPairs]]
+    // positional filter: same earliest-shared-token bound as [[edPairs]];
+    // same length-banded join key (band = len div max(d,1), tgt side
+    // replicated ±1 band) — emits each length-compatible collision
+    // exactly once, see [[edPairs]]
+    val bw = math.max(d, 1)
     val cand = prefix.filter(col("__side") === 0)
       .select(col("__id").as("src_id"), col("__len").as("__la"),
-        col("__ga").as("__gaa"), col("__t"), col("__r").as("__ra"))
+        col("__ga").as("__gaa"), col("__t"), col("__r").as("__ra"),
+        expr(s"__len div $bw").as("__bd"))
       .join(prefix.filter(col("__side") === 1)
         .select(col("__id").as("tgt_id"), col("__len").as("__lb"),
-          col("__ga").as("__gab"), col("__t"), col("__r").as("__rb")), Seq("__t"))
+          col("__ga").as("__gab"), col("__t"), col("__r").as("__rb"))
+        .withColumn("__bd", explode(array(
+          expr(s"__lb div $bw") - 1, expr(s"__lb div $bw"),
+          expr(s"__lb div $bw") + 1))), Seq("__t", "__bd"))
       .filter(abs(col("__la") - col("__lb")) <= lit(d))
       .groupBy("src_id", "tgt_id", "__gaa", "__gab")
       .agg(max(lit(1) + least(col("__gaa") - col("__ra"),
         col("__gab") - col("__rb"))).as("__maxov"))
       .filter(col("__maxov") >= greatest(col("__gaa"), col("__gab")) - lit(q * d))
       .select("src_id", "tgt_id", "__gaa", "__gab")
+    // thresholded sorted-merge count filter — see [[edPairs]]
     val verified = cand
       .join(toks.filter(col("__side") === 0)
         .select(col("__id").as("src_id"), col("__tk").as("__tka"),
@@ -296,9 +343,10 @@ object EdJoin {
       .join(toks.filter(col("__side") === 1)
         .select(col("__id").as("tgt_id"), col("__tk").as("__tkb"),
           col("__s").as("__sb")), "tgt_id")
-      .withColumn("__inter",
-        call_function("graft_contained_count", col("__tka"), col("__tkb")))
-      .filter(col("__inter") >= greatest(col("__gaa"), col("__gab")) - lit(q * d))
+      .withColumn("__need",
+        (greatest(col("__gaa"), col("__gab")) - lit(q * d)).cast("int"))
+      .filter(call_function("graft_sorted_inter_at_least",
+        col("__tka"), col("__tkb"), col("__need")) >= col("__need"))
       .withColumn("dist", levenshtein(col("__sa"), col("__sb"), d).cast("long"))
       .filter(col("dist") >= 0)
     // rank window partitions on src_id — bounded by that source's
@@ -382,8 +430,10 @@ object EdJoin {
     * generator: the inverted-index join emits c·(c−1)/2 raw pairs per
     * token) and rolls occupancies up by decade (digit count − 1): per
     * decade the token count, posting count, hottest token, Σc² and
-    * Σ c·(c−1)/2 — exactly the raw pair count the blocking feeds the
-    * length/count filters. Sub-quadratic decade-over-decade growth of
+    * Σ c·(c−1)/2 — the raw pair count of the UNBANDED prefix blocking
+    * (an upper bound on what [[edPairs]]' length-banded join actually
+    * enumerates; [[graft.EdJoinBandAudit]] reports the banded fuel
+    * beside this bound). Sub-quadratic decade-over-decade growth of
     * `n_cand_pairs` under corpus scaling is the evidence the prefix
     * order keeps rare grams rare; fuel concentrating in high decades
     * flags a vocabulary too small for char-q-gram blocking. NOTE:
@@ -413,6 +463,54 @@ object EdJoin {
         // c·(c−1) is even and non-negative: shiftright IS the exact /2
         sum(shiftright(col("c") * (col("c") - 1), 1)).as("n_cand_pairs"))
       .orderBy("c_decade")
+  }
+
+  /** Band-sharding audit of the prefix blocking (the fuel-audit
+    * convention for [[edPairs]]' length-banded join key): ONE row of
+    * evidence comparing the raw pair fuel the UNBANDED token-only join
+    * would enumerate (Σ_t C(c_t, 2) — [[fuelAudit]]'s n_cand_pairs
+    * total) with what the banded (token, len div max(d,1)) key
+    * actually enumerates (same-band C(c_tb, 2) plus adjacent-band
+    * c_tb · c_t(b+1) products — exactly the pairs whose lengths CAN
+    * satisfy |la − lb| <= d). Both are vocabulary-sized aggregations
+    * over the posting occupancies — no pair join runs — so the audit
+    * is affordable at any scale the blocking itself is.
+    *
+    * Output: (n_tokens, n_postings, n_bands, fuel_unbanded,
+    * fuel_banded, fuel_ratio) — fuel_ratio = banded/unbanded, the
+    * fraction of the token-group bound the banded join still pays.
+    */
+  def bandFuelAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      q: Int = 3,
+      d: Int = 8,
+      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+    val (_, prefix0) = tokensAndPrefix(df, idCol, textCol, q, d, scope,
+      pinPrefix = false)
+    val bw = math.max(d, 1)
+    // (token, band) occupancies — read by three aggregates, pinned
+    val occ = scope.persist(prefix0
+      .select(col("__t"), expr(s"__len div $bw").as("__bd"))
+      .groupBy("__t", "__bd").agg(count(lit(1)).as("c")))
+    val perTok = occ.groupBy("__t").agg(sum(col("c")).as("ct"))
+      .agg(sum(shiftright(col("ct") * (col("ct") - 1), 1)).as("fuel_unbanded"),
+        count(lit(1)).as("n_tokens"), sum(col("ct")).as("n_postings"))
+    val within = occ.agg(
+      sum(shiftright(col("c") * (col("c") - 1), 1)).as("fuel_within"),
+      countDistinct(col("__bd")).as("n_bands"))
+    val adjacent = occ.as("a")
+      .join(occ.as("b"),
+        col("a.__t") === col("b.__t") && col("a.__bd") + 1 === col("b.__bd"))
+      .agg(coalesce(sum(col("a.c") * col("b.c")), lit(0L)).as("fuel_adjacent"))
+    perTok.crossJoin(within).crossJoin(adjacent)
+      .select(col("n_tokens"), col("n_postings"), col("n_bands"),
+        col("fuel_unbanded"),
+        (col("fuel_within") + col("fuel_adjacent")).as("fuel_banded"),
+        round((col("fuel_within") + col("fuel_adjacent")).cast("double") /
+          greatest(col("fuel_unbanded"), lit(1L)).cast("double"), 4)
+          .as("fuel_ratio"))
   }
 
   /** DuckDB twin of [[fuelAudit]]. */

@@ -144,6 +144,15 @@ object NgramJaccard {
     //    shingle cannot reach that are dropped. The per-pair max rides
     //    the same aggregation that dedupes candidates — the filter is
     //    free of extra shuffles.
+    // NOT size-banded (round-14 negative, measured, do not retry): a
+    // bit-length-banded join key ((s, bit_length(sz)), b side exploded
+    // ±1 band — the EdJoin length-band trick) is lossless here for
+    // t >= 1/2, but measured 6.0 → 9.3 s at sf1: THIS prefix is
+    // ~(1−t)·|postings| (half the corpus at t = 0.5), so tripling the
+    // b side costs corpus-scale rows while doc shingle-set sizes span
+    // only ~3-5 bit-length bands — the fuel cut cannot repay the
+    // explode. Contrast EdJoin.edPairs, where the prefix is q·d+1
+    // rows/string and lengths span ~70 bands.
     val cand = prefix.select(col(idCol).as("id_a"), col("sz").as("sz_a"),
         col("s"), col("__r").as("__ra"))
       .join(prefix.select(col(idCol).as("id_b"), col("sz").as("sz_b"),

@@ -134,6 +134,8 @@ object GraftFunctions {
       .registerFunction(CosineAnyAbove.info._1, CosineAnyAbove.info._2, CosineAnyAbove.info._3)
     spark.sessionState.functionRegistry
       .registerFunction(QgramHashes.info._1, QgramHashes.info._2, QgramHashes.info._3)
+    spark.sessionState.functionRegistry
+      .registerFunction(SortedInterAtLeast.info._1, SortedInterAtLeast.info._2, SortedInterAtLeast.info._3)
   }
 }
 
@@ -168,5 +170,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GroupCdfRank.info)
     ext.injectFunction(CosineAnyAbove.info)
     ext.injectFunction(QgramHashes.info)
+    ext.injectFunction(SortedInterAtLeast.info)
   }
 }

@@ -625,15 +625,6 @@ object Sketches {
        |FROM est""".stripMargin
   }
 
-  /** Shared KMV pair estimator over signature ROWS (g, h) — h distinct
-    * within each g, each group's rows its bottom-k signature. Returns
-    * (g1, g2, kmv_inter, kmv_n, kth) per unordered group pair: the
-    * union's bottom-k cut (|K(A∪B) ∩ A ∩ B|, |K(A∪B)|, the k-th union
-    * hash — the union-cardinality estimator's denominator) from Beyer
-    * et al. 2007. Every ranking rides
-    * [[graft.functions.BottomKLongAgg]] — no rank window; the per-pair
-    * k-th union hash is a broadcast filter.
-    */
   /** Persisted distinct (g, h) postings of each group's w-gram shingle
     * set — the shared input of the KMV set-similarity/set-ops family.
     */
@@ -645,38 +636,38 @@ object Sketches {
         .select(col("g"), graft.text.TextFunctions.portableHash60(col("gram")).as("h"))
         .distinct())
 
-  private def kmvPairStats(sigRows: DataFrame, k: Int,
-      scope: graft.api.CacheScope): DataFrame = {
-    // pinned: the signature rows (≤ k per group) are read by the group
-    // domain AND both pair-expansion sides; unpersisted, each reference
-    // re-runs the whole upstream bottom-k aggregation — and the grps
-    // self-join doubles the fan-out per level (the 82-Exchange plans
-    // q_kmv_jaccard/q_kmv_setops carried before this pin)
-    val sigs = scope.persist(sigRows)
-    val grps = sigs.select("g").distinct()
-    val pairs = grps.select(col("g").as("g1"))
-      .join(grps.select(col("g").as("g2")), col("g1") < col("g2"))
-    val sigA = pairs.join(sigs, col("g") === col("g1"))
-      .select(col("g1"), col("g2"), col("h"), lit(1).as("in_a"), lit(0).as("in_b"))
-    val sigB = pairs.join(sigs, col("g") === col("g2"))
-      .select(col("g1"), col("g2"), col("h"), lit(0).as("in_a"), lit(1).as("in_b"))
-    val sigU = scope.persist(sigA.unionByName(sigB)
-      .groupBy("g1", "g2", "h")
-      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b")))
-    // the union's k-th smallest hash per pair, again via the bounded
-    // aggregate (sigU hashes are distinct per pair by the groupBy);
-    // the cut is then a broadcast filter — no per-pair rank window
-    val uk = sigU.groupBy("g1", "g2")
-      .agg(expr(s"graft_bottom_k(h, $k)").as("__bk"))
+  /** Shared KMV pair estimator over signature ARRAYS (g, sig) — sig
+    * the group's bottom-k signature, sorted ascending, distinct, non-
+    * empty. Returns (g1, g2, kmv_inter, kmv_n, kth) per unordered group
+    * pair: the union's bottom-k cut (|K(A∪B) ∩ A ∩ B|, |K(A∪B)|, the
+    * k-th union hash — the union-cardinality estimator's denominator)
+    * from Beyer et al. 2007.
+    *
+    * Everything is per-pair ARRAY arithmetic inside one projection:
+    * K(A∪B) = the first k of sort(union(sigA, sigB)) — valid because
+    * every element of the union's bottom-k lies inside its own side's
+    * bottom-k — and the intersection count is membership of the cut in
+    * both signatures. The former row-level form (pair grid × posting
+    * explode → union → (g1,g2,h) re-aggregate → per-pair bottom-k →
+    * broadcast cut filter → final aggregate) shuffled the same data
+    * five times and carried two pins; the array form joins two group-
+    * count-sized frames once and needs no pin of its own (A/B and plan
+    * evidence in OPTIMIZATION_r14.md / plans/r14). Results
+    * bit-identical: same cut set (hashes distinct, so rank-k and
+    * value-at-k agree), same membership counts.
+    */
+  private def kmvPairStats(sigArrs: DataFrame, k: Int): DataFrame = {
+    val pairs = sigArrs.select(col("g").as("g1"), col("sig").as("__s1"))
+      .join(sigArrs.select(col("g").as("g2"), col("sig").as("__s2")),
+        col("g1") < col("g2"))
+    pairs
+      .withColumn("__cut",
+        slice(array_sort(array_union(col("__s1"), col("__s2"))), 1, k))
       .select(col("g1"), col("g2"),
-        element_at(col("__bk"), size(col("__bk"))).as("kth"))
-    sigU.join(broadcast(uk), Seq("g1", "g2"))
-      .filter(col("h") <= col("kth"))
-      .groupBy("g1", "g2")
-      .agg(
-        sum((col("in_a") === 1 && col("in_b") === 1).cast("long")).as("kmv_inter"),
-        count(lit(1)).as("kmv_n"),
-        max(col("kth")).as("kth"))
+        size(array_intersect(array_intersect(col("__cut"), col("__s1")),
+          col("__s2"))).cast("long").as("kmv_inter"),
+        size(col("__cut")).cast("long").as("kmv_n"),
+        element_at(col("__cut"), size(col("__cut"))).as("kth"))
   }
 
   /** Public KMV signature-table builder for PERSISTED sketch rollups —
@@ -799,9 +790,11 @@ object Sketches {
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     require(k >= 2, s"k must be >= 2: $k")
     graft.functions.GraftFunctions.register(sigTable.sparkSession)
-    val rows = kmvCheckK(sigTable, k)
-      .select(col(groupCol).as("g"), explode(slice(col("sig"), 1, k)).as("h"))
-    kmvPairStats(rows, k, scope)
+    // a wider-than-k signature answers k by its first k entries (sorted
+    // ascending); the pin covers the pair self-join's two reads
+    val arrs = scope.persist(kmvCheckK(sigTable, k)
+      .select(col(groupCol).as("g"), slice(col("sig"), 1, k).as("sig")))
+    kmvPairStats(arrs, k)
       .select(col("g1").as("source_a"), col("g2").as("source_b"),
         PortableRound.intRound4(col("kmv_inter"), col("kmv_n")).as("kmv_j"))
   }
@@ -835,11 +828,13 @@ object Sketches {
         col("a.h") === col("b.h") && col("a.g") < col("b.g"))
       .groupBy(col("a.g").as("g1"), col("b.g").as("g2"))
       .agg(count(lit(1)).as("inter_n"))
-    val sigs = toks.groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("__bk"))
-      .select(col("g"), explode(col("__bk")).as("h"))
+    // per-group signature ARRAYS, pinned: the pair self-join inside
+    // kmvPairStats reads the frame twice
+    val sigs = scope.persist(
+      toks.groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("sig")))
     val pairs = sizes.select(col("g").as("g1"), col("sz").as("sz1"))
       .join(sizes.select(col("g").as("g2"), col("sz").as("sz2")), col("g1") < col("g2"))
-    val kmv = kmvPairStats(sigs, k, scope)
+    val kmv = kmvPairStats(sigs, k)
     pairs.join(inter, Seq("g1", "g2"), "left")
       .join(kmv, Seq("g1", "g2"))
       .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))
@@ -933,6 +928,19 @@ object Sketches {
     * |grid| bounded aggregations over the cached hash column, and the
     * exact side is the test-scale audit (at 100 TB, sweep a sampled
     * slice against its own exact count).
+    *
+    * PASS-FUSION NEGATIVES (round 14, measured, do not retry at bench
+    * scale): (a) pre-deduping the pin (hashed.distinct()) — 2.14 →
+    * 4.51 s isolated at sf0.1: the distinct shuffle costs more than
+    * the duplicates the cells' partial aggregates collapse for free;
+    * (b) fusing all HLL cells into one multi-p register pass (pinned
+    * pmax table + prefix-regroup for coarser p) and all KMV cells into
+    * one bottom-k(kmax) pin — 2.14 → 3.10 s isolated: the original's
+    * |grid| independent rescans run as CONCURRENT stages inside ONE
+    * union job over the cache, while each pin is its own serialized
+    * job; at sf0.1/32 cores stage concurrency beats pass fusion. At
+    * true corpus scale (rescans no longer ~free) the fused shape wins
+    * on bytes — revisit only with a cluster-scale measurement.
     */
   def sketchTuning(df: DataFrame, keyCol: String,
       hllPs: Seq[Int] = Seq(8, 12), kmvKs: Seq[Int] = Seq(64, 256),
@@ -1058,11 +1066,13 @@ object Sketches {
     // bottom-k, and membership h∈A is decidable from K(A) for exactly
     // those elements (the property that lets 100 TB corpora compare by
     // shipping k hashes per group)
-    val sigs = toks.groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("__bk"))
-      .select(col("g"), explode(col("__bk")).as("h"))
+    // per-group signature ARRAYS, pinned: the pair self-join inside
+    // kmvPairStats reads the frame twice
+    val sigs = scope.persist(
+      toks.groupBy("g").agg(expr(s"graft_bottom_k(h, $k)").as("sig")))
     val pairs = sizes.select(col("g").as("g1"), col("sz").as("sz1"))
       .join(sizes.select(col("g").as("g2"), col("sz").as("sz2")), col("g1") < col("g2"))
-    val kmv = kmvPairStats(sigs, k, scope)
+    val kmv = kmvPairStats(sigs, k)
     pairs.join(inter, Seq("g1", "g2"), "left")
       .join(kmv, Seq("g1", "g2"))
       .withColumn("inter_n", coalesce(col("inter_n"), lit(0L)))

@@ -136,14 +136,24 @@ object CorpusQueries extends QuerySet {
       (s, d) => {
         // pinned: the first-occurrence aggregate AND the join back both
         // read the distinct postings — unpersisted, the corpus-wide
-        // explode + md5 + distinct ran twice
+        // explode + md5 + distinct ran twice. This is the one pin in
+        // the registry that is CORPUS-sized (one row per distinct
+        // (source, gram-hash)), so it gets an explicit serialized
+        // spill-safe level instead of the default deserialized
+        // MEMORY_AND_DISK: at 100 TB the deserialized row objects would
+        // own the heap, while serialized blocks stay compact and drop
+        // to disk per-block (guide §5). The recompute it saves — a full
+        // corpus explode + md5 + distinct shuffle — dwarfs the
+        // serialize/deserialize cost at every scale measured
+        // (A/B in OPTIMIZATION_r14.md).
         val g = graft.api.CacheScope.global.persist(
           Tables.df(s, d, "documents")
             .select(col("source"),
               explode(graft.text.Repetition.ngrams(col("text"), 3)).as("gram"))
             .select(col("source"),
               graft.text.TextFunctions.portableHash60(col("gram")).as("gh"))
-            .distinct())
+            .distinct(),
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
         val first = g.groupBy("gh").agg(min("source").as("first_src"))
         g.join(first, "gh")
           .groupBy("source")

@@ -185,10 +185,13 @@ object DedupQueries extends QuerySet {
           .select(col("id_a"), col("id_b"), lit(1L).as("__l"))
         val exact = NgramJaccard.jaccardPairsExact(docs, "doc_id", "text")
           .select(col("id_a"), col("id_b"), lit(1L).as("__e"))
+        // coalesce(sum, 0): a finder that yields zero pairs (or disjoint
+        // pair sets) must count 0 like the oracle's count(*) CTEs, not
+        // NULL — identical on any non-degenerate corpus (round-13 ADVICE)
         exact.join(lsh, Seq("id_a", "id_b"), "full_outer")
-          .agg(sum(col("__e")).as("n_exact"),
-            sum(col("__l")).as("n_lsh"),
-            sum(col("__e") * col("__l")).as("n_tp"))
+          .agg(coalesce(sum(col("__e")), lit(0L)).as("n_exact"),
+            coalesce(sum(col("__l")), lit(0L)).as("n_lsh"),
+            coalesce(sum(col("__e") * col("__l")), lit(0L)).as("n_tp"))
           .select(col("n_exact"), col("n_lsh"), col("n_tp"),
             (col("n_lsh") - col("n_tp")).as("n_lsh_only"),
             graft.ops.PortableRound.intRound4(col("n_tp"), col("n_exact"))

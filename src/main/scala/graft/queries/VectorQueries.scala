@@ -134,32 +134,52 @@ object VectorQueries extends QuerySet {
         // are bounded collects, so the pin releases before returning)
         val scope = new graft.api.CacheScope
         val e = scope.persist(Tables.df(s, d, "embeddings"))
-        val brute = Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, 10)
-          .collect().map(_.getLong(0)).toSet
-        val qv = e.filter(col("vec_id") === 0L)
-          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
-        val pqModel = graft.ann.Pq.fit(e, "vec_id", "embedding",
-          m = 2, ks = 8, maxIters = 0)
-        val sqModel = graft.ann.Sq.fit(e, "embedding")
         // Deliberately one collect PER tier, not a union: each tier
         // ends in orderBy+limit, which collect plans as
         // TakeOrderedAndProject (distributed top-k, no global sort);
         // inside a union branch the same pattern becomes a full
         // Sort + GlobalLimit — measured 2.8 s -> 6.3 s at sf1 for the
-        // unioned form before this was reverted.
-        val tiers: Seq[(String, Array[Long])] = Seq(
-          "ivf" -> Knn.ivfTopK(e, "vec_id", "embedding", 0L, 10)
-            .collect().map(_.getLong(0)),
-          "lsh" -> Knn.lshTopK(e, "vec_id", "embedding", 0L, 10)
-            .collect().map(_.getLong(0)),
-          "multiprobe" -> Knn.lshTopKMultiProbe(e, "vec_id", "embedding", 0L, 10)
-            .collect().map(_.getLong(0)),
-          "pq" -> graft.ann.Pq.search(
+        // unioned form before this was reverted. The tiers ARE
+        // independent jobs over the same pinned table, though, so they
+        // run CONCURRENTLY from driver threads (guide §2.6 "overlap
+        // independent jobs"): the tail of one tier's job back-fills
+        // with the next tier's tasks instead of idling the other 31
+        // cores. Each tier's plan, collect, and result are exactly the
+        // sequential ones — only the submission overlaps.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        def top(df: org.apache.spark.sql.DataFrame): Array[Long] =
+          df.collect().map(_.getLong(0))
+        val fBrute = Future(
+          top(Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, 10)).toSet)
+        val fIvf = Future(top(Knn.ivfTopK(e, "vec_id", "embedding", 0L, 10)))
+        val fLsh = Future(top(Knn.lshTopK(e, "vec_id", "embedding", 0L, 10)))
+        val fMp = Future(top(Knn.lshTopKMultiProbe(e, "vec_id", "embedding", 0L, 10)))
+        // qv on the calling thread (tiny head() job, overlaps the four
+        // above); the model fits and their dependent searches fork next
+        val qv = e.filter(col("vec_id") === 0L)
+          .select(col("embedding").cast("array<double>")).head().getSeq[Double](0)
+        val fPq = Future {
+          val pqModel = graft.ann.Pq.fit(e, "vec_id", "embedding",
+            m = 2, ks = 8, maxIters = 0)
+          top(graft.ann.Pq.search(
             graft.ann.Pq.encode(e, "vec_id", "embedding", pqModel),
-            "vec_id", pqModel, qv, k = 10).collect().map(_.getLong(0)),
-          "sq" -> graft.ann.Sq.search(
+            "vec_id", pqModel, qv, k = 10))
+        }
+        val fSq = Future {
+          val sqModel = graft.ann.Sq.fit(e, "embedding")
+          top(graft.ann.Sq.search(
             graft.ann.Sq.encode(e, "vec_id", "embedding", sqModel),
-            "vec_id", sqModel, qv, k = 10).collect().map(_.getLong(0)))
+            "vec_id", sqModel, qv, k = 10))
+        }
+        val brute = Await.result(fBrute, Duration.Inf)
+        val tiers: Seq[(String, Array[Long])] = Seq(
+          "ivf" -> Await.result(fIvf, Duration.Inf),
+          "lsh" -> Await.result(fLsh, Duration.Inf),
+          "multiprobe" -> Await.result(fMp, Duration.Inf),
+          "pq" -> Await.result(fPq, Duration.Inf),
+          "sq" -> Await.result(fSq, Duration.Inf))
         val rows = tiers.map { case (name, ids) =>
           val hit = ids.count(brute)
           (name, hit,
@@ -212,10 +232,17 @@ object VectorQueries extends QuerySet {
         val scope = new graft.api.CacheScope
         val e = scope.persist(Tables.df(s, d, "embeddings"))
         val kMax = 20
-        val brute20 = Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, kMax)
-          .collect().map(_.getLong(0))
+        // two independent jobs over the same pinned table — overlap
+        // them (guide §2.6, the q_ann_recall pattern); results are the
+        // sequential collects verbatim
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fBrute = Future(Knn.bruteForceTopK(e, "vec_id", "embedding", 0L, kMax)
+          .collect().map(_.getLong(0)))
         val ivf20 = Knn.ivfTopK(e, "vec_id", "embedding", 0L, kMax)
           .collect().map(_.getLong(0))
+        val brute20 = Await.result(fBrute, Duration.Inf)
         scope.release()
         val rows = Seq(1, 5, 10, 20).map { k =>
           val truth = brute20.take(k).toSet
@@ -549,11 +576,13 @@ object VectorQueries extends QuerySet {
         // pairs are unique per side, so a tagged full-outer join +
         // single aggregate replaces the three 1-row aggregates that
         // re-ran the O(n²) exact matrix and the banded finder twice.
+        // coalesce(sum, 0): zero/disjoint finder outputs must count 0
+        // like the oracle's count(*) CTEs, not NULL (round-13 ADVICE)
         exact.join(banded.withColumn("__b", lit(1L)),
             Seq("id_a", "id_b"), "full_outer")
-          .agg(sum(col("__e")).as("n_exact"),
-            sum(col("__b")).as("n_banded"),
-            sum(col("__e") * col("__b")).as("n_tp"))
+          .agg(coalesce(sum(col("__e")), lit(0L)).as("n_exact"),
+            coalesce(sum(col("__b")), lit(0L)).as("n_banded"),
+            coalesce(sum(col("__e") * col("__b")), lit(0L)).as("n_tp"))
           .select(col("n_exact"), col("n_banded"), col("n_tp"),
             (col("n_banded") - col("n_tp")).as("n_banded_only"),
             graft.ops.PortableRound.intRound4(col("n_tp"), col("n_exact"))
