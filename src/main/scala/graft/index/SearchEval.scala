@@ -98,15 +98,22 @@ object SearchEval {
       scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
     val spark = df.sparkSession
     val probes = deriveProbes(df, idCol, textCol, probeIds, nTerms)
-    val bmSets: Map[Long, Set[Long]] =
+    // the two retrievers are independent jobs — overlap them from
+    // driver threads (guide §2.6, the q_ann_recall pattern); each
+    // collect and its result are the sequential ones verbatim
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fBm: Future[Map[Long, Set[Long]]] = Future(
       Bm25.searchBatch(df, idCol, textCol, probes, k)
         .collect().toSeq.groupBy(_.getLong(0))
-        .map { case (pid, rows) => pid -> rows.map(_.getLong(1)).toSet }
+        .map { case (pid, rows) => pid -> rows.map(_.getLong(1)).toSet })
     val idx = scope.persist(TrigramIndexer.index(df, idCol, textCol))
     val cosSets: Map[Long, Set[Long]] =
       Search.searchTrigramBatch(spark, idx, idCol, probes, k)
         .collect().toSeq.groupBy(_.getLong(0))
         .map { case (pid, rows) => pid -> rows.map(_.getLong(1)).toSet }
+    val bmSets: Map[Long, Set[Long]] = Await.result(fBm, Duration.Inf)
     val rows = probes.map { case (pid, q) =>
       val inter = (bmSets.getOrElse(pid, Set.empty) &
         cosSets.getOrElse(pid, Set.empty)).size

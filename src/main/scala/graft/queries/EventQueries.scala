@@ -762,21 +762,30 @@ object EventQueries extends QuerySet {
       (s, d) => {
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("event_type")
-        val r = Tables.df(s, d, "events")
-          .select(col("event_type"),
-            floor(col("value") * 100 + lit(0.5)).cast("long").as("qv"),
-            unix_micros(col("ts")).as("__us"), col("event_id"))
-          .withColumn("rn", row_number().over(
-            w.orderBy(col("__us").asc, col("event_id").asc)))
-          .withColumn("n", count(lit(1)).over(w))
+        // pinned (the q_acf discipline): h1's two readers, h2, and the
+        // totals aggregate all read r — unpersisted, the events scan +
+        // BOTH windows re-ran four times (22 Window nodes in the
+        // before plan). Four narrow columns per event row.
+        val r = graft.api.CacheScope.global.persist(
+          Tables.df(s, d, "events")
+            .select(col("event_type"),
+              floor(col("value") * 100 + lit(0.5)).cast("long").as("qv"),
+              unix_micros(col("ts")).as("__us"), col("event_id"))
+            .withColumn("rn", row_number().over(
+              w.orderBy(col("__us").asc, col("event_id").asc)))
+            .withColumn("n", count(lit(1)).over(w))
+            .drop("__us", "event_id"))
         val h1 = r.filter(col("rn") <= expr("n div 2"))
         val h2 = r.filter(col("rn") > expr("n div 2"))
         val deciled = h1.withColumn("dec", ntile(10).over(
           w.orderBy(col("qv").asc, col("rn").asc)))
         val bcols = (1 to 9).map(i =>
           max(when(col("dec") === i, col("qv"))).as(s"b$i"))
-        val bounds = deciled.groupBy("event_type")
-          .agg(bcols.head, bcols.tail: _*)
+        // bounds is broadcast into BOTH bucketed halves — pinned so the
+        // ntile window runs once (types-bounded frame)
+        val bounds = graft.api.CacheScope.global.persist(
+          deciled.groupBy("event_type")
+            .agg(bcols.head, bcols.tail: _*))
         def bucketed(h: org.apache.spark.sql.DataFrame) = h
           .join(broadcast(bounds), "event_type")
           .withColumn("bucket", (1 to 9).map(i =>
@@ -997,8 +1006,14 @@ object EventQueries extends QuerySet {
           .join(daily, Seq("day"), "left")
           .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
         val tot = full.agg(count(lit(1)).as("n"), sum("x").as("s"))
-        val u = full.crossJoin(broadcast(tot))
-          .select(col("day"), (col("n") * col("x") - col("s")).as("u"))
+        // pinned: den reads u once and the lag join reads it twice —
+        // unpersisted, each reference re-ran the whole upstream (events
+        // scan + daily groupBy + bounds agg + dense-calendar join; 70
+        // Exchanges in the before plan). u is calendar-bounded
+        // (≤ n_days rows) — the r13 pin discipline.
+        val u = graft.api.CacheScope.global.persist(
+          full.crossJoin(broadcast(tot))
+            .select(col("day"), (col("n") * col("x") - col("s")).as("u")))
         val den = u.agg(sum(col("u") * col("u")).as("den"))
         val lagged = u.select(col("day"), col("u").as("ua"),
             explode(sequence(lit(1), lit(7))).as("lag"))
@@ -1054,13 +1069,19 @@ object EventQueries extends QuerySet {
           .join(daily, Seq("day"), "left")
           .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
         val tot = full.agg(count(lit(1)).as("n"), sum("x").as("s"))
-        val u = full.crossJoin(broadcast(tot))
-          .select(col("day"), col("x"), col("n"),
-            (col("n") * col("x") - col("s")).as("u"))
-        val cum = u.select(col("day"), col("x"), col("n"))
-          .join(u.select(col("day").as("day2"), col("u")),
-            col("day2") <= col("day"))
-          .groupBy("day", "x", "n").agg(sum("u").as("sraw"))
+        // pinned (the q_acf discipline): u feeds both sides of the
+        // triangular join, cum feeds the max aggregate AND the final
+        // projection — unpersisted, the events scan + daily groupBy
+        // re-ran per reference. Both frames are calendar-bounded.
+        val u = graft.api.CacheScope.global.persist(
+          full.crossJoin(broadcast(tot))
+            .select(col("day"), col("x"), col("n"),
+              (col("n") * col("x") - col("s")).as("u")))
+        val cum = graft.api.CacheScope.global.persist(
+          u.select(col("day"), col("x"), col("n"))
+            .join(u.select(col("day").as("day2"), col("u")),
+              col("day2") <= col("day"))
+            .groupBy("day", "x", "n").agg(sum("u").as("sraw")))
         val mx = cum.agg(max(abs(col("sraw"))).as("m"))
         cum.crossJoin(broadcast(mx))
           .select(col("day"), col("x"),
@@ -1100,10 +1121,14 @@ object EventQueries extends QuerySet {
     // fine for a decade of 10M-events/day.
     Q("q_trend",
       (s, d) => {
-        val daily = Tables.df(s, d, "events")
-          .select(col("event_type"),
-            expr("unix_micros(ts) div 86400000000").as("day"))
-          .groupBy("event_type", "day").agg(count(lit(1)).as("x"))
+        // pinned (the q_acf discipline): bounds, the type domain, and
+        // the dense-calendar join all read daily — unpersisted, the
+        // events scan + groupBy re-ran per reference. (type x day)-bounded.
+        val daily = graft.api.CacheScope.global.persist(
+          Tables.df(s, d, "events")
+            .select(col("event_type"),
+              expr("unix_micros(ts) div 86400000000").as("day"))
+            .groupBy("event_type", "day").agg(count(lit(1)).as("x")))
         val bounds = daily.agg(min("day").as("d0"), max("day").as("d1"))
         val cal = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"),
           col("d0"))
@@ -1185,6 +1210,11 @@ object EventQueries extends QuerySet {
         val cal = bounds.select(explode(sequence(col("d0"), col("d1"))).as("day"),
           col("d0"))
         val types = daily.select("event_type").distinct()
+        // dense feeds both sides of the slope self-join but is NOT
+        // pinned: with daily pinned its recompute is two broadcast
+        // joins over calendar-bounded rows, cheaper than a cache
+        // materialization job (measured: pinning it held q_theilsen at
+        // ~1.4 s vs ~1.1 s with the daily pin alone)
         val dense = types.crossJoin(broadcast(cal))
           .join(daily, Seq("event_type", "day"), "left")
           .select(col("event_type"), (col("day") - col("d0")).as("t"),
