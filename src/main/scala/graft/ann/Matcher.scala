@@ -151,7 +151,16 @@ object Matcher {
     // bands defaults per tier (4 fixed / 8 scaled) and is honored on
     // both paths; dims defaults to the data's own vector length so the
     // sampled plane set matches the Duck twin's caller-supplied dim.
-    lazy val scaledWidth = Knn.widthForCount(math.max(src.count(), tgt.count()))
+    // The two side counts are independent driver jobs — overlapped
+    // (guide §2.6); the width they produce is the sequential one.
+    lazy val scaledWidth = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fSrc = Future(src.count())
+      val nTgt = tgt.count()
+      Knn.widthForCount(math.max(Await.result(fSrc, Duration.Inf), nTgt))
+    }
     lazy val scaledDims = if (dims > 0) dims else Knn.inferDims(src, tgt, vecCol)
     def bandsOf(df: DataFrame) =
       if (nBits > 0) Knn.bandedSignBits(df, idCol, vecCol, nBits, if (bands > 0) bands else 4)

@@ -396,11 +396,19 @@ object VectorQueries extends QuerySet {
               graft.ops.PortableRound.intRound4(col("n_hit"), col("n_truth")).as("recall"))
         }
         val src = e.filter(col("label") === 0).select("vec_id", "embedding")
-        val weak = regime("weak_top3", src,
-          e.filter(col("label") === 1).select("vec_id", "embedding"), topN = 3)
+        // regime construction runs eager driver jobs (side counts +
+        // dim probes per matcher tier) — the two regimes are
+        // independent, so build them concurrently (guide §2.6); each
+        // regime's plan and rows are the sequential ones verbatim
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val fWeak = Future(regime("weak_top3", src,
+          e.filter(col("label") === 1).select("vec_id", "embedding"), topN = 3))
         val dup = regime("exact_dup", src,
           src.select((col("vec_id") + lit(10000L)).as("vec_id"), col("embedding")),
           topN = 1)
+        val weak = Await.result(fWeak, Duration.Inf)
         dup.unionByName(weak).orderBy("regime")
       },
       Some {
