@@ -38,32 +38,29 @@ object PredictivePower {
     */
   def cvAccuracy(df: DataFrame, keyCol: String, targetCol: String,
       features: Seq[(String, Column)], k: Int = 3,
-      salt: String = "",
-      scope: graft.api.CacheScope = graft.api.CacheScope.global): DataFrame = {
+      salt: String = ""): DataFrame = {
     require(k >= 2, s"need >= 2 folds, got $k")
     require(features.nonEmpty, "no feature columns")
     val featStructs = features.map { case (n, c) =>
       struct(lit(n).as("feature"), c.cast("string").as("v"))
     }
-    // pinned: the count table, the class table, and the prediction
-    // pass all read feats — unpersisted, the corpus scan + F-way
-    // explode + md5 fold hash ran three times (10 parquet scans in the
-    // before plan). F × corpus rows of four short strings — the one
-    // corpus-sized pin this operator needs, so the spill-safe
-    // serialized level (the q_novelty discipline).
-    val feats = scope.persist(
-      df.select(
-          col(targetCol).cast("string").as("y"),
-          Sampling.foldAssign(col(keyCol), k, salt).as("fold"),
-          explode(array(featStructs: _*)).as("f"))
-        .select(col("y"), col("fold"),
-          col("f.feature").as("feature"), col("f.v").as("v")),
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    // (feature, v, y, fold) counts — bounded by the feature domains;
-    // pinned: the totals rollup AND the per-fold subtraction join both
-    // read it
-    val cnts = scope.persist(feats.groupBy("feature", "v", "y", "fold")
-      .agg(count(lit(1)).as("c")))
+    // feats is read three times (count table, class table, prediction
+    // pass) and cnts twice, but NEITHER is pinned — measured round 14:
+    // feats pin 2.6 -> 3.1-3.3 s at sf1 at either storage level (the
+    // corpus-sized cache build outweighs three map-only explode
+    // rescans — the KMeans.fit finding), and even the bounded cnts pin
+    // alone cost ~0.2 s (its materialization job serializes ahead of a
+    // plan that otherwise overlaps those stages). Do not retry at
+    // bench scale.
+    val feats = df.select(
+        col(targetCol).cast("string").as("y"),
+        Sampling.foldAssign(col(keyCol), k, salt).as("fold"),
+        explode(array(featStructs: _*)).as("f"))
+      .select(col("y"), col("fold"),
+        col("f.feature").as("feature"), col("f.v").as("v"))
+    // (feature, v, y, fold) counts — bounded by the feature domains
+    val cnts = feats.groupBy("feature", "v", "y", "fold")
+      .agg(count(lit(1)).as("c"))
     val tot = cnts.groupBy("feature", "v", "y").agg(sum("c").as("ct"))
     // train counts for held-out fold f = total − fold f's count; the
     // fold axis materializes as a k-element sequence explode (map-side,
