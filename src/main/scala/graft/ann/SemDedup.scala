@@ -47,14 +47,23 @@ object SemDedup {
       // skew guard: the same-keyed window reuses the join exchange
       .withColumn("__csz", count(lit(1)).over(Window.partitionBy("cluster"))))
     val paired = m.filter(col("__csz") <= maxCluster)
+    // direct-witness EXISTS as a LEFT SEMI join (round 14): the old
+    // form enumerated EVERY qualifying pair, then distinct'd the b ids
+    // — one extra exchange, and every witness beyond the first was
+    // wasted cosine work. A semi join emits each b row at most once
+    // and stops probing its cluster's build rows at the FIRST lower-id
+    // witness, so dup-dense clusters short-circuit; the selected id
+    // set is EXACTLY the old one (exists ⟺ at least one pair row).
     val dropped = paired
-      .select(col("cluster"), col(idCol).as("__ida"), col("__v").as("__va"), col("__n").as("__na"))
-      .join(paired.select(col("cluster"), col(idCol).as("__idb"),
-        col("__v").as("__vb"), col("__n").as("__nb")), "cluster")
-      .filter(col("__ida") < col("__idb"))
-      .filter(round(VectorFunctions.dot(col("__va"), col("__vb")) /
-        (col("__na") * col("__nb")), 4) >= threshold)
-      .select(col("__idb")).distinct()
+      .select(col("cluster").as("__cb"), col(idCol).as("__idb"),
+        col("__v").as("__vb"), col("__n").as("__nb"))
+      .join(paired.select(col("cluster").as("__ca"), col(idCol).as("__ida"),
+          col("__v").as("__va"), col("__n").as("__na")),
+        col("__ca") === col("__cb") && col("__ida") < col("__idb") &&
+          round(VectorFunctions.dot(col("__va"), col("__vb")) /
+            (col("__na") * col("__nb")), 4) >= threshold,
+        "left_semi")
+      .select(col("__idb"))
       .withColumn("__drop", lit(true))
     m.join(dropped, m(idCol) === dropped("__idb"), "left")
       .select(m(idCol), col("cluster"),
