@@ -790,6 +790,12 @@ object Knn {
     val ev = eval.select(col(idCol).as("__eval_id"),
         col(vecCol).cast("array<double>").as("__ev"))
       .withColumn("__en", VectorFunctions.norm(col("__ev")))
+    // NOT a semi join (round-14 negative, measured): the q_semdedup
+    // EXISTS-as-left-semi rewrite was tried here and regressed 1.49 →
+    // 2.65 s at sf1 (q_pipeline_e2e 4.19 → 6.16) — the semi's BUILD
+    // side would be the candidate-pair × eval-vector table, which this
+    // form never materializes (pairs stream against the broadcast eval
+    // side and collapse in the distinct's partial aggregate).
     val hit = cand
       .join(tv, "__train_id")
       .join(broadcast(ev), "__eval_id")
